@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, compare_to_oracle, register_duck_views
+from vector_index_spark.functions.distance import (
+    cos_dist,
+    dot,
+    ip_dist,
+    l2_norm,
+    l2sq,
+    normalize,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    """Self-join of embeddings into ~500 deterministic (a, b) pairs."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("a"))
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("b"))
+    return a.join(b, F.col("bid") == (F.col("aid") + 1) % 500).select(
+        "aid", "bid", "a", "b"
+    )
+
+
+def test_l2sq_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]), ([0.0, 0.0, 0.0], [3.0, 4.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(l2sq(F.col("a"), F.col("b")).alias("d")).collect()
+    assert rows[0]["d"] == 0.0
+    assert rows[1]["d"] == 25.0
+
+
+def test_metric_identities(pairs):
+    rows = pairs.select(
+        l2sq(F.col("a"), F.col("a")).alias("self_l2"),
+        cos_dist(F.col("a"), F.col("a")).alias("self_cos"),
+        l2sq(F.col("a"), F.col("b")).alias("ab"),
+        l2sq(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()
+    for r in rows:
+        assert r["self_l2"] == 0.0
+        assert abs(r["self_cos"]) < 1e-12
+        assert r["ab"] == r["ba"]  # identical accumulation order -> bit-equal
+        assert r["ab"] >= 0.0
+
+
+def test_normalize_unit_norm(pairs):
+    rows = (
+        pairs.select(normalize(F.col("a")).alias("n"))
+        .select(l2_norm(F.col("n")).alias("nn"))
+        .collect()
+    )
+    for r in rows:
+        assert math.isclose(r["nn"], 1.0, rel_tol=1e-12)
+
+
+def test_l2sq_vs_duckdb(spark, duck, pairs):
+    register_duck_views(duck, SF_CORRECT)
+    sdf = pairs.select(
+        "aid",
+        "bid",
+        F.round(l2sq(F.col("a"), F.col("b")), 6).alias("l2sq"),
+        F.round(ip_dist(F.col("a"), F.col("b")), 6).alias("ip_dist"),
+        F.round(cos_dist(F.col("a"), F.col("b")), 6).alias("cos_dist"),
+    )
+    sql = """
+    WITH pairs AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             a.embedding::DOUBLE[] AS a, b.embedding::DOUBLE[] AS b
+      FROM embeddings a JOIN embeddings b ON b.vec_id = (a.vec_id + 1) % 500
+    )
+    SELECT aid, bid,
+      round(list_sum(list_transform(list_zip(a, b), p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS l2sq,
+      round(1.0 - list_inner_product(a, b), 6) AS ip_dist,
+      round(1.0 - list_cosine_similarity(a, b), 6) AS cos_dist
+    FROM pairs
+    """
+    compare_to_oracle(sdf, duck, sql)

@@ -1,0 +1,77 @@
+"""Distance kernels as native Spark SQL higher-order expressions.
+
+Capability parity with reference source/distance.h:
+  - l2sq      = squared L2 WITHOUT sqrt     (distance.h:128-135, the only
+                dispatchable metric, distance.h:174-187)
+  - ip_dist   = 1 - dot(a, b)               (distance.h:143-151)
+  - cos_dist  = 1 - dot/(|a||b|)            (distance.h:158-170)
+
+Design decisions (SURVEY.md §7):
+  - float64 accumulation in strict left-to-right order — deterministic and
+    DuckDB-checkable, unlike the reference's float32 SIMD tree accumulation.
+  - We do NOT replicate the reference's tail-drop bug (distance.h:43-46
+    processes only floor(d/16)*16 components); all components count.
+  - These are pure Catalyst expressions: they run JVM-side inside
+    whole-stage codegen — no Python, no serialization. This is the Spark
+    analogue of the reference's SIMD kernels: vectorization is Tungsten's
+    job, not ours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Inner product in float64, sequential accumulation."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (no sqrt), as the reference computes it
+    (source/distance.h:128-135)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2(a: Column, b: Column) -> Column:
+    """Euclidean distance with sqrt (not in the reference's dispatch; provided
+    for completeness)."""
+    return F.sqrt(l2sq(a, b))
+
+
+def l2_norm(a: Column) -> Column:
+    """||a||_2 in float64."""
+    return F.sqrt(
+        F.aggregate(_to_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def ip_dist(a: Column, b: Column) -> Column:
+    """Inner-product distance = 1 - dot(a, b) (source/distance.h:143-151)."""
+    return F.lit(1.0) - dot(a, b)
+
+
+def cos_dist(a: Column, b: Column) -> Column:
+    """Cosine distance = 1 - dot/(|a||b|) (source/distance.h:158-170)."""
+    return F.lit(1.0) - dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize a vector column (float64). Cosine top-k over normalized
+    vectors reduces to inner-product top-k — the standard trick for making
+    cosine ANN reuse a dot-product kernel."""
+    nrm = l2_norm(a)
+    return F.transform(_to_double(a), lambda x: x / nrm)
