@@ -67,6 +67,11 @@ _PAIRS_SQL = """
 
 _L2SQ_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
+# DuckDB token expression — exact twin of functions.text.tokens()
+_TOKS_SQL = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+
+_EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in']"
+
 _KNN_BASE_SQL = f"""
   WITH train AS (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 <> 0
@@ -194,6 +199,79 @@ def q07_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q08_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q8 — index persistence round-trip (reference save/load,
+    source/dehnsw.h:666-844). Builds a deterministic kNN-graph edge relation
+    (each train vector's 4 nearest others), writes it shard-partitioned,
+    re-reads it, and aggregates count + portable checksum + distance sum.
+    The oracle computes the same aggregate directly: round-trip must be
+    identity (mirrors dehnsw_example.cpp:208-228 re-query equivalence)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.functions.hashing import portable_hash
+    from vector_index_spark.index.persistence import load_index, save_index
+
+    train = _train(spark, sf_dir)
+    g = knn_join(train.select(F.col("id").alias("qid"), "vec"), train, 5)
+    nonself = g.filter(F.col("id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    edges = (
+        nonself.withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") <= 4)
+        .select(
+            (F.col("qid") / F.lit(SUB_INDEX_BOUND)).cast("long").alias("shard"),
+            F.lit(0).alias("layer"),
+            F.col("qid").alias("src"),
+            F.col("id").alias("dst"),
+            "dist",
+        )
+    )
+    vectors = assign_shards(train, SUB_INDEX_BOUND).select("shard", "id", "vec")
+    path = os.path.join(tempfile.gettempdir(), f"vis_q08_index_{os.getpid()}")
+    params = IndexParameters(dimension=64, sub_index_bound=SUB_INDEX_BOUND)
+    save_index(vectors, edges, params, path)
+    _, edges_back, params_back = load_index(spark, path)
+    assert params_back == params
+    return edges_back.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            portable_hash(
+                F.concat_ws(
+                    ",", F.col("shard").cast("long"), "layer", "src", "dst"
+                )
+            )
+        ).alias("edge_checksum"),
+        F.round(F.sum("dist"), 4).alias("dist_sum"),
+    )
+
+
+def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q9 — exact dedup: GROUP BY text, keep min doc_id."""
+    from vector_index_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text")
+
+
+def q10_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q10 — threshold similarity join: all pairs with
+    l2sq < 1.25 (the distance-bound pattern, source/dehnsw.h:349)."""
+    from vector_index_spark.operators.similarity import threshold_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    res = threshold_join(
+        emb.select(F.col("id").alias("id_a"), "vec"),
+        emb.select(F.col("id").alias("id_b"), "vec"),
+        threshold=1.25,
+    )
+    return res.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
 def q11_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2C Q11 — relational substrate proof: lineitem ⋈ orders ⋈
     customer, group-by market segment + return flag, sum/avg/count."""
@@ -215,6 +293,75 @@ def q11_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_token_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q12 — corpus token frequency top-25, (count DESC, token
+    ASC) total order."""
+    from vector_index_spark.operators.textstats import token_frequencies
+
+    return token_frequencies(_t(spark, sf_dir, "documents"), top_n=25)
+
+
+def q13_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — MinHash+LSH near-duplicate pairs (3-word shingles,
+    16 hashes, 4 bands) verified by exact Jaccard >= 0.5."""
+    from vector_index_spark.operators.dedup import minhash_near_dup
+
+    res = minhash_near_dup(_t(spark, sf_dir, "documents"))
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — SimHash near-duplicate pairs (48-bit, Hamming <= 6)."""
+    from vector_index_spark.operators.dedup import simhash_near_dup
+
+    res = simhash_near_dup(_t(spark, sf_dir, "documents"))
+    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — per-document quality profile (token/char counts,
+    punctuation & stopword ratios, quality score)."""
+    from vector_index_spark.operators.textstats import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q16_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — stopword-profile language ID with deterministic
+    (score DESC, lang ASC) argmax."""
+    from vector_index_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q17_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — dedup on 48-bit fingerprint of normalized text."""
+    from vector_index_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — embedding near-duplicate pairs: cosine distance < 0.65."""
+    from vector_index_spark.operators.dedup import embedding_near_dup
+
+    res = embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), cos_threshold=0.65
+    )
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — character-3-gram Jaccard pairs >= 0.7, blocked by
+    source (the blocking pattern that keeps pairwise work sub-quadratic)."""
+    from vector_index_spark.operators.dedup import ngram_jaccard_pairs
+
+    res = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", threshold=0.7
+    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -224,7 +371,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_shard_stats": q05_shard_stats,
         "q06_two_phase_knn": q06_two_phase_knn,
         "q07_recall": q07_recall,
+        "q08_index_roundtrip": q08_index_roundtrip,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_threshold_join": q10_threshold_join,
         "q11_star_agg": q11_star_agg,
+        "q12_token_topn": q12_token_topn,
+        "q13_minhash_pairs": q13_minhash_pairs,
+        "q14_simhash_pairs": q14_simhash_pairs,
+        "q15_text_profile": q15_text_profile,
+        "q16_langid": q16_langid,
+        "q17_fingerprint_dedup": q17_fingerprint_dedup,
+        "q18_embedding_neardup": q18_embedding_neardup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
     }
 
 
@@ -274,6 +432,204 @@ def oracle_sql() -> dict[str, str]:
             {_KNN_BASE_SQL}
             SELECT count(*) AS total_hit, count(*) AS max_hit, 1.0::DOUBLE AS recall
             FROM ranked WHERE rank <= {K}
+        """,
+        "q08_index_roundtrip": f"""
+            WITH train AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id % 10 <> 0
+            ), d AS (
+              SELECT t.id AS src, c.id AS dst,
+                     {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM train t CROSS JOIN train c WHERE t.id <> c.id
+            ), ranked AS (
+              SELECT src, dst, dist,
+                     row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS r
+              FROM d
+            ), edges AS (
+              SELECT src // {SUB_INDEX_BOUND} AS shard, 0 AS layer, src, dst, dist
+              FROM ranked WHERE r <= 4
+            )
+            SELECT count(*) AS n_edges,
+                   sum(('0x' || substring(md5(
+                        (shard::VARCHAR || ',' || layer::VARCHAR || ','
+                         || src::VARCHAR || ',' || dst::VARCHAR)), 1, 12))::BIGINT
+                   )::BIGINT AS edge_checksum,
+                   round(sum(dist), 4) AS dist_sum
+            FROM edges
+        """,
+        "q09_dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "q10_threshold_join": f"""
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     {_L2SQ_SQL.format(a="a.vec", b="b.vec")} AS dist
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(dist, 6) AS dist FROM p WHERE dist < 1.25
+        """,
+        "q12_token_topn": f"""
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest({_TOKS_SQL.format(t="text")}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 25
+        """,
+        "q13_minhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, {_TOKS_SQL.format(t="text")} AS t FROM documents
+            ), sh AS (
+              SELECT id, list_distinct(
+                       [array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t)-2, 0)+1)]) AS shingles
+              FROM toks WHERE len(t) >= 3
+            ), sig AS (
+              SELECT id, shingles,
+                [list_min(list_transform(shingles,
+                   s -> ('0x'||substring(md5(seed::VARCHAR || ':' || s),1,12))::BIGINT))
+                 for seed in range(0, 16)] AS sig
+              FROM sh
+            ), banded AS (
+              SELECT id, b AS band,
+                ('0x'||substring(md5(array_to_string(sig[b*4+1 : b*4+4], ',')),1,12))::BIGINT
+                  AS band_hash
+              FROM sig, range(0, 4) r(b)
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                           AND a.id < b.id
+            ), pairs AS (
+              SELECT c.id_a, c.id_b,
+                len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.5
+        """,
+        "q14_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_distinct({_TOKS_SQL.format(t="text")}) AS t
+              FROM documents
+            ), th AS (
+              SELECT id, ('0x'||substring(md5(token),1,12))::BIGINT AS h
+              FROM (SELECT id, unnest(t) AS token FROM toks WHERE len(t) > 0)
+            ), bits AS (
+              SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, range(0, 48) r(b)
+              GROUP BY id, b
+            ), sh AS (
+              SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+              FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        """,
+        "q15_text_profile": f"""
+            WITH base AS (
+              SELECT doc_id, lower(text) AS s, {_TOKS_SQL.format(t="text")} AS t
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                len(t) AS n_tokens,
+                length(s)::BIGINT AS n_chars,
+                (length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                  / greatest(length(s), 1) AS punct,
+                len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE
+                  / greatest(len(t), 1) AS stop,
+                list_sum(list_transform(t, x -> length(x)::DOUBLE))::DOUBLE
+                  / greatest(len(t), 1) AS mtl
+              FROM base
+            )
+            SELECT doc_id,
+                   n_tokens::BIGINT AS n_tokens,
+                   n_chars,
+                   round(punct, 6) AS punct_ratio,
+                   round(stop, 6) AS stopword_ratio,
+                   round(mtl, 6) AS mean_token_len,
+                   round((least(n_tokens / 64.0, 1.0)
+                          + least(stop * 4.0, 1.0)
+                          + (1.0 - least(punct * 4.0, 1.0))) / 3.0, 6) AS quality
+            FROM m
+        """,
+        "q16_langid": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(t="text")} AS t FROM documents
+            ), scores AS (
+              SELECT doc_id, 'de' AS lang,
+                     len(list_filter(t, x -> list_contains(
+                       ['der','die','das','und','ist','nicht','ein'], x)))::DOUBLE
+                       / greatest(len(t), 1) AS score
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'en',
+                     len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE
+                       / greatest(len(t), 1)
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'es',
+                     len(list_filter(t, x -> list_contains(
+                       ['el','los','las','una','que','y','es'], x)))::DOUBLE
+                       / greatest(len(t), 1)
+              FROM toks
+              UNION ALL
+              SELECT doc_id, 'fr',
+                     len(list_filter(t, x -> list_contains(
+                       ['le','les','des','et','est','une','dans'], x)))::DOUBLE
+                       / greatest(len(t), 1)
+              FROM toks
+            ), ranked AS (
+              SELECT doc_id, lang, round(score, 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang ASC
+                     ) AS rn
+              FROM scores
+            )
+            SELECT doc_id, lang AS lang_pred, score AS lang_score
+            FROM ranked WHERE rn = 1
+        """,
+        "q17_fingerprint_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                ('0x' || substring(md5(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 12))::BIGINT AS fp
+              FROM documents
+            )
+            SELECT min(doc_id) AS keep_id, fp, count(*) AS n_dups
+            FROM fp GROUP BY fp
+        """,
+        "q18_embedding_neardup": """
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     1.0 - list_cosine_similarity(a.vec, b.vec) AS cos
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos < 0.65
+        """,
+        "q19_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id AS id, source,
+                list_distinct([lower(text)[i:i+2]
+                               for i in range(1, greatest(length(text)-2, 0)+1)]) AS grams
+              FROM documents
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(a.grams || b.grams)) AS jaccard
+              FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+              WHERE len(a.grams) > 0 AND len(b.grams) > 0
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM p WHERE jaccard >= 0.7
         """,
         "q11_star_agg": """
             SELECT c.c_mktsegment, l.l_returnflag,

@@ -1,0 +1,172 @@
+"""Text-analysis primitives for the LLM-data-pipeline operators
+(BASELINE.json north star): tokenization, shingling, quality metrics,
+language-ID scoring, fingerprinting.
+
+Everything here is a pure Catalyst expression (JVM-side, codegen-friendly);
+no Python UDFs. Every function has an exact DuckDB-SQL twin used by the
+oracles, so regexes are kept to the portable subset (character classes only,
+identical semantics in Java regex and RE2-ish engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_index_spark.functions.hashing import portable_hash
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny fixed stopword lists for the language-ID heuristic. Deliberately
+# minimal: language ID here is an n-gram/stopword scoring *pattern* — on a
+# real corpus you'd swap in real frequency tables; the operator shape
+# (per-language score -> deterministic argmax) is what matters.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "los", "las", "una", "que", "y", "es"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_shingles(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles (space-joined). Rows with < k tokens yield
+    an empty array. (Guard: Spark's sequence(1, 0) is DESCENDING [1, 0],
+    so short rows must short-circuit to an empty array.)"""
+    n = F.size(toks) - F.lit(k - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Distinct character n-grams of the lowercased text. Same descending-
+    sequence guard as :func:`word_shingles`."""
+    s = F.lower(text)
+    cnt = F.length(s) - F.lit(n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substr(s, i, F.lit(n)))
+        )
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*stopwords))
+    )
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not lowercase-alphanumeric or space
+    (computed on the lowercased text)."""
+    s = F.lower(text)
+    non_alnum = F.length(s) - F.length(F.regexp_replace(s, "[^a-z0-9 ]", ""))
+    return non_alnum / F.greatest(F.length(s), F.lit(1))
+
+
+def mean_token_length(toks: Column) -> Column:
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0, 1] quality heuristic: rewards reasonable length and
+    stopword density, penalizes punctuation soup. The standard cheap
+    pre-filter shape for training-data pipelines (cf. C4/Gopher rules)."""
+    toks = tokens(text)
+    length_term = F.least(F.size(toks) / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(toks) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    return (length_term + stop_term + punct_term) / F.lit(3.0)
+
+
+def lang_scores(toks: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit fraction."""
+    return [(lang, stopword_ratio(toks, words)) for lang, words in LANG_STOPWORDS.items()]
+
+
+def fingerprint(text: Column) -> Column:
+    """48-bit portable fingerprint of the whitespace-normalized lowercase
+    text — the exact-dedup key (content-defined, not formatting-sensitive)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    return portable_hash(normalized)
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hashes over the shingle set, using the
+    seeded portable hash family. Empty shingle set -> nulls (filter first)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(seed.cast("string"), F.lit(":"), s)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def simhash(toks: Column, bits: int = 48) -> Column:
+    """SimHash over the distinct token set: bit b of the result is 1 iff the
+    majority of token hashes have bit b set (ties -> 0). 48 bits so the
+    value stays positive in int64 and matches the DuckDB oracle exactly."""
+    hashes = F.transform(F.array_distinct(toks), lambda t: portable_hash(t))
+    # per-bit vote sums: for each token hash, +1 if bit b set else -1.
+    # Bit extraction via floor(h / 2^b) % 2 — division by a power of two is
+    # exact in float64 for 48-bit hashes, and the same expression runs
+    # verbatim in the DuckDB oracle.
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2 * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

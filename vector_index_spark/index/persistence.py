@@ -1,0 +1,55 @@
+"""Index persistence — the Spark replacement for the reference's custom
+binary format (source/dehnsw.h:666-844).
+
+The reference serializes: a header (count + 6 params, dehnsw.h:675-688),
+then per shard (count, layer_count, entry point, dehnsw.h:696-700), then per
+vector (ids, raw floats, per-layer edges, dehnsw.h:702-733). Here the same
+information is a columnar, partition-prunable layout:
+
+    <path>/params.json                         — IndexParameters (the header)
+    <path>/vectors/  partitioned by shard      — (shard, id, vec)
+    <path>/edges/    partitioned by shard      — (shard, layer, src, dst, dist)
+
+Shard-partitioned Parquet means a query touching one shard reads one
+directory (partition pruning), and a 100 TB index loads with zero driver
+involvement — ``spark.read.parquet`` is the whole ``load`` (vs the
+reference's sequential 106-line deserializer, dehnsw.h:739-844).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_index_spark.config import IndexParameters
+
+
+def save_index(
+    vectors: DataFrame,
+    edges: DataFrame | None,
+    params: IndexParameters,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Write a sharded index. ``vectors``: (shard, id, vec);
+    ``edges``: (shard, layer, src, dst, dist) or None for a flat index."""
+    vectors.write.mode(mode).partitionBy("shard").parquet(f"{path}/vectors")
+    if edges is not None:
+        edges.write.mode(mode).partitionBy("shard").parquet(f"{path}/edges")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/params.json", "w") as fh:
+        fh.write(params.to_json())
+
+
+def load_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame | None, IndexParameters]:
+    """Inverse of :func:`save_index` (reference ``load``, dehnsw.h:739-844)."""
+    with open(f"{path}/params.json") as fh:
+        params = IndexParameters.from_json(fh.read())
+    vectors = spark.read.parquet(f"{path}/vectors")
+    edges_path = f"{path}/edges"
+    edges = spark.read.parquet(edges_path) if os.path.isdir(edges_path) else None
+    return vectors, edges, params

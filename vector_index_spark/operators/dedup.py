@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines (north star,
+BASELINE.json). Five flavors, all deterministic and (except where noted)
+DuckDB-oracle-checkable:
+
+  exact_dedup          — GROUP BY content key, keep min id
+  fingerprint_dedup    — exact dedup on normalized-text 48-bit fingerprint
+  minhash_near_dup     — word-shingle MinHash + LSH banding -> candidate
+                         pairs -> exact Jaccard verify (the standard
+                         MinHashLSH pipeline, expressed relationally)
+  simhash_near_dup     — 48-bit SimHash, pairs within Hamming radius
+  embedding_near_dup   — cosine-threshold self-join on embeddings
+
+Scale design: every flavor is blocked before it is pairwise. MinHash pairs
+only meet inside an LSH band bucket (band hash is the shuffle key —
+candidate count is data-dependent, not O(N^2)); simhash/embedding variants
+take an optional blocking column. At 100 TB, the unblocked exact self-join
+variants here are only for oracle-scale verification — the banded paths are
+the production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_index_spark.functions.distance import cos_dist
+from vector_index_spark.functions.hashing import portable_hash
+from vector_index_spark.functions.text import (
+    fingerprint,
+    minhash_signature,
+    simhash,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, key: Column | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by exact content key; keep the smallest id as survivor.
+    Returns (keep_id, n_dups) — one row per distinct key."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.col(id_col).alias("__id"), key_col.alias("__key"))
+        .groupBy("__key")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the whitespace-normalized text fingerprint; returns
+    (keep_id, fp, n_dups)."""
+    with_fp = df.select(
+        F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    return with_fp.groupBy("fp").agg(
+        F.min("__id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    ).select("keep_id", "fp", "n_dups")
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: k-word shingles -> ``num_hashes`` seeded min-hashes ->
+    ``bands`` bands of ``num_hashes/bands`` rows -> docs sharing any full
+    band become candidates -> exact shingle-Jaccard filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokens(F.col(text_col)), shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = toks.select(
+        "id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+
+    # band hash = portable hash of the band's slice of the signature
+    banded = sigs.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    portable_hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "shingles", "bh.band", "bh.band_hash")
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "band_hash"
+    )
+    cands = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Character-n-gram Jaccard similarity pairs, optionally blocked by a
+    cheap key (block_col) so the self-join is per-block, not global —
+    the blocking pattern that keeps this sub-O(N^2) at scale."""
+    from vector_index_spark.functions.text import char_ngrams
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    join_keys = ["block"] if block_col else []
+    left = base.select(
+        *(["block"] if block_col else []),
+        F.col("id").alias("id_a"),
+        F.col("grams").alias("g_a"),
+    )
+    right = base.select(
+        *(["block"] if block_col else []),
+        F.col("id").alias("id_b"),
+        F.col("grams").alias("g_b"),
+    )
+    pairs = (
+        left.join(right, join_keys) if join_keys else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_radius: int = 6,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 48-bit simhash per doc, pairs with
+    Hamming distance <= radius. Returns (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0).select("id", simhash(F.col("__toks")).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= hamming_radius)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cos_threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine distance below threshold.
+    Returns (id_a, id_b, cos) with id_a < id_b."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos_dist(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") < cos_threshold)
+        .select("id_a", "id_b", "cos")
+    )
