@@ -362,6 +362,82 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _graph_index_parts(spark: SparkSession, sf_dir: str):
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64, step=2,
+        sub_index_bound=250,
+    )
+    train = _train(spark, sf_dir)
+    edges = build_graph_index(train, params)
+    vectors = assign_shards(train, params.sub_index_bound)
+    return vectors, edges
+
+
+def q20_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index ANN query (dehnsw semantics: bulk build per shard +
+    beam search, source/dehnsw.h:241-323/403-509). Deterministic but not
+    SQL-expressible -> rows-only check; quality is gated by
+    q22_graph_ann_recall and tests/test_graph_index.py."""
+    from vector_index_spark.index.searcher import graph_ann_query
+
+    vectors, edges = _graph_index_parts(spark, sf_dir)
+    res = graph_ann_query(vectors, edges, _test(spark, sf_dir), K, 64)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q21_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN route (MLlib BucketedRandomProjectionLSH, fixed seed) —
+    the Spark-native approximate path. Rows-only check."""
+    from vector_index_spark.index.lsh import lsh_knn
+
+    res = lsh_knn(_test(spark, sf_dir), _train(spark, sf_dir), K)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q22_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the graph-ANN route vs exact kNN — the reference's own
+    quality metric (example/dehnsw_example.cpp:26-44,185). Rows-only; the
+    value itself is asserted >= 0.95 in tests."""
+    from vector_index_spark.index.searcher import graph_ann_query
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    exact = knn_join(test, train, K)
+    neighbors = exact.select(
+        "qid", (F.col("rank") - 1).alias("pos"),
+        F.col("id").alias("neighbor_id"), "dist",
+    )
+    vectors, edges = _graph_index_parts(spark, sf_dir)
+    approx = graph_ann_query(vectors, edges, test, K, 64)
+    return recall_total(approx, neighbors).select(
+        F.col("total_hit").cast("long").alias("total_hit"),
+        F.col("max_hit").cast("long").alias("max_hit"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def q23_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN route (KMeans cells + nprobe probing, fixed seed) — the
+    partition-pruned scale path. Rows-only check."""
+    from vector_index_spark.index.ivf import build_ivf, ivf_knn
+
+    train = _train(spark, sf_dir)
+    assigned, centroids = build_ivf(train, n_centroids=16)
+    res = ivf_knn(_test(spark, sf_dir), assigned, centroids, K, nprobe=12)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -383,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_fingerprint_dedup": q17_fingerprint_dedup,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_graph_ann": q20_graph_ann,
+        "q21_lsh_ann": q21_lsh_ann,
+        "q22_graph_ann_recall": q22_graph_ann_recall,
+        "q23_ivf_ann": q23_ivf_ann,
     }
 
 

@@ -1,0 +1,90 @@
+"""Recall gates for the approximate routes (LSH, IVF) and exactness of the
+vectorized kNN path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.index.ivf import build_ivf, ivf_knn
+from vector_index_spark.index.lsh import lsh_knn, lsh_similarity_join
+from vector_index_spark.operators.knn import knn_join
+from vector_index_spark.operators.knn_fast import knn_fast
+from vector_index_spark.operators.similarity import threshold_join
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return train, test
+
+
+@pytest.fixture(scope="module")
+def exact(split):
+    train, test = split
+    return knn_join(test, train, K).collect()
+
+
+def _recall(approx_rows, exact_rows):
+    truth = {}
+    for r in exact_rows:
+        truth.setdefault(r.qid, set()).add(r.id)
+    hits = sum(1 for r in approx_rows if r.id in truth.get(r.qid, ()))
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_lsh_knn_recall(split, exact):
+    train, test = split
+    approx = lsh_knn(test, train, K).collect()
+    assert _recall(approx, exact) >= 0.95
+
+
+def test_lsh_similarity_join_finds_exact_pairs(spark, split):
+    train, _ = split
+    a = train.select(F.col("id").alias("id_a"), "vec")
+    b = train.select(F.col("id").alias("id_b"), "vec")
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in threshold_join(a, b, threshold=1.25).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_similarity_join(a, b, threshold=1.25)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    assert len(exact_pairs) > 0
+    # LSH must find >= 90% of true pairs and no false positives
+    assert lsh_pairs <= exact_pairs or not (lsh_pairs - exact_pairs)
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.9
+
+
+def test_ivf_knn_recall(split, exact):
+    train, test = split
+    assigned, centroids = build_ivf(train, n_centroids=16)
+    # Uniform random vectors are IVF's worst case (no cluster structure),
+    # so the probe ratio must be high to clear the gate; real embedding
+    # distributions need far fewer probes.
+    approx = ivf_knn(test, assigned, centroids, K, nprobe=12).collect()
+    assert _recall(approx, exact) >= 0.95
+
+
+def test_knn_fast_matches_declarative(split, exact):
+    train, test = split
+    fast = knn_fast(test, train, K).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in fast) == sorted(
+        (r.qid, r.rank, r.id) for r in exact
+    )
+    # distances agree to 1e-9
+    ed = {(r.qid, r.id): r.dist for r in exact}
+    for r in fast:
+        assert abs(ed[(r.qid, r.id)] - r.dist) < 1e-9

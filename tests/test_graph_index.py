@@ -1,0 +1,114 @@
+"""Graph-index quality gates (SURVEY §5.2): recall >= 0.95 vs exact kNN,
+persistence round-trip equality — the reference's own quality bar
+(example/dehnsw_example.cpp:185 recall printout, :208-228 save/load
+re-query)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.config import IndexParameters
+from vector_index_spark.index.builder import build_graph_index
+from vector_index_spark.index.graph import (
+    build_shard_graph,
+    graph_from_rows,
+    graph_to_rows,
+    query_shard,
+)
+from vector_index_spark.index.persistence import load_index, save_index
+from vector_index_spark.index.searcher import graph_ann_query
+from vector_index_spark.operators.knn import knn_join
+from vector_index_spark.operators.shard import assign_shards
+
+K = 10
+PARAMS = IndexParameters(
+    dimension=64, minimum_connect_number=8, relaxed_monotonicity=64, step=2,
+    sub_index_bound=250,
+)
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return train, test
+
+
+def _recall(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.qid, set()).add(r.id)
+    hits = sum(1 for r in approx_rows if r.id in exact.get(r.qid, ()))
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+def test_local_graph_recall_numpy():
+    """Pure-python sanity at small n before involving Spark."""
+    rng = np.random.default_rng(42)
+    X = rng.standard_normal((400, 16))
+    ids = np.arange(400)
+    g = build_shard_graph(X, ids, connect=8, patience=64, step=2)
+    # ground truth brute force
+    q = rng.standard_normal((20, 16))
+    hits = total = 0
+    for i in range(20):
+        d = ((X - q[i]) ** 2).sum(axis=1)
+        truth = set(np.argsort(d, kind="stable")[:K])
+        res = {off for _, off in query_shard(g, q[i], K, patience=64)}
+        hits += len(truth & res)
+        total += K
+    assert hits / total >= 0.95, f"numpy graph recall {hits/total:.3f}"
+
+
+def test_roundtrip_rows_identical():
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((200, 8))
+    ids = np.arange(200) * 3  # non-dense global ids
+    g = build_shard_graph(X, ids, connect=6, patience=32, step=2)
+    rows = np.array(
+        [(l, s, d, dd) for _, l, s, d, dd in graph_to_rows(g, 0)], dtype=np.float64
+    )
+    g2 = graph_from_rows(X, ids, rows)
+    q = rng.standard_normal(8)
+    r1 = [(round(d, 12), g.ids[o]) for d, o in query_shard(g, q, K, 64)]
+    r2 = [(round(d, 12), g2.ids[o]) for d, o in query_shard(g2, q, K, 64)]
+    assert r1 == r2
+
+
+def test_spark_graph_build_and_query_recall(spark, split):
+    train, test = split
+    edges = build_graph_index(train, PARAMS)
+    vectors = assign_shards(train, PARAMS.sub_index_bound)
+    approx = graph_ann_query(
+        vectors, edges, test, K, relaxed_monotonicity=64
+    ).collect()
+    exact = knn_join(test, train, K).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.95, f"graph ANN recall {r:.3f} < 0.95"
+
+
+def test_spark_index_persistence_requery(spark, split, tmp_path):
+    """save -> load -> re-query must return identical results
+    (dehnsw_example.cpp:208-228)."""
+    train, test = split
+    edges = build_graph_index(train, PARAMS)
+    vectors = assign_shards(train, PARAMS.sub_index_bound)
+    before = graph_ann_query(vectors, edges, test, K, 64).collect()
+    path = str(tmp_path / "gidx")
+    save_index(vectors, edges, PARAMS, path)
+    v2, e2, p2 = load_index(spark, path)
+    assert p2 == PARAMS
+    v2 = v2.select("shard", "id", "vec")
+    after = graph_ann_query(v2, e2, test, K, 64).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in before) == sorted(
+        (r.qid, r.rank, r.id) for r in after
+    )

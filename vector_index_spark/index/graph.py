@@ -1,0 +1,339 @@
+"""Per-shard graph construction and beam search — the numpy re-expression of
+the reference's dehnsw algorithm (source/dehnsw.h). This module is pure
+Python/numpy: it runs INSIDE Spark tasks (applyInPandas / cogroup), one call
+per shard; Spark supplies the cross-shard parallelism that the reference
+lacks (its shards are built one insert at a time on one thread).
+
+Semantics preserved from the reference (cited per function):
+  - deterministic layer promotion via bounded BFS, no RNG (dehnsw.h:150-178)
+  - degree-capped linking with worst-edge eviction (dehnsw.h:419-466)
+  - connectivity veto: an eviction that would disconnect the layer graph is
+    rolled back (dehnsw.h:119-148, 467-489)
+  - best-first beam search with relaxed-monotonicity patience
+    (dehnsw.h:181-237 insert flavor, 241-323 query flavor)
+
+Deliberate divergences (SURVEY §7): float64 distances, (dist, id) total
+ordering for ties (the reference's multimap keeps insertion order), and no
+replication of the AVX tail-drop or shard-0-only-query bugs.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ShardGraph:
+    """In-task graph state for one shard. ``offsets`` are dense 0..n-1 in
+    insertion (id) order; ``ids`` maps offset -> global id."""
+
+    X: np.ndarray  # (n, d) float64
+    ids: np.ndarray  # (n,) int64 global ids
+    layer_of: list[int] = field(default_factory=list)
+    # adj[layer][u] = {v: refcount}  (undirected, refcounted — dehnsw.h:43)
+    adj: list[dict[int, dict[int, int]]] = field(default_factory=list)
+    entry: int = -1  # offset of vector_in_highest_layer (dehnsw.h:62)
+
+    def dist(self, a: int, b: int) -> float:
+        d = self.X[a] - self.X[b]
+        return float(d @ d)
+
+    def dist_q(self, q: np.ndarray, a: int) -> float:
+        d = q - self.X[a]
+        return float(d @ d)
+
+
+def _add_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
+    g.adj[layer].setdefault(u, {})[v] = g.adj[layer].setdefault(u, {}).get(v, 0) + 1
+    g.adj[layer].setdefault(v, {})[u] = g.adj[layer].setdefault(v, {}).get(u, 0) + 1
+
+
+def _remove_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
+    for a, b in ((u, v), (v, u)):
+        m = g.adj[layer].get(a)
+        if m and b in m:
+            m[b] -= 1
+            if m[b] <= 0:
+                del m[b]
+
+
+def search_layer(
+    g: ShardGraph,
+    q: np.ndarray,
+    entry: int,
+    layer: int,
+    width: int,
+    patience: int,
+) -> list[tuple[float, int]]:
+    """Best-first beam in one layer returning the ``width`` nearest visited
+    nodes, early-exiting after ``patience`` consecutive non-improving pops
+    (reference nearest_neighbors_insert, dehnsw.h:181-237)."""
+    d0 = g.dist_q(q, entry)
+    candidates: list[tuple[float, int]] = [(d0, entry)]
+    visited = {entry}
+    # result: max-heap of (-dist, offset), bounded to width
+    result: list[tuple[float, int]] = [(-d0, entry)]
+    stall = 0
+    while candidates:
+        d, u = heapq.heappop(candidates)
+        if len(result) >= width and d > -result[0][0]:
+            stall += 1
+            if patience and stall >= patience:
+                break
+        for v in g.adj[layer].get(u, ()):
+            if v in visited:
+                continue
+            visited.add(v)
+            dv = g.dist_q(q, v)
+            heapq.heappush(candidates, (dv, v))
+            if len(result) < width:
+                heapq.heappush(result, (-dv, v))
+                stall = 0
+            elif (dv, v) < (-result[0][0], result[0][1]):
+                heapq.heapreplace(result, (-dv, v))
+                stall = 0
+    out = sorted((-nd, v) for nd, v in result)
+    return out
+
+
+def _connected(
+    g: ShardGraph, layer: int, start: int, targets: set[int], max_rounds: int = 4
+) -> bool:
+    """<=4-round BFS from ``start``: are all ``targets`` reachable?
+    (reference ``connected``, dehnsw.h:119-148)."""
+    if not targets:
+        return True
+    remaining = set(targets)
+    frontier = deque([start])
+    seen = {start}
+    for _ in range(max_rounds):
+        if not frontier:
+            break
+        next_frontier: deque[int] = deque()
+        while frontier:
+            u = frontier.popleft()
+            for v in g.adj[layer].get(u, ()):
+                if v in seen:
+                    continue
+                seen.add(v)
+                remaining.discard(v)
+                if not remaining:
+                    return True
+                next_frontier.append(v)
+        frontier = next_frontier
+    return not remaining
+
+
+def _should_promote(g: ShardGraph, layer: int, offset: int, step: int) -> bool:
+    """Deterministic promotion (reference insert_to_upper_layer,
+    dehnsw.h:150-178): BFS <= ``step`` hops in ``layer``; promote iff no
+    node of a higher layer is encountered."""
+    frontier = deque([offset])
+    seen = {offset}
+    for _ in range(step):
+        if not frontier:
+            break
+        next_frontier: deque[int] = deque()
+        while frontier:
+            u = frontier.popleft()
+            for v in g.adj[layer].get(u, ()):
+                if v in seen:
+                    continue
+                if g.layer_of[v] > layer:
+                    return False
+                seen.add(v)
+                next_frontier.append(v)
+        frontier = next_frontier
+    return True
+
+
+def _link(g: ShardGraph, layer: int, new: int, neighbors: list[tuple[float, int]],
+          connect: int) -> None:
+    """Bidirectional linking with degree cap + connectivity repair
+    (reference add, dehnsw.h:419-489)."""
+    deleted: list[tuple[int, int]] = []
+    for _, v in neighbors:
+        _add_edge(g, layer, new, v)
+        # degree cap on the neighbor: evict its worst edge (by (dist, id))
+        m = g.adj[layer].get(v, {})
+        if len(m) > connect:
+            worst = max(
+                ((g.dist(v, w), w) for w in m if w != new),
+                default=None,
+            )
+            if worst is not None and worst[0] > g.dist(v, new):
+                _remove_edge(g, layer, v, worst[1])
+                deleted.append((v, worst[1]))
+    # connectivity repair: restore any eviction whose endpoint became
+    # unreachable from the new vector (dehnsw.h:467-489)
+    targets = {w for _, w in deleted}
+    if targets and not _connected(g, layer, new, targets):
+        for v, w in deleted:
+            if not _connected(g, layer, new, {w}):
+                _add_edge(g, layer, v, w)
+
+
+def build_shard_graph(
+    X: np.ndarray,
+    ids: np.ndarray,
+    connect: int,
+    patience: int,
+    step: int,
+) -> ShardGraph:
+    """Sequential shard build in id order (insertion order = id order,
+    mirroring global_offset semantics, dehnsw.h:599). Returns the built
+    graph; serialize with :func:`graph_to_rows`."""
+    g = ShardGraph(X=np.asarray(X, dtype=np.float64), ids=np.asarray(ids))
+    n = len(ids)
+    if n == 0:
+        return g
+    g.layer_of = [0] * n
+    g.adj = [dict()]
+    g.adj[0][0] = {}
+    g.entry = 0
+    for i in range(1, n):
+        q = g.X[i]
+        top = g.layer_of[g.entry]
+        # candidate collection: beam per layer top-down, seeded by the
+        # previous layer's best (dehnsw.h:405-417)
+        entry = g.entry
+        per_layer: list[list[tuple[float, int]]] = []
+        for layer in range(top, -1, -1):
+            found = search_layer(g, q, entry, layer, connect, patience)
+            per_layer.append(found)
+            entry = found[0][1]
+        per_layer.reverse()  # per_layer[l] = candidates at layer l
+        g.adj[0].setdefault(i, {})
+        _link(g, 0, i, per_layer[0], connect)
+        # promotion loop (dehnsw.h:491-507)
+        layer = 0
+        while layer < g.layer_of[g.entry] + 1 and _should_promote(g, layer, i, step):
+            layer += 1
+            g.layer_of[i] = layer
+            if layer > g.layer_of[g.entry]:
+                # new top layer: i becomes the global entry point
+                # (dehnsw.h:495-499)
+                while len(g.adj) <= layer:
+                    g.adj.append(dict())
+                g.adj[layer].setdefault(i, {})
+                g.entry = i
+                break
+            while len(g.adj) <= layer:
+                g.adj.append(dict())
+            g.adj[layer].setdefault(i, {})
+            if layer < len(per_layer):
+                cands = per_layer[layer]
+            else:
+                cands = search_layer(g, q, g.entry, layer, connect, patience)
+            cands = [(d, v) for d, v in cands if g.layer_of[v] >= layer and v != i]
+            if cands:
+                _link(g, layer, i, cands, connect)
+    return g
+
+
+def query_shard(
+    g: ShardGraph,
+    q: np.ndarray,
+    k: int,
+    patience: int,
+) -> list[tuple[float, int]]:
+    """Full ANN query against one shard (reference nearest_neighbors_query,
+    dehnsw.h:241-323): greedy descent L..1 carrying the candidate heap, then
+    best-first beam at layer 0 with top-k max-heap + patience."""
+    if g.entry < 0:
+        return []
+    top = g.layer_of[g.entry]
+    entry = g.entry
+    d_entry = g.dist_q(q, entry)
+    candidates: list[tuple[float, int]] = [(d_entry, entry)]
+    visited = {entry}
+    # descent: hill-climb per layer; heap carried across layers
+    # (dehnsw.h:258-279 — note the heap is not reset per layer)
+    for layer in range(top, 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            best = candidates[0]
+            for v in g.adj[layer].get(best[1], ()):
+                if v in visited:
+                    continue
+                visited.add(v)
+                dv = g.dist_q(q, v)
+                heapq.heappush(candidates, (dv, v))
+            if candidates[0] != best:
+                improved = True
+    # layer-0 beam (dehnsw.h:280-321)
+    result: list[tuple[float, int]] = []  # max-heap of (-d, off)
+    stall = 0
+    while candidates:
+        d, u = heapq.heappop(candidates)
+        if len(result) >= k:
+            if (d, u) < (-result[0][0], result[0][1]):
+                heapq.heapreplace(result, (-d, u))
+                stall = 0
+            else:
+                stall += 1
+                if patience and stall >= patience:
+                    break
+        else:
+            heapq.heappush(result, (-d, u))
+            stall = 0
+        for v in g.adj[0].get(u, ()):
+            if v in visited:
+                continue
+            visited.add(v)
+            heapq.heappush(candidates, (g.dist_q(q, v), v))
+    return sorted((-nd, v) for nd, v in result)
+
+
+def graph_to_rows(g: ShardGraph, shard: int) -> list[tuple[int, int, int, int, float]]:
+    """Serialize to the edge relation (shard, layer, src, dst, dist) in
+    GLOBAL ids. Every node also emits a self-row (src == dst, dist 0) at its
+    top layer, so entry points and isolated top-layer nodes survive the
+    round trip (the relational form of the save format, dehnsw.h:666-736)."""
+    rows: list[tuple[int, int, int, int, float]] = []
+    for off in range(len(g.ids)):
+        gid = int(g.ids[off])
+        rows.append((shard, g.layer_of[off], gid, gid, 0.0))
+    for layer, adj in enumerate(g.adj):
+        for u, nbrs in adj.items():
+            gu = int(g.ids[u])
+            for v in nbrs:
+                if u < v:
+                    rows.append(
+                        (shard, layer, gu, int(g.ids[v]), g.dist(u, v))
+                    )
+    return rows
+
+
+def graph_from_rows(
+    X: np.ndarray, ids: np.ndarray, edge_rows: np.ndarray
+) -> ShardGraph:
+    """Rebuild a ShardGraph from (layer, src, dst, dist) rows with global
+    ids (inverse of :func:`graph_to_rows`)."""
+    g = ShardGraph(X=np.asarray(X, dtype=np.float64), ids=np.asarray(ids))
+    n = len(ids)
+    off_of = {int(gid): i for i, gid in enumerate(ids)}
+    g.layer_of = [0] * n
+    self_rows = edge_rows[edge_rows[:, 1] == edge_rows[:, 2]]
+    for layer, src, _dst in self_rows[:, :3].astype(np.int64):
+        g.layer_of[off_of[int(src)]] = int(layer)
+    max_layer = max(g.layer_of, default=0)
+    g.adj = [dict() for _ in range(max_layer + 1)]
+    for off, lay in enumerate(g.layer_of):
+        for l in range(lay + 1):
+            g.adj[l].setdefault(off, {})
+    real = edge_rows[edge_rows[:, 1] != edge_rows[:, 2]]
+    for layer, src, dst in real[:, :3].astype(np.int64):
+        _add_edge(g, int(layer), off_of[int(src)], off_of[int(dst)])
+    # entry = highest-layer node, min id tiebreak (dehnsw.h:62 semantics)
+    g.entry = min(
+        (off for off in range(n) if g.layer_of[off] == max_layer),
+        default=-1,
+        key=lambda o: int(g.ids[o]),
+    )
+    return g
