@@ -362,6 +362,61 @@ def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q24_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star / §2D streaming — tumbling-window aggregation over the
+    events table (batch form of the Structured Streaming query; the
+    streaming twin with watermark is tested in tests/test_streaming.py)."""
+    from vector_index_spark.sources.loaders import read_events
+    from vector_index_spark.streaming.events import hourly_event_stats
+
+    return hourly_event_stats(read_events(spark, sf_dir))
+
+
+def q25_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star / §2D streaming — gap-based session windows per user
+    (Spark native session_window; oracle is the gaps-and-islands SQL)."""
+    from vector_index_spark.sources.loaders import read_events
+    from vector_index_spark.streaming.events import session_windows
+
+    return session_windows(read_events(spark, sf_dir))
+
+
+def q26_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star multimodal — binary payload column + scan-side metadata
+    profile (no decode, no Python): byte length + md5."""
+    from vector_index_spark.multimodal.binary_ops import (
+        payload_stats,
+        with_text_payload,
+    )
+
+    mm = with_text_payload(_t(spark, sf_dir, "documents"))
+    return payload_stats(mm).select(
+        F.col("id").alias("doc_id"), "modality", "n_bytes", "payload_md5"
+    )
+
+
+def q27_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star multimodal — deterministic byte-histogram featurizer over
+    binary payloads via Arrow-batched mapInPandas. Rows-only check (the
+    histogram arrays are exact but mapInPandas is not SQL-expressible);
+    determinism is asserted in tests/test_multimodal.py."""
+    from vector_index_spark.multimodal.binary_ops import (
+        byte_histogram_features,
+        with_text_payload,
+    )
+
+    mm = with_text_payload(_t(spark, sf_dir, "documents"))
+    feats = byte_histogram_features(mm)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.element_at("features", 1), 6).alias("hist_0"),
+        F.round(F.element_at("features", 8), 6).alias("hist_7"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("hist_sum"),
+    )
+
+
 def _graph_index_parts(spark: SparkSession, sf_dir: str):
     from vector_index_spark.config import IndexParameters
     from vector_index_spark.index.builder import build_graph_index
@@ -459,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_fingerprint_dedup": q17_fingerprint_dedup,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q24_events_hourly": q24_events_hourly,
+        "q26_payload_stats": q26_payload_stats,
+        "q27_byte_histogram": q27_byte_histogram,
+        "q25_event_sessions": q25_event_sessions,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -710,6 +769,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM p WHERE jaccard >= 0.7
+        """,
+        "q26_payload_stats": """
+            SELECT doc_id, 'text' AS modality,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "q24_events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum,
+                   round(avg(value), 6) AS value_avg
+            FROM events GROUP BY 1, 2
+        """,
+        "q25_event_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 10 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM s GROUP BY user_id, sid
         """,
         "q11_star_agg": """
             SELECT c.c_mktsegment, l.l_returnflag,

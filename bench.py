@@ -1,0 +1,128 @@
+"""BENCH — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): the reference publishes no numbers, only the
+measurement protocol (build cost, query latency, recall); this bench
+records the Spark equivalents at driver scale plus the north-star
+pipeline operators. Timings are wall-clock per query group, forced by a
+full materialization (count / collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_index_spark.config import IndexParameters  # noqa: E402
+from vector_index_spark.index.builder import build_graph_index  # noqa: E402
+from vector_index_spark.index.searcher import graph_ann_query  # noqa: E402
+from vector_index_spark.operators.dedup import minhash_near_dup  # noqa: E402
+from vector_index_spark.operators.knn_fast import knn_fast  # noqa: E402
+from vector_index_spark.operators.shard import assign_shards  # noqa: E402
+from vector_index_spark.operators.textstats import text_profile  # noqa: E402
+from vector_index_spark.session import get_spark  # noqa: E402
+from vector_index_spark.sources.loaders import read_events  # noqa: E402
+from vector_index_spark.streaming.events import hourly_event_stats  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 100
+
+
+def main() -> None:
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    spark = get_spark(app_name="vector-index-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    train.cache().count()
+    test.cache().count()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    # exact kNN k=100 — vectorized scale path (the reference's core query
+    # done exactly; protocol: BASELINE.md query-latency metric)
+    timed("knn_exact_k100", lambda: knn_fast(test, train, K).count())
+
+    # graph index: bulk build + ANN query (reference build/query protocol)
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=1000,
+    )
+    state: dict = {}
+
+    def build():
+        edges = build_graph_index(train, params)
+        edges.cache()
+        edges.count()
+        state["edges"] = edges
+
+    timed("graph_build", build)
+    timed(
+        "graph_ann_query_k100",
+        lambda: graph_ann_query(
+            assign_shards(train, params.sub_index_bound),
+            state["edges"], test, K, 64,
+        ).count(),
+    )
+
+    # north-star pipeline operators
+    timed("minhash_neardup", lambda: minhash_near_dup(docs).count())
+    timed("text_profile", lambda: text_profile(docs).count())
+
+    # relational substrate: star join + agg at sf lineitem scale
+    timed(
+        "star_agg",
+        lambda: (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+            .count()
+        ),
+    )
+
+    # windowed event aggregation (streaming twin measured in batch form)
+    timed("events_hourly", lambda: hourly_event_stats(read_events(spark, SF_DIR)).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

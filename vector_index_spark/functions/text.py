@@ -10,6 +10,7 @@ identical semantics in Java regex and RE2-ish engines).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -136,6 +137,34 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
             )
         ),
     )
+
+
+def word_shingles_udf(k: int):
+    """Arrow-batched pandas UDF computing the SAME distinct k-word shingles
+    as tokens() + word_shingles() (value-identical; regex semantics of
+    ``[^a-z0-9]+`` agree across Python re / Java regex / DuckDB RE2). The
+    hot-path implementation for dedup operators: interpreted Catalyst
+    higher-order expressions cost ~20ms/doc for shingling, Python ~0.1ms."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    split = re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf("array<string>")
+    def sh(text_col: pd.Series) -> pd.Series:
+        def one(text: str) -> list[str]:
+            toks = [t for t in split.split(text.lower()) if t]
+            if len(toks) < k:
+                return []
+            seen: dict[str, None] = {}
+            for i in range(len(toks) - k + 1):
+                seen.setdefault(" ".join(toks[i : i + k]), None)
+            return list(seen)
+
+        return text_col.map(one)
+
+    return sh
 
 
 def simhash(toks: Column, bits: int = 48) -> Column:

@@ -24,14 +24,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.distance import cos_dist
-from vector_index_spark.functions.hashing import portable_hash
+from vector_index_spark.functions.hashing import minhash_signature_udf, portable_hash
 from vector_index_spark.functions.text import (
     fingerprint,
-    minhash_signature,
     simhash,
     tokens,
-    word_shingles,
+    word_shingles_udf,
 )
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives under-partitioned (a single small parquet file reads as ONE
+    partition, serializing all downstream expression work onto one core —
+    at real scale multi-file inputs arrive wide and this is a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
 
 
 def exact_dedup(
@@ -86,20 +96,23 @@ def minhash_near_dup(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(tokens(F.col(text_col)), shingle_k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sigs = toks.select(
-        "id",
-        "shingles",
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    sh_udf = word_shingles_udf(shingle_k)
+    toks = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+        )
+        .select("id", sh_udf(F.col("__text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
-
-    # band hash = portable hash of the band's slice of the signature
+    # Slim banding relation: (id, band, band_hash) only — shingle arrays
+    # stay out of the shuffle. The repartition between signature and
+    # band-explode is a materialization boundary: without it Catalyst
+    # collapses the projections and re-evaluates the 16-hash signature
+    # expression once per band row (bands x the cost).
+    sig_udf = minhash_signature_udf(num_hashes)
+    sigs = toks.select("id", sig_udf(F.col("shingles")).alias("sig")).repartition("id")
     banded = sigs.select(
         "id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -119,25 +132,34 @@ def minhash_near_dup(
                 ),
             )
         ).alias("bh"),
-    ).select("id", "shingles", "bh.band", "bh.band_hash")
+    ).select("id", "bh.band", "bh.band_hash")
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "band_hash"
-    )
     cands = (
-        left.join(right, ["band", "band_hash"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_hash"])
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify candidates with exact Jaccard: join shingles back (corpus-side
+    # shingles move only for candidate ids, not for every banded row)
+    pairs = (
+        cands.join(
+            toks.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cands.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -191,9 +213,10 @@ def simhash_near_dup(
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 48-bit simhash per doc, pairs with
     Hamming distance <= radius. Returns (id_a, id_b, hamming)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        tokens(F.col(text_col)).alias("__toks"),
+    sh = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+    ).select(
+        "id", tokens(F.col("__text")).alias("__toks")
     ).filter(F.size("__toks") > 0).select("id", simhash(F.col("__toks")).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and normalize in sources.loaders
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Vectors are wide rows; keep scan partitions bounded so a partition of
         # 784-d float arrays fits executor memory at 100 TB scale.

@@ -1,0 +1,92 @@
+"""Sources: driver testdata tables, the reference's custom binary vector
+format, and (gated) ann-benchmarks HDF5.
+
+The reference reads (a) its own binary dataset format — two uint64 header
+words ``count, dimension`` then a row-major payload
+(example/dehnsw_example.cpp:46-94) — and (b) ann-benchmarks HDF5 via h5py
+(example/example.py:66-102). Both are single-file, driver-parsed here and
+immediately handed to Arrow; at scale you convert once to Parquet (the
+shard-partitioned index layout) and never touch them again.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_NANO_COLS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver testdata table, normalizing TIMESTAMP(NANOS) columns
+    (read as long under spark.sql.legacy.parquet.nanosAsLong) back to
+    timestamps (floor to microseconds — DuckDB does the same truncation)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in TS_NANO_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer division: / would go through double and lose precision
+            # at nanosecond magnitudes (~1e18 > 2^53)
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def load_annb_binary(
+    spark: SparkSession, path: str, id_start: int = 0
+) -> DataFrame:
+    """Read the reference's binary vector format into (id, vec).
+
+    Format per example/dehnsw_example.cpp:46-69: uint64 count, uint64
+    dimension, then count*dimension float32 row-major."""
+    with open(path, "rb") as fh:
+        count, dim = struct.unpack("<QQ", fh.read(16))
+        data = np.fromfile(fh, dtype=np.float32, count=count * dim)
+    mat = data.reshape(count, dim)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(id_start, id_start + count, dtype=np.int64),
+            "vec": list(mat),
+        }
+    )
+    return spark.createDataFrame(pdf, "id long, vec array<float>")
+
+
+def load_annb_neighbors(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's binary ground-truth format into the unnested
+    (qid, pos, neighbor_id) relation (dehnsw_example.cpp:71-94: uint64
+    count, uint64 k, then count*k uint64 ids)."""
+    with open(path, "rb") as fh:
+        count, k = struct.unpack("<QQ", fh.read(16))
+        ids = np.fromfile(fh, dtype=np.uint64, count=count * k).astype(np.int64)
+    mat = ids.reshape(count, k)
+    qid = np.repeat(np.arange(count, dtype=np.int64), k)
+    pos = np.tile(np.arange(k, dtype=np.int64), count)
+    pdf = pd.DataFrame({"qid": qid, "pos": pos, "neighbor_id": mat.reshape(-1)})
+    return spark.createDataFrame(pdf, "qid long, pos long, neighbor_id long")
+
+
+def load_annb_hdf5(spark: SparkSession, path: str):
+    """ann-benchmarks HDF5 ingest (reference example/example.py:66-102).
+    Gated: h5py is not available in every environment."""
+    try:
+        import h5py  # type: ignore
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "h5py is required for HDF5 ingest; convert to parquet instead"
+        ) from exc
+    with h5py.File(path, "r") as f:  # pragma: no cover
+        train = np.asarray(f["train"], dtype=np.float32)
+        test = np.asarray(f["test"], dtype=np.float32)
+    t = pd.DataFrame({"id": np.arange(len(train)), "vec": list(train)})
+    q = pd.DataFrame({"qid": np.arange(len(test)), "vec": list(test)})
+    return (
+        spark.createDataFrame(t, "id long, vec array<float>"),
+        spark.createDataFrame(q, "qid long, vec array<float>"),
+    )

@@ -1,0 +1,95 @@
+"""Event-stream operators: tumbling-window aggregation and session windows,
+in both batch and Structured Streaming form.
+
+The reference has no streaming at all (SURVEY §2D — absent; BASELINE.json
+rules online ANN serving out of scope), so this module covers the
+north-star pipeline need instead: the same windowed aggregation runs as a
+batch query (oracle-checkable) and as a ``readStream`` with a watermark
+(late-data handling), proving the operator is expressible in both modes —
+the Spark guarantee that batch and streaming share one API.
+
+Scale notes: tumbling windows aggregate with map-side partials (state is
+bounded by watermark horizon x group cardinality); session windows in
+streaming use Spark's native session_window state management.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count, value sum/avg.
+    Returns (window_start, event_type, n_events, value_sum, value_avg)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.round(F.avg("value"), 6).alias("value_avg"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_avg",
+        )
+    )
+
+
+def stream_hourly_event_stats(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`hourly_event_stats`: file source +
+    watermark; run with trigger(availableNow=True) to drain the backlog.
+    Late rows beyond the watermark are dropped (late-data contract)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.round(F.avg("value"), 6).alias("value_avg"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_avg",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after ``gap``
+    of inactivity. Returns (user_id, session_start, session_end, n_events,
+    value_sum). Uses Spark's native session_window (also valid under
+    readStream + watermark for the streaming flavor)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
