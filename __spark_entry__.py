@@ -493,6 +493,75 @@ def q23_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-distance exact top-k — the reference's third metric
+    (source/distance.h:158-170, dead code there, dispatched here)."""
+    res = knn_join(
+        _test(spark, sf_dir), _train(spark, sf_dir), K, metric="cosine_similarity"
+    )
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D set operations — union / intersect / except on id sets,
+    Spark-native (the reference's only set op is the visited-set dedup,
+    dehnsw.h:188,248)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") <= 4).select("vec_id")
+    b = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return spark.createDataFrame(
+        [
+            (
+                a.union(b).distinct().count(),
+                a.intersect(b).count(),
+                a.exceptAll(b).distinct().count(),
+            )
+        ],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+def q30_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D sorts/limits — global top-50 (ORDER BY ... LIMIT k compiles to
+    TakeOrderedAndProject, the physical analogue of the reference's bounded
+    top-k heap, dehnsw.h:286-299)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+def q31_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — per-doc token counting: whitespace-ish + BPE-ish regex
+    tokenizations."""
+    from vector_index_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q32_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parameter sweep (performence_test,
+    example/dehnsw_example.cpp:96-130): connect x step x query-RM grid with
+    recall + latency per config. Rows-only (timings are nondeterministic;
+    recall values are asserted in tests)."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.operators.sweep import grid_search
+
+    base = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    return grid_search(
+        spark, _train(spark, sf_dir), _test(spark, sf_dir), base, k=K,
+        connects=(4, 8), steps=(2,), query_rms=(1, 64),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -518,10 +587,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_payload_stats": q26_payload_stats,
         "q27_byte_histogram": q27_byte_histogram,
         "q25_event_sessions": q25_event_sessions,
+        "q28_cosine_knn": q28_cosine_knn,
+        "q29_set_ops": q29_set_ops,
+        "q30_top_orders": q30_top_orders,
+        "q31_token_counts": q31_token_counts,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
         "q23_ivf_ann": q23_ivf_ann,
+        "q32_grid_search": q32_grid_search,
     }
 
 
@@ -803,6 +877,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS value_sum
             FROM s GROUP BY user_id, sid
+        """,
+        "q28_cosine_knn": f"""
+            WITH train AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 <> 0
+            ), test AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 = 0
+            ), d AS (
+              SELECT t.qid, c.id, 1.0 - list_cosine_similarity(t.vec, c.vec) AS dist
+              FROM test t CROSS JOIN train c
+            ), ranked AS (
+              SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, id, round(dist, 6) AS dist FROM ranked WHERE rank <= {K}
+        """,
+        "q29_set_ops": """
+            WITH a AS (SELECT vec_id FROM embeddings WHERE label <= 4),
+                 b AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)
+            SELECT
+              (SELECT count(*) FROM (SELECT vec_id FROM a UNION SELECT vec_id FROM b)) AS n_union,
+              (SELECT count(*) FROM (SELECT vec_id FROM a INTERSECT SELECT vec_id FROM b)) AS n_intersect,
+              (SELECT count(*) FROM (SELECT vec_id FROM a EXCEPT SELECT vec_id FROM b)) AS n_except
+        """,
+        "q30_top_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 50
+        """,
+        "q31_token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS_SQL.format(t="text")})::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))::BIGINT
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "q11_star_agg": """
             SELECT c.c_mktsegment, l.l_returnflag,

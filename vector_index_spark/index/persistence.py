@@ -43,6 +43,34 @@ def save_index(
         fh.write(params.to_json())
 
 
+def compact_index(spark: SparkSession, path: str, out_path: str) -> None:
+    """Rewrite an index compacted: one sorted file per shard partition.
+
+    The Spark analogue of the reference's ``optimize`` deep copy
+    (python_binding/dehnswpy.cpp:18-21) — there it defragments the
+    allocator after incremental build; here it defragments small files and
+    restores intra-partition sort order for better scan locality."""
+    vectors, edges, params = load_index(spark, path)
+    (
+        vectors.repartition("shard")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{out_path}/vectors")
+    )
+    if edges is not None:
+        (
+            edges.repartition("shard")
+            .sortWithinPartitions("layer", "src", "dst")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{out_path}/edges")
+        )
+    os.makedirs(out_path, exist_ok=True)
+    with open(f"{out_path}/params.json", "w") as fh:
+        fh.write(params.to_json())
+
+
 def load_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame | None, IndexParameters]:

@@ -70,6 +70,26 @@ def language_id(
     )
 
 
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under two tokenizations: whitespace-ish
+    (alnum runs) and a BPE-ish regex (letter runs | digit runs | punct runs
+    — the shape of GPT-2's pre-tokenizer, portable regex subset). The cheap
+    budget estimator for training-data pipelines."""
+    t = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", top_n: int | None = None
 ) -> DataFrame:
