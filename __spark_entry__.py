@@ -562,6 +562,35 @@ def q32_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D scalar functions (JSON) — extract a typed field from the events
+    JSON props column and aggregate per event type."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 6).alias("k_avg"),
+        F.max(k).alias("k_max"),
+    )
+
+
+def q34_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D scalar functions (date) — month truncation + extracts over
+    orders, monthly revenue rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -591,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_set_ops": q29_set_ops,
         "q30_top_orders": q30_top_orders,
         "q31_token_counts": q31_token_counts,
+        "q33_event_props_json": q33_event_props_json,
+        "q34_orders_monthly": q34_orders_monthly,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -912,6 +943,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))::BIGINT
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "q33_event_props_json": """
+            SELECT event_type,
+                   count(*) AS n,
+                   sum((props::JSON ->> 'k')::BIGINT)::BIGINT AS k_sum,
+                   round(avg((props::JSON ->> 'k')::BIGINT), 6) AS k_avg,
+                   max((props::JSON ->> 'k')::BIGINT) AS k_max
+            FROM events GROUP BY event_type
+        """,
+        "q34_orders_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   extract(year FROM o_orderdate)::INT AS yr,
+                   extract(month FROM o_orderdate)::INT AS mo,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1, 2, 3
         """,
         "q11_star_agg": """
             SELECT c.c_mktsegment, l.l_returnflag,
