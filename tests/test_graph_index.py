@@ -96,6 +96,19 @@ def test_spark_graph_build_and_query_recall(spark, split):
     assert r >= 0.95, f"graph ANN recall {r:.3f} < 0.95"
 
 
+def test_query_chunking_equals_single_batch(spark, split):
+    train, test = split
+    edges = build_graph_index(train, PARAMS)
+    vectors = assign_shards(train, PARAMS.sub_index_bound)
+    one = graph_ann_query(vectors, edges, test, K, 64).collect()
+    chunked = graph_ann_query(
+        vectors, edges, test, K, 64, max_queries_per_batch=13
+    ).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in one) == sorted(
+        (r.qid, r.rank, r.id) for r in chunked
+    )
+
+
 def test_spark_index_persistence_requery(spark, split, tmp_path):
     """save -> load -> re-query must return identical results
     (dehnsw_example.cpp:208-228)."""

@@ -33,17 +33,49 @@ def graph_ann_query(
     relaxed_monotonicity: int = 64,
     qid_col: str = "qid",
     vec_col: str = "vec",
+    max_queries_per_batch: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k for every test row. Returns (qid, rank, id, dist)
     ordered by (dist, id) per query.
 
     ``vectors``: (shard, id, vec); ``edges``: (shard, layer, src, dst, dist)
     as produced by builder.build_graph_index.
+
+    The query matrix is broadcast (reference corpus:query ratio is 100:1;
+    10^5 queries x 1KB vector = ~100 MB, the broadcast budget). Larger query
+    sets split into chunks of ``max_queries_per_batch``: each chunk gets its
+    own bounded broadcast (block-manager managed, disk-spillable) and the
+    per-chunk results union lazily — no unbounded driver materialization.
     """
     spark = vectors.sparkSession
-    test_pdf = test.select(
-        F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
-    ).toPandas()
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    n_queries = t.count()
+    if n_queries > max_queries_per_batch:
+        # Non-recursive split: every chunk runs the single-batch path
+        # directly. (A recursive re-split on the same hash would never
+        # separate a bucket's rows — all members of hash%N == i share
+        # residues mod divisors of N — so recursion could never terminate.)
+        n_chunks = int(np.ceil(n_queries / max_queries_per_batch))
+        chunks = [
+            graph_ann_query(
+                vectors,
+                edges,
+                t.filter(F.pmod(F.xxhash64(F.col("qid")), F.lit(n_chunks)) == i),
+                k,
+                relaxed_monotonicity,
+                max_queries_per_batch=2**62,  # force single-batch per chunk
+            )
+            for i in range(n_chunks)
+        ]
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionAll(c)
+        return out
+    test_pdf = t.toPandas()
+    if len(test_pdf) == 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, id long, dist double"
+        )
     qids = test_pdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(test_pdf["vec"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((qids, Q))
