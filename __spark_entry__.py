@@ -591,6 +591,51 @@ def q34_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the full
+    aggregation battery (sum/avg/count, computed expressions, date
+    predicate) proving the relational substrate at its standard shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q36_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-10: join customer x orders x lineitem, revenue
+    per order, top-10 by (revenue DESC, orderkey ASC) — join + agg + global
+    top-k in one plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -622,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_token_counts": q31_token_counts,
         "q33_event_props_json": q33_event_props_json,
         "q34_orders_monthly": q34_orders_monthly,
+        "q35_pricing_summary": q35_pricing_summary,
+        "q36_shipping_priority": q36_shipping_priority,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -959,6 +1006,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders GROUP BY 1, 2, 3
+        """,
+        "q35_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q36_shipping_priority": """
+            SELECT l.l_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
         """,
         "q11_star_agg": """
             SELECT c.c_mktsegment, l.l_returnflag,

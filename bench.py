@@ -23,7 +23,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from vector_index_spark.config import IndexParameters  # noqa: E402
 from vector_index_spark.index.builder import build_graph_index  # noqa: E402
 from vector_index_spark.index.searcher import graph_ann_query  # noqa: E402
-from vector_index_spark.operators.dedup import minhash_near_dup  # noqa: E402
+from vector_index_spark.index.lsh import lsh_knn  # noqa: E402
+from vector_index_spark.operators.dedup import (  # noqa: E402
+    minhash_near_dup,
+    simhash_near_dup,
+)
 from vector_index_spark.operators.knn_fast import knn_fast  # noqa: E402
 from vector_index_spark.operators.shard import assign_shards  # noqa: E402
 from vector_index_spark.operators.textstats import text_profile  # noqa: E402
@@ -88,7 +92,14 @@ def main() -> None:
 
     # north-star pipeline operators
     timed("minhash_neardup", lambda: minhash_near_dup(docs).count())
+    timed("simhash_neardup", lambda: simhash_near_dup(docs).count())
     timed("text_profile", lambda: text_profile(docs).count())
+
+    # LSH approximate route (Spark-native ANN). One untimed warmup run on a
+    # sample first: MLlib class-loading/JIT is a per-JVM one-time cost, not
+    # a property of the operator (standard warmup exclusion).
+    lsh_knn(test.limit(5), train.limit(100), 5).count()
+    timed("lsh_ann_k100", lambda: lsh_knn(test, train, K).count())
 
     # relational substrate: star join + agg at sf lineitem scale
     timed(

@@ -78,6 +78,26 @@ def test_ivf_knn_recall(split, exact):
     assert _recall(approx, exact) >= 0.95
 
 
+def test_cosine_graph_ann_recall(split):
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.searcher import cosine_graph_ann
+
+    train, test = split
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    approx = cosine_graph_ann(train, test, K, params).collect()
+    exact_cos = knn_join(test, train, K, metric="cosine_similarity").collect()
+    r = _recall(approx, exact_cos)
+    assert r >= 0.95, f"cosine graph recall {r:.3f}"
+    # returned cos_dist must agree with the exact metric values
+    truth = {(x.qid, x.id): x.dist for x in exact_cos}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert abs(truth[(a.qid, a.id)] - a.cos_dist) < 1e-9
+
+
 def test_knn_fast_matches_declarative(split, exact):
     train, test = split
     fast = knn_fast(test, train, K).collect()

@@ -72,6 +72,12 @@ def cos_dist(a: Column, b: Column) -> Column:
 def normalize(a: Column) -> Column:
     """Unit-normalize a vector column (float64). Cosine top-k over normalized
     vectors reduces to inner-product top-k — the standard trick for making
-    cosine ANN reuse a dot-product kernel."""
+    cosine ANN reuse a dot-product kernel.
+
+    Zero vectors pass through unchanged (cosine is undefined there; a zero
+    vector then sits at cos_dist 1.0 from everything instead of raising
+    ANSI DIVIDE_BY_ZERO)."""
     nrm = l2_norm(a)
-    return F.transform(_to_double(a), lambda x: x / nrm)
+    return F.when(nrm == 0.0, _to_double(a)).otherwise(
+        F.transform(_to_double(a), lambda x: x / nrm)
+    )

@@ -167,6 +167,43 @@ def word_shingles_udf(k: int):
     return sh
 
 
+def simhash_udf(bits: int = 48):
+    """Arrow-batched pandas UDF computing the SAME 48-bit simhash as
+    :func:`simhash` over tokenized text (value-identical; verified by the
+    q14 oracle). Hot-path implementation: the Catalyst form evaluates
+    bits x tokens interpreted expressions per row."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    split = re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf("long")
+    def sh(text_col: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def one(text: str) -> int:
+            toks = {t for t in split.split(text.lower()) if t}
+            votes = [0] * bits
+            for t in toks:
+                h = cache.get(t)
+                if h is None:
+                    h = int.from_bytes(hashlib.md5(t.encode()).digest()[:6], "big")
+                    cache[t] = h
+                for b in range(bits):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            out = 0
+            for b in range(bits):
+                if votes[b] > 0:
+                    out |= 1 << b
+            return out
+
+        return text_col.map(one)
+
+    return sh
+
+
 def simhash(toks: Column, bits: int = 48) -> Column:
     """SimHash over the distinct token set: bit b of the result is 1 iff the
     majority of token hashes have bit b set (ties -> 0). 48 bits so the

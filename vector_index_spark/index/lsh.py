@@ -23,7 +23,7 @@ def lsh_knn(
     test: DataFrame,
     train: DataFrame,
     k: int,
-    bucket_length: float = 2.0,
+    bucket_length: float = 1.0,
     num_hash_tables: int = 8,
     distance_cutoff: float = float("inf"),
     seed: int = 42,
@@ -70,7 +70,7 @@ def lsh_similarity_join(
     left: DataFrame,
     right: DataFrame,
     threshold: float,
-    bucket_length: float = 2.0,
+    bucket_length: float = 1.0,
     num_hash_tables: int = 8,
     seed: int = 42,
     left_id: str = "id_a",

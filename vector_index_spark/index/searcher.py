@@ -25,6 +25,41 @@ from vector_index_spark.index.graph import graph_from_rows, query_shard
 RESULT_SCHEMA = "qid long, id long, dist double"
 
 
+def cosine_graph_ann(
+    train: DataFrame,
+    test: DataFrame,
+    k: int,
+    params,
+    relaxed_monotonicity: int = 64,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Cosine-metric graph ANN via normalization: on unit vectors,
+    l2sq = 2 * cos_dist, so the L2 graph over normalized vectors has
+    exactly the cosine neighbor ordering (the standard reduction; the
+    reference's cosine kernel is dead code, distance.h:158-170, so this is
+    strictly more capability). Returns (qid, rank, id, cos_dist)."""
+    from vector_index_spark.functions.distance import normalize
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.shard import assign_shards
+
+    norm_train = train.select(
+        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("vec")
+    )
+    norm_test = test.select(
+        F.col(qid_col).alias("qid"), normalize(F.col(vec_col)).alias("vec")
+    )
+    edges = build_graph_index(norm_train, params)
+    vectors = assign_shards(norm_train, params.sub_index_bound)
+    res = graph_ann_query(
+        vectors, edges, norm_test, k, relaxed_monotonicity
+    )
+    return res.select(
+        "qid", "rank", "id", (F.col("dist") / 2.0).alias("cos_dist")
+    )
+
+
 def graph_ann_query(
     vectors: DataFrame,
     edges: DataFrame,

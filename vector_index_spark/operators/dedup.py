@@ -27,7 +27,7 @@ from vector_index_spark.functions.distance import cos_dist
 from vector_index_spark.functions.hashing import minhash_signature_udf, portable_hash
 from vector_index_spark.functions.text import (
     fingerprint,
-    simhash,
+    simhash_udf,
     tokens,
     word_shingles_udf,
 )
@@ -213,11 +213,14 @@ def simhash_near_dup(
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 48-bit simhash per doc, pairs with
     Hamming distance <= radius. Returns (id_a, id_b, hamming)."""
-    sh = _spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
-    ).select(
-        "id", tokens(F.col("__text")).alias("__toks")
-    ).filter(F.size("__toks") > 0).select("id", simhash(F.col("__toks")).alias("sh"))
+    sh_udf = simhash_udf()
+    sh = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")), "id"
+        )
+        .filter(F.size(tokens(F.col("__text"))) > 0)
+        .select("id", sh_udf(F.col("__text")).alias("sh"))
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
