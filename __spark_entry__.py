@@ -636,6 +636,16 @@ def q36_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_vec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q9's vector flavor — exact dedup ON the embedding column
+    itself (GROUP BY vec, keep min id): grouping by an array column is
+    native in both engines."""
+    from vector_index_spark.operators.dedup import exact_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return exact_dedup(emb, "embedding", id_col="vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -669,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_orders_monthly": q34_orders_monthly,
         "q35_pricing_summary": q35_pricing_summary,
         "q36_shipping_priority": q36_shipping_priority,
+        "q37_vec_dedup": q37_vec_dedup,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1006,6 +1017,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders GROUP BY 1, 2, 3
+        """,
+        "q37_vec_dedup": """
+            SELECT min(vec_id) AS keep_id, count(*) AS n_dups
+            FROM embeddings GROUP BY embedding
         """,
         "q35_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
