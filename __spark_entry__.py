@@ -646,6 +646,16 @@ def q37_vec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(emb, "embedding", id_col="vec_id")
 
 
+def q38_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star composite — the full corpus-cleaning pipeline (quality
+    filter -> fingerprint dedup -> MinHash near-dup removal -> per-source
+    stats), one lazy plan end-to-end."""
+    from vector_index_spark.operators.pipeline import clean_corpus, corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(clean_corpus(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_pricing_summary": q35_pricing_summary,
         "q36_shipping_priority": q36_shipping_priority,
         "q37_vec_dedup": q37_vec_dedup,
+        "q38_clean_pipeline": q38_clean_pipeline,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1017,6 +1028,66 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders GROUP BY 1, 2, 3
+        """,
+        "q38_clean_pipeline": f"""
+            WITH base AS (
+              SELECT doc_id, text, source, lower(text) AS s,
+                     {_TOKS_SQL.format(t="text")} AS t
+              FROM documents
+            ), scored AS (
+              SELECT *,
+                (least(len(t) / 64.0, 1.0)
+                 + least((len(list_filter(t, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE
+                          / greatest(len(t), 1)) * 4.0, 1.0)
+                 + (1.0 - least(((length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+                                 / greatest(length(s), 1)) * 4.0, 1.0))) / 3.0 AS q
+              FROM base
+            ), quality AS (
+              SELECT * FROM scored WHERE q >= 0.55
+            ), keep_exact AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id,
+                      ('0x' || substring(md5(trim(regexp_replace(s, '\\s+', ' ', 'g'))), 1, 12))::BIGINT AS fp
+                    FROM quality)
+              GROUP BY fp
+            ), ex AS (
+              SELECT b.doc_id, b.text, b.source, b.t
+              FROM base b JOIN keep_exact k ON b.doc_id = k.doc_id
+            ), sh AS (
+              SELECT doc_id AS id,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in range(1, greatest(len(t)-2, 0)+1)]) AS shingles
+              FROM ex WHERE len(t) >= 3
+            ), sig AS (
+              SELECT id, shingles,
+                [list_min(list_transform(shingles,
+                   x -> ('0x'||substring(md5(seed::VARCHAR || ':' || x),1,12))::BIGINT))
+                 for seed in range(0, 16)] AS sig
+              FROM sh
+            ), banded AS (
+              SELECT id, b AS band,
+                ('0x'||substring(md5(array_to_string(sig[b*4+1 : b*4+4], ',')),1,12))::BIGINT AS band_hash
+              FROM sig, range(0, 4) r(b)
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            ), neardup AS (
+              SELECT DISTINCT c.id_b AS doc_id
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b
+              WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+            ), survivors AS (
+              SELECT e.* FROM ex e LEFT JOIN neardup n ON e.doc_id = n.doc_id
+              WHERE n.doc_id IS NULL
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(len(t))::BIGINT AS n_tokens,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM survivors GROUP BY source
         """,
         "q37_vec_dedup": """
             SELECT min(vec_id) AS keep_id, count(*) AS n_dups
