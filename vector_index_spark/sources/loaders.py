@@ -38,6 +38,38 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
 
 
+def write_results(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Convenience sink for flat result tables (SURVEY §2D: Parquet primary,
+    CSV/JSON convenience). Array/vector columns belong in Parquet — CSV and
+    JSON are for final flat outputs (ranked ids, stats, recall tables)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def read_results(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Inverse of :func:`write_results`. Pass an explicit ``schema`` for
+    CSV/JSON — inference is a full extra pass over the data at scale."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
 def load_annb_binary(
     spark: SparkSession, path: str, id_start: int = 0
 ) -> DataFrame:
