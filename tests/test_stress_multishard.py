@@ -1,0 +1,91 @@
+"""Multi-shard stress: a 16k-vector corpus (derived deterministically from
+the driver embeddings — 8 rotations/offsets per base vector, no synthetic
+distributions) built across 16 shards, queried with chunked broadcasts.
+Validates the properties SCALE.md claims at a size where they can actually
+fail: cross-shard merge correctness, recall at multi-shard fan-out, and
+per-shard build independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.config import IndexParameters
+from vector_index_spark.index.builder import build_graph_index
+from vector_index_spark.index.searcher import graph_ann_query
+from vector_index_spark.operators.knn import knn_join
+from vector_index_spark.operators.knn_fast import knn_fast
+from vector_index_spark.operators.shard import assign_shards, shard_stats
+
+K = 10
+N_COPIES = 32
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    # 32 deterministic variants per row: shift coordinates by a
+    # copy-dependent delta — preserves the distribution's shape; 500 base
+    # vectors x 32 copies = 16k corpus rows
+    copies = spark.range(N_COPIES).select(F.col("id").alias("copy"))
+    big = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") * N_COPIES + F.col("copy")).alias("id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("copy") - 15.5) * 0.02 * F.cos(i + F.col("copy")),
+            ).alias("vec"),
+        )
+    )
+    train = big.filter(F.col("id") % 40 != 0)
+    test = (
+        big.filter(F.col("id") % 40 == 0)
+        .limit(100)
+        .select(F.col("id").alias("qid"), "vec")
+    )
+    return train.cache(), test.cache()
+
+
+def test_multishard_build_and_recall(spark, big):
+    train, test = big
+    n = train.count()
+    assert n > 15_000
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=1000,
+    )
+    edges = build_graph_index(train, params).cache()
+    vectors = assign_shards(train, params.sub_index_bound)
+    stats = shard_stats(vectors).collect()
+    assert len(stats) == 16  # 16k rows / 1000 per shard
+    # every shard built an independent graph (has self-rows for its ids)
+    per_shard_nodes = {
+        r.shard: r.cnt
+        for r in edges.filter(F.col("src") == F.col("dst"))
+        .groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_shard_nodes.keys() == {r.shard for r in stats}
+
+    exact = knn_fast(test, train, K).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.id)
+    approx = graph_ann_query(
+        vectors, edges, test, K, 64, max_queries_per_batch=30
+    ).collect()
+    recall = sum(1 for r in approx if r.id in truth.get(r.qid, ())) / (
+        len(truth) * K
+    )
+    assert recall >= 0.95, f"multi-shard recall {recall:.3f}"
+
+
+def test_knn_fast_matches_window_path_at_size(spark, big):
+    train, test = big
+    small_test = test.limit(10)
+    a = knn_fast(small_test, train, K).collect()
+    b = knn_join(small_test, train, K).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in a) == sorted(
+        (r.qid, r.rank, r.id) for r in b
+    )
