@@ -665,6 +665,61 @@ def q38_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(clean_corpus(docs))
 
 
+def q39_lsh_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity join (the scale path for q10's exact
+    threshold join). Rows-only: bucket membership is hash-structure
+    dependent; pair completeness vs exact is asserted in
+    tests/test_ann_routes.py."""
+    from vector_index_spark.index.lsh import lsh_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec"))
+    res = lsh_similarity_join(a, b, threshold=1.25).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return res.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
+def q40_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — exact distinct counts per event type (the
+    count-distinct shuffle shape; the HLL sketch variant is the rows-only
+    q41 twin)."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q41_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation — HyperLogLog approximate distinct users per
+    event type (approx_count_distinct, rsd=2%). Rows-only: sketch
+    estimates are engine-specific; accuracy vs q40 is asserted in
+    tests/test_sketches.py."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — exact percentiles (linear interpolation) of event
+    value per type; the order-statistics aggregate shape."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -700,6 +755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_shipping_priority": q36_shipping_priority,
         "q37_vec_dedup": q37_vec_dedup,
         "q38_clean_pipeline": q38_clean_pipeline,
+        "q39_lsh_threshold_join": q39_lsh_threshold_join,
+        "q40_distinct_users": q40_distinct_users,
+        "q41_hll_users": q41_hll_users,
+        "q42_value_percentiles": q42_value_percentiles,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1037,6 +1096,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders GROUP BY 1, 2, 3
+        """,
+        "q40_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q42_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "q38_clean_pipeline": f"""
             WITH base AS (

@@ -98,6 +98,25 @@ def test_cosine_graph_ann_recall(split):
             assert abs(truth[(a.qid, a.id)] - a.cos_dist) < 1e-9
 
 
+def test_mips_graph_ann_recall(split):
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.searcher import mips_graph_ann
+
+    train, test = split
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    approx = mips_graph_ann(train, test, K, params).collect()
+    exact_ip = knn_join(test, train, K, metric="inner_product").collect()
+    r = _recall(approx, exact_ip)
+    assert r >= 0.95, f"MIPS graph recall {r:.3f}"
+    truth = {(x.qid, x.id): x.dist for x in exact_ip}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert abs(truth[(a.qid, a.id)] - a.ip_dist) < 1e-9
+
+
 def test_knn_fast_matches_declarative(split, exact):
     train, test = split
     fast = knn_fast(test, train, K).collect()

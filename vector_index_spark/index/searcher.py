@@ -60,6 +60,70 @@ def cosine_graph_ann(
     )
 
 
+def mips_graph_ann(
+    train: DataFrame,
+    test: DataFrame,
+    k: int,
+    params,
+    relaxed_monotonicity: int = 64,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Inner-product (MIPS) graph ANN via the norm-augmentation reduction:
+    corpus x -> [x, sqrt(M^2 - |x|^2)] (M = max corpus norm), query
+    q -> [q, 0]; L2 order on augmented vectors = inner-product order
+    (Bachrach et al. 2014). The reference's inner-product kernel is dead
+    code (distance.h:143-151, never dispatched) — this makes the metric
+    actually servable. Returns (qid, rank, id, ip_dist) with
+    ip_dist = 1 - <q, x> recomputed exactly on the original vectors."""
+    from vector_index_spark.functions.distance import ip_dist, l2_norm
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.shard import assign_shards
+
+    t = train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    q = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    max_norm = t.select(F.max(l2_norm(F.col("vec"))).alias("m")).collect()[0].m
+    m2 = float(max_norm) ** 2
+    aug_train = t.select(
+        "id",
+        F.concat(
+            F.transform("vec", lambda x: x.cast("double")),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(m2) - l2_norm(F.col("vec")) * l2_norm(F.col("vec")),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("vec"),
+    )
+    aug_test = q.select(
+        "qid",
+        F.concat(
+            F.transform("vec", lambda x: x.cast("double")), F.array(F.lit(0.0))
+        ).alias("vec"),
+    )
+    from dataclasses import replace
+
+    aug_params = replace(params, dimension=params.dimension + 1)
+    edges = build_graph_index(aug_train, aug_params)
+    vectors = assign_shards(aug_train, aug_params.sub_index_bound)
+    hits = graph_ann_query(vectors, edges, aug_test, k, relaxed_monotonicity)
+    # recompute the true inner-product distance on the ORIGINAL vectors
+    rescored = (
+        hits.select("qid", "rank", "id")
+        .join(t.withColumnRenamed("vec", "__tv"), "id")
+        .join(F.broadcast(q.withColumnRenamed("vec", "__qv")), "qid")
+        .select(
+            "qid", "rank", "id",
+            ip_dist(F.col("__qv"), F.col("__tv")).alias("ip_dist"),
+        )
+    )
+    return rescored
+
+
 def graph_ann_query(
     vectors: DataFrame,
     edges: DataFrame,
