@@ -117,6 +117,27 @@ def test_mips_graph_ann_recall(split):
             assert abs(truth[(a.qid, a.id)] - a.ip_dist) < 1e-9
 
 
+def test_pq_knn_recall(split, exact):
+    from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq
+
+    train, test = split
+    # Uniform random vectors are PQ's hardest case (no subspace structure);
+    # 64 centroids/subspace + 8x candidates clears the gate here — real
+    # embedding distributions compress far better.
+    books = train_pq(train, n_subspaces=8, n_centroids=64)
+    assert books.shape == (8, 64, 8)
+    encoded = encode_pq(train, books)
+    assert encoded.count() == train.count()
+    approx = pq_knn(test, encoded, train, books, K, candidate_factor=16).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.95, f"PQ recall {r:.3f}"
+    # re-ranked distances are exact: equal to the declarative kNN values
+    truth = {(x.qid, x.id): x.dist for x in exact}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert truth[(a.qid, a.id)] == a.dist
+
+
 def test_knn_fast_matches_declarative(split, exact):
     train, test = split
     fast = knn_fast(test, train, K).collect()

@@ -1,0 +1,56 @@
+"""Batch append: only affected shards rebuild, and because shard builds are
+deterministic in id order, the appended index must be BIT-IDENTICAL to a
+from-scratch build over the union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.config import IndexParameters
+from vector_index_spark.index.builder import append_to_index, build_graph_index
+from vector_index_spark.index.persistence import load_index, save_index
+from vector_index_spark.operators.shard import assign_shards
+
+PARAMS = IndexParameters(
+    dimension=64, minimum_connect_number=6, relaxed_monotonicity=32,
+    step=2, sub_index_bound=100,
+)
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    first = full.filter(F.col("id") < 350)
+    rest = full.filter(F.col("id") >= 350)
+
+    path = str(tmp_path / "idx")
+    save_index(
+        assign_shards(first, PARAMS.sub_index_bound),
+        build_graph_index(first, PARAMS),
+        PARAMS,
+        path,
+    )
+    before_shards = {
+        r.shard
+        for r in load_index(spark, path)[1].select("shard").distinct().collect()
+    }
+    append_to_index(spark, path, rest)
+
+    vectors, edges, params = load_index(spark, path)
+    assert params == PARAMS
+    assert vectors.count() == full.count()
+
+    # identical to building the whole corpus from scratch
+    scratch = build_graph_index(full, PARAMS)
+    key = lambda r: (r.shard, r.layer, r.src, r.dst, round(r.dist, 9))
+    assert sorted(map(key, edges.collect())) == sorted(map(key, scratch.collect()))
+
+    # shards 0..2 (ids < 300) were untouched by the append
+    appended_shards = {
+        r.shard
+        for r in assign_shards(rest, PARAMS.sub_index_bound)
+        .select("shard").distinct().collect()
+    }
+    assert appended_shards == {3, 4}  # ids 350..499 -> shards 3 and 4
+    assert before_shards == {0, 1, 2, 3}  # first 350 ids spanned 4 shards

@@ -62,3 +62,51 @@ def build_graph_index(
         params.sub_index_bound,
     )
     return sharded.groupBy("shard").applyInPandas(build, EDGE_SCHEMA)
+
+
+def append_to_index(spark, path: str, new_vectors: DataFrame,
+                    id_col: str = "id", vec_col: str = "vec") -> None:
+    """Append rows to a persisted index, rebuilding ONLY the shards the new
+    ids land in — the batch form of the reference's growth model (a shard
+    fills to ``sub_index_bound``, then the next opens, dehnsw.h:601-609;
+    untouched shards' graphs are never recomputed).
+
+    Because a shard build is deterministic in id order, an appended index
+    is bit-identical to a from-scratch build over the union — asserted in
+    tests. Uses dynamic partition overwrite so only affected shard
+    partitions rewrite on disk."""
+    from vector_index_spark.index.persistence import load_index
+
+    vectors, _edges, params = load_index(spark, path)
+    new = assign_shards(
+        new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        params.sub_index_bound,
+    )
+    clash = new.join(vectors.select("id"), "id").limit(1).collect()
+    if clash:
+        raise ValueError(
+            f"append_to_index: id {clash[0].id} already exists in the index "
+            "(ids are the primary key — reference global_offset semantics)"
+        )
+    affected = [r.shard for r in new.select("shard").distinct().collect()]
+    existing_in_affected = vectors.select("shard", "id", "vec").filter(
+        F.col("shard").isin(affected)
+    )
+    merged = existing_in_affected.unionByName(new.select("shard", "id", "vec"))
+    rebuilt = build_graph_index(merged.select("id", "vec"), params)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rebuilt.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/edges")
+        )
+        # vectors: rewrite only the affected partitions with the merged rows
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/vectors")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)

@@ -1,0 +1,187 @@
+"""Product quantization (PQ) — compressed-vector ANN with exact re-rank.
+
+The fourth pruning structure (after graph / LSH / IVF): vectors compress to
+``m`` sub-space codebook ids (here 4 bits each -> dim*8/ (dim/m * 32) x
+compression), queries scan codes with per-query lookup tables (ADC,
+Jegou et al. 2011), and a candidate multiple of k re-ranks exactly. At
+100 TB this is the memory lever: a 1B x 128d float32 corpus is 512 GB raw
+but ~8 GB as 16-subspace nibble codes — the scan fits in cluster RAM.
+
+Spark shape: codebooks train driver-side on a bounded sample (they are
+KBs), broadcast; encoding and ADC scans run in Arrow-batched mapInPandas
+over the corpus; re-rank joins candidates back to raw vectors by id
+(partition-pruned at scale when the corpus is stored sorted/bucketed
+by id)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_index_spark.operators.knn import distance_column
+
+
+def _kmeans_1d(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic Lloyd's for one subspace (samples are bounded, so
+    this runs driver-side in milliseconds)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def train_pq(
+    train: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "vec",
+) -> np.ndarray:
+    """Fit PQ codebooks on a bounded corpus sample.
+
+    Returns an array (n_subspaces, n_centroids, sub_dim) — kilobytes, safe
+    to broadcast."""
+    sample = (
+        train.select(F.col(vec_col).alias("vec"))
+        .limit(sample_size)
+        .toPandas()["vec"]
+    )
+    X = np.stack(sample.to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dimension {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    books = np.stack(
+        [
+            _kmeans_1d(X[:, s * sub : (s + 1) * sub], n_centroids, seed=seed + s)
+            for s in range(n_subspaces)
+        ]
+    )
+    return books
+
+
+def encode_pq(
+    train: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Encode every corpus vector as its per-subspace nearest-centroid ids.
+    Returns (id, codes array<int>)."""
+    spark = train.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def enc(batches):
+        import pandas as pd
+
+        books = bc.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                seg = X[:, s * sub : (s + 1) * sub]
+                d = (
+                    (seg[:, None, :] - books[s][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(enc, "id long, codes array<int>")
+
+
+def pq_knn(
+    test: DataFrame,
+    encoded: DataFrame,
+    train: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    candidate_factor: int = 8,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ADC candidate scan over PQ codes + exact re-rank.
+
+    Per query: build the (m x n_centroids) distance lookup table, score
+    every code row as the table sum (asymmetric distance), keep
+    ``candidate_factor * k`` candidates per partition, then re-rank the
+    merged candidates with the exact float64 distance on raw vectors.
+    Returns (qid, rank, id, dist) with exact distances."""
+    spark = test.sparkSession
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
+    qids = t["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(t["vec"].to_numpy()).astype(np.float64)
+    m, ncent, sub = codebooks.shape
+    # per-query LUT: tables[q, s, c] = ||q_sub_s - centroid_c||^2
+    tables = np.empty((len(Q), m, ncent))
+    for s in range(m):
+        seg = Q[:, s * sub : (s + 1) * sub]
+        tables[:, s, :] = (
+            (seg[:, None, :] - codebooks[s][None, :, :]) ** 2
+        ).sum(axis=2)
+    bc = spark.sparkContext.broadcast((qids, tables))
+    ncand = candidate_factor * k
+
+    def scan(batches):
+        import pandas as pd
+
+        b_qids, b_tables = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # ADC: approx dist of row i to query q = sum_s table[q, s, codes[i, s]]
+            approx = np.zeros((len(ids), nq))
+            for s in range(m):
+                approx += b_tables[:, s, codes[:, s]].T  # (n, nq)
+            kk = min(ncand, len(ids))
+            part = np.argpartition(approx, kk - 1, axis=0)[:kk]
+            sel = part.T.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(b_qids, kk),
+                    "id": ids[sel],
+                    "approx": approx[sel, np.repeat(np.arange(nq), kk)],
+                }
+            )
+
+    cands = (
+        encoded.mapInPandas(scan, "qid long, id long, approx double")
+        .dropDuplicates(["qid", "id"])
+    )
+    # exact re-rank on raw vectors
+    rescored = (
+        cands.join(train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")), "id")
+        .join(
+            F.broadcast(
+                test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("__qv"))
+            ),
+            "qid",
+        )
+        .select(
+            "qid", "id",
+            distance_column("euclidean2", F.col("__qv"), F.col("__tv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
