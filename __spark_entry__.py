@@ -720,6 +720,22 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN route — product-quantized ADC candidate scan + exact
+    re-rank (32x vector compression; the memory-side scale path).
+    Rows-only; recall >= 0.95 gated in tests/test_ann_routes.py."""
+    from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    books = train_pq(train, n_subspaces=8, n_centroids=64)
+    encoded = encode_pq(train, books)
+    res = pq_knn(test, encoded, train, books, K, candidate_factor=16)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -764,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_graph_ann_recall": q22_graph_ann_recall,
         "q23_ivf_ann": q23_ivf_ann,
         "q32_grid_search": q32_grid_search,
+        "q43_pq_ann": q43_pq_ann,
     }
 
 

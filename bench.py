@@ -23,7 +23,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from vector_index_spark.config import IndexParameters  # noqa: E402
 from vector_index_spark.index.builder import build_graph_index  # noqa: E402
 from vector_index_spark.index.searcher import graph_ann_query  # noqa: E402
+from vector_index_spark.index.ivf import build_ivf, ivf_knn  # noqa: E402
 from vector_index_spark.index.lsh import lsh_knn  # noqa: E402
+from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq  # noqa: E402
 from vector_index_spark.operators.dedup import (  # noqa: E402
     minhash_near_dup,
     simhash_near_dup,
@@ -100,6 +102,21 @@ def main() -> None:
     # a property of the operator (standard warmup exclusion).
     lsh_knn(test.limit(5), train.limit(100), 5).count()
     timed("lsh_ann_k100", lambda: lsh_knn(test, train, K).count())
+
+    # PQ route: train/encode + ADC scan with exact re-rank
+    def pq_run():
+        books = train_pq(train, n_subspaces=8, n_centroids=64)
+        encoded = encode_pq(train, books)
+        pq_knn(test, encoded, train, books, K, candidate_factor=16).count()
+
+    timed("pq_build_query_k100", pq_run)
+
+    # IVF route: KMeans cells + nprobe probing
+    def ivf_run():
+        assigned, centroids = build_ivf(train, n_centroids=16)
+        ivf_knn(test, assigned, centroids, K, nprobe=12).count()
+
+    timed("ivf_build_query_k100", ivf_run)
 
     # relational substrate: star join + agg at sf lineitem scale
     timed(

@@ -54,3 +54,32 @@ def test_append_equals_full_rebuild(spark, tmp_path):
     }
     assert appended_shards == {3, 4}  # ids 350..499 -> shards 3 and 4
     assert before_shards == {0, 1, 2, 3}  # first 350 ids spanned 4 shards
+
+
+def test_remove_equals_rebuild_and_drops_empty_shards(spark, tmp_path):
+    from vector_index_spark.index.builder import remove_from_index
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    path = str(tmp_path / "idx")
+    save_index(
+        assign_shards(full, PARAMS.sub_index_bound),
+        build_graph_index(full, PARAMS),
+        PARAMS,
+        path,
+    )
+    # delete a slice of shard 1 AND all of shard 4 (400..499)
+    doomed = full.filter((F.col("id").between(150, 179)) | (F.col("id") >= 400))
+    remove_from_index(spark, path, doomed.select("id"))
+    vectors, edges, _ = load_index(spark, path)
+    survivors = full.join(doomed.select("id"), "id", "left_anti")
+    assert vectors.count() == survivors.count()
+    assert not vectors.filter(F.col("id") >= 400).count()
+    scratch = build_graph_index(survivors, PARAMS)
+    key = lambda r: (r.shard, r.layer, r.src, r.dst, round(r.dist, 9))
+    assert sorted(map(key, edges.collect())) == sorted(map(key, scratch.collect()))
+    # emptied shard's files are gone
+    import os
+
+    assert not os.path.exists(f"{path}/vectors/shard=4")
+    assert not os.path.exists(f"{path}/edges/shard=4")

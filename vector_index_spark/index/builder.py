@@ -64,6 +64,55 @@ def build_graph_index(
     return sharded.groupBy("shard").applyInPandas(build, EDGE_SCHEMA)
 
 
+def remove_from_index(spark, path: str, ids: DataFrame,
+                      id_col: str = "id") -> None:
+    """Batch delete: drop rows and rebuild ONLY the shards they lived in
+    (the reference has no deletes at all — 'no deletes and no updates',
+    SURVEY §1.3 — this is strictly added capability, kept batch-shaped per
+    the north star's no-real-time-updates scope).
+
+    Like append, determinism makes the result bit-identical to a
+    from-scratch build over the surviving rows."""
+    from vector_index_spark.index.persistence import load_index
+
+    vectors, _edges, params = load_index(spark, path)
+    doomed = ids.select(F.col(id_col).alias("id")).distinct()
+    affected = [
+        r.shard
+        for r in vectors.join(doomed, "id").select("shard").distinct().collect()
+    ]
+    if not affected:
+        return
+    # materialize BEFORE overwriting: the lazy plan reads the same files
+    # the writes below replace (read-overwrite hazard)
+    survivors = (
+        vectors.select("shard", "id", "vec")
+        .filter(F.col("shard").isin(affected))
+        .join(doomed, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    rebuilt = build_graph_index(survivors.select("id", "vec"), params)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/edges")
+        survivors.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{path}/vectors"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # dynamic overwrite only rewrites partitions PRESENT in the written
+    # data: a fully-emptied shard would leave stale files behind
+    import shutil
+
+    remaining = {
+        r.shard for r in survivors.select("shard").distinct().collect()
+    }
+    for shard in set(affected) - remaining:
+        shutil.rmtree(f"{path}/vectors/shard={shard}", ignore_errors=True)
+        shutil.rmtree(f"{path}/edges/shard={shard}", ignore_errors=True)
+
+
 def append_to_index(spark, path: str, new_vectors: DataFrame,
                     id_col: str = "id", vec_col: str = "vec") -> None:
     """Append rows to a persisted index, rebuilding ONLY the shards the new
@@ -92,7 +141,10 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
     existing_in_affected = vectors.select("shard", "id", "vec").filter(
         F.col("shard").isin(affected)
     )
-    merged = existing_in_affected.unionByName(new.select("shard", "id", "vec"))
+    # materialize before overwriting the files this plan reads from
+    merged = existing_in_affected.unionByName(
+        new.select("shard", "id", "vec")
+    ).localCheckpoint(eager=True)
     rebuilt = build_graph_index(merged.select("id", "vec"), params)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
