@@ -720,6 +720,20 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D UDAF — per-label vector centroid via the grouped-aggregate
+    pandas UDF, scalar projections oracle-checked (component means)."""
+    from vector_index_spark.functions.udaf import label_centroids
+
+    res = label_centroids(_t(spark, sf_dir, "embeddings"))
+    return res.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.round(F.element_at("centroid", 64), 6).alias("c63"),
+    )
+
+
 def q43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN route — product-quantized ADC candidate scan + exact
     re-rank (32x vector compression; the memory-side scale path).
@@ -775,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_distinct_users": q40_distinct_users,
         "q41_hll_users": q41_hll_users,
         "q42_value_percentiles": q42_value_percentiles,
+        "q44_label_centroids": q44_label_centroids,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1119,6 +1134,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q44_label_centroids": """
+            SELECT label::BIGINT AS label, count(*) AS n,
+                   round(avg(embedding[1]), 6) AS c0,
+                   round(avg(embedding[64]), 6) AS c63
+            FROM embeddings GROUP BY label
         """,
         "q42_value_percentiles": """
             SELECT event_type,

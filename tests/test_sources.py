@@ -42,6 +42,28 @@ def test_annb_neighbors_unnested(spark, tmp_path):
     assert rows[(2, 1)] == 7
 
 
+def test_annb_python_datasource_splittable(spark, tmp_path):
+    from vector_index_spark.sources.annb_datasource import AnnbDataSource
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((500, 16)).astype(np.float32)
+    p = str(tmp_path / "train.bin")
+    with open(p, "wb") as fh:
+        fh.write(struct.pack("<QQ", 500, 16))
+        M.tofile(fh)
+    spark.dataSource.register(AnnbDataSource)
+    df = (
+        spark.read.format("annb")
+        .option("path", p)
+        .option("rows_per_partition", "64")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8  # ceil(500/64): splittable source
+    rows = df.orderBy("id").collect()
+    back = np.stack([np.array(r.vec, dtype=np.float32) for r in rows])
+    assert np.array_equal(back, M)
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
 def test_results_roundtrip(spark, tmp_path, fmt):
     emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
