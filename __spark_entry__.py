@@ -720,6 +720,16 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — polynomial rolling-hash document fingerprint
+    (h = fold(h*257 + codepoint) mod 2^31-1 over normalized text),
+    bit-identical across engines by construction."""
+    from vector_index_spark.functions.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rh"))
+
+
 def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2D UDAF — per-label vector centroid via the grouped-aggregate
     pandas UDF, scalar projections oracle-checked (component means)."""
@@ -790,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_hll_users": q41_hll_users,
         "q42_value_percentiles": q42_value_percentiles,
         "q44_label_centroids": q44_label_centroids,
+        "q45_rolling_hash": q45_rolling_hash,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1134,6 +1145,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q45_rolling_hash": """
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(
+                    list_filter(
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                      c -> c <> ''),
+                    c -> unicode(c)::BIGINT)),
+                (acc, cp) -> (acc * 257 + cp) % 2147483647) AS rh
+            FROM documents
         """,
         "q44_label_centroids": """
             SELECT label::BIGINT AS label, count(*) AS n,

@@ -49,6 +49,19 @@ def test_frame_sample_covers_payload(mm):
         assert r.n <= 4
 
 
+def test_resize_is_gated(mm):
+    from vector_index_spark.multimodal.binary_ops import resize_images
+
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        pytest.skip("PIL present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        resize_images(mm)
+
+
 def test_image_decode_is_gated(mm):
     try:
         import PIL  # type: ignore  # noqa: F401

@@ -112,6 +112,26 @@ def lang_scores(toks: Column) -> list[tuple[str, Column]]:
     return [(lang, stopword_ratio(toks, words)) for lang, words in LANG_STOPWORDS.items()]
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1: products stay < 2^40, exact in float64
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over the code points of the normalized
+    lowercase text: h = fold(h * 257 + cp) mod (2^31 - 1). The modulus is
+    chosen so every intermediate fits float64 exactly — the hash is
+    bit-identical in any engine with 64-bit arithmetic, including the
+    DuckDB oracle (list_reduce twin)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    chars = F.split(normalized, "")
+    cps = F.transform(F.filter(chars, lambda c: c != F.lit("")), F.ascii)
+    return F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, cp: (acc * ROLLING_BASE + cp.cast("long")) % ROLLING_MOD,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """48-bit portable fingerprint of the whitespace-normalized lowercase
     text — the exact-dedup key (content-defined, not formatting-sensitive)."""

@@ -113,6 +113,35 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize via PIL when available; otherwise NotImplementedError
+    (STUB: no image libs in this container — same gate as decode_image_meta;
+    the mapInPandas plumbing, output schema, and batch shape are the real
+    pattern and identical to the exercised histogram path)."""
+    try:
+        from PIL import Image  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires PIL, which is not installed here; "
+            "frame_sample/byte_histogram_features exercise the same plumbing"
+        ) from exc
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                with Image.open(io.BytesIO(payload)) as im:
+                    buf = io.BytesIO()
+                    im.resize((width, height)).save(buf, format="PNG")
+                    out_ids.append(rid)
+                    out_payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": out_ids, "payload": out_payloads})
+
+    return df.select("id", "payload").mapInPandas(rz, "id long, payload binary")
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic byte-range 'frame sampling': split each payload into
     ``n_frames`` contiguous chunks (video-codec step stubbed; the byte-range
