@@ -22,6 +22,38 @@ EVENT_SCHEMA = (
 )
 
 
+def test_stream_sessions_equal_batch(spark, tmp_path):
+    from vector_index_spark.streaming.events import (
+        session_windows,
+        stream_session_windows,
+    )
+
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "events_sessions_src")
+    ev.write.parquet(src)
+    out = stream_session_windows(spark, src, EVENT_SCHEMA)
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {sink}").collect()
+    want = session_windows(ev).collect()
+
+    def key(rows):
+        return sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in rows
+        )
+
+    assert key(got) == key(want)
+
+
 def test_stream_equals_batch(spark, tmp_path):
     # materialize normalized events as a streamable dir
     ev = read_events(spark, SF_CORRECT)

@@ -75,7 +75,14 @@ def load_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame | None, IndexParameters]:
     """Inverse of :func:`save_index` (reference ``load``, dehnsw.h:739-844)."""
-    with open(f"{path}/params.json") as fh:
+    params_path = f"{path}/params.json"
+    if not os.path.exists(params_path):
+        raise FileNotFoundError(
+            f"no index at {path!r}: missing {params_path} "
+            "(expected a layout written by save_index: params.json + "
+            "vectors/ [+ edges/])"
+        )
+    with open(params_path) as fh:
         params = IndexParameters.from_json(fh.read())
     vectors = spark.read.parquet(f"{path}/vectors")
     edges_path = f"{path}/edges"

@@ -72,6 +72,36 @@ def stream_hourly_event_stats(
     )
 
 
+def stream_session_windows(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`session_windows`: session_window under a
+    watermark — sessions finalize once the watermark passes their gap."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Per-user session windows (gap-based): a session closes after ``gap``
     of inactivity. Returns (user_id, session_start, session_end, n_events,
