@@ -720,6 +720,45 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user shape — vector search with payload: top-5 documents per
+    query embedding, joined back to the documents table for metadata
+    (the retrieval query every vector DB user actually runs)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("source")
+    )
+    res = knn_join(_test(spark, sf_dir), _train(spark, sf_dir), 5)
+    return (
+        res.join(docs, res.id == docs.doc_id)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("dist", 6).alias("dist"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def q47_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — metadata predicate (lang = 'en') applied
+    BEFORE the top-k, the classic filtered-ANN problem. Exact form:
+    predicate pushes into the corpus scan, then top-k as usual (for the
+    graph path you either over-fetch-and-post-filter or partition the
+    index by the predicate column — SCALE.md)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    train = _train(spark, sf_dir)
+    corpus = train.join(
+        docs.filter(F.col("lang") == "en"), train.id == docs.doc_id
+    ).select("id", "vec")
+    res = knn_join(_test(spark, sf_dir), corpus, 5)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def q45_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — polynomial rolling-hash document fingerprint
     (h = fold(h*257 + codepoint) mod 2^31-1 over normalized text),
@@ -801,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_value_percentiles": q42_value_percentiles,
         "q44_label_centroids": q44_label_centroids,
         "q45_rolling_hash": q45_rolling_hash,
+        "q46_semantic_search": q46_semantic_search,
+        "q47_filtered_search": q47_filtered_search,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
         "q22_graph_ann_recall": q22_graph_ann_recall,
@@ -1145,6 +1186,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q46_semantic_search": f"""
+            WITH train AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 <> 0
+            ), test AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 = 0
+            ), d AS (
+              SELECT t.qid, c.id, {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM test t CROSS JOIN train c
+            ), ranked AS (
+              SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d
+            )
+            SELECT r.qid, r.rank, doc.doc_id, round(r.dist, 6) AS dist,
+                   doc.lang, doc.source
+            FROM ranked r JOIN documents doc ON r.id = doc.doc_id
+            WHERE r.rank <= 5
+        """,
+        "q47_filtered_search": f"""
+            WITH train AS (
+              SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec
+              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+              WHERE e.vec_id % 10 <> 0 AND d.lang = 'en'
+            ), test AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 = 0
+            ), d AS (
+              SELECT t.qid, c.id, {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM test t CROSS JOIN train c
+            ), ranked AS (
+              SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, id, round(dist, 6) AS dist
+            FROM ranked WHERE rank <= 5
         """,
         "q45_rolling_hash": """
             SELECT doc_id,
