@@ -17,7 +17,7 @@ the parallelism.
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 import json
 
 
