@@ -109,6 +109,46 @@ def test_query_chunking_equals_single_batch(spark, split):
     )
 
 
+def test_routed_query_cluster_sharded(spark, split):
+    """Shard routing over cluster-aligned shards (IVF cells as shards):
+    nprobe=12/16 clears the recall gate on worst-case random data, and
+    probing every shard is lossless vs the full fan-out."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.searcher import (
+        graph_ann_query,
+        routed_graph_ann_query,
+    )
+
+    train, test = split
+    assigned, cents = build_ivf(train, n_centroids=16)
+    vectors = assigned.select(
+        F.col("centroid_id").alias("shard"), "id", "vec"
+    )
+    edges = build_graph_index(vectors, PARAMS, shard_col="shard")
+    routing = cents.select(
+        F.col("centroid_id").alias("shard"), F.col("vec").alias("centroid")
+    )
+    exact = knn_join(test, train, K).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.id)
+    routed = routed_graph_ann_query(
+        vectors, edges, test, K, nprobe=12, centroids=routing
+    ).collect()
+    recall = sum(1 for r in routed if r.id in truth.get(r.qid, ())) / (
+        len(truth) * K
+    )
+    assert recall >= 0.95, f"routed recall {recall:.3f}"
+    # nprobe = all shards must equal the unrouted fan-out exactly
+    all_probe = routed_graph_ann_query(
+        vectors, edges, test, K, nprobe=16, centroids=routing
+    ).collect()
+    full = graph_ann_query(vectors, edges, test, K, 64).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in all_probe) == sorted(
+        (r.qid, r.rank, r.id) for r in full
+    )
+
+
 def test_spark_index_persistence_requery(spark, split, tmp_path):
     """save -> load -> re-query must return identical results
     (dehnsw_example.cpp:208-228)."""

@@ -35,12 +35,19 @@ def build_graph_index(
     params: IndexParameters,
     id_col: str = "id",
     vec_col: str = "vec",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Build the sharded graph index; returns the edge relation.
 
     Insertion order within a shard is id order (the reference's
     global_offset = insertion order, dehnsw.h:599), so the build is
     deterministic given the input table.
+
+    Sharding: by default ``id DIV sub_index_bound`` (reference semantics);
+    pass ``shard_col`` to build over an existing assignment instead —
+    e.g. IVF cell ids, which makes shard-routed search
+    (searcher.routed_graph_ann_query) sharp because shards then separate
+    in vector space, not id space.
     """
     connect = params.minimum_connect_number
     patience = params.relaxed_monotonicity
@@ -57,10 +64,17 @@ def build_graph_index(
             rows, columns=["shard", "layer", "src", "dst", "dist"]
         )
 
-    sharded = assign_shards(
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        params.sub_index_bound,
-    )
+    if shard_col is None:
+        sharded = assign_shards(
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            params.sub_index_bound,
+        )
+    else:
+        sharded = vectors.select(
+            F.col(shard_col).cast("long").alias("shard"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+        )
     return sharded.groupBy("shard").applyInPandas(build, EDGE_SCHEMA)
 
 

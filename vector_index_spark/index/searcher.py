@@ -124,6 +124,104 @@ def mips_graph_ann(
     return rescored
 
 
+def shard_centroids(vectors: DataFrame) -> DataFrame:
+    """Per-shard mean vector — the routing table for
+    :func:`routed_graph_ann_query`. Tiny (one row per shard); persist it
+    next to the index and broadcast it at query time."""
+    dim = len(vectors.select("vec").first().vec)
+    sums = vectors.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("vec", i + 1).cast("double")).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    return sums.select(
+        "shard",
+        "n",
+        F.array(*[F.col(f"__s{i}") / F.col("n") for i in range(dim)]).alias(
+            "centroid"
+        ),
+    )
+
+
+def routed_graph_ann_query(
+    vectors: DataFrame,
+    edges: DataFrame,
+    test: DataFrame,
+    k: int,
+    nprobe: int,
+    relaxed_monotonicity: int = 64,
+    centroids: DataFrame | None = None,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Graph ANN with shard routing: each query searches only its
+    ``nprobe`` nearest shards (by shard centroid) instead of every shard.
+
+    This is the Q x k x shards merge mitigation from SCALE.md: fan-out,
+    per-shard beam work, and merge volume all shrink by
+    ``nprobe / n_shards``. Recall depends on how well shards separate
+    (id-ranged shards on random data are the worst case; cluster-assigned
+    shards — e.g. store rows bucketed by IVF cell — make routing sharp).
+    """
+    from vector_index_spark.operators.knn import knn_join
+
+    cents = centroids if centroids is not None else shard_centroids(vectors)
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    probes = knn_join(
+        t,
+        cents.select(F.col("shard").alias("id"), F.col("centroid").alias("vec")),
+        nprobe,
+    ).select("qid", F.col("id").alias("shard"))
+    allowed: dict[int, set[int]] = {}
+    for r in probes.collect():
+        allowed.setdefault(int(r.shard), set()).add(int(r.qid))
+    spark = vectors.sparkSession
+    bc_allowed = spark.sparkContext.broadcast(allowed)
+
+    test_pdf = t.toPandas()
+    qids = test_pdf["qid"].to_numpy(np.int64)
+    Q = np.stack(test_pdf["vec"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def search(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vec_pdf) == 0:
+            return pd.DataFrame(columns=["qid", "id", "dist"])
+        shard = int(key[0])
+        wanted = bc_allowed.value.get(shard)
+        if not wanted:
+            return pd.DataFrame(columns=["qid", "id", "dist"])
+        vec_pdf = vec_pdf.sort_values("id")
+        X = np.stack(vec_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = vec_pdf["id"].to_numpy(dtype=np.int64)
+        erows = edge_pdf[["layer", "src", "dst", "dist"]].to_numpy(dtype=np.float64)
+        g = graph_from_rows(X, ids, erows)
+        q_ids, q_mat = bc.value
+        out_qid, out_id, out_dist = [], [], []
+        for qi in range(len(q_ids)):
+            if int(q_ids[qi]) not in wanted:
+                continue
+            for d, off in query_shard(g, q_mat[qi], k, relaxed_monotonicity):
+                out_qid.append(int(q_ids[qi]))
+                out_id.append(int(g.ids[off]))
+                out_dist.append(d)
+        return pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
+
+    per_shard = (
+        vectors.select("shard", "id", "vec")
+        .groupBy("shard")
+        .cogroup(edges.select("shard", "layer", "src", "dst", "dist").groupBy("shard"))
+        .applyInPandas(search, RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
+
+
 def graph_ann_query(
     vectors: DataFrame,
     edges: DataFrame,
