@@ -1,0 +1,88 @@
+"""VectorIndex facade: the reference user's workflow end-to-end through one
+object (build -> query -> save -> load -> append -> remove -> optimize)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.api import VectorIndex
+from vector_index_spark.config import IndexParameters
+
+PARAMS = IndexParameters(
+    dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+    step=2, sub_index_bound=200,
+)
+K = 10
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return train, test
+
+
+def _recall(approx, exact):
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.id)
+    return sum(1 for r in approx if r.id in truth.get(r.qid, ())) / sum(
+        len(v) for v in truth.values()
+    )
+
+
+def test_full_lifecycle(spark, data, tmp_path):
+    train, test = data
+    idx = VectorIndex.build(train, PARAMS)
+    assert idx.count() == 450
+
+    exact = idx.exact_query(test, K).collect()
+    approx = idx.query(test, K).collect()
+    assert _recall(approx, exact) >= 0.95
+
+    routed = idx.query(test, K, nprobe=2).collect()
+    assert len({r.qid for r in routed}) == 50  # every query answered
+
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    idx2 = VectorIndex.load(spark, path)
+    again = idx2.query(test, K).collect()
+    assert sorted((r.qid, r.rank, r.id) for r in approx) == sorted(
+        (r.qid, r.rank, r.id) for r in again
+    )
+
+    # append the held-out rows; they must become findable
+    idx3 = idx2.append(test.select(F.col("qid").alias("id"), "vec"))
+    assert idx3.count() == 500
+    self_hits = idx3.query(test, 1, relaxed_monotonicity=128).collect()
+    exact_self = sum(1 for r in self_hits if r.qid == r.id)
+    assert exact_self >= 45  # each query's own vector is its 1-NN (ANN: allow slack)
+
+    # remove them again
+    idx4 = idx3.remove(test.select(F.col("qid").alias("id")))
+    assert idx4.count() == 450
+
+    # optimize produces a loadable compacted copy with identical edges
+    out = str(tmp_path / "idx_opt")
+    idx4.optimize(out)
+    idx5 = VectorIndex.load(spark, out)
+    key = lambda r: (r.shard, r.layer, r.src, r.dst)
+    assert sorted(map(key, idx4.edges.collect())) == sorted(
+        map(key, idx5.edges.collect())
+    )
+
+
+def test_unsaved_index_guards(data):
+    train, _ = data
+    idx = VectorIndex.build(train.limit(50), PARAMS)
+    with pytest.raises(ValueError, match="save first"):
+        idx.append(train.limit(1))
+    with pytest.raises(ValueError, match="save first"):
+        idx.optimize("/tmp/nowhere")

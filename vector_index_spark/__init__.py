@@ -13,9 +13,10 @@ North-star extensions (BASELINE.json): operators.dedup, operators.similarity,
 functions.text, multimodal, streaming.
 """
 
+from vector_index_spark.api import VectorIndex
 from vector_index_spark.config import IndexParameters
 from vector_index_spark.session import get_spark
 
-__all__ = ["IndexParameters", "get_spark"]
+__all__ = ["IndexParameters", "VectorIndex", "get_spark"]
 
 __version__ = "0.1.0"

@@ -1,0 +1,158 @@
+"""VectorIndex — the user-facing facade, mirroring the reference's Python
+binding surface (python_binding/dehnswpy.cpp: Index / insert / query /
+optimize, plus save/load from the C++ API, dehnsw.h:666-844) on top of the
+engine's operators:
+
+    idx = VectorIndex.build(train_df, IndexParameters(dimension=64))
+    res = idx.query(test_df, k=100, relaxed_monotonicity=64)
+    idx.save("s3://bucket/index")
+    idx2 = VectorIndex.load(spark, "s3://bucket/index")
+    idx2.append(more_rows)          # batch growth, affected shards only
+    idx2.remove(stale_ids)          # batch delete, affected shards only
+    idx2.optimize("s3://bucket/index_v2")   # file compaction
+
+The reference's single-vector ``insert`` has no streaming analogue here by
+design (BASELINE.json: real-time updates out of scope); ``append`` is the
+batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_index_spark.config import IndexParameters
+from vector_index_spark.index.builder import (
+    append_to_index,
+    build_graph_index,
+    remove_from_index,
+)
+from vector_index_spark.index.persistence import (
+    compact_index,
+    load_index,
+    save_index,
+)
+from vector_index_spark.index.searcher import (
+    graph_ann_query,
+    routed_graph_ann_query,
+    shard_centroids,
+)
+from vector_index_spark.operators.knn import knn_join
+from vector_index_spark.operators.shard import assign_shards
+
+
+class VectorIndex:
+    def __init__(
+        self,
+        vectors: DataFrame,
+        edges: DataFrame,
+        params: IndexParameters,
+        path: str | None = None,
+    ):
+        self.vectors = vectors
+        self.edges = edges
+        self.params = params
+        self.path = path
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        train: DataFrame,
+        params: IndexParameters,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "VectorIndex":
+        """Bulk build (the reference's insert loop, parallel per shard)."""
+        t = train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        edges = build_graph_index(t, params)
+        vectors = assign_shards(t, params.sub_index_bound)
+        return cls(vectors, edges, params)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorIndex":
+        vectors, edges, params = load_index(spark, path)
+        if edges is None:
+            raise ValueError(f"index at {path!r} has no edge relation")
+        return cls(vectors.select("shard", "id", "vec"), edges, params, path=path)
+
+    # -- queries -----------------------------------------------------------
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        relaxed_monotonicity: int = 64,
+        nprobe: int | None = None,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        """Approximate top-k (all shards; pass ``nprobe`` to route by shard
+        centroid). Returns (qid, rank, id, dist)."""
+        if nprobe is None:
+            return graph_ann_query(
+                self.vectors, self.edges, test, k, relaxed_monotonicity,
+                qid_col=qid_col, vec_col=vec_col,
+            )
+        return routed_graph_ann_query(
+            self.vectors, self.edges, test, k, nprobe, relaxed_monotonicity,
+            qid_col=qid_col, vec_col=vec_col,
+        )
+
+    def exact_query(
+        self, test: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
+    ) -> DataFrame:
+        """Exact top-k over the indexed vectors (ground truth / oracle)."""
+        return knn_join(
+            test,
+            self.vectors.select("id", "vec"),
+            k,
+            metric=self.params.distance_type
+            if self.params.distance_type != "euclidean2"
+            else "euclidean2",
+            qid_col=qid_col,
+            test_vec=vec_col,
+        )
+
+    def routing_table(self) -> DataFrame:
+        return shard_centroids(self.vectors)
+
+    # -- persistence & maintenance ----------------------------------------
+
+    def save(self, path: str) -> "VectorIndex":
+        save_index(self.vectors, self.edges, self.params, path)
+        self.path = path
+        return self
+
+    def optimize(self, out_path: str) -> None:
+        """File compaction (the reference's optimize deep copy,
+        dehnswpy.cpp:18-21)."""
+        if not self.path:
+            raise ValueError("optimize requires a persisted index (call save first)")
+        compact_index(self.vectors.sparkSession, self.path, out_path)
+
+    def append(self, new_vectors: DataFrame, id_col: str = "id",
+               vec_col: str = "vec") -> "VectorIndex":
+        if not self.path:
+            raise ValueError("append requires a persisted index (call save first)")
+        spark = self.vectors.sparkSession
+        append_to_index(spark, self.path, new_vectors, id_col, vec_col)
+        return VectorIndex.load(spark, self.path)
+
+    def remove(self, ids: DataFrame, id_col: str = "id") -> "VectorIndex":
+        if not self.path:
+            raise ValueError("remove requires a persisted index (call save first)")
+        spark = self.vectors.sparkSession
+        remove_from_index(spark, self.path, ids, id_col)
+        return VectorIndex.load(spark, self.path)
+
+    # -- introspection -----------------------------------------------------
+
+    def count(self) -> int:
+        return self.vectors.count()
+
+    def shards(self) -> DataFrame:
+        from vector_index_spark.operators.shard import shard_stats
+
+        return shard_stats(self.vectors)
