@@ -136,6 +136,55 @@ def main() -> None:
     # windowed event aggregation (streaming twin measured in batch form)
     timed("events_hourly", lambda: hourly_event_stats(read_events(spark, SF_DIR)).count())
 
+    # meaningful-scale ANN: 16k-vector corpus derived deterministically from
+    # the driver embeddings (32 offset variants/row — same derivation as
+    # tests/test_stress_multishard). The small embeddings table makes the
+    # per-operator numbers above overhead-dominated; these measure real
+    # build/search throughput.
+    n_copies = 32
+    copies = spark.range(n_copies).select(F.col("id").alias("copy"))
+    big = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") * n_copies + F.col("copy")).alias("id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("copy") - 15.5) * 0.02 * F.cos(i + F.col("copy")),
+            ).alias("vec"),
+        )
+    )
+    big_train = big.filter(F.col("id") % 40 != 0).cache()
+    big_test = (
+        big.filter(F.col("id") % 40 == 0)
+        .limit(500)
+        .select(F.col("id").alias("qid"), "vec")
+        .cache()
+    )
+    n_big = big_train.count()
+    big_test.count()
+    big_params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=2000,
+    )
+    big_state: dict = {}
+
+    def big_build():
+        e = build_graph_index(big_train, big_params)
+        e.cache()
+        e.count()
+        big_state["edges"] = e
+
+    timed(f"graph_build_{n_big // 1000}k", big_build)
+    timed(
+        f"graph_query_k100_{n_big // 1000}k",
+        lambda: graph_ann_query(
+            assign_shards(big_train, big_params.sub_index_bound),
+            big_state["edges"], big_test, K, 64,
+        ).count(),
+    )
+    timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
