@@ -1,0 +1,75 @@
+"""Regenerate PLANS.md — physical plans of the core operators.
+
+Run: PYTHONPATH=. python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_index_spark import get_spark  # noqa: E402
+from vector_index_spark.operators.knn import knn_join  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    sections = [
+        (
+            "Exact kNN (knn_join): broadcast query side, map-side "
+            "WindowGroupLimit partial top-k, single exchange",
+            plan(knn_join(test, train, 10)),
+        ),
+        (
+            "Star aggregation: broadcast dims, partial HashAggregate before "
+            "the exchange",
+            plan(
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment", "l_returnflag")
+                .agg(F.sum("l_quantity").alias("q"))
+            ),
+        ),
+        (
+            "Global top-k: TakeOrderedAndProject (never a full sort)",
+            plan(o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)),
+        ),
+    ]
+    out = [
+        "# PLANS — physical plans of the core operators (auto-generated)",
+        "",
+        "Regenerate: `PYTHONPATH=. python tools/gen_plans.py`. The scale-relevant",
+        "properties asserted in tests/test_plans.py are visible here: pushed",
+        "filters, pruned read schemas, broadcasts, map-side WindowGroupLimit,",
+        "TakeOrderedAndProject.",
+        "",
+    ]
+    for title, p in sections:
+        out += [f"## {title}", "", "```", p.strip(), "```", ""]
+    with open("PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
