@@ -720,6 +720,27 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — ROLLUP hierarchy (segment -> returnflag -> total)
+    with grouping_id to tag subtotal levels; beyond the reference (its only
+    aggregates are top-k heaps) but free from the substrate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def q46_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-user shape — vector search with payload: top-5 documents per
     query embedding, joined back to the documents table for metadata
@@ -841,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_label_centroids": q44_label_centroids,
         "q45_rolling_hash": q45_rolling_hash,
         "q46_semantic_search": q46_semantic_search,
+        "q48_rollup_revenue": q48_rollup_revenue,
         "q47_filtered_search": q47_filtered_search,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
@@ -1186,6 +1208,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q48_rollup_revenue": """
+            SELECT c.c_mktsegment, l.l_returnflag,
+                   count(*) AS n,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   grouping(c.c_mktsegment, l.l_returnflag)::BIGINT AS gid
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY ROLLUP (c.c_mktsegment, l.l_returnflag)
         """,
         "q46_semantic_search": f"""
             WITH train AS (
