@@ -79,6 +79,23 @@ def test_full_lifecycle(spark, data, tmp_path):
     )
 
 
+@pytest.mark.parametrize("metric", ["cosine_similarity", "inner_product"])
+def test_metric_aware_facade(spark, data, metric):
+    from dataclasses import replace
+
+    train, test = data
+    params = replace(PARAMS, distance_type=metric)
+    idx = VectorIndex.build(train, params)
+    exact = idx.exact_query(test, K).collect()
+    approx = idx.query(test, K).collect()
+    assert _recall(approx, exact) >= 0.95, f"{metric} facade recall"
+    # reported distances agree with the exact metric values
+    truth = {(r.qid, r.id): r.dist for r in exact}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert abs(truth[(a.qid, a.id)] - a.dist) < 1e-9
+
+
 def test_unsaved_index_guards(data):
     train, _ = data
     idx = VectorIndex.build(train.limit(50), PARAMS)

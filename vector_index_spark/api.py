@@ -64,8 +64,42 @@ class VectorIndex:
         id_col: str = "id",
         vec_col: str = "vec",
     ) -> "VectorIndex":
-        """Bulk build (the reference's insert loop, parallel per shard)."""
+        """Bulk build (the reference's insert loop, parallel per shard).
+
+        Metric handling (the reference's Distance_Type enum,
+        source/distance.h:10-15 — only Euclidean2 ever dispatches there;
+        all three serve here):
+          - euclidean2: vectors indexed as-is.
+          - cosine_similarity: vectors unit-normalized at build (l2sq on
+            unit vectors = 2 * cos_dist, so the L2 graph has the cosine
+            ordering); query() normalizes incoming queries and reports
+            cos_dist.
+          - inner_product: norm-augmentation reduction (x -> [x,
+            sqrt(M^2-|x|^2)]); query() augments with 0 and reports
+            ip_dist recomputed on the original components.
+        """
+        from vector_index_spark.functions.distance import l2_norm, normalize
+
         t = train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if params.distance_type == "cosine_similarity":
+            t = t.select("id", normalize(F.col("vec")).alias("vec"))
+        elif params.distance_type == "inner_product":
+            max_norm = t.select(F.max(l2_norm(F.col("vec"))).alias("m")).collect()[0].m
+            m2 = float(max_norm) ** 2
+            t = t.select(
+                "id",
+                F.concat(
+                    F.transform("vec", lambda x: x.cast("double")),
+                    F.array(
+                        F.sqrt(
+                            F.greatest(
+                                F.lit(m2) - l2_norm(F.col("vec")) * l2_norm(F.col("vec")),
+                                F.lit(0.0),
+                            )
+                        )
+                    ),
+                ).alias("vec"),
+            )
         edges = build_graph_index(t, params)
         vectors = assign_shards(t, params.sub_index_bound)
         return cls(vectors, edges, params)
@@ -89,28 +123,72 @@ class VectorIndex:
         vec_col: str = "vec",
     ) -> DataFrame:
         """Approximate top-k (all shards; pass ``nprobe`` to route by shard
-        centroid). Returns (qid, rank, id, dist)."""
-        if nprobe is None:
-            return graph_ann_query(
-                self.vectors, self.edges, test, k, relaxed_monotonicity,
-                qid_col=qid_col, vec_col=vec_col,
+        centroid). Returns (qid, rank, id, dist) where dist is in the
+        index's metric (l2sq / cos_dist / ip_dist)."""
+        from vector_index_spark.functions.distance import dot, normalize
+
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        metric = self.params.distance_type
+        if metric == "cosine_similarity":
+            t = t.select("qid", normalize(F.col("vec")).alias("vec"))
+        elif metric == "inner_product":
+            t = t.select(
+                "qid",
+                F.concat(
+                    F.transform("vec", lambda x: x.cast("double")),
+                    F.array(F.lit(0.0)),
+                ).alias("vec"),
             )
-        return routed_graph_ann_query(
-            self.vectors, self.edges, test, k, nprobe, relaxed_monotonicity,
-            qid_col=qid_col, vec_col=vec_col,
-        )
+        if nprobe is None:
+            res = graph_ann_query(
+                self.vectors, self.edges, t, k, relaxed_monotonicity
+            )
+        else:
+            res = routed_graph_ann_query(
+                self.vectors, self.edges, t, k, nprobe, relaxed_monotonicity
+            )
+        if metric == "cosine_similarity":
+            return res.select("qid", "rank", "id", (F.col("dist") / 2.0).alias("dist"))
+        if metric == "inner_product":
+            # recompute ip on the ORIGINAL components (stored vectors carry
+            # the augmentation in the last slot)
+            orig = self.vectors.select(
+                "id",
+                F.slice(
+                    "vec", 1, F.size("vec") - 1
+                ).alias("__tv"),
+            )
+            q_orig = F.broadcast(
+                t.select("qid", F.slice("vec", 1, F.size("vec") - 1).alias("__qv"))
+            )
+            return (
+                res.select("qid", "rank", "id")
+                .join(orig, "id")
+                .join(q_orig, "qid")
+                .select(
+                    "qid", "rank", "id",
+                    (F.lit(1.0) - dot(F.col("__qv"), F.col("__tv"))).alias("dist"),
+                )
+            )
+        return res
 
     def exact_query(
         self, test: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
     ) -> DataFrame:
-        """Exact top-k over the indexed vectors (ground truth / oracle)."""
+        """Exact top-k over the indexed vectors in the index's metric
+        (ground truth / oracle). Raw query vectors; any build-time
+        transform (normalization / augmentation) is undone corpus-side."""
+        corpus = self.vectors.select("id", "vec")
+        if self.params.distance_type == "inner_product":
+            # stored vectors carry the MIPS augmentation in the last slot
+            corpus = corpus.select(
+                "id", F.slice("vec", 1, F.size("vec") - 1).alias("vec")
+            )
         return knn_join(
             test,
-            self.vectors.select("id", "vec"),
+            corpus,
             k,
-            metric=self.params.distance_type
-            if self.params.distance_type != "euclidean2"
-            else "euclidean2",
+            metric=self.params.distance_type,
             qid_col=qid_col,
             test_vec=vec_col,
         )
