@@ -75,8 +75,10 @@ def search_layer(
     d0 = g.dist_q(q, entry)
     candidates: list[tuple[float, int]] = [(d0, entry)]
     visited = {entry}
-    # result: max-heap of (-dist, offset), bounded to width
-    result: list[tuple[float, int]] = [(-d0, entry)]
+    # result: bounded max-heap of (-dist, -offset) — negating the offset
+    # too keeps eviction consistent with the engine-wide (dist, id) total
+    # order (equal distances evict the LARGER id first)
+    result: list[tuple[float, int]] = [(-d0, -entry)]
     stall = 0
     while candidates:
         d, u = heapq.heappop(candidates)
@@ -91,12 +93,12 @@ def search_layer(
             dv = g.dist_q(q, v)
             heapq.heappush(candidates, (dv, v))
             if len(result) < width:
-                heapq.heappush(result, (-dv, v))
+                heapq.heappush(result, (-dv, -v))
                 stall = 0
-            elif (dv, v) < (-result[0][0], result[0][1]):
-                heapq.heapreplace(result, (-dv, v))
+            elif (dv, v) < (-result[0][0], -result[0][1]):
+                heapq.heapreplace(result, (-dv, -v))
                 stall = 0
-    out = sorted((-nd, v) for nd, v in result)
+    out = sorted((-nd, -nv) for nd, nv in result)
     return out
 
 
@@ -266,28 +268,29 @@ def query_shard(
                 heapq.heappush(candidates, (dv, v))
             if candidates[0] != best:
                 improved = True
-    # layer-0 beam (dehnsw.h:280-321)
-    result: list[tuple[float, int]] = []  # max-heap of (-d, off)
+    # layer-0 beam (dehnsw.h:280-321); max-heap of (-d, -off) so ties
+    # evict the larger id, matching the (dist, id) total order
+    result: list[tuple[float, int]] = []
     stall = 0
     while candidates:
         d, u = heapq.heappop(candidates)
         if len(result) >= k:
-            if (d, u) < (-result[0][0], result[0][1]):
-                heapq.heapreplace(result, (-d, u))
+            if (d, u) < (-result[0][0], -result[0][1]):
+                heapq.heapreplace(result, (-d, -u))
                 stall = 0
             else:
                 stall += 1
                 if patience and stall >= patience:
                     break
         else:
-            heapq.heappush(result, (-d, u))
+            heapq.heappush(result, (-d, -u))
             stall = 0
         for v in g.adj[0].get(u, ()):
             if v in visited:
                 continue
             visited.add(v)
             heapq.heappush(candidates, (g.dist_q(q, v), v))
-    return sorted((-nd, v) for nd, v in result)
+    return sorted((-nd, -nv) for nd, nv in result)
 
 
 def graph_to_rows(g: ShardGraph, shard: int) -> list[tuple[int, int, int, int, float]]:
