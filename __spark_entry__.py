@@ -27,7 +27,36 @@ K = 10
 SUB_INDEX_BOUND = 100  # small shards so sf0.01's 500 vectors span 5 shards
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vector_index_spark`` importable on Python workers regardless
+    of the session's launch directory: the applyInPandas/mapInPandas paths
+    pickle module-level functions BY REFERENCE, so workers must import the
+    package — guaranteed here by shipping it as a zip via addPyFile
+    (idempotent per session)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"vis_pkg_{os.getpid()}_{key}"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(
+            zip_base, "zip", root_dir=repo_dir, base_dir="vector_index_spark"
+        )
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
