@@ -749,6 +749,54 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation — approximate percentiles (percentile_approx,
+    the Greenwald-Khanna sketch). Rows-only: sketch values are
+    engine-specific; accuracy vs the exact q42 is gated in
+    tests/test_sketches.py."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+        F.round(F.percentile_approx("value", 0.99, 10000), 6).alias("p99_approx"),
+    )
+
+
+def q50_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D joins — LEFT SEMI and LEFT ANTI in one result: customers with
+    vs without orders (the existence-join shapes Spark plans natively)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return spark.createDataFrame(
+        [(with_orders.count(), without.count())],
+        "n_with_orders long, n_without_orders long",
+    )
+
+
+def q51_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D windows — per-group top-k (each user's 3 highest-value events),
+    the group-limit window shape beyond the kNN usage."""
+    from pyspark.sql import Window
+
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "user_id", F.col("rk").cast("long").alias("rk"), "event_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
 def q48_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2D aggregation — ROLLUP hierarchy (segment -> returnflag -> total)
     with grouping_id to tag subtotal levels; beyond the reference (its only
@@ -892,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_rolling_hash": q45_rolling_hash,
         "q46_semantic_search": q46_semantic_search,
         "q48_rollup_revenue": q48_rollup_revenue,
+        "q49_approx_quantiles": q49_approx_quantiles,
+        "q50_semi_anti_join": q50_semi_anti_join,
+        "q51_top_events_per_user": q51_top_events_per_user,
         "q47_filtered_search": q47_filtered_search,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
@@ -1237,6 +1288,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q50_semi_anti_join": """
+            SELECT
+              (SELECT count(*) FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                AS n_with_orders,
+              (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                AS n_without_orders
+        """,
+        "q51_top_events_per_user": """
+            SELECT user_id, rk, event_id, round(value, 6) AS value
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rk
+              FROM events
+            ) WHERE rk <= 3
         """,
         "q48_rollup_revenue": """
             SELECT c.c_mktsegment, l.l_returnflag,
