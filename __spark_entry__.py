@@ -897,6 +897,42 @@ def q43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each purchase, the user's most recent click at or
+    before it (the feature-store point-in-time lookup). Union+window plan:
+    one shuffle on user_id, no range explosion (operators/asof.py)."""
+    from vector_index_spark.operators.asof import asof_join
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    return asof_join(probe, ref, ["user_id"], "ts", "ts")
+
+
+def q53_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join — per purchase, count of the same user's clicks in
+    the preceding 24h window. Equi key (user_id) carries the shuffle; the
+    interval is a residual predicate (operators/asof.py)."""
+    from vector_index_spark.operators.asof import range_count_join
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count_join(
+        probe, ref, ["user_id"], lookback_seconds=86400, count_name="n_clicks_24h"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -943,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_approx_quantiles": q49_approx_quantiles,
         "q50_semi_anti_join": q50_semi_anti_join,
         "q51_top_events_per_user": q51_top_events_per_user,
+        "q52_asof_purchase_click": q52_asof_purchase_click,
+        "q53_clicks_before_purchase": q53_clicks_before_purchase,
         "q47_filtered_search": q47_filtered_search,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
@@ -1306,6 +1344,29 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id ASC) AS rk
               FROM events
             ) WHERE rk <= 3
+        """,
+        "q52_asof_purchase_click": """
+            WITH ref AS (
+              SELECT user_id, ts, round(max(value), 6) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, p.ts, r.ts AS asof_ts, r.click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN ref r
+              ON p.user_id = r.user_id AND p.ts >= r.ts
+        """,
+        "q53_clicks_before_purchase": """
+            SELECT p.event_id, p.user_id, p.ts, count(r.ts) AS n_clicks_24h
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') r
+              ON p.user_id = r.user_id
+             AND r.ts <= p.ts
+             AND epoch(r.ts) >= epoch(p.ts) - 86400
+            GROUP BY 1, 2, 3
         """,
         "q48_rollup_revenue": """
             SELECT c.c_mktsegment, l.l_returnflag,
