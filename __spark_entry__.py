@@ -933,6 +933,109 @@ def q53_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — PIVOT: daily event counts spread into one column
+    per event type. The pivot value list is explicit, which at scale skips
+    the driver-side distinct pass and keeps the plan a single hash
+    aggregate (one shuffle on the day key)."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def q55_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — CUBE over (mktsegment, orderpriority): all four
+    grouping-set combinations in one pass with grouping_id tags
+    (complements q48's ROLLUP hierarchy)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def q56_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D window functions — lag + running aggregate per customer: order
+    sequence number, days since the previous order, cumulative spend. One
+    shuffle on o_custkey; all three windows share the same sort."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.round(F.sum("o_totalprice").over(cum), 4).alias("cum_spend"),
+    )
+
+
+def q57_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS: orders with at least one line
+    shipped more than 60 days after the order date, counted per priority.
+    The subquery is a left-semi join on the order key with the inequality
+    as a residual predicate, then a tiny aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — six-table join: revenue per nation from lineitems
+    where customer and supplier share the nation, within one region. The
+    three dimension tables broadcast; lineitem-orders-(customer,supplier)
+    shuffle on their keys; Catalyst orders the joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(r.r_name == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -981,6 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_top_events_per_user": q51_top_events_per_user,
         "q52_asof_purchase_click": q52_asof_purchase_click,
         "q53_clicks_before_purchase": q53_clicks_before_purchase,
+        "q54_pivot_daily_events": q54_pivot_daily_events,
+        "q55_cube_revenue": q55_cube_revenue,
+        "q56_order_running_totals": q56_order_running_totals,
+        "q57_late_ship_priority": q57_late_ship_priority,
+        "q58_local_supplier_volume": q58_local_supplier_volume,
         "q47_filtered_search": q47_filtered_search,
         "q20_graph_ann": q20_graph_ann,
         "q21_lsh_ann": q21_lsh_ann,
@@ -1367,6 +1475,61 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts <= p.ts
              AND epoch(r.ts) >= epoch(p.ts) - 86400
             GROUP BY 1, 2, 3
+        """,
+        "q54_pivot_daily_events": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events
+            GROUP BY 1
+        """,
+        "q55_cube_revenue": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o.o_totalprice), 4) AS revenue,
+                   grouping(c.c_mktsegment, o.o_orderpriority)::BIGINT AS gid
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+        """,
+        "q56_order_running_totals": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   row_number() OVER w AS order_seq,
+                   date_diff('day',
+                             lag(o_orderdate) OVER w,
+                             o_orderdate)::BIGINT AS days_since_prev,
+                   round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW), 4) AS cum_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q57_late_ship_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY 1
+        """,
+        "q58_local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+            GROUP BY 1
         """,
         "q48_rollup_revenue": """
             SELECT c.c_mktsegment, l.l_returnflag,
