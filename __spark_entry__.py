@@ -1036,6 +1036,45 @@ def q58_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — emails/phone numbers replaced with typed
+    placeholders. The corpus is synthetic word soup, so deterministic PII
+    is injected per doc (email + phone derived from doc_id) before
+    redacting: the oracle then genuinely checks both regex engines agree
+    on match AND replacement."""
+    from vector_index_spark.operators.textstats import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
+def q60_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules — per-document flags + keep decision
+    (token-count window, mean token length, repetition cap, stopword
+    hits), all scan-side Catalyst expressions."""
+    from vector_index_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def q61_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics — duplicate-token and duplicate-bigram ratios
+    per document (the C4/Gopher boilerplate signal)."""
+    from vector_index_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1085,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_asof_purchase_click": q52_asof_purchase_click,
         "q53_clicks_before_purchase": q53_clicks_before_purchase,
         "q54_pivot_daily_events": q54_pivot_daily_events,
+        "q59_pii_redaction": q59_pii_redaction,
+        "q60_gopher_quality": q60_gopher_quality,
+        "q61_repetition_profile": q61_repetition_profile,
         "q55_cube_revenue": q55_cube_revenue,
         "q56_order_running_totals": q56_order_running_totals,
         "q57_late_ship_priority": q57_late_ship_priority,
@@ -1530,6 +1572,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.c_nationkey = s.s_nationkey
               AND r.r_name = 'ASIA'
             GROUP BY 1
+        """,
+        "q59_pii_redaction": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' contact u' || doc_id::VARCHAR
+                       || '@example.com or 555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{3}-[0-9]{4}\\b'))::BIGINT AS n_phones,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+            FROM d
+        """,
+        "q60_gopher_quality": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKS_SQL.format(t="text")} AS t FROM documents
+            ), m AS (
+              SELECT doc_id, len(t) AS n,
+                     list_sum(list_transform(t, x -> length(x)::DOUBLE))::DOUBLE
+                       / greatest(len(t), 1) AS mtl,
+                     CASE WHEN len(t) <= 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t) END AS dup,
+                     len(list_filter(list_distinct(t),
+                         x -> list_contains({_EN_STOP_SQL}, x))) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   (n >= 20 AND n <= 100000) AS ok_token_count,
+                   (mtl >= 2.0 AND mtl <= 12.0) AS ok_mean_token_len,
+                   (dup <= 0.9) AS ok_repetition,
+                   (stop_hits >= 2) AS ok_stopwords,
+                   ((n >= 20 AND n <= 100000) AND (mtl >= 2.0 AND mtl <= 12.0)
+                    AND dup <= 0.9 AND stop_hits >= 2) AS keep
+            FROM m
+        """,
+        "q61_repetition_profile": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKS_SQL.format(t="text")} AS t FROM documents
+            ), b AS (
+              SELECT doc_id, t,
+                     list_filter(list_transform(list_zip(t, t[2:]),
+                                 p -> p[1] || ' ' || p[2]),
+                                 x -> x IS NOT NULL) AS bi
+              FROM base
+            )
+            SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(t) <= 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t) END, 6)
+                     AS dup_token_ratio,
+                   round(CASE WHEN len(bi) <= 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(bi))::DOUBLE / len(bi) END, 6)
+                     AS dup_bigram_ratio
+            FROM b
         """,
         "q48_rollup_revenue": """
             SELECT c.c_mktsegment, l.l_returnflag,

@@ -5,10 +5,11 @@ token frequency tables. All pure Catalyst expressions over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.text import (
+    ENGLISH_STOPWORDS,
     LANG_STOPWORDS,
     mean_token_length,
     punct_ratio,
@@ -102,3 +103,116 @@ def token_frequencies(
     )
     ordered = freq.orderBy(F.col("n").desc(), F.col("token").asc())
     return ordered.limit(top_n) if top_n else ordered
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: PII redaction, repetition, Gopher-style filters
+# ---------------------------------------------------------------------------
+
+# Portable regex subset (identical semantics in Java regex and RE2):
+# character classes, bounded repetition, \b word boundaries.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace email addresses and phone-shaped numbers with typed
+    placeholders, and count what was removed. Pure scan-side
+    ``regexp_replace`` / ``regexp_extract_all`` — no shuffle, codegen'd,
+    the standard first pass of a training-data cleaning pipeline."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+def _bigrams(toks: Column) -> Column:
+    """Space-joined adjacent token pairs. zip_with pads the short side with
+    null and concat propagates it, so the trailing partial pair drops out in
+    the filter — the same contract as DuckDB's list_zip + ||."""
+    return F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher/C4 repetition family):
+    fraction of duplicate tokens and of duplicate adjacent bigrams. High
+    values flag boilerplate and degenerate generations."""
+    toks = tokens(F.col(text_col))
+    bi = _bigrams(toks)
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(arr)) / n
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(dup_ratio(toks), 6).alias("dup_token_ratio"),
+        F.round(dup_ratio(bi), 6).alias("dup_bigram_ratio"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_dup_token_ratio: float = 0.9,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1 — public paper), thresholds adapted to
+    the synthetic corpus: token-count window, mean-token-length window,
+    duplicate-token cap, minimum distinct-stopword hits. Emits each rule
+    flag plus the conjunction, all as one scan-side projection."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    mean_len = mean_token_length(toks)
+    dup = F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)) / n
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS]),
+        )
+    )
+    ok_tokens = (n >= min_tokens) & (n <= max_tokens)
+    ok_len = (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len)
+    ok_dup = dup <= max_dup_token_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        ok_tokens.alias("ok_token_count"),
+        ok_len.alias("ok_mean_token_len"),
+        ok_dup.alias("ok_repetition"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_tokens & ok_len & ok_dup & ok_stop).alias("keep"),
+    )
