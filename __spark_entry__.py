@@ -1075,6 +1075,22 @@ def q61_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_t(spark, sf_dir, "documents"))
 
 
+def q62_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN route — uint8 scalar quantization (4x compression, near-exact
+    fidelity) scan + exact re-rank. Rows-only; recall >= 0.95 gated in
+    tests/test_ann_routes.py::test_sq_knn_recall."""
+    from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    mins, maxs = train_sq(train)
+    encoded = encode_sq(train, mins, maxs)
+    res = sq_knn(test, encoded, train, mins, maxs, K, candidate_factor=3)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1138,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ivf_ann": q23_ivf_ann,
         "q32_grid_search": q32_grid_search,
         "q43_pq_ann": q43_pq_ann,
+        "q62_sq_ann": q62_sq_ann,
     }
 
 

@@ -118,6 +118,16 @@ def main() -> None:
 
     timed("ivf_build_query_k100", ivf_run)
 
+    # SQ8 route: distributed min/max bounds + byte-code scan with re-rank
+    def sq_run():
+        from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq
+
+        mins, maxs = train_sq(train)
+        encoded = encode_sq(train, mins, maxs)
+        sq_knn(test, encoded, train, mins, maxs, K, candidate_factor=3).count()
+
+    timed("sq_build_query_k100", sq_run)
+
     # relational substrate: star join + agg at sf lineitem scale
     timed(
         "star_agg",

@@ -148,3 +148,23 @@ def test_knn_fast_matches_declarative(split, exact):
     ed = {(r.qid, r.id): r.dist for r in exact}
     for r in fast:
         assert abs(ed[(r.qid, r.id)] - r.dist) < 1e-9
+
+
+def test_sq_knn_recall(split, exact):
+    from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq
+
+    train, test = split
+    mins, maxs = train_sq(train)
+    encoded = encode_sq(train, mins, maxs)
+    approx = sq_knn(test, encoded, train, mins, maxs, K, candidate_factor=3).collect()
+    assert _recall(approx, exact) >= 0.95
+
+
+def test_sq_codes_are_one_byte_per_dim(split):
+    from vector_index_spark.index.sq import encode_sq, train_sq
+
+    train, _ = split
+    mins, maxs = train_sq(train)
+    row = encode_sq(train, mins, maxs).first()
+    dim = len(train.select("vec").first()[0])
+    assert len(row["codes"]) == dim

@@ -1,0 +1,153 @@
+"""Scalar quantization (SQ8) — uint8-compressed ANN with exact re-rank.
+
+The fifth pruning structure (after graph / LSH / IVF / PQ): each dimension
+is affinely mapped to one byte using corpus-wide per-dimension min/max, so
+a float32 corpus shrinks 4x with far better distance fidelity than PQ's
+codebook quantization (SQ8 recall at candidate_factor=2 is ~1.0 where PQ
+needs 8-16). The classic middle point of the memory/accuracy curve
+(faiss's ScalarQuantizer is the public reference implementation of the
+same idea).
+
+Spark shape: the per-dimension bounds come from ONE distributed aggregate
+(d min/max pairs — bytes, broadcast back); encoding streams through
+Arrow-batched ``mapInPandas`` to a compact ``binary`` codes column; query
+scans dequantize per batch and use the same GEMM + per-partition top-k
+shape as ``operators.knn_fast`` (corpus never shuffles, merge volume is
+O(Q * candidates * partitions)); the final candidates re-rank exactly on
+raw vectors. Distances returned are exact float64, so results are
+oracle-comparable whenever the candidate set covers the true top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_index_spark.operators.knn import distance_column
+
+
+def train_sq(train: DataFrame, vec_col: str = "vec") -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the whole corpus — one hash aggregate
+    (2d scalar aggregates; d is the vector dimension, so the result is
+    bytes). Exact corpus-wide bounds, unlike sample-based PQ codebooks."""
+    dim = len(train.select(vec_col).first()[0])
+    row = train.select(
+        *[F.min(F.element_at(vec_col, i + 1)).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.element_at(vec_col, i + 1)).alias(f"hi{i}") for i in range(dim)],
+    ).first()
+    mins = np.array([row[f"lo{i}"] for i in range(dim)], dtype=np.float64)
+    maxs = np.array([row[f"hi{i}"] for i in range(dim)], dtype=np.float64)
+    return mins, maxs
+
+
+def encode_sq(
+    train: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """uint8-encode every vector: code = round((x - min) / span * 255),
+    clipped. Returns (id, codes binary) — 1 byte/dimension."""
+    spark = train.sparkSession
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    bc = spark.sparkContext.broadcast((mins, span))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mins, b_span = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.clip(
+                np.rint((X - b_mins[None, :]) / b_span[None, :] * 255.0), 0, 255
+            ).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(enc, "id long, codes binary")
+
+
+def sq_knn(
+    test: DataFrame,
+    encoded: DataFrame,
+    train: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    k: int,
+    candidate_factor: int = 4,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate scan over SQ8 codes + exact re-rank.
+
+    Per Arrow batch: dequantize codes, one GEMM against the broadcast query
+    matrix, keep ``candidate_factor * k`` per (query, partition); merged
+    candidates re-rank with exact float64 distance on the raw vectors.
+    Returns (qid, rank, id, dist) with exact distances."""
+    spark = test.sparkSession
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
+    qids = t["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(t["vec"].to_numpy()).astype(np.float64)
+    qsq = (Q * Q).sum(axis=1)
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    bc = spark.sparkContext.broadcast((qids, Q, qsq, mins, span))
+    ncand = candidate_factor * k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_Q, b_qsq, b_mins, b_span = bc.value
+        nq = len(b_qids)
+        dim = b_Q.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+            X = raw.reshape(len(pdf), dim).astype(np.float64)
+            X = X / 255.0 * b_span[None, :] + b_mins[None, :]
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            xsq = (X * X).sum(axis=1)
+            D = xsq[:, None] + b_qsq[None, :] - 2.0 * (X @ b_Q.T)
+            kk = min(ncand, len(ids))
+            part = np.argpartition(D, kk - 1, axis=0)[:kk]
+            sel = part.T.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(b_qids, kk),
+                    "id": ids[sel],
+                }
+            )
+
+    cands = encoded.mapInPandas(scan, "qid long, id long").dropDuplicates(
+        ["qid", "id"]
+    )
+    rescored = (
+        cands.join(
+            train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")), "id"
+        )
+        .join(
+            F.broadcast(
+                test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("__qv"))
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "id",
+            distance_column("euclidean2", F.col("__qv"), F.col("__tv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
