@@ -1091,6 +1091,34 @@ def q62_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_tree_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-merge exact kNN — fanout-ary merge ladder over shard partials
+    (the 1000-shard scale path for the multi-shard merge; SCALE.md). Must
+    hash-match the flat exact kNN oracle."""
+    from vector_index_spark.operators.knn import tree_merge_knn
+
+    train = assign_shards(_train(spark, sf_dir), SUB_INDEX_BOUND)
+    n_shards = train.agg(F.max("shard")).first()[0] + 1
+    res = tree_merge_knn(_test(spark, sf_dir), train, K, n_shards, fanout=2)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q64_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-to-first-arrival per (user, event_type) — min_by aggregation,
+    the batch twin of the streaming dropDuplicatesWithinWatermark guard
+    (stream==batch key-set asserted in tests/test_streaming.py)."""
+    from vector_index_spark.sources.loaders import read_events
+    from vector_index_spark.streaming.events import dedup_first_by_key
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+    return dedup_first_by_key(ev, ["user_id", "event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1155,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_grid_search": q32_grid_search,
         "q43_pq_ann": q43_pq_ann,
         "q62_sq_ann": q62_sq_ann,
+        "q63_tree_merge_knn": q63_tree_merge_knn,
+        "q64_dedup_first_event": q64_dedup_first_event,
     }
 
 
@@ -1199,6 +1229,20 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             SELECT qid, rank, id, round(dist, 6) AS dist
             FROM ranked WHERE rank <= {K}
+        """,
+        "q63_tree_merge_knn": _KNN_BASE_SQL
+        + f"""
+            SELECT qid, rank, id, round(dist, 6) AS dist
+            FROM ranked WHERE rank <= {K}
+        """,
+        "q64_dedup_first_event": """
+            SELECT user_id, event_type, event_id, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, event_type, event_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "q07_recall": f"""
             {_KNN_BASE_SQL}

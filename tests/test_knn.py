@@ -88,3 +88,31 @@ def test_recall_exact_is_perfect(split):
     row = recall_total(res, neighbors).collect()[0]
     assert row.total_hit == row.max_hit == 50 * K
     assert row.recall == 1.0
+
+
+def test_tree_merge_equals_flat(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.operators.knn import knn_join, tree_merge_knn
+    from vector_index_spark.operators.shard import assign_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = assign_shards(
+        emb.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ),
+        sub_index_bound=25,  # ~18 shards -> 3 tree levels at fanout=4
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    n_shards = train.agg(F.max("shard")).first()[0] + 1
+    got = sorted(
+        (r.qid, r.rank, r.id)
+        for r in tree_merge_knn(test, train, 10, n_shards, fanout=4).collect()
+    )
+    want = sorted(
+        (r.qid, r.rank, r.id) for r in knn_join(test, train, 10).collect()
+    )
+    assert got == want

@@ -80,3 +80,34 @@ def test_stream_equals_batch(spark, tmp_path):
         )
 
     assert key(got) == key(want)
+
+
+def test_stream_dedup_matches_batch_key_set(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key (first ARRIVAL,
+    which is partition-order-dependent) — so the contract vs the batch twin
+    is the key set, not the winning row."""
+    from vector_index_spark.streaming.events import (
+        dedup_first_by_key,
+        stream_dedup,
+    )
+
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "events_dedup_src")
+    ev.write.parquet(src)
+    out = stream_dedup(spark, src, EVENT_SCHEMA, keys=["user_id", "event_type"])
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT user_id, event_type FROM {sink}").collect()
+    want = dedup_first_by_key(ev, ["user_id", "event_type"]).collect()
+    got_keys = sorted((r.user_id, r.event_type) for r in got)
+    want_keys = sorted((r.user_id, r.event_type) for r in want)
+    assert got_keys == want_keys
+    assert len(got_keys) == len(set(got_keys))  # truly one row per key

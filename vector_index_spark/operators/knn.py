@@ -123,3 +123,62 @@ def two_phase_knn(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )
+
+
+def tree_merge_knn(
+    test: DataFrame,
+    train: DataFrame,
+    k: int,
+    n_shards: int,
+    fanout: int = 8,
+    metric: str = "euclidean2",
+    shard_col: str = "shard",
+    qid_col: str = "qid",
+    id_col: str = "id",
+    test_vec: str = "vec",
+    train_vec: str = "vec",
+) -> DataFrame:
+    """Per-shard top-k then a FANOUT-ARY TREE of merge-k windows; must
+    equal :func:`knn_join` exactly.
+
+    The flat merge in :func:`two_phase_knn` puts all ``n_shards * k`` rows
+    of one query into a single window task — at 1000 shards x k=100 that is
+    a 100k-row task per query and the merge skews. Here each level merges
+    ``fanout`` shard groups into one (per-task rows bounded by
+    ``fanout * k``), repeating until one group remains: shuffle volume
+    shrinks geometrically (total < flat * fanout/(fanout-1)) and no task
+    ever exceeds fanout * k rows per query. Levels are driver-side loop
+    iterations over lazy plans — still one Spark job.
+    """
+    t = F.broadcast(
+        test.select(F.col(qid_col).alias("qid"), F.col(test_vec).alias("__qvec"))
+    )
+    c = train.select(
+        F.col(shard_col).alias("__grp"),
+        F.col(id_col).alias("id"),
+        F.col(train_vec).alias("__cvec"),
+    )
+    level = c.crossJoin(t).select(
+        "qid",
+        "__grp",
+        "id",
+        distance_column(metric, F.col("__qvec"), F.col("__cvec")).alias("dist"),
+    )
+    n_groups = n_shards
+    while n_groups > 1:
+        w = Window.partitionBy("qid", "__grp").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        level = (
+            level.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+            .withColumn("__grp", (F.col("__grp") / fanout).cast("long"))
+        )
+        n_groups = (n_groups + fanout - 1) // fanout
+    final = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        level.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
