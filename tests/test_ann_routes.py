@@ -131,11 +131,13 @@ def test_pq_knn_recall(split, exact):
     approx = pq_knn(test, encoded, train, books, K, candidate_factor=16).collect()
     r = _recall(approx, exact)
     assert r >= 0.95, f"PQ recall {r:.3f}"
-    # re-ranked distances are exact: equal to the declarative kNN values
+    # re-ranked distances are exact up to accumulation order: the Arrow
+    # re-rank sums in numpy order, the declarative path left-to-right, so
+    # agreement is to relative ulp, not bit-identical.
     truth = {(x.qid, x.id): x.dist for x in exact}
     for a in approx:
         if (a.qid, a.id) in truth:
-            assert truth[(a.qid, a.id)] == a.dist
+            assert truth[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)
 
 
 def test_knn_fast_matches_declarative(split, exact):

@@ -79,10 +79,16 @@ def ivf_knn(
     ).join(
         assigned.withColumnRenamed("vec", "cvec"), "centroid_id"
     )
+    # Arrow-batched distance for the candidate scan: this is the hot loop
+    # (corpus * nprobe / n_centroids rows/query) and the interpreted HOF
+    # form costs ~20us/row; the route is recall-gated, not oracle-hashed,
+    # so the numpy accumulation order is fine (functions.distance.l2sq_arrow).
+    from vector_index_spark.functions.distance import l2sq_arrow
+
     scored = cands.select(
         F.col("p_qid").alias("qid"),
         "id",
-        l2sq(F.col("vec"), F.col("cvec")).alias("dist"),
+        l2sq_arrow()(F.col("vec"), F.col("cvec")).alias("dist"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (

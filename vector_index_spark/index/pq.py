@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_index_spark.operators.knn import distance_column
+from vector_index_spark.functions.distance import l2sq_arrow
 
 
 def _kmeans_1d(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
@@ -176,7 +176,9 @@ def pq_knn(
         )
         .select(
             "qid", "id",
-            distance_column("euclidean2", F.col("__qv"), F.col("__tv")).alias("dist"),
+            # Arrow-batched re-rank: candidate_factor * k * Q rows is the
+            # hot loop; route is recall-gated so numpy accumulation is fine.
+            l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_index_spark.operators.knn import distance_column
+from vector_index_spark.functions.distance import l2sq_arrow
 
 
 def train_sq(train: DataFrame, vec_col: str = "vec") -> tuple[np.ndarray, np.ndarray]:
@@ -142,7 +142,9 @@ def sq_knn(
         .select(
             "qid",
             "id",
-            distance_column("euclidean2", F.col("__qv"), F.col("__tv")).alias("dist"),
+            # Arrow-batched re-rank (same rationale as pq.py: hot loop on a
+            # recall-gated route).
+            l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
