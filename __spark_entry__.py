@@ -1119,6 +1119,18 @@ def q64_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_by_key(ev, ["user_id", "event_type"])
 
 
+def q65_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star time-series — hypertable-style multi-resolution rollup
+    (minute/hour/day): each coarser level aggregates the finer level's
+    partials, so raw events are scanned exactly once for all three
+    resolutions (exchange reuse asserted in tests/test_rollup.py). The
+    oracle is the semantically-equal triple group-by over raw rows."""
+    from vector_index_spark.operators.rollup import multi_resolution_rollup
+    from vector_index_spark.sources.loaders import read_events
+
+    return multi_resolution_rollup(read_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1185,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_sq_ann": q62_sq_ann,
         "q63_tree_merge_knn": q63_tree_merge_knn,
         "q64_dedup_first_event": q64_dedup_first_event,
+        "q65_event_rollup": q65_event_rollup,
     }
 
 
@@ -1243,6 +1256,21 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "q65_event_rollup": """
+            WITH raw AS (SELECT ts, event_type, value FROM events),
+            lv(res) AS (VALUES (60), (3600), (86400))
+            SELECT CAST(lv.res AS BIGINT) AS resolution_s,
+                   make_timestamp(CAST(floor(epoch(raw.ts) / lv.res) AS BIGINT)
+                                  * lv.res * 1000000) AS bucket_start,
+                   raw.event_type,
+                   count(*) AS n_events,
+                   round(sum(raw.value), 6) AS value_sum,
+                   round(min(raw.value), 6) AS value_min,
+                   round(max(raw.value), 6) AS value_max,
+                   round(sum(raw.value) / count(*), 6) AS value_avg
+            FROM raw CROSS JOIN lv
+            GROUP BY 1, 2, 3
         """,
         "q07_recall": f"""
             {_KNN_BASE_SQL}

@@ -70,12 +70,22 @@ def test_lsh_similarity_join_finds_exact_pairs(spark, split):
 
 def test_ivf_knn_recall(split, exact):
     train, test = split
-    assigned, centroids = build_ivf(train, n_centroids=16)
-    # Uniform random vectors are IVF's worst case (no cluster structure),
-    # so the probe ratio must be high to clear the gate; real embedding
-    # distributions need far fewer probes.
+    # Uniform random vectors are IVF's worst case (no cluster structure):
+    # every cell boundary cuts through true neighborhoods, so single
+    # assignment tops out near 0.94 even probing 12/16 cells. Boundary
+    # replication (replicas=2) posts each vector to its two nearest cells
+    # and clears the gate robustly across seeds (0.99+ measured).
+    assigned, centroids = build_ivf(train, n_centroids=16, replicas=2)
     approx = ivf_knn(test, assigned, centroids, K, nprobe=12).collect()
     assert _recall(approx, exact) >= 0.95
+
+
+def test_ivf_single_assignment_still_works(split, exact):
+    train, test = split
+    assigned, centroids = build_ivf(train, n_centroids=8, replicas=1)
+    approx = ivf_knn(test, assigned, centroids, K, nprobe=8).collect()
+    # probing every cell with replicas=1 is exhaustive: recall must be 1.0
+    assert _recall(approx, exact) == 1.0
 
 
 def test_cosine_graph_ann_recall(split):

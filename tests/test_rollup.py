@@ -1,0 +1,72 @@
+"""Multi-resolution time-bucket rollup: oracle parity, partial-aggregate
+consistency across levels, and the single-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_CORRECT, compare_to_oracle, register_duck_views
+from vector_index_spark.operators.rollup import multi_resolution_rollup, time_bucket
+from vector_index_spark.sources.loaders import read_events
+
+
+def test_rollup_matches_duckdb(spark, duck):
+    register_duck_views(duck, SF_CORRECT)
+    compare_to_oracle(
+        entrymod.q65_event_rollup(spark, SF_CORRECT),
+        duck,
+        entrymod.oracle_sql()["q65_event_rollup"],
+    )
+
+
+def test_levels_are_consistent(spark):
+    """Coarser levels must be exactly derivable from finer ones: the hour
+    level's counts equal the sum of its minutes' counts, min/max combine."""
+    ev = read_events(spark, SF_CORRECT)
+    out = multi_resolution_rollup(ev).cache()
+    minute = out.filter(F.col("resolution_s") == 60)
+    hour = out.filter(F.col("resolution_s") == 3600)
+    recombined = (
+        minute.groupBy(
+            time_bucket("bucket_start", 3600).alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+    joined = hour.alias("h").join(
+        recombined.alias("r"), ["bucket_start", "event_type"], "full"
+    )
+    bad = joined.filter(
+        F.col("h.n_events").isNull()
+        | F.col("r.n_events").isNull()
+        | (F.col("h.n_events") != F.col("r.n_events"))
+        | (F.abs(F.col("h.value_min") - F.col("r.value_min")) > 1e-6)
+        | (F.abs(F.col("h.value_max") - F.col("r.value_max")) > 1e-6)
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_single_scan_plan(spark):
+    """All resolutions must reuse the finest level's aggregate exchange —
+    the raw table is scanned once, not once per resolution."""
+    ev = read_events(spark, SF_CORRECT)
+    df = multi_resolution_rollup(ev)
+    df.collect()  # AQE only materializes exchange reuse in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_width_validation(spark):
+    ev = read_events(spark, SF_CORRECT)
+    with pytest.raises(ValueError):
+        multi_resolution_rollup(ev, widths=(3600, 60))
+    with pytest.raises(ValueError):
+        multi_resolution_rollup(ev, widths=(60, 90))
+    with pytest.raises(ValueError):
+        time_bucket("ts", 0)

@@ -1,0 +1,114 @@
+"""Hypertable-style multi-resolution time-bucket rollups.
+
+The reference has no time-series surface at all (SURVEY §1.2 — dense
+float32 vectors are its only data type, source/dehnsw.h:39); this is a
+north-star training-pipeline operator: continuous aggregates over an
+event table at several resolutions, where each coarser resolution is
+derived from the next-finer level's PARTIAL aggregates rather than from
+the raw table. At 100 TB that is the difference between scanning the raw
+data once versus once per resolution, and it is what makes the rollup
+incrementally maintainable: new raw data touches only the finest level,
+and coarser levels re-aggregate bounded partials.
+
+Compositional aggregates only: count and sum add, min/max combine, and
+avg is re-derived as sum/count at output time — never averaged across
+levels. Sums stay unrounded between levels; rounding happens once at the
+output projection so every level is hash-comparable with a direct
+group-by over raw data.
+
+Plan shape: the finest-level aggregate subtree is byte-identical under
+every output level, so Catalyst's exchange-reuse rule collapses them —
+``.explain`` shows one scan + one partial-aggregate exchange feeding all
+resolutions (asserted in tests/test_rollup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column | str, width_seconds: int) -> Column:
+    """Floor a timestamp onto a ``width_seconds`` grid anchored at the
+    epoch (TimescaleDB ``time_bucket`` semantics for sub-week widths).
+
+    Pure epoch arithmetic — no calendar origin — so Spark and any SQL
+    oracle agree bit-for-bit: ``make_timestamp(floor(epoch(ts)/w)*w * 1e6)``
+    in DuckDB."""
+    if width_seconds <= 0:
+        raise ValueError(f"width_seconds must be positive, got {width_seconds}")
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / F.lit(width_seconds)).cast("long")
+        * width_seconds
+    )
+
+
+def multi_resolution_rollup(
+    events: DataFrame,
+    widths: Sequence[int] = (60, 3600, 86400),
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Roll ``events`` up to every resolution in ``widths`` (seconds,
+    ascending; each must divide the next). Returns one DataFrame with
+    ``(resolution_s, bucket_start, *keys, n_events, value_sum, value_min,
+    value_max, value_avg)`` — the union of all levels.
+
+    The finest level aggregates the raw table; every coarser level
+    aggregates the previous level's partials (count/sum add, min/max
+    combine), so the raw table is scanned exactly once regardless of how
+    many resolutions are requested."""
+    ws = list(widths)
+    if ws != sorted(ws) or len(set(ws)) != len(ws):
+        raise ValueError(f"widths must be strictly ascending, got {widths}")
+    for finer, coarser in zip(ws, ws[1:]):
+        if coarser % finer != 0:
+            raise ValueError(
+                f"each width must divide the next: {coarser} % {finer} != 0"
+            )
+    key_cols = list(keys)
+
+    level = (
+        events.groupBy(
+            time_bucket(ts_col, ws[0]).alias("bucket_start"), *key_cols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("__sum"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+        )
+    )
+    levels = [(ws[0], level)]
+    for w in ws[1:]:
+        level = (
+            level.groupBy(
+                time_bucket("bucket_start", w).alias("bucket_start"), *key_cols
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("__sum").alias("__sum"),
+                F.min("value_min").alias("value_min"),
+                F.max("value_max").alias("value_max"),
+            )
+        )
+        levels.append((w, level))
+
+    out = None
+    for w, lvl in levels:
+        projected = lvl.select(
+            F.lit(w).cast("long").alias("resolution_s"),
+            "bucket_start",
+            *key_cols,
+            "n_events",
+            F.round(F.col("__sum"), 6).alias("value_sum"),
+            F.round("value_min", 6).alias("value_min"),
+            F.round("value_max", 6).alias("value_max"),
+            F.round(F.col("__sum") / F.col("n_events"), 6).alias("value_avg"),
+        )
+        out = projected if out is None else out.unionByName(projected)
+    return out
