@@ -485,11 +485,13 @@ def q20_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN route (MLlib BucketedRandomProjectionLSH, fixed seed) —
-    the Spark-native approximate path. Rows-only check."""
-    from vector_index_spark.index.lsh import lsh_knn
+    """LSH ANN route — the engine's native E2LSH (seeded Gaussian
+    projections, banded bucket join, multi-probe, exact Arrow re-rank).
+    The MLlib BucketedRandomProjectionLSH compatibility path is exercised
+    in tests/test_ann_routes.py. Rows-only check (recall-gated in tests)."""
+    from vector_index_spark.index.lsh import rp_lsh_knn
 
-    res = lsh_knn(_test(spark, sf_dir), _train(spark, sf_dir), K)
+    res = rp_lsh_knn(_test(spark, sf_dir), _train(spark, sf_dir), K)
     return res.select(
         "qid", F.col("rank").cast("long").alias("rank"), "id",
         F.round("dist", 6).alias("dist"),
@@ -1119,6 +1121,17 @@ def q64_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_by_key(ev, ["user_id", "event_type"])
 
 
+def q66_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D streaming — batch twin of the stream-stream interval join
+    (purchases x same-user clicks within the preceding hour; the
+    streaming form with two watermarked sides is asserted equal in
+    tests/test_streaming.py)."""
+    from vector_index_spark.sources.loaders import read_events
+    from vector_index_spark.streaming.events import clicks_before_purchase_pairs
+
+    return clicks_before_purchase_pairs(read_events(spark, sf_dir))
+
+
 def q65_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star time-series — hypertable-style multi-resolution rollup
     (minute/hour/day): each coarser level aggregates the finer level's
@@ -1198,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_tree_merge_knn": q63_tree_merge_knn,
         "q64_dedup_first_event": q64_dedup_first_event,
         "q65_event_rollup": q65_event_rollup,
+        "q66_click_purchase_pairs": q66_click_purchase_pairs,
     }
 
 
@@ -1256,6 +1270,20 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "q66_click_purchase_pairs": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   p.ts AS purchase_ts,
+                   c.event_id AS click_id,
+                   c.ts AS click_ts
+            FROM events p
+            JOIN events c
+              ON p.event_type = 'purchase'
+             AND c.event_type = 'click'
+             AND c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 3600 SECONDS
         """,
         "q65_event_rollup": """
             WITH raw AS (SELECT ts, event_type, value FROM events),

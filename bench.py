@@ -24,7 +24,7 @@ from vector_index_spark.config import IndexParameters  # noqa: E402
 from vector_index_spark.index.builder import build_graph_index  # noqa: E402
 from vector_index_spark.index.searcher import graph_ann_query  # noqa: E402
 from vector_index_spark.index.ivf import build_ivf, ivf_knn  # noqa: E402
-from vector_index_spark.index.lsh import lsh_knn  # noqa: E402
+from vector_index_spark.index.lsh import rp_lsh_knn  # noqa: E402
 from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq  # noqa: E402
 from vector_index_spark.operators.dedup import (  # noqa: E402
     minhash_near_dup,
@@ -97,11 +97,12 @@ def main() -> None:
     timed("simhash_neardup", lambda: simhash_near_dup(docs).count())
     timed("text_profile", lambda: text_profile(docs).count())
 
-    # LSH approximate route (Spark-native ANN). One untimed warmup run on a
-    # sample first: MLlib class-loading/JIT is a per-JVM one-time cost, not
-    # a property of the operator (standard warmup exclusion).
-    lsh_knn(test.limit(5), train.limit(100), 5).count()
-    timed("lsh_ann_k100", lambda: lsh_knn(test, train, K).count())
+    # LSH approximate route — the engine's native E2LSH (banded bucket
+    # join + multi-probe + exact Arrow re-rank). The MLlib
+    # BucketedRandomProjectionLSH compatibility path is ~10x slower at
+    # this fixture (fit + vector conversion + row-at-a-time distance) and
+    # is recall-gated in tests, not benched.
+    timed("lsh_ann_k100", lambda: rp_lsh_knn(test, train, K).count())
 
     # PQ route: train/encode + ADC scan with exact re-rank
     def pq_run():
@@ -111,10 +112,12 @@ def main() -> None:
 
     timed("pq_build_query_k100", pq_run)
 
-    # IVF route: KMeans cells + nprobe probing
+    # IVF route: sample-fit kmeans++ cells, SPANN-style 2x boundary
+    # replication, nprobe probing (replicas=2 @ nprobe=8 does the same
+    # per-query scan work as replicas=1 @ nprobe=16 with higher recall)
     def ivf_run():
-        assigned, centroids = build_ivf(train, n_centroids=16)
-        ivf_knn(test, assigned, centroids, K, nprobe=12).count()
+        assigned, centroids = build_ivf(train, n_centroids=16, replicas=2)
+        ivf_knn(test, assigned, centroids, K, nprobe=8).count()
 
     timed("ivf_build_query_k100", ivf_run)
 

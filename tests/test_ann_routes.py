@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
 from vector_index_spark.index.ivf import build_ivf, ivf_knn
-from vector_index_spark.index.lsh import lsh_knn, lsh_similarity_join
+from vector_index_spark.index.lsh import lsh_knn, lsh_similarity_join, rp_lsh_knn
 from vector_index_spark.operators.knn import knn_join
 from vector_index_spark.operators.knn_fast import knn_fast
 from vector_index_spark.operators.similarity import threshold_join
@@ -46,6 +46,17 @@ def test_lsh_knn_recall(split, exact):
     train, test = split
     approx = lsh_knn(test, train, K).collect()
     assert _recall(approx, exact) >= 0.95
+
+
+def test_rp_lsh_knn_recall(split, exact):
+    train, test = split
+    approx = rp_lsh_knn(test, train, K).collect()
+    assert _recall(approx, exact) >= 0.95
+    # re-ranked distances are exact: agree with the declarative kNN values
+    truth = {(x.qid, x.id): x.dist for x in exact}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert truth[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)
 
 
 def test_lsh_similarity_join_finds_exact_pairs(spark, split):

@@ -111,3 +111,33 @@ def test_stream_dedup_matches_batch_key_set(spark, tmp_path):
     want_keys = sorted((r.user_id, r.event_type) for r in want)
     assert got_keys == want_keys
     assert len(got_keys) == len(set(got_keys))  # truly one row per key
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from vector_index_spark.streaming.events import (
+        clicks_before_purchase_pairs,
+        stream_click_purchase_join,
+    )
+
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "events_join_src")
+    ev.write.parquet(src)
+    out = stream_click_purchase_join(spark, src, EVENT_SCHEMA)
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {sink}").collect()
+    want = clicks_before_purchase_pairs(ev).collect()
+
+    def key(rows):
+        return sorted((r.purchase_id, r.click_id) for r in rows)
+
+    assert len(want) > 0
+    assert key(got) == key(want)

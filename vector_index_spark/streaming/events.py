@@ -163,3 +163,78 @@ def stream_dedup(
         .withWatermark("ts", watermark)
     )
     return stream.dropDuplicatesWithinWatermark(keys)
+
+
+def clicks_before_purchase_pairs(
+    events: DataFrame, lookback_seconds: int = 3600
+) -> DataFrame:
+    """Batch twin of :func:`stream_click_purchase_join`: every
+    (purchase, click) pair for the same user with the click in the
+    ``lookback_seconds`` window ending at the purchase. Equi-join on
+    user_id (hash-partitioned both sides); the time window is a residual
+    predicate inside the joined partition — no range explosion."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {lookback_seconds} SECONDS")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    lookback_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within the preceding ``lookback_seconds``. Both sides carry a
+    watermark and the join condition bounds event time on both sides, so
+    Spark can expire click state once no future purchase can reach it —
+    state stays O(watermark horizon), the requirement for an unbounded
+    feed. Drain with trigger(availableNow=True); output equals the batch
+    twin :func:`clicks_before_purchase_pairs` (asserted in
+    tests/test_streaming.py)."""
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_ts <= purchase_ts AND "
+            f"click_ts >= purchase_ts - INTERVAL {lookback_seconds} SECONDS"
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
