@@ -1121,6 +1121,17 @@ def q64_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_by_key(ev, ["user_id", "event_type"])
 
 
+def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star dedup — cross-document duplicate-span removal (Lee et
+    al. span-level dedup): words covered by any 10-gram occurring in >= 2
+    distinct docs are dropped, survivors rejoin in order. Group keys are
+    the n-gram strings themselves, so no hash parity with the oracle is
+    needed."""
+    from vector_index_spark.operators.dedup import duplicate_span_removal
+
+    return duplicate_span_removal(_t(spark, sf_dir, "documents"), n=10, min_docs=2)
+
+
 def q66_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2D streaming — batch twin of the stream-stream interval join
     (purchases x same-user clicks within the preceding hour; the
@@ -1212,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_dedup_first_event": q64_dedup_first_event,
         "q65_event_rollup": q65_event_rollup,
         "q66_click_purchase_pairs": q66_click_purchase_pairs,
+        "q67_span_dedup": q67_span_dedup,
     }
 
 
@@ -1270,6 +1282,43 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "q67_span_dedup": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(ws) - 9, 0))) - 1 AS start,
+                     array_to_string(
+                       ws[unnest(generate_series(1, greatest(len(ws) - 9, 0)))
+                          : unnest(generate_series(1, greatest(len(ws) - 9, 0))) + 9],
+                       ' ') AS gram
+              FROM w
+            ), dup AS (
+              SELECT gram FROM grams GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2
+            ), dstarts AS (
+              SELECT DISTINCT g.doc_id, g.start AS pos, 1 AS hit
+              FROM grams g JOIN dup USING (gram)
+            ), pos AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     generate_subscripts(ws, 1) - 1 AS pos
+              FROM w
+            ), marked AS (
+              SELECT p.doc_id, p.pos, p.word,
+                     max(d.hit) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                                      RANGE BETWEEN 9 PRECEDING AND CURRENT ROW)
+                       AS covered
+              FROM pos p
+              LEFT JOIN dstarts d ON d.doc_id = p.doc_id AND d.pos = p.pos
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN covered IS NULL THEN word END,
+                                       ' ' ORDER BY pos), '') AS clean_text,
+                   count(*) AS n_words,
+                   CAST(sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM marked GROUP BY doc_id
         """,
         "q66_click_purchase_pairs": """
             SELECT p.user_id,

@@ -53,3 +53,27 @@ def test_gopher_quality_rules_fire_independently(spark):
     assert not out[2]["ok_token_count"] and not out[2]["keep"]
     assert not out[3]["ok_repetition"] and not out[3]["ok_stopwords"]
     assert not out[3]["keep"]
+
+
+def test_duplicate_span_removal_semantics(spark):
+    from vector_index_spark.operators.dedup import duplicate_span_removal
+
+    shared = "one two three four five"  # 5-gram planted in docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zig zag {shared} zip zap"),
+            (3, "completely different words here only once ever said"),
+            (4, "tiny doc"),  # shorter than n: no grams, kept whole
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_removal(df, n=5, min_docs=2).collect()}
+    # the shared 5-gram span is removed from both carriers, flanks survive
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 5 and out[1]["n_words"] == 9
+    assert out[2]["clean_text"] == "zig zag zip zap"
+    # untouched docs come back verbatim
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "completely different words here only once ever said"
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0

@@ -20,7 +20,7 @@ the production paths.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.distance import cos_dist
@@ -251,3 +251,91 @@ def embedding_near_dup(
         .filter(F.col("cos") < cos_threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def duplicate_span_removal(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-span removal (the span-level dedup of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"):
+    any word position covered by an ``n``-gram that occurs in at least
+    ``min_docs`` distinct documents is dropped; surviving words rejoin in
+    order. Returns (doc_id, clean_text, n_words, n_removed).
+
+    Plan shape at scale: one posexplode to word positions (O(total
+    words)), one per-doc transform to n-gram strings, a groupBy on the
+    n-gram content to find cross-document duplicates (the only
+    content-keyed shuffle — same shape as the MinHash band join), a
+    shuffle join back to mark duplicate span starts, and a per-doc
+    range-frame window to turn span starts into covered positions. No
+    pairwise document comparison anywhere.
+
+    Whole-corpus semantics, deterministic: group keys are the n-gram
+    STRINGS (no hash-function parity needed with the oracle), and
+    reassembly orders by word position.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    # per-doc duplicate-span starts: (doc_id, start) for every n-gram that
+    # appears in >= min_docs distinct docs. starts are 0-based.
+    # docs shorter than n words produce no grams (sequence(a, b) runs
+    # DESCENDING when b < a, so filter first rather than clamp)
+    grams = (
+        words.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {n}),"
+                    f" i -> struct(i AS start, array_join(slice(w, i + 1, {n}), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup_starts = grams.join(dup_grams, "gram").select(
+        "doc_id", "start", F.lit(1).alias("is_dup_start")
+    )
+    # position p is covered iff some duplicate span starts in [p-n+1, p]
+    pos = words.select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    ).join(
+        dup_starts.withColumnRenamed("start", "pos"), ["doc_id", "pos"], "left"
+    )
+    cov_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(-(n - 1), 0)
+    )
+    marked = pos.withColumn("covered", F.max("is_dup_start").over(cov_w))
+    kept = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("covered").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.expr(
+                    "transform("
+                    "  array_sort(collect_list(CASE WHEN covered IS NULL"
+                    "    THEN struct(pos, word) END)),"
+                    "  s -> s.word)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return kept.select("doc_id", "clean_text", "n_words", "n_removed")
