@@ -110,9 +110,10 @@ def test_query_chunking_equals_single_batch(spark, split):
 
 
 def test_routed_query_cluster_sharded(spark, split):
-    """Shard routing over cluster-aligned shards (IVF cells as shards):
-    nprobe=12/16 clears the recall gate on worst-case random data, and
-    probing every shard is lossless vs the full fan-out."""
+    """Shard routing over cluster-aligned shards (IVF cells as shards,
+    with SPANN-style 2x boundary replication — single assignment tops out
+    near 0.94 on worst-case random data at nprobe=12/16): the recall gate
+    clears robustly, and probing every shard equals the full fan-out."""
     from vector_index_spark.index.ivf import build_ivf
     from vector_index_spark.index.searcher import (
         graph_ann_query,
@@ -120,7 +121,7 @@ def test_routed_query_cluster_sharded(spark, split):
     )
 
     train, test = split
-    assigned, cents = build_ivf(train, n_centroids=16)
+    assigned, cents = build_ivf(train, n_centroids=16, replicas=2)
     vectors = assigned.select(
         F.col("centroid_id").alias("shard"), "id", "vec"
     )

@@ -72,6 +72,8 @@ def search_layer(
     """Best-first beam in one layer returning the ``width`` nearest visited
     nodes, early-exiting after ``patience`` consecutive non-improving pops
     (reference nearest_neighbors_insert, dehnsw.h:181-237)."""
+    X = g.X
+    adj = g.adj[layer]
     d0 = g.dist_q(q, entry)
     candidates: list[tuple[float, int]] = [(d0, entry)]
     visited = {entry}
@@ -86,11 +88,15 @@ def search_layer(
             stall += 1
             if patience and stall >= patience:
                 break
-        for v in g.adj[layer].get(u, ()):
-            if v in visited:
-                continue
-            visited.add(v)
-            dv = g.dist_q(q, v)
+        # one vectorized distance evaluation per expanded node (the
+        # per-neighbor python-call form was the build's hottest line)
+        nbrs = [v for v in adj.get(u, ()) if v not in visited]
+        if not nbrs:
+            continue
+        visited.update(nbrs)
+        D = X[nbrs] - q
+        dvs = np.einsum("ij,ij->i", D, D)
+        for dv, v in zip(dvs.tolist(), nbrs):
             heapq.heappush(candidates, (dv, v))
             if len(result) < width:
                 heapq.heappush(result, (-dv, -v))
@@ -109,25 +115,38 @@ def _connected(
     (reference ``connected``, dehnsw.h:119-148)."""
     if not targets:
         return True
-    remaining = set(targets)
-    frontier = deque([start])
-    seen = {start}
+    adj = g.adj[layer]
+    # flat byte tables instead of hash sets: the BFS touches most of the
+    # shard (degree^4 frontier), so membership tests dominate
+    n = len(g.ids)
+    seen = bytearray(n)
+    seen[start] = 1
+    tmask = bytearray(n)
+    need = 0
+    for t in targets:
+        if not tmask[t]:
+            tmask[t] = 1
+            need += 1
+    if tmask[start]:
+        need -= 1
+        if need == 0:
+            return True
+    frontier = [start]
     for _ in range(max_rounds):
         if not frontier:
             break
-        next_frontier: deque[int] = deque()
-        while frontier:
-            u = frontier.popleft()
-            for v in g.adj[layer].get(u, ()):
-                if v in seen:
-                    continue
-                seen.add(v)
-                remaining.discard(v)
-                if not remaining:
-                    return True
-                next_frontier.append(v)
+        next_frontier: list[int] = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if not seen[v]:
+                    seen[v] = 1
+                    if tmask[v]:
+                        need -= 1
+                        if need == 0:
+                            return True
+                    next_frontier.append(v)
         frontier = next_frontier
-    return not remaining
+    return need == 0
 
 
 def _should_promote(g: ShardGraph, layer: int, offset: int, step: int) -> bool:
@@ -163,13 +182,14 @@ def _link(g: ShardGraph, layer: int, new: int, neighbors: list[tuple[float, int]
         # degree cap on the neighbor: evict its worst edge (by (dist, id))
         m = g.adj[layer].get(v, {})
         if len(m) > connect:
-            worst = max(
-                ((g.dist(v, w), w) for w in m if w != new),
-                default=None,
-            )
-            if worst is not None and worst[0] > g.dist(v, new):
-                _remove_edge(g, layer, v, worst[1])
-                deleted.append((v, worst[1]))
+            others = [w for w in m if w != new]
+            if others:
+                D = g.X[others] - g.X[v]
+                dd = np.einsum("ij,ij->i", D, D).tolist()
+                wi = max(range(len(others)), key=lambda i: (dd[i], others[i]))
+                if dd[wi] > g.dist(v, new):
+                    _remove_edge(g, layer, v, others[wi])
+                    deleted.append((v, others[wi]))
     # connectivity repair: restore any eviction whose endpoint became
     # unreachable from the new vector (dehnsw.h:467-489)
     targets = {w for _, w in deleted}
@@ -272,6 +292,8 @@ def query_shard(
     # evict the larger id, matching the (dist, id) total order
     result: list[tuple[float, int]] = []
     stall = 0
+    X = g.X
+    adj0 = g.adj[0]
     while candidates:
         d, u = heapq.heappop(candidates)
         if len(result) >= k:
@@ -285,11 +307,12 @@ def query_shard(
         else:
             heapq.heappush(result, (-d, -u))
             stall = 0
-        for v in g.adj[0].get(u, ()):
-            if v in visited:
-                continue
-            visited.add(v)
-            heapq.heappush(candidates, (g.dist_q(q, v), v))
+        nbrs = [v for v in adj0.get(u, ()) if v not in visited]
+        if nbrs:
+            visited.update(nbrs)
+            D = X[nbrs] - q
+            for dv, v in zip(np.einsum("ij,ij->i", D, D).tolist(), nbrs):
+                heapq.heappush(candidates, (dv, v))
     return sorted((-nd, -nv) for nd, nv in result)
 
 

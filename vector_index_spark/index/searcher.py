@@ -216,7 +216,11 @@ def routed_graph_ann_query(
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        per_shard.withColumn("rank", F.row_number().over(w))
+        # replicated postings (SPANN-style multi-cell store layouts) may
+        # surface the same id from several probed shards with identical
+        # exact distances; dedupe before ranking (no-op when replicas=1)
+        per_shard.dropDuplicates(["qid", "id"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )
@@ -304,7 +308,11 @@ def graph_ann_query(
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        per_shard.withColumn("rank", F.row_number().over(w))
+        # replicated postings (SPANN-style multi-cell store layouts) may
+        # surface the same id from several probed shards with identical
+        # exact distances; dedupe before ranking (no-op when replicas=1)
+        per_shard.dropDuplicates(["qid", "id"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )
