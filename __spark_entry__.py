@@ -99,6 +99,14 @@ _L2SQ_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-
 # DuckDB token expression — exact twin of functions.text.tokens()
 _TOKS_SQL = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
 
+# Knuth multiplicative hash -> uniform [0,1); mirrors
+# vector_index_spark.operators.sampling._u01 exactly (same constants, same
+# double division) so sampling decisions hash-match across engines.
+_U01 = (
+    "(((({id}) * 2654435761 + {salt}) % 2147483648 + 2147483648)"
+    " % 2147483648 / 2147483648.0)"
+)
+
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in']"
 
 _KNN_BASE_SQL = f"""
@@ -1155,6 +1163,96 @@ def q65_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_resolution_rollup(read_events(spark, sf_dir))
 
 
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — deterministic per-source rate sampling
+    (multiplicative-hash decision, stable under any repartitioning; the
+    reproducible replacement for df.sample in pipeline reruns). Rates:
+    keep all of src0, 25% of src1, 50% of src2, 10% of everything else."""
+    from vector_index_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.25, "src2": 0.5}, default_rate=0.1
+    )
+    return out.select("doc_id", "source")
+
+
+def q69_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — deterministic 80/10/10 train/val/test split
+    by cumulative hash buckets: the same row lands in the same split on
+    every rerun at every scale (eval-contamination safety)."""
+    from vector_index_spark.operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    return train_val_test_split(d).select("doc_id", "split")
+
+
+def q70_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — dataset mixture: two provenance-tagged
+    sources sampled at their mixture weights with a deterministic global
+    interleave key (the reproducible form of 'shuffle the mixture')."""
+    from vector_index_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    return weighted_mix({"even": even, "odd": odd}, {"even": 1.0, "odd": 0.25})
+
+
+def q71_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — overlapping token-window chunking (context-
+    window preparation): 32-token windows, stride 24, every token covered,
+    all Catalyst array expressions (no Python, no shuffle)."""
+    from vector_index_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+def q72_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — greedy in-order sequence packing into
+    200-token bins per source group (the pre-tokenization packing step of
+    training-shard export). The oracle replays the same running-reset
+    recurrence as a recursive CTE."""
+    from vector_index_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=200)
+
+
+def q73_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star curation — benchmark-contamination check: 8-gram overlap
+    of each corpus doc (doc_id % 17 != 0) against the benchmark slice
+    (doc_id % 17 == 0). Benchmark gram set broadcasts; the corpus never
+    shuffles."""
+    from vector_index_spark.operators.contamination import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(corpus, bench, n=8)
+
+
+def q74_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN route — coarse cells + product-quantized residuals + ADC
+    scan + exact re-rank (the faiss-IVFPQ layout; per-query touched bytes
+    ~ corpus/n_cells * nprobe * m code bytes). Rows-only; recall >= 0.95
+    gated in tests/test_ann_routes.py::test_ivfpq_knn_recall."""
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    enc, cents, books = build_ivfpq(
+        train, n_centroids=16, n_subspaces=8, n_pq_centroids=16, replicas=2
+    )
+    res = ivfpq_knn(
+        test, enc, cents, books, train, K, nprobe=12, candidate_factor=32
+    )
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1224,6 +1322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_event_rollup": q65_event_rollup,
         "q66_click_purchase_pairs": q66_click_purchase_pairs,
         "q67_span_dedup": q67_span_dedup,
+        "q68_stratified_sample": q68_stratified_sample,
+        "q69_train_split": q69_train_split,
+        "q70_weighted_mix": q70_weighted_mix,
+        "q71_doc_chunks": q71_doc_chunks,
+        "q72_pack_sequences": q72_pack_sequences,
+        "q73_contamination": q73_contamination,
+        "q74_ivfpq_ann": q74_ivfpq_ann,
     }
 
 
@@ -1971,5 +2076,102 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "q68_stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_U01.format(id="doc_id", salt=0)} <
+                  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                              WHEN 'src2' THEN 0.5 ELSE 0.1 END
+        """,
+        "q69_train_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_U01.format(id="doc_id", salt=0)} < 0.8 THEN 'train'
+                        WHEN {_U01.format(id="doc_id", salt=0)} < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q70_weighted_mix": f"""
+            SELECT 'even' AS mix_source, doc_id,
+                   round({_U01.format(id="doc_id", salt=1)}, 9) AS mix_order
+            FROM documents
+            WHERE doc_id % 2 = 0 AND {_U01.format(id="doc_id", salt=0)} < 1.0
+            UNION ALL
+            SELECT 'odd' AS mix_source, doc_id,
+                   round({_U01.format(id="doc_id", salt=1)}, 9) AS mix_order
+            FROM documents
+            WHERE doc_id % 2 = 1 AND {_U01.format(id="doc_id", salt=0)} < 0.25
+        """,
+        "q71_doc_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), st AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     unnest(generate_series(
+                       0, ((greatest(len(ws) - 32, 0) + 23) // 24) * 24, 24
+                     )) AS start
+              FROM w
+            )
+            SELECT doc_id,
+                   (start // 24)::BIGINT AS chunk_id,
+                   start::BIGINT AS start_token,
+                   least(n - start, 32)::BIGINT AS n_tokens,
+                   array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text
+            FROM st
+        """,
+        "q72_pack_sequences": r"""
+            WITH RECURSIVE sized AS (
+              SELECT source AS grp, doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+              FROM documents
+            ), pack AS (
+              SELECT grp, doc_id, n_tokens, rn,
+                     0::BIGINT AS bin_id, 0::BIGINT AS bin_pos,
+                     n_tokens AS used
+              FROM sized WHERE rn = 1
+              UNION ALL
+              SELECT s.grp, s.doc_id, s.n_tokens, s.rn,
+                     CASE WHEN p.used > 0 AND p.used + s.n_tokens > 200
+                          THEN p.bin_id + 1 ELSE p.bin_id END,
+                     CASE WHEN p.used > 0 AND p.used + s.n_tokens > 200
+                          THEN 0 ELSE p.bin_pos + 1 END,
+                     CASE WHEN p.used > 0 AND p.used + s.n_tokens > 200
+                          THEN s.n_tokens ELSE p.used + s.n_tokens END
+              FROM sized s JOIN pack p ON s.grp = p.grp AND s.rn = p.rn + 1
+            )
+            SELECT grp AS "group", doc_id, n_tokens, bin_id, bin_pos
+            FROM pack
+        """,
+        "q73_contamination": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(t="text")} AS ws FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[s : s + 7], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                     AS t(s)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+            ), agg AS (
+              SELECT c.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0
+                         END)::BIGINT AS n_contaminated
+              FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 17 <> 0) c
+              LEFT JOIN bench b USING (gram)
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   coalesce(a.n_contaminated, 0) AS n_contaminated,
+                   round(coalesce(a.n_contaminated * 1.0 / a.n_grams, 0.0), 6)
+                     AS contamination_ratio
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+            LEFT JOIN agg a USING (doc_id)
         """,
     }

@@ -191,3 +191,25 @@ def test_sq_codes_are_one_byte_per_dim(split):
     row = encode_sq(train, mins, maxs).first()
     dim = len(train.select("vec").first()[0])
     assert len(row["codes"]) == dim
+
+
+def test_ivfpq_knn_recall(split, exact):
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+
+    train, test = split
+    # Same probe config as test_ivf_knn_recall (replicas=2, nprobe=12/16
+    # clears the cell-boundary loss); the extra lever is the ADC
+    # shortlist — uniform random residuals are PQ's worst case, so the
+    # candidate factor is generous (recall 0.99 measured; 0.95 at cf=16).
+    enc, cents, books = build_ivfpq(
+        train, n_centroids=16, n_subspaces=8, n_pq_centroids=16, replicas=2
+    )
+    approx = ivfpq_knn(
+        test, enc, cents, books, train, K, nprobe=12, candidate_factor=32
+    ).collect()
+    assert _recall(approx, exact) >= 0.95
+    # re-rank distances are exact float64
+    truth = {(x.qid, x.id): x.dist for x in exact}
+    for a in approx:
+        if (a.qid, a.id) in truth:
+            assert truth[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)

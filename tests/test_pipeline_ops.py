@@ -1,0 +1,173 @@
+"""Training-pipeline operators: deterministic sampling/splitting/mixing,
+document chunking, sequence packing, benchmark contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.operators.chunking import chunk_documents, pack_sequences
+from vector_index_spark.operators.contamination import (
+    decontaminate,
+    ngram_contamination,
+)
+from vector_index_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def test_sample_stable_under_repartition(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(13), 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n
+
+
+def test_sample_nested_fractions(docs):
+    # a smaller fraction at the same salt is a subset of a larger one
+    small = {r.doc_id for r in deterministic_sample(docs, 0.1).collect()}
+    large = {r.doc_id for r in deterministic_sample(docs, 0.5).collect()}
+    assert small <= large
+
+
+def test_stratified_rates(docs):
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    keep_all, keep_some = srcs[0], srcs[1]
+    out = stratified_sample(docs, {keep_all: 1.0, keep_some: 0.2})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts[keep_all] == full[keep_all]
+    assert 0 < counts[keep_some] < 0.5 * full[keep_some]
+    assert set(counts) == {keep_all, keep_some}  # default rate drops the rest
+
+
+def test_split_partitions_rows(docs):
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1))
+    assert out.count() == docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert counts["train"] > 0.7 * n
+    assert counts["val"] > 0 and counts["test"] > 0
+    # deterministic: same assignment on re-run over a reshuffled frame
+    again = {
+        (r.doc_id, r.split)
+        for r in train_val_test_split(docs.repartition(7), (0.8, 0.1, 0.1))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()} == again
+
+
+def test_weighted_mix_provenance_and_determinism(docs):
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    mix = weighted_mix({"even": a, "odd": b}, {"even": 1.0, "odd": 0.25})
+    rows = mix.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.mix_source, set()).add(r.doc_id)
+    assert by_src["even"] == {r.doc_id for r in a.collect()}
+    assert 0 < len(by_src["odd"]) < 0.5 * b.count()
+    rows2 = weighted_mix({"even": a, "odd": b}, {"even": 1.0, "odd": 0.25}).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_chunks_cover_every_token(docs):
+    chunk, stride = 32, 24
+    out = chunk_documents(docs, chunk, stride).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n"),
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = toks[doc_id]
+        covered = set()
+        for i, r in enumerate(rows):
+            assert r.start_token == i * stride
+            assert r.n_tokens == min(chunk, n - r.start_token)
+            assert len(r.chunk_text.split(" ")) == r.n_tokens
+            covered.update(range(r.start_token, r.start_token + r.n_tokens))
+        assert covered == set(range(n))
+        # no gratuitous trailing chunk: second-to-last must not already
+        # reach the end
+        if len(rows) > 1:
+            assert rows[-2].start_token + chunk < n
+
+
+def test_pack_respects_budget(docs):
+    budget = 200
+    out = pack_sequences(docs, budget=budget).collect()
+    bins: dict[tuple, list] = {}
+    for r in out:
+        bins.setdefault((r.group, r.bin_id), []).append(r)
+    for (_, _), rows in bins.items():
+        total = sum(r.n_tokens for r in rows)
+        assert total <= budget or len(rows) == 1  # oversize doc gets its own bin
+    # in-order, dense bins, dense positions
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r.group, []).append(r)
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r.doc_id)
+        assert [r.bin_id for r in rows] == sorted(r.bin_id for r in rows)
+        seen = {}
+        for r in rows:
+            seen.setdefault(r.bin_id, []).append(r.bin_pos)
+        for poss in seen.values():
+            assert poss == list(range(len(poss)))
+
+
+def test_pack_never_splits_or_drops(docs):
+    out = pack_sequences(docs, budget=200)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_contamination_flags_planted_dup(spark, docs):
+    # plant: benchmark doc 10_000 is an exact copy of corpus doc text
+    victim = docs.orderBy(F.col("n_chars").desc()).first()
+    bench = spark.createDataFrame(
+        [(10_000, victim.text)], "doc_id long, text string"
+    )
+    out = ngram_contamination(docs, bench, n=8).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[victim.doc_id].contamination_ratio == 1.0
+    assert len(out) == docs.count()
+    clean = decontaminate(docs, bench, n=8)
+    assert victim.doc_id not in {r.doc_id for r in clean.select("doc_id").collect()}
+
+
+def test_contamination_short_doc_zero(spark):
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=8).collect()}
+    assert rows[1].n_grams == 0 and rows[1].contamination_ratio == 0.0
+    assert rows[2].contamination_ratio == 1.0

@@ -1,0 +1,213 @@
+"""IVF-PQ: coarse inverted-file partitioning + product-quantized
+residuals (Jegou et al. 2011, the faiss-IVFPQ layout) — the route that
+combines IVF's scan pruning with PQ's memory compression.
+
+Why it matters at 100 TB: IVF alone still scans raw floats inside the
+probed cells; PQ alone scans every code. IVF-PQ scans only the probed
+cells AND only nibble-sized codes inside them: per query the touched
+bytes are ``corpus/n_cells * nprobe * m`` code bytes, a ~100-1000x
+reduction over raw, with an exact re-rank of ``candidate_factor * k``
+rows restoring precision. PQ encodes the RESIDUAL (vector minus its
+cell centroid), which concentrates the distribution each codebook must
+cover — measurably better recall than global-space PQ at the same code
+budget.
+
+Spark shape: cells come from ``index.ivf.build_ivf`` (sample-fit
+k-means, Arrow GEMM assignment, optional SPANN boundary replication);
+residual codebooks train driver-side on a bounded sample (KBs,
+broadcast); encoding is one Arrow ``mapInPandas`` pass; the query scan
+joins the (tiny) probe relation to the code table on ``centroid_id`` —
+partition-pruned when codes are stored partitioned by cell — and builds
+per-(query, cell) ADC lookup tables inside the batch. The exact re-rank
+joins candidate ids back to raw vectors (id-bucketed at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_index_spark.functions.distance import l2sq_arrow
+from vector_index_spark.index.ivf import build_ivf
+from vector_index_spark.index.pq import _kmeans_1d
+from vector_index_spark.operators.knn import knn_join
+
+
+def build_ivfpq(
+    train: DataFrame,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_pq_centroids: int = 16,
+    replicas: int = 1,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Fit cells, then PQ codebooks on cell residuals, then encode.
+
+    Returns (encoded, centroids, codebooks): encoded = (centroid_id, id,
+    codes array<int>) with ``replicas`` rows per vector, centroids =
+    (centroid_id, vec), codebooks = (m, n_pq_centroids, sub_dim).
+    Persist ``encoded`` partitioned by centroid_id for pruned probing."""
+    assigned, centroids = build_ivf(
+        train,
+        n_centroids=n_centroids,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        replicas=replicas,
+    )
+    spark = train.sparkSession
+    C = np.stack(
+        centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
+    ).astype(np.float64)
+
+    # codebooks on a bounded residual sample (primary assignment only —
+    # replica rows are the same vectors with worse-fitting residuals)
+    sample = (
+        assigned.select("centroid_id", F.col("vec"))
+        .limit(sample_size)
+        .toPandas()
+    )
+    R = (
+        np.stack(sample["vec"].to_numpy()).astype(np.float64)
+        - C[sample["centroid_id"].to_numpy(dtype=np.int64)]
+    )
+    dim = R.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dimension {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    books = np.stack(
+        [
+            _kmeans_1d(R[:, s * sub : (s + 1) * sub], n_pq_centroids, seed=seed + s)
+            for s in range(n_subspaces)
+        ]
+    )
+
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def enc(batches):
+        import pandas as pd
+
+        cC, cbooks = bc.value
+        m, _, csub = cbooks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            Rb = X - cC[pdf["centroid_id"].to_numpy(dtype=np.int64)]
+            codes = np.empty((len(Rb), m), dtype=np.int32)
+            for s in range(m):
+                seg = Rb[:, s * csub : (s + 1) * csub]
+                d = ((seg[:, None, :] - cbooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": pdf["centroid_id"].to_numpy(),
+                    "id": pdf["id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = assigned.select("centroid_id", "id", "vec").mapInPandas(
+        enc, "centroid_id long, id long, codes array<int>"
+    )
+    return encoded, centroids, books
+
+
+def ivfpq_knn(
+    test: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    train: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    candidate_factor: int = 8,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Probe ``nprobe`` cells per query, ADC-scan their codes with
+    per-(query, cell) residual lookup tables, exact-re-rank the top
+    ``candidate_factor * k`` candidates. Returns (qid, rank, id, dist)
+    with exact float64 distances."""
+    spark = test.sparkSession
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    probes = knn_join(
+        t,
+        centroids.select(F.col("centroid_id").alias("id"), "vec"),
+        nprobe,
+    ).select(F.col("qid").alias("p_qid"), F.col("id").alias("centroid_id"))
+
+    tp = t.toPandas()
+    qids = tp["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
+    C = np.stack(
+        centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
+    ).astype(np.float64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bc = spark.sparkContext.broadcast((qpos, Q, C, codebooks))
+    ncand = candidate_factor * k
+
+    cand_rows = probes.join(
+        encoded.withColumnRenamed("id", "cid"), "centroid_id"
+    ).select("p_qid", "centroid_id", "cid", "codes")
+
+    def scan(batches):
+        import pandas as pd
+
+        b_qpos, bQ, bC, books = bc.value
+        m, ncent, sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_a = [], [], []
+            for (q, cell), grp in pdf.groupby(["p_qid", "centroid_id"]):
+                r = bQ[b_qpos[int(q)]] - bC[int(cell)]
+                # ADC LUT for this query's residual against this cell
+                lut = np.empty((m, ncent))
+                for s in range(m):
+                    seg = r[s * sub : (s + 1) * sub]
+                    lut[s] = ((books[s] - seg[None, :]) ** 2).sum(axis=1)
+                codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                kk = min(ncand, len(approx))
+                sel = np.argpartition(approx, kk - 1)[:kk]
+                out_q.append(np.full(kk, int(q), dtype=np.int64))
+                out_i.append(grp["cid"].to_numpy(dtype=np.int64)[sel])
+                out_a.append(approx[sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "approx": np.concatenate(out_a),
+                }
+            )
+
+    cands = (
+        cand_rows.mapInPandas(scan, "qid long, id long, approx double")
+        .dropDuplicates(["qid", "id"])
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("id").asc())
+    shortlist = (
+        cands.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= ncand)
+        .select("qid", "id")
+    )
+    rescored = (
+        shortlist.join(
+            train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")),
+            "id",
+        )
+        .join(F.broadcast(t.withColumnRenamed("vec", "__qv")), "qid")
+        .select("qid", "id", l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
