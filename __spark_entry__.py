@@ -1253,6 +1253,49 @@ def q74_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding exact kNN in Hamming space — sign-bit binarize,
+    pack to 32-bit words (Horner fold, engine-portable), distance =
+    bit_count(xor) per word pair: 32x less data through the join than raw
+    floats, all integer whole-stage codegen."""
+    from vector_index_spark.operators.hamming import hamming_knn
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    return hamming_knn(test, train, K, dim=64)
+
+
+def q76_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 rules). The word-
+    soup corpus has no lines or punctuation, so deterministic structure is
+    injected first (8-word lines; every 5th line unterminated, every 3rd
+    tagged 'javascript', '{' and 'lorem ipsum' lines for doc_id % 13 / %
+    11) — the oracle replays injection AND cleaning, so both engines'
+    line decisions must agree exactly."""
+    from vector_index_spark.operators.textstats import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(8))
+    line = lambda s: F.concat(  # noqa: E731
+        F.array_join(F.slice(ws, s + 1, 8), " "),
+        F.when(F.pmod(s / 8, 5) == 1, "")
+        .when(F.pmod(s / 8, 3) == 0, " javascript.")
+        .otherwise("."),
+    )
+    lines = F.transform(starts, line)
+    lines = F.when(
+        F.pmod("doc_id", 13) == 0,
+        F.concat(lines, F.array(F.lit("stray { brace line."))),
+    ).otherwise(lines)
+    lines = F.when(
+        F.pmod("doc_id", 11) == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines)
+    structured = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_clean(structured)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1329,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_pack_sequences": q72_pack_sequences,
         "q73_contamination": q73_contamination,
         "q74_ivfpq_ann": q74_ivfpq_ann,
+        "q75_hamming_knn": q75_hamming_knn,
+        "q76_c4_clean": q76_c4_clean,
     }
 
 
@@ -2076,6 +2121,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "q75_hamming_knn": f"""
+            WITH b AS (
+              SELECT vec_id, t.i AS i,
+                     CASE WHEN embedding[t.i + 1] > 0 THEN 1 ELSE 0 END AS bit
+              FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+            ), packed AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN i < 32
+                              THEN bit * (2.0 ^ (31 - i)) ELSE 0 END)
+                          AS BIGINT) AS w0,
+                     CAST(sum(CASE WHEN i >= 32
+                              THEN bit * (2.0 ^ (63 - i)) ELSE 0 END)
+                          AS BIGINT) AS w1
+              FROM b GROUP BY vec_id
+            ), te AS (
+              SELECT vec_id AS qid, w0, w1 FROM packed WHERE vec_id % 10 = 0
+            ), tr AS (
+              SELECT vec_id AS id, w0, w1 FROM packed WHERE vec_id % 10 <> 0
+            ), d AS (
+              SELECT te.qid, tr.id,
+                     bit_count(xor(te.w0, tr.w0))
+                     + bit_count(xor(te.w1, tr.w1)) AS hdist
+              FROM te CROSS JOIN tr
+            ), ranked AS (
+              SELECT qid, id, hdist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY hdist, id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, id, CAST(hdist AS BIGINT) AS hdist
+            FROM ranked WHERE rank <= {K}
+        """,
+        "q76_c4_clean": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents
+            ), base AS (
+              SELECT doc_id, (s // 8) AS j,
+                     array_to_string(ws[s + 1 : s + 8], ' ') ||
+                     CASE WHEN (s // 8) % 5 = 1 THEN ''
+                          WHEN (s // 8) % 3 = 0 THEN ' javascript.'
+                          ELSE '.' END AS line
+              FROM w,
+                   unnest(generate_series(0, greatest(len(ws) - 1, 0), 8))
+                     AS t(s)
+            ), lines AS (
+              SELECT doc_id, j, line FROM base
+              UNION ALL
+              SELECT doc_id, 1000000, 'stray { brace line.'
+              FROM w WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT doc_id, 1000001, 'lorem ipsum dolor sit amet.'
+              FROM w WHERE doc_id % 11 = 0
+            ), judged AS (
+              SELECT doc_id, j, line,
+                     (ends_with(line, '.') OR ends_with(line, '!')
+                      OR ends_with(line, '?') OR ends_with(line, '"'))
+                     AND len(list_filter(string_split(line, ' '),
+                                         x -> x <> '')) >= 5
+                     AND NOT contains(lower(line), 'javascript') AS good
+              FROM lines
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN good THEN 1 ELSE 0 END) AS n_kept,
+                     bool_or(contains(line, '{')) AS has_brace,
+                     bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+                     string_agg(CASE WHEN good THEN line END,
+                                chr(10) ORDER BY j) AS kept_text
+              FROM judged GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   n_lines::BIGINT AS n_lines,
+                   n_kept::BIGINT AS n_kept,
+                   (NOT has_brace AND NOT has_lorem AND n_kept >= 3) AS keep,
+                   CASE WHEN NOT has_brace AND NOT has_lorem AND n_kept >= 3
+                        THEN coalesce(kept_text, '') ELSE '' END AS clean_text
+            FROM agg
         """,
         "q68_stratified_sample": f"""
             SELECT doc_id, source FROM documents

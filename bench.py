@@ -121,6 +121,27 @@ def main() -> None:
 
     timed("ivf_build_query_k100", ivf_run)
 
+    # IVF-PQ route: cells + PQ residual codes + ADC shortlist + exact
+    # re-rank (probe work mirrors the IVF entry; adds the code scan)
+    def ivfpq_run():
+        from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+
+        enc, cents, books = build_ivfpq(train, n_centroids=16, replicas=2)
+        ivfpq_knn(
+            test, enc, cents, books, train, K, nprobe=8, candidate_factor=32
+        ).count()
+
+    timed("ivfpq_build_query_k100", ivfpq_run)
+
+    # Hamming route: sign-bit binarize + packed-word bit_count(xor) scan
+    # (integer codegen; 32x less data through the join than raw floats)
+    def hamming_run():
+        from vector_index_spark.operators.hamming import hamming_knn
+
+        hamming_knn(test, train, K, dim=64).count()
+
+    timed("hamming_knn_k100", hamming_run)
+
     # SQ8 route: distributed min/max bounds + byte-code scan with re-rank
     def sq_run():
         from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq

@@ -171,3 +171,73 @@ def test_contamination_short_doc_zero(spark):
     rows = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=8).collect()}
     assert rows[1].n_grams == 0 and rows[1].contamination_ratio == 0.0
     assert rows[2].contamination_ratio == 1.0
+
+
+def test_hamming_knn_matches_numpy(spark):
+    import numpy as np
+
+    from vector_index_spark.operators.hamming import hamming_knn
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    got = hamming_knn(test, train, 5, dim=64).collect()
+
+    tp, cp = test.toPandas(), train.toPandas()
+    Q = np.stack(tp["vec"].to_numpy()) > 0
+    C = np.stack(cp["vec"].to_numpy()) > 0
+    qids = tp["qid"].to_numpy()
+    ids = cp["id"].to_numpy()
+    want = {}
+    for qi, q in enumerate(Q):
+        h = (q[None, :] != C).sum(axis=1)
+        order = sorted(zip(h.tolist(), ids.tolist()))[:5]
+        want[int(qids[qi])] = order
+    for r in got:
+        assert (r.hdist, r.id) == want[r.qid][r.rank - 1]
+
+
+def test_hamming_self_distance_zero(spark):
+    from vector_index_spark.operators.hamming import hamming_knn
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").limit(50)
+    both = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    test = both.select(F.col("id").alias("qid"), "vec")
+    top1 = {r.qid: r for r in hamming_knn(test, both, 1, dim=64).collect()}
+    for qid, r in top1.items():
+        assert r.hdist == 0  # a vector is Hamming-0 from itself
+
+
+def test_c4_clean_rules(spark):
+    from vector_index_spark.operators.textstats import c4_clean
+
+    rows = [
+        (1, "one good line is right here.\nshort line.\n"
+            "another fine long line here!\nunterminated line with many words\n"
+            'a quoted keeper line indeed."'),
+        (2, "mentions javascript somewhere in it.\nok line with enough words.\n"
+            "third decent line right here.\nfourth decent line over here."),
+        (3, "this doc has a { brace.\nmore good words right here.\n"
+            "and a third good line too.\nand yet a fourth one here."),
+        (4, "Lorem Ipsum dolor sit amet.\nmore good words right here.\n"
+            "and a third good line too.\nand yet a fourth one here."),
+        (5, "only two good lines here.\nsecond of the two keepers."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert out[1].keep and out[1].n_kept == 3
+    assert out[1].clean_text.splitlines() == [
+        "one good line is right here.",
+        "another fine long line here!",
+        'a quoted keeper line indeed."',
+    ]
+    # javascript lines dropped line-level; doc survives if >= 3 others
+    assert out[2].keep and out[2].n_kept == 3
+    assert "javascript" not in out[2].clean_text
+    assert not out[3].keep and out[3].clean_text == ""  # brace doc dropped
+    assert not out[4].keep  # lorem ipsum (case-insensitive) dropped
+    assert not out[5].keep  # fewer than 3 kept lines

@@ -216,3 +216,49 @@ def gopher_quality(
         ok_stop.alias("ok_stopwords"),
         (ok_tokens & ok_len & ok_dup & ok_stop).alias("keep"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 rules, the
+    public heuristics): keep only lines that end in terminal punctuation
+    (. ! ? ") and have >= ``min_line_words`` words and do not mention
+    'javascript'; drop whole documents containing '{' or 'lorem ipsum'
+    or keeping fewer than ``min_kept_lines`` lines.
+
+    Returns (doc_id, n_lines, n_kept, keep, clean_text): clean_text is
+    the kept lines rejoined with newlines ('' when the doc is dropped).
+    One scan-side projection — split / filter / rejoin are Catalyst array
+    expressions; deliberately regex-free (endswith / contains / size) so
+    any SQL engine replays the exact decisions."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    words = lambda x: F.size(F.filter(F.split(x, " "), lambda w: w != ""))  # noqa: E731
+    good = lambda x: (  # noqa: E731
+        (
+            F.endswith(x, F.lit("."))
+            | F.endswith(x, F.lit("!"))
+            | F.endswith(x, F.lit("?"))
+            | F.endswith(x, F.lit('"'))
+        )
+        & (words(x) >= min_line_words)
+        & ~F.contains(F.lower(x), F.lit("javascript"))
+    )
+    kept = F.filter(lines, good)
+    doc_ok = (
+        ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        doc_ok.alias("keep"),
+        F.when(doc_ok, F.array_join(kept, "\n")).otherwise("").alias("clean_text"),
+    )
