@@ -1296,6 +1296,114 @@ def q76_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(structured)
 
 
+def q77_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D relational — UNPIVOT/melt: lineitem's three money-ish measures
+    rotated to (orderkey, linenumber, measure, amount) long form. Spark's
+    native unpivot is a no-shuffle projection (Expand node)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "amount",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("amount", 6).alias("amount")
+    )
+
+
+def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D aggregation — explicit GROUPING SETS (the general form behind
+    cube/rollup): ((segment), (priority), ()) in one Expand+aggregate
+    pass; grouping_id disambiguates the null rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    o.join(F.broadcast(c), o.o_custkey == c.c_custkey).createOrReplaceTempView(
+        "__oc"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS revenue,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM __oc
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+def q79_windowed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D window functions — interval RANGE frame + ranking family: per
+    customer, each order's trailing-30-day spend (RANGE BETWEEN 30 days
+    PRECEDING, keyed on epoch seconds), plus dense_rank / percent_rank /
+    ntile over order value. One shuffle on o_custkey; all windows share
+    the partition."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od_s", F.unix_timestamp("o_orderdate")
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(wr), 4).alias("spend_30d"),
+        F.dense_rank().over(wv).cast("long").alias("value_rank"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct"),
+        F.ntile(4).over(wv).cast("long").alias("value_quartile"),
+    )
+
+
+def q80_full_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2D joins — FULL OUTER: customers vs order activity; a third of
+    the customer side is dropped so both dangling directions occur
+    (customers without orders AND order custkeys without a customer row);
+    coalesce folds the two key columns."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("spend"),
+    )
+    # drop a third of the customer side so both dangling directions occur
+    cust = c.select("c_custkey", "c_mktsegment").filter(
+        F.pmod("c_custkey", 3) != 0
+    )
+    joined = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+def q81_hamming_shortlist_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-shortlist ANN — Hamming scan over packed sign bits picks a
+    shortlist (32x cheaper bytes than floats), exact float64 re-rank
+    restores precision (the RaBitQ/BQ-style two-stage pattern). Rows-only;
+    recall gated in tests/test_pipeline_ops.py."""
+    from vector_index_spark.operators.hamming import hamming_shortlist_knn
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    res = hamming_shortlist_knn(test, train, K, dim=64, candidate_factor=16)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1374,6 +1482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_ivfpq_ann": q74_ivfpq_ann,
         "q75_hamming_knn": q75_hamming_knn,
         "q76_c4_clean": q76_c4_clean,
+        "q77_unpivot_lineitem": q77_unpivot_lineitem,
+        "q78_grouping_sets": q78_grouping_sets,
+        "q79_windowed_revenue": q79_windowed_revenue,
+        "q80_full_outer_coverage": q80_full_outer_coverage,
+        "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
     }
 
 
@@ -2201,6 +2314,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT has_brace AND NOT has_lorem AND n_kept >= 3
                         THEN coalesce(kept_text, '') ELSE '' END AS clean_text
             FROM agg
+        """,
+        "q77_unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   round(l_quantity::DOUBLE, 6) AS amount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   round(l_extendedprice::DOUBLE, 6)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   round(l_discount::DOUBLE, 6)
+            FROM lineitem
+        """,
+        "q78_grouping_sets": """
+            SELECT c_mktsegment, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   CAST(grouping(c_mktsegment, o_orderpriority) AS BIGINT)
+                     AS gid
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """,
+        "q79_windowed_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+                   ), 4) AS spend_30d,
+                   dense_rank() OVER wv AS value_rank,
+                   round(percent_rank() OVER wv, 6) AS value_pct,
+                   ntile(4) OVER wv AS value_quartile
+            FROM orders
+            WINDOW wv AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "q80_full_outer_coverage": """
+            WITH per_cust AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     round(sum(o_totalprice), 4) AS spend
+              FROM orders GROUP BY o_custkey
+            ), cust AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_custkey % 3 <> 0
+            )
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(spend, 0.0) AS spend
+            FROM cust FULL OUTER JOIN per_cust ON c_custkey = o_custkey
         """,
         "q68_stratified_sample": f"""
             SELECT doc_id, source FROM documents

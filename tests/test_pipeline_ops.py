@@ -241,3 +241,33 @@ def test_c4_clean_rules(spark):
     assert not out[3].keep and out[3].clean_text == ""  # brace doc dropped
     assert not out[4].keep  # lorem ipsum (case-insensitive) dropped
     assert not out[5].keep  # fewer than 3 kept lines
+
+
+def test_hamming_shortlist_recall(spark):
+    from vector_index_spark.operators.hamming import hamming_shortlist_knn
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    exact = knn_join(test, train, 10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.id)
+    # 1 bit/dim is the floor of the quantization family: on isotropic
+    # gaussian data (worst case — no structure for the signs to exploit)
+    # recall@10 is ~0.93 at cf=16; the route is a SHORTLIST stage, so the
+    # gate is 0.9 here and precision comes from the exact re-rank.
+    approx = hamming_shortlist_knn(
+        test, train, 10, dim=64, candidate_factor=16
+    ).collect()
+    hits = sum(1 for r in approx if r.id in truth.get(r.qid, ()))
+    assert hits / sum(len(v) for v in truth.values()) >= 0.9
+    td = {(x.qid, x.id): x.dist for x in exact}
+    for a in approx:
+        if (a.qid, a.id) in td:
+            assert td[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)
