@@ -213,3 +213,28 @@ def test_ivfpq_knn_recall(split, exact):
     for a in approx:
         if (a.qid, a.id) in truth:
             assert truth[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)
+
+
+def test_ivfpq_persistence_requery(split, exact, tmp_path):
+    from vector_index_spark.index.ivfpq import (
+        build_ivfpq,
+        ivfpq_knn,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    train, test = split
+    spark = train.sparkSession
+    enc, cents, books = build_ivfpq(
+        train, n_centroids=16, n_subspaces=8, n_pq_centroids=16, replicas=2
+    )
+    before = ivfpq_knn(
+        test, enc, cents, books, train, K, nprobe=12, candidate_factor=32
+    ).collect()
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq(enc, cents, books, path)
+    enc2, cents2, books2 = load_ivfpq(spark, path)
+    after = ivfpq_knn(
+        test, enc2, cents2, books2, train, K, nprobe=12, candidate_factor=32
+    ).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -80,3 +80,46 @@ def test_global_topk_uses_take_ordered(spark):
     q = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan, plan
+
+def test_chunking_plan_has_no_exchange(spark):
+    from vector_index_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    # pure flatMap-shaped projection: explode over array exprs, no shuffle
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_sampling_plan_is_scan_side_filter(spark):
+    from vector_index_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"src0": 1.0, "src1": 0.2}))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    from vector_index_spark.operators.contamination import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    plan = _plan(ngram_contamination(corpus, bench, n=8))
+    # the benchmark gram set broadcasts; the corpus side must join
+    # without a shuffle on the gram key
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hamming_plan_stays_integer_codegen(spark):
+    from vector_index_spark.operators.hamming import hamming_knn
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    test = train.limit(10).select(F.col("id").alias("qid"), "vec")
+    plan = _plan(hamming_knn(test, train, 5, dim=64))
+    # broadcast the query side; no Python in the distance path
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -141,3 +141,49 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
 
     assert len(want) > 0
     assert key(got) == key(want)
+
+
+def test_stream_curation_ops_equal_batch(spark, tmp_path):
+    """Stateless curation operators (c4_clean, chunking, deterministic
+    sampling) compose unchanged onto readStream — the same lazy
+    transformations run per micro-batch with no state, so the drained
+    stream must equal the batch result row-for-row."""
+    from vector_index_spark.operators.chunking import chunk_documents
+    from vector_index_spark.operators.sampling import deterministic_sample
+    from vector_index_spark.operators.textstats import c4_clean
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    # the word-soup corpus has no lines/punctuation, so inject sentence
+    # breaks first (same expression on both sides) or c4 would be a
+    # trivially-empty comparison
+    def pipeline(df):
+        structured = df.select(
+            "doc_id",
+            F.regexp_replace("text", " (fast|slow) ", ".\n").alias("text"),
+        )
+        return chunk_documents(
+            c4_clean(deterministic_sample(structured, 0.5), min_kept_lines=1)
+            .filter("keep")
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
+
+    piped = pipeline(stream)
+    sink = f"cur_{uuid.uuid4().hex[:8]}"
+    q = (
+        piped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.sql(f"SELECT * FROM {sink}").collect()))
+    want = sorted(map(tuple, pipeline(docs).collect()))
+    assert len(want) > 0  # the comparison must not be trivially empty
+    assert got == want

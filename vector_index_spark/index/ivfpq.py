@@ -211,3 +211,42 @@ def ivfpq_knn(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )
+
+
+def save_ivfpq(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Persist the IVF-PQ layout: codes partitioned by centroid_id (the
+    partition-pruning key for probes), centroid table, and codebooks as
+    JSON (they are KBs). Mirrors the reference's save surface
+    (dehnsw.h:666-844) for this route — columnar instead of custom
+    binary, so a probe reads only its cells' files."""
+    import json
+    import os
+
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/codebooks.json", "w") as fh:
+        json.dump(
+            {"shape": list(codebooks.shape), "data": codebooks.ravel().tolist()},
+            fh,
+        )
+
+
+def load_ivfpq(spark, path: str) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Re-open a persisted IVF-PQ index; returns (encoded, centroids,
+    codebooks) ready for ``ivfpq_knn``."""
+    import json
+
+    with open(f"{path}/codebooks.json") as fh:
+        blob = json.load(fh)
+    books = np.array(blob["data"], dtype=np.float64).reshape(blob["shape"])
+    encoded = spark.read.parquet(f"{path}/codes")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return encoded, centroids, books
