@@ -55,6 +55,38 @@ def main() -> None:
             plan(o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)),
         ),
     ]
+
+    from vector_index_spark.operators.chunking import chunk_documents
+    from vector_index_spark.operators.contamination import ngram_contamination
+    from vector_index_spark.operators.hamming import hamming_knn
+    from vector_index_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections += [
+        (
+            "Deterministic sampling: scan-side Filter, zero exchanges",
+            plan(stratified_sample(docs, {"src0": 1.0, "src1": 0.2})),
+        ),
+        (
+            "Chunking: Generate (explode) over array exprs, zero exchanges",
+            plan(chunk_documents(docs)),
+        ),
+        (
+            "Contamination: benchmark gram set broadcast, corpus never "
+            "shuffles before the per-doc aggregate",
+            plan(
+                ngram_contamination(
+                    docs.filter(F.col("doc_id") % 17 != 0),
+                    docs.filter(F.col("doc_id") % 17 == 0),
+                )
+            ),
+        ),
+        (
+            "Hamming kNN: packed words projected at the scan, integer "
+            "bit_count(xor) inside codegen, no Python",
+            plan(hamming_knn(test, train, 10, dim=64)),
+        ),
+    ]
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
