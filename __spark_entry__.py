@@ -1404,6 +1404,49 @@ def q81_hamming_shortlist_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "merge", "filter"]
+
+
+def q82_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval — postings + document-frequency relations
+    built as two hash aggregates, Lucene-form idf, top-10 by (score desc,
+    doc_id). The lexical half of the hybrid retrieval stack; postings
+    persist bucketed by term at scale."""
+    from vector_index_spark.operators.bm25 import bm25_postings, bm25_score
+
+    d = _t(spark, sf_dir, "documents")
+    postings, stats = bm25_postings(d)
+    return bm25_score(postings, stats, _BM25_TERMS, k=10)
+
+
+def q83_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 top-20 and the exact vector-kNN top-20 (query = embedding of
+    vec_id 0, corpus = all other embeddings, doc ids align with vec ids
+    in the driver tables). RRF needs no score calibration, which is why
+    it is the production default for hybrid search."""
+    from vector_index_spark.operators.bm25 import (
+        bm25_postings,
+        bm25_score,
+        hybrid_search,
+    )
+    from vector_index_spark.operators.knn import knn_join
+
+    d = _t(spark, sf_dir, "documents")
+    postings, stats = bm25_postings(d)
+    lex = bm25_score(postings, stats, _BM25_TERMS, k=20)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    vec = knn_join(qv, corpus, 20)
+    return hybrid_search(lex, vec, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1487,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_windowed_revenue": q79_windowed_revenue,
         "q80_full_outer_coverage": q80_full_outer_coverage,
         "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
+        "q82_bm25_search": q82_bm25_search,
+        "q83_hybrid_search": q83_hybrid_search,
     }
 
 
@@ -2234,6 +2279,99 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "q82_bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS term
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), postings AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), stats AS (
+              SELECT term, count(*) AS df_t FROM postings GROUP BY term
+            ), g AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+            ), scored AS (
+              SELECT p.doc_id,
+                     round(sum(
+                       ln(1 + (g.n_docs - s.df_t + 0.5) / (s.df_t + 0.5))
+                       * (p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * d.dl / g.avgdl)))
+                     ), 6) AS score
+              FROM postings p
+              JOIN stats s USING (term)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN g
+              WHERE p.term IN ('filter', 'merge', 'spark')
+              GROUP BY p.doc_id
+            ), ranked AS (
+              SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank, doc_id, score
+              FROM scored
+            )
+            SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
+        """,
+        "q83_hybrid_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS term
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), postings AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), stats AS (
+              SELECT term, count(*) AS df_t FROM postings GROUP BY term
+            ), g AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+            ), scored AS (
+              SELECT p.doc_id,
+                     round(sum(
+                       ln(1 + (g.n_docs - s.df_t + 0.5) / (s.df_t + 0.5))
+                       * (p.tf * (1.2 + 1.0)
+                          / (p.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * d.dl / g.avgdl)))
+                     ), 6) AS score
+              FROM postings p
+              JOIN stats s USING (term)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN g
+              WHERE p.term IN ('filter', 'merge', 'spark')
+              GROUP BY p.doc_id
+            ), ltop AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank_lex
+              FROM scored QUALIFY rank_lex <= 20
+            ), qv AS (
+              SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+            ), tr AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id <> 0
+            ), vd AS (
+              SELECT tr.id, {_L2SQ_SQL.format(a="qv.v", b="tr.vec")} AS dist
+              FROM tr CROSS JOIN qv
+            ), vtop AS (
+              SELECT id AS doc_id,
+                     row_number() OVER (ORDER BY dist, id) AS rank_vec
+              FROM vd QUALIFY rank_vec <= 20
+            ), fused AS (
+              SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + l.rank_lex), 0)
+                           + coalesce(1.0 / (60 + v.rank_vec), 0), 6)
+                       AS rrf_score
+              FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+            )
+            SELECT * FROM (
+              SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                       AS rank, doc_id, rrf_score
+              FROM fused
+            ) WHERE rank <= 10
         """,
         "q75_hamming_knn": f"""
             WITH b AS (

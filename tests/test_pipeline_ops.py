@@ -271,3 +271,53 @@ def test_hamming_shortlist_recall(spark):
     for a in approx:
         if (a.qid, a.id) in td:
             assert td[(a.qid, a.id)] == pytest.approx(a.dist, rel=1e-9)
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from vector_index_spark.operators.bm25 import bm25_postings, bm25_score
+
+    rows = [
+        (1, "spark spark spark fast"),
+        (2, "spark slow table join table"),
+        (3, "table join merge"),
+        (4, "spark fast"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, stats = bm25_postings(df)
+    got = {r.doc_id: r.score for r in bm25_score(postings, stats, ["spark"]).collect()}
+
+    # reference computation (Lucene form), straight from the paper
+    texts = {i: t.split() for i, t in rows}
+    n, avgdl = 4, sum(len(t) for t in texts.values()) / 4
+    df_t = sum(1 for t in texts.values() if "spark" in t)
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    for doc_id, toks in texts.items():
+        tf = toks.count("spark")
+        if tf == 0:
+            assert doc_id not in got
+            continue
+        want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        assert got[doc_id] == pytest.approx(round(want, 6), abs=2e-6)
+    # more occurrences, shorter doc -> higher score
+    assert got[1] > got[4] > got[2]
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from vector_index_spark.operators.bm25 import hybrid_search
+
+    lex = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank long, doc_id long"
+    )
+    vec = spark.createDataFrame(
+        [(1, 20), (2, 40)], "rank long, id long"
+    )
+    out = {r.doc_id: r for r in hybrid_search(lex, vec, k=4).collect()}
+    # doc 20: rank 2 lexical + rank 1 vector = 1/62 + 1/61 (the winner)
+    assert out[20].rank == 1
+    assert out[20].rrf_score == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    # docs present in one system only contribute only that term
+    assert out[10].rrf_score == pytest.approx(round(1 / 61, 6))
+    assert out[40].rrf_score == pytest.approx(round(1 / 62, 6))
+    assert out[30].rrf_score == pytest.approx(round(1 / 63, 6))
