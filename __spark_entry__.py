@@ -109,6 +109,44 @@ _U01 = (
 
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in']"
 
+# MinHash+LSH candidate/verify pipeline CTEs (shared by q13 and q84):
+# ends with `pairs(id_a, id_b, jaccard)` — exact twin of
+# operators.dedup.minhash_near_dup's defaults (3-word shingles, 16 hashes,
+# 4 bands, verified Jaccard).
+_MINHASH_CTES_SQL = f"""
+  toks AS (
+    SELECT doc_id AS id, {_TOKS_SQL.format(t="text")} AS t FROM documents
+  ), sh AS (
+    SELECT id, list_distinct(
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, greatest(len(t)-2, 0)+1)]) AS shingles
+    FROM toks WHERE len(t) >= 3
+  ), sig AS (
+    SELECT id, shingles,
+      [list_min(list_transform(shingles,
+         s -> ('0x'||substring(md5(seed::VARCHAR || ':' || s),1,12))::BIGINT))
+       for seed in range(0, 16)] AS sig
+    FROM sh
+  ), banded AS (
+    SELECT id, b AS band,
+      ('0x'||substring(md5(array_to_string(sig[b*4+1 : b*4+4], ',')),1,12))::BIGINT
+        AS band_hash
+    FROM sig, range(0, 4) r(b)
+  ), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.id < b.id
+  ), pairs AS (
+    SELECT c.id_a, c.id_b,
+      len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+  )
+"""
+
 _KNN_BASE_SQL = f"""
   WITH train AS (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 <> 0
@@ -345,6 +383,18 @@ def q13_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = minhash_near_dup(_t(spark, sf_dir, "documents"))
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — corpus-level dedup: MinHash near-dup pairs (q13 params)
+    -> connected components (alternating large-star/small-star, O(log^2 n)
+    rounds) -> every document labeled (cluster_id, keep). Singletons keep
+    themselves; each cluster's survivor is its minimum doc_id."""
+    from vector_index_spark.operators.components import near_dup_clusters
+    from vector_index_spark.operators.dedup import minhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, minhash_near_dup(docs))
 
 
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
         "q82_bm25_search": q82_bm25_search,
         "q83_hybrid_search": q83_hybrid_search,
+        "q84_dedup_clusters": q84_dedup_clusters,
     }
 
 
@@ -1707,39 +1758,28 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 25
         """,
         "q13_minhash_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id AS id, {_TOKS_SQL.format(t="text")} AS t FROM documents
-            ), sh AS (
-              SELECT id, list_distinct(
-                       [array_to_string(t[i:i+2], ' ')
-                        for i in range(1, greatest(len(t)-2, 0)+1)]) AS shingles
-              FROM toks WHERE len(t) >= 3
-            ), sig AS (
-              SELECT id, shingles,
-                [list_min(list_transform(shingles,
-                   s -> ('0x'||substring(md5(seed::VARCHAR || ':' || s),1,12))::BIGINT))
-                 for seed in range(0, 16)] AS sig
-              FROM sh
-            ), banded AS (
-              SELECT id, b AS band,
-                ('0x'||substring(md5(array_to_string(sig[b*4+1 : b*4+4], ',')),1,12))::BIGINT
-                  AS band_hash
-              FROM sig, range(0, 4) r(b)
-            ), cand AS (
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a
-              JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
-                           AND a.id < b.id
-            ), pairs AS (
-              SELECT c.id_a, c.id_b,
-                len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                  / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-              FROM cand c
-              JOIN sh sa ON sa.id = c.id_a
-              JOIN sh sb ON sb.id = c.id_b
-            )
+            WITH {_MINHASH_CTES_SQL}
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.5
+        """,
+        "q84_dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES_SQL},
+            dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM dup
+              UNION SELECT id_b, id_a FROM dup
+            ),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "q14_simhash_pairs": f"""
             WITH toks AS (

@@ -1,0 +1,93 @@
+"""Connected-components correctness vs a brute-force union-find, across
+graph shapes chosen to break weaker algorithms (long paths defeat
+diameter-bound label propagation; the star algorithm must handle them in
+O(log^2 n) rounds)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_index_spark.operators.components import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress to the component minimum
+    return {x: find(x) for x in parent}
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, **kw).collect()
+    return {r["id"]: r["component"] for r in got}
+
+
+def _expected(edges):
+    uf = _union_find(edges)
+    # union-find roots are already the min id (we always parent toward min)
+    return uf
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 120, 80), (11, 200, 300), (13, 60, 400)])
+def test_random_graphs_match_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(m)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _labels(spark, edges) == _expected(edges)
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # a 64-node path has diameter 63; hash-min propagation would need 63
+    # rounds — the star algorithm must finish well under max_rounds=10.
+    edges = [(i, i + 1) for i in range(63)]
+    assert _labels(spark, edges, max_rounds=10) == _expected(edges)
+
+
+def test_disjoint_cliques_and_reversed_ids(spark):
+    # two cliques with interleaved ids + descending edge order
+    c1 = [(i, j) for i in (0, 2, 4, 6) for j in (0, 2, 4, 6) if i < j]
+    c2 = [(i, j) for i in (1, 3, 5) for j in (1, 3, 5) if i < j]
+    edges = [(v, u) for u, v in c1 + c2]  # reversed orientation
+    labels = _labels(spark, edges)
+    assert labels == _expected(edges)
+    assert {labels[i] for i in (0, 2, 4, 6)} == {0}
+    assert {labels[i] for i in (1, 3, 5)} == {1}
+
+
+def test_duplicate_and_self_edges_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (8, 8)]
+    labels = _labels(spark, edges)
+    assert labels == {1: 1, 2: 1}
+
+
+def test_near_dup_clusters_labels_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 7), (2, 5)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert out[0] == (0, 1) and out[3] == (0, 0) and out[7] == (0, 0)
+    assert out[2] == (2, 1) and out[5] == (2, 0)
+    for single in (1, 4, 6):
+        assert out[single] == (single, 1)
+    assert sum(k for _, k in out.values()) == 5  # 2 cluster reps + 3 singletons
