@@ -397,6 +397,20 @@ def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, minhash_near_dup(docs))
 
 
+def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star — SemDeDup: k-means-cell-blocked cosine near-dup removal
+    over the embedding column (replicas=2 boundary replication), clusters
+    via connected components. Rows-only: kmeans is not SQL-expressible;
+    recall and false-positive behavior are gated in test_components."""
+    from vector_index_spark.operators.components import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_cells=8, replicas=2, cos_threshold=0.6,
+    )
+
+
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — SimHash near-duplicate pairs (48-bit, Hamming <= 6)."""
     from vector_index_spark.operators.dedup import simhash_near_dup
@@ -1583,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_bm25_search": q82_bm25_search,
         "q83_hybrid_search": q83_hybrid_search,
         "q84_dedup_clusters": q84_dedup_clusters,
+        "q85_semantic_dedup": q85_semantic_dedup,
     }
 
 

@@ -8,9 +8,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from vector_index_spark.operators.components import (
     connected_components,
     near_dup_clusters,
+    semantic_dedup,
 )
 
 
@@ -91,3 +93,64 @@ def test_near_dup_clusters_labels_singletons(spark):
     for single in (1, 4, 6):
         assert out[single] == (single, 1)
     assert sum(k for _, k in out.values()) == 5  # 2 cluster reps + 3 singletons
+
+
+def _exact_cos_pairs(spark, emb, threshold):
+    from vector_index_spark.functions.distance import cos_dist
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_dist(F.col("va"), F.col("vb")) <= threshold)
+        .collect()
+    }
+
+
+def test_semantic_dedup_catches_planted_dups_no_false_positives(spark):
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    # plant exact duplicates of three vectors under new ids
+    planted = emb.filter(F.col("vec_id").isin(3, 41, 97)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "v"
+    )
+    corpus = emb.union(planted)
+    out = semantic_dedup(
+        corpus, id_col="vec_id", vec_col="v", n_cells=8, cos_threshold=0.05
+    )
+    rows = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert len(rows) == corpus.count()
+    # identical vectors hash to the same cells -> always caught
+    for orig in (3, 41, 97):
+        assert rows[orig + 10_000][0] == rows[orig][0]
+        assert rows[orig + 10_000][1] == 0
+    # exact verify => clustered pairs are a subset of true-threshold pairs;
+    # with random-uniform embeddings the planted dups are the only pairs
+    exact = _exact_cos_pairs(spark, corpus, 0.05)
+    flagged = {(i, c) for i, (c, k) in rows.items() if k == 0}
+    assert flagged == {(o + 10_000, o) for o in (3, 41, 97)}
+    assert exact == {(o, o + 10_000) for o in (3, 41, 97)}
+
+
+def test_semantic_dedup_recall_vs_exact_at_loose_threshold(spark):
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    # loose threshold so uniform embeddings produce genuine pairs
+    threshold = 0.6
+    exact = _exact_cos_pairs(spark, emb, threshold)
+    assert len(exact) > 20  # meaningful comparison set
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="v", n_cells=8, replicas=3,
+        cos_threshold=threshold,
+    )
+    labels = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # every exact pair should end up co-clustered (boundary replication);
+    # allow a small miss rate — blocking is approximate by design
+    hit = sum(1 for a, b in exact if labels[a] == labels[b])
+    assert hit / len(exact) >= 0.8

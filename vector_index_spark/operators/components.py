@@ -115,6 +115,62 @@ def connected_components(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    replicas: int = 2,
+    cos_threshold: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column at corpus scale.
+
+    The O(N^2) cosine self-join is blocked by k-means cells: vectors are
+    posted to their ``replicas`` nearest cells (SPANN-style boundary
+    replication, so near-dups straddling a cell boundary still meet), the
+    threshold scan runs per cell, and surviving pairs collapse to clusters
+    via connected components. Work is N^2 * replicas^2 / n_cells per cell
+    on average instead of N^2; cells shuffle-partition independently.
+
+    Identical vectors always land in the same cells, so exact duplicates
+    are caught regardless of cell count; pairs are verified with exact
+    cosine distance, so there are no false positives — only boundary
+    misses, bounded by ``replicas``.
+
+    Returns (id_col, cluster_id, keep) for every input vector. Recall is
+    gated in tests (kmeans is not SQL-expressible → rows-only contract
+    check).
+    """
+    from vector_index_spark.functions.distance import cos_dist
+    from vector_index_spark.index.ivf import build_ivf
+
+    vin = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    assigned, _ = build_ivf(
+        vin, n_centroids=n_cells, seed=seed, replicas=replicas
+    )
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # replicas make the same pair meet in up to `replicas` cells
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", cos_dist(F.col("va"), F.col("vb")))
+        .filter(F.col("dist") <= cos_threshold)
+        .select("id_a", "id_b")
+    )
+    return near_dup_clusters(vin.select(F.col("id").alias(id_col)), pairs, id_col=id_col)
+
+
 def near_dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
