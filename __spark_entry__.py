@@ -109,6 +109,15 @@ _U01 = (
 
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in']"
 
+def _spread16_sql(x: str) -> str:
+    """DuckDB twin of operators.layout.spread_bits_16 — same (shift, mask)
+    rounds, plain BIGINT bit ops."""
+    e = x
+    for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
 # MinHash+LSH candidate/verify pipeline CTEs (shared by q13 and q84):
 # ends with `pairs(id_a, id_b, jaccard)` — exact twin of
 # operators.dedup.minhash_near_dup's defaults (3-word shingles, 16 hashes,
@@ -409,6 +418,29 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding",
         n_cells=8, replicas=2, cos_threshold=0.6,
     )
+
+
+def q86_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine scale path — Z-order (Morton) clustering key over
+    (o_custkey, order epoch-day): min-max scale to 16 bits, parallel-
+    prefix bit spread, interleave. Pure integer codegen (no UDF); the
+    layout operator `zorder_by` range-partitions + sorts on this key so
+    Parquet min/max stats prune on both columns at once."""
+    from vector_index_spark.operators.layout import scale_to_bits, zorder_key_16
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("days"),
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("alo"), F.max("o_custkey").alias("ahi"),
+        F.min("days").alias("blo"), F.max("days").alias("bhi"),
+    ).first()
+    key = zorder_key_16(
+        scale_to_bits(F.col("o_custkey"), int(b["alo"]), int(b["ahi"])),
+        scale_to_bits(F.col("days"), int(b["blo"]), int(b["bhi"])),
+    )
+    return o.select("o_orderkey", key.alias("zkey"))
 
 
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_hybrid_search": q83_hybrid_search,
         "q84_dedup_clusters": q84_dedup_clusters,
         "q85_semantic_dedup": q85_semantic_dedup,
+        "q86_zorder_keys": q86_zorder_keys,
     }
 
 
@@ -1776,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MINHASH_CTES_SQL}
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.5
+        """,
+        "q86_zorder_keys": f"""
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS days
+              FROM orders
+            ), b AS (
+              SELECT min(o_custkey) AS alo, max(o_custkey) AS ahi,
+                     min(days) AS blo, max(days) AS bhi
+              FROM o
+            ), s AS (
+              SELECT o_orderkey,
+                least(greatest(floor((o_custkey - alo) * 65535 / greatest(ahi - alo, 1)), 0), 65535)::BIGINT AS sa,
+                least(greatest(floor((days - blo) * 65535 / greatest(bhi - blo, 1)), 0), 65535)::BIGINT AS sb
+              FROM o, b
+            )
+            SELECT o_orderkey,
+                   ({_spread16_sql("sa")} | ({_spread16_sql("sb")} << 1)) AS zkey
+            FROM s
         """,
         "q84_dedup_clusters": f"""
             WITH RECURSIVE {_MINHASH_CTES_SQL},
