@@ -187,3 +187,51 @@ def test_stream_curation_ops_equal_batch(spark, tmp_path):
     want = sorted(map(tuple, pipeline(docs).collect()))
     assert len(want) > 0  # the comparison must not be trivially empty
     assert got == want
+
+
+def test_stream_index_ingest_equals_batch_build(spark, tmp_path):
+    """Streaming index maintenance: draining a vector stream through
+    foreachBatch-append must leave the persisted index bit-identical to a
+    from-scratch batch build over the full corpus (append determinism),
+    and the index must answer queries afterwards."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.searcher import graph_ann_query
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import stream_index_ingest
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=6, relaxed_monotonicity=32,
+        step=2, sub_index_bound=100,
+    )
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    first = full.filter(F.col("id") < 300)
+    rest = full.filter(F.col("id") >= 300)
+
+    path = str(tmp_path / "idx")
+    save_index(
+        assign_shards(first, params.sub_index_bound),
+        build_graph_index(first, params), params, path,
+    )
+
+    src = str(tmp_path / "arrivals")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema("id long, vec array<float>").parquet(src)
+    q = stream_index_ingest(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    vectors, edges, loaded_params = load_index(spark, path)
+    assert loaded_params == params
+    assert vectors.count() == full.count()
+    scratch = build_graph_index(full, params)
+    key = lambda r: (r.shard, r.layer, r.src, r.dst, round(r.dist, 9))
+    assert sorted(map(key, edges.collect())) == sorted(map(key, scratch.collect()))
+
+    # the maintained index answers queries (one probe vector, k=5)
+    queries = full.filter(F.col("id") == 0).select(
+        F.col("id").alias("qid"), "vec"
+    )
+    hits = graph_ann_query(vectors, edges, queries, 5, 32).collect()
+    assert len(hits) == 5
