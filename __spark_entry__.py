@@ -443,6 +443,27 @@ def q86_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", key.alias("zkey"))
 
 
+def q87_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path — PCA filter-and-refine: orthonormal top-32
+    projection (contraction => reduced L2 lower-bounds full L2),
+    shortlist in the reduced space, exact float64 re-rank. Rows-only:
+    recall gated in test_ann_routes (0.99+ on decaying spectra; the
+    uniform fixture is the documented worst case)."""
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    mean, comp = train_pca(train, 32)
+    proj = project_pca(train, mean, comp)
+    res = pca_knn(test, proj, train, mean, comp, 10, candidate_factor=4)
+    return res.select("qid", "rank", "id", F.round("dist", 6).alias("dist"))
+
+
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — SimHash near-duplicate pairs (48-bit, Hamming <= 6)."""
     from vector_index_spark.operators.dedup import simhash_near_dup
@@ -1631,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_dedup_clusters": q84_dedup_clusters,
         "q85_semantic_dedup": q85_semantic_dedup,
         "q86_zorder_keys": q86_zorder_keys,
+        "q87_pca_ann": q87_pca_ann,
     }
 
 

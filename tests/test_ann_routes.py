@@ -238,3 +238,80 @@ def test_ivfpq_persistence_requery(split, exact, tmp_path):
         test, enc2, cents2, books2, train, K, nprobe=12, candidate_factor=32
     ).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_pca_route_orthonormal_and_deterministic(spark):
+    import numpy as np
+
+    from vector_index_spark.index.pca import train_pca
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    m1, c1 = train_pca(train, 16)
+    m2, c2 = train_pca(train, 16)
+    assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
+    # orthonormal rows
+    assert np.allclose(c1 @ c1.T, np.eye(16), atol=1e-10)
+
+
+def test_pca_route_recall_on_decaying_spectrum(spark):
+    """PCA shortlist is built for corpora with decaying spectra (real
+    embedding models); on such data dim 64->16 at candidate_factor=2 must
+    recover essentially the exact top-k. The uniform driver fixture is
+    PCA's worst case (flat spectrum) — gated separately below."""
+    import numpy as np
+
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+    from vector_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(5)
+    d, scales = 64, np.exp(-np.arange(64) / 10.0)
+    X = rng.standard_normal((2000, d)) * scales[None, :]
+    Qm = rng.standard_normal((100, d)) * scales[None, :]
+    train = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vec array<double>",
+    )
+    test = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qm[i]]) for i in range(len(Qm))],
+        "qid long, vec array<double>",
+    )
+    k = 10
+    exact = {(r["qid"], r["id"]) for r in knn_join(test, train, k).collect()}
+    mean, comp = train_pca(train, 16)
+    proj = project_pca(train, mean, comp)
+    res = pca_knn(test, proj, train, mean, comp, k, candidate_factor=2)
+    rows = res.collect()
+    got = {(r["qid"], r["id"]) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.99
+    # re-rank distances are EXACT full-space distances
+    exact_dist = {
+        (r["qid"], r["id"]): r["dist"] for r in knn_join(test, train, k).collect()
+    }
+    for r in rows:
+        if (r["qid"], r["id"]) in exact_dist:
+            assert abs(r["dist"] - exact_dist[(r["qid"], r["id"])]) < 1e-9
+
+
+def test_pca_route_flat_spectrum_floor(spark):
+    """Worst-case floor on the uniform fixture: dim 64->32 at cf=4 still
+    recovers a usable majority of the exact top-10."""
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter("vec_id % 10 != 0").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    k = 10
+    exact = {(r["qid"], r["id"]) for r in knn_join(test, train, k).collect()}
+    mean, comp = train_pca(train, 32)
+    proj = project_pca(train, mean, comp)
+    got = {
+        (r["qid"], r["id"])
+        for r in pca_knn(test, proj, train, mean, comp, k, candidate_factor=4).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.7
