@@ -460,7 +460,7 @@ def q87_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean, comp = train_pca(train, 32)
     proj = project_pca(train, mean, comp)
-    res = pca_knn(test, proj, train, mean, comp, 10, candidate_factor=4)
+    res = pca_knn(test, proj, mean, comp, 10, candidate_factor=4)
     return res.select("qid", "rank", "id", F.round("dist", 6).alias("dist"))
 
 

@@ -97,6 +97,38 @@ def main() -> None:
     timed("simhash_neardup", lambda: simhash_near_dup(docs).count())
     timed("text_profile", lambda: text_profile(docs).count())
 
+    # pairs -> transitive clusters (large-star/small-star CC) -> keep list
+    from vector_index_spark.operators.components import (
+        near_dup_clusters,
+        semantic_dedup,
+    )
+
+    timed(
+        "dedup_clusters",
+        lambda: near_dup_clusters(docs, minhash_near_dup(docs)).count(),
+    )
+    # SemDeDup: kmeans-cell-blocked cosine dedup over the embedding column
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_cells=16, replicas=2, cos_threshold=0.6,
+        ).count(),
+    )
+
+    # Z-order layout: Morton-cluster orders on (custkey, order day)
+    from vector_index_spark.operators.layout import zorder_by
+
+    timed(
+        "zorder_orders",
+        lambda: zorder_by(
+            orders.withColumn(
+                "days", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            ),
+            "o_custkey", "days",
+        ).count(),
+    )
+
     # LSH approximate route — the engine's native E2LSH (banded bucket
     # join + multi-probe + exact Arrow re-rank). The MLlib
     # BucketedRandomProjectionLSH compatibility path is ~10x slower at
@@ -220,6 +252,17 @@ def main() -> None:
         ).count(),
     )
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
+
+    # PCA filter-and-refine at the same 62k corpus (train + project +
+    # reduced-space shortlist + exact re-rank)
+    def pca_big():
+        from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+
+        mean, comp = train_pca(big_train, 16)
+        proj = project_pca(big_train, mean, comp)
+        pca_knn(big_test, proj, mean, comp, K, candidate_factor=4).count()
+
+    timed(f"pca_build_query_k100_{n_big // 1000}k", pca_big)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -280,7 +280,7 @@ def test_pca_route_recall_on_decaying_spectrum(spark):
     exact = {(r["qid"], r["id"]) for r in knn_join(test, train, k).collect()}
     mean, comp = train_pca(train, 16)
     proj = project_pca(train, mean, comp)
-    res = pca_knn(test, proj, train, mean, comp, k, candidate_factor=2)
+    res = pca_knn(test, proj, mean, comp, k, candidate_factor=2)
     rows = res.collect()
     got = {(r["qid"], r["id"]) for r in rows}
     assert len(got & exact) / len(exact) >= 0.99
@@ -312,6 +312,6 @@ def test_pca_route_flat_spectrum_floor(spark):
     proj = project_pca(train, mean, comp)
     got = {
         (r["qid"], r["id"])
-        for r in pca_knn(test, proj, train, mean, comp, k, candidate_factor=4).collect()
+        for r in pca_knn(test, proj, mean, comp, k, candidate_factor=4).collect()
     }
     assert len(got & exact) / len(exact) >= 0.7

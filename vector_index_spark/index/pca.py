@@ -10,14 +10,18 @@ Ge et al., CVPR'13). On embedding corpora with decaying spectra the
 reduced space carries most of the variance, so small candidate factors
 recover exact top-k; recall is gated in tests, not assumed.
 
-Spark shape mirrors index.sq: training is a bounded driver-side sample
-(covariance eigendecomposition of a d x d matrix — d is the embedding
-dimension, so this is kilobytes); projection streams through
-Arrow-batched ``mapInPandas``; the query scan GEMMs each corpus
-partition against the broadcast projected queries and keeps
-``candidate_factor * k`` per (query, partition); final candidates
-re-rank with exact float64 distance on the raw vectors. The corpus
-never shuffles.
+Spark shape: training is a bounded driver-side sample (covariance
+eigendecomposition of a d x d matrix — d is the embedding dimension, so
+kilobytes); projection streams through Arrow-batched ``mapInPandas`` and
+KEEPS the raw vector next to the reduced one (DiskANN-style
+co-location: the refine data lives with the filter data, so the refine
+step never joins). The query scan per Arrow batch: reduced-space GEMM
+-> per-query ``candidate_factor * k`` shortlist -> exact full-dim GEMM
+on only the shortlisted rows -> per-query top-k BY EXACT DISTANCE.
+Only k exact rows per (query, partition) reach the single global window
+merge — the same O(Q * k * partitions) shuffle volume as
+operators.knn_fast, independent of corpus size, with the full-dim GEMM
+shrunk to the shortlist. The corpus never shuffles.
 """
 
 from __future__ import annotations
@@ -28,8 +32,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from vector_index_spark.functions.distance import l2sq_arrow
 
 
 def train_pca(
@@ -66,8 +68,8 @@ def project_pca(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Project every vector to the PCA subspace. Returns
-    (id, pvec array<double>) — ``dim_out`` doubles per row."""
+    """Project every vector to the PCA subspace, keeping the raw vector
+    co-located for scan-side refine. Returns (id, vec, pvec)."""
     bc = df.sparkSession.sparkContext.broadcast((mean, components))
 
     def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,72 +80,79 @@ def project_pca(
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             P = (X - b_mean[None, :]) @ b_comp.T
             yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "pvec": list(P)}
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "vec": list(X),
+                    "pvec": list(P),
+                }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(proj, "id long, pvec array<double>")
+    return df.select(id_col, vec_col).mapInPandas(
+        proj, "id long, vec array<double>, pvec array<double>"
+    )
 
 
 def pca_knn(
     test: DataFrame,
     projected: DataFrame,
-    train: DataFrame,
     mean: np.ndarray,
     components: np.ndarray,
     k: int,
     candidate_factor: int = 4,
     qid_col: str = "qid",
-    id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Reduced-space shortlist + exact re-rank. Returns
-    (qid, rank, id, dist) with exact float64 distances."""
+    """Reduced-space shortlist + scan-side exact refine. Returns
+    (qid, rank, id, dist) with exact float64 distances (GEMM
+    accumulation — see knn_fast's numerical note)."""
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
     qids = t["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(t["vec"].to_numpy()).astype(np.float64)
+    qsq = (Q * Q).sum(axis=1)
     PQ_ = (Q - mean[None, :]) @ components.T
     pqsq = (PQ_ * PQ_).sum(axis=1)
-    bc = spark.sparkContext.broadcast((qids, PQ_, pqsq))
+    bc = spark.sparkContext.broadcast((qids, Q, qsq, PQ_, pqsq))
     ncand = candidate_factor * k
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_Q, b_qsq = bc.value
+        b_qids, b_Q, b_qsq, b_PQ, b_pqsq = bc.value
+        nq = len(b_qids)
+        qcols = np.arange(nq)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf["pvec"].to_numpy())
+            P = np.stack(pdf["pvec"].to_numpy())
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            xsq = (X * X).sum(axis=1)
-            D = xsq[:, None] + b_qsq[None, :] - 2.0 * (X @ b_Q.T)
+            psq = (P * P).sum(axis=1)
+            # filter: reduced-space distances, (batch, Q) in one GEMM
+            D = psq[:, None] + b_pqsq[None, :] - 2.0 * (P @ b_PQ.T)
             kk = min(ncand, len(ids))
-            part = np.argpartition(D, kk - 1, axis=0)[:kk]
-            sel = part.T.reshape(-1)
+            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+            # refine: exact full-dim distances on only the shortlisted rows
+            uniq = np.unique(part)
+            Xc = np.stack(pdf["vec"].to_numpy()[uniq])
+            E = (Xc * Xc).sum(1)[:, None] + b_qsq[None, :] - 2.0 * (Xc @ b_Q.T)
+            np.maximum(E, 0.0, out=E)
+            pos = np.empty(len(ids), dtype=np.int64)
+            pos[uniq] = np.arange(len(uniq))
+            Ecand = E[pos[part], qcols[None, :]]  # (kk, Q) exact, per-query cands
+            kf = min(k, kk)
+            sel = np.argpartition(Ecand, kf - 1, axis=0)[:kf]  # (kf, Q)
+            rows = part[sel, qcols[None, :]]
+            dist = Ecand[sel, qcols[None, :]]
             yield pd.DataFrame(
-                {"qid": np.repeat(b_qids, kk), "id": ids[sel]}
+                {
+                    "qid": np.repeat(b_qids, kf),
+                    "id": ids[rows.T.reshape(-1)],
+                    "dist": dist.T.reshape(-1),
+                }
             )
 
-    cands = projected.mapInPandas(scan, "qid long, id long").dropDuplicates(
-        ["qid", "id"]
-    )
-    rescored = (
-        cands.join(
-            train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")), "id"
-        )
-        .join(
-            F.broadcast(
-                test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("__qv"))
-            ),
-            "qid",
-        )
-        .select(
-            "qid", "id",
-            l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist"),
-        )
-    )
+    partial = projected.mapInPandas(scan, "qid long, id long, dist double")
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        rescored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )

@@ -86,11 +86,15 @@ def connected_components(
 
     Returns (id, component) — one row per distinct vertex.
     """
+    # materialize the input once: each round references `edges` several
+    # times (symmetrize + min-join), and upstream pair generation is often
+    # expensive (LSH banding, kmeans cells) — without this the whole pair
+    # pipeline re-executes 3-4x in round 1
     edges = _canon(
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
-    )
+    ).localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -153,6 +157,9 @@ def semantic_dedup(
     assigned, _ = build_ivf(
         vin, n_centroids=n_cells, seed=seed, replicas=replicas
     )
+    # both sides of the self-join read this (and the kmeans-assignment
+    # pandas UDF upstream is the expensive part) — evaluate it once
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("va")
     )
