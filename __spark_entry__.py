@@ -1564,6 +1564,100 @@ def q83_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(lex, vec, k=10)
 
 
+def q88_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery: revenue from lines
+    whose quantity is below 20%% of that part's average quantity, per
+    brand. The per-part average is a tiny aggregate joined back into the
+    lineitem scan (Catalyst decorrelates the subquery into exactly this
+    join); at 100 TB the aggregate side is orders of magnitude smaller
+    than lineitem and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_avg = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") / 7.0), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q89_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join — lineitem (big, skewed side) against
+    orders with the key salted 8-way so a hot orderkey spreads over 8
+    partitions; result must equal the plain join (the oracle IS the plain
+    join). Revenue per order priority."""
+    from vector_index_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# maxsim pseudo-corpus: embeddings grouped 5 tokens to a doc
+# (doc = vec_id // 5); queries are docs 0, 20, 40, 60, 80.
+_MAXSIM_NDOCS = 20
+
+
+def q90_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: multi-vector docs (5
+    token embeddings each), score = sum over query tokens of the max dot
+    product over doc tokens, top-10 docs per query. Pure Catalyst:
+    broadcast query tokens, codegen dot product, two-level aggregate,
+    WindowGroupLimit."""
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("dtok"),
+        F.col("embedding").alias("vec"),
+    )
+    q = emb.filter(
+        (F.col("doc_id") % _MAXSIM_NDOCS == 0)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.col("dtok").alias("qtok"),
+        "vec",
+    )
+    d = emb.filter(F.col("doc_id") % _MAXSIM_NDOCS != 0)
+    return maxsim_retrieval(q, d, k=10)
+
+
+def q91_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct at scale — two-level aggregate: dedup
+    (day, user) pairs first (partial-aggregated map-side, so the shuffle
+    carries distinct pairs, not raw events), then count per day. The
+    single-pass countDistinct would shuffle every raw row to the day's
+    partition; this shape is how exact distinct survives skewed days at
+    100 TB. Oracle = plain COUNT(DISTINCT)."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("user_id")
+    ).distinct()
+    return (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1653,6 +1747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_semantic_dedup": q85_semantic_dedup,
         "q86_zorder_keys": q86_zorder_keys,
         "q87_pca_ann": q87_pca_ann,
+        "q88_small_qty_revenue": q88_small_qty_revenue,
+        "q89_salted_join": q89_salted_join,
+        "q90_maxsim_retrieval": q90_maxsim_retrieval,
+        "q91_distinct_users_daily": q91_distinct_users_daily,
     }
 
 
@@ -2728,5 +2826,60 @@ def oracle_sql() -> dict[str, str]:
                      AS contamination_ratio
             FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
             LEFT JOIN agg a USING (doc_id)
+        """,
+        "q88_small_qty_revenue": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice / 7.0), 4) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity < 0.2 * (
+              SELECT avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+            )
+            GROUP BY p.p_brand
+        """,
+        "q89_salted_join": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "q90_maxsim_retrieval": f"""
+            WITH toks AS (
+              SELECT vec_id // 5 AS doc_id, vec_id AS tok,
+                     embedding::DOUBLE[] AS vec
+              FROM embeddings
+            ), q AS (
+              SELECT doc_id AS qid, tok AS qtok, vec FROM toks
+              WHERE doc_id % {_MAXSIM_NDOCS} = 0
+            ), d AS (
+              SELECT doc_id, tok AS dtok, vec FROM toks
+              WHERE doc_id % {_MAXSIM_NDOCS} <> 0
+            ), best AS (
+              SELECT q.qid, d.doc_id, q.qtok,
+                     max(list_sum(list_transform(list_zip(q.vec, d.vec),
+                         p -> p[1] * p[2]))) AS best
+              FROM q CROSS JOIN d
+              GROUP BY q.qid, d.doc_id, q.qtok
+            ), scored AS (
+              SELECT qid, doc_id, round(sum(best), 6) AS score
+              FROM best GROUP BY qid, doc_id
+            ), ranked AS (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM scored
+            )
+            SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10
+        """,
+        "q91_distinct_users_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1
         """,
     }

@@ -116,3 +116,49 @@ def test_tree_merge_equals_flat(spark):
         (r.qid, r.rank, r.id) for r in knn_join(test, train, 10).collect()
     )
     assert got == want
+
+
+def test_maxsim_matches_numpy(emb):
+    """ColBERT late interaction: Spark maxsim_retrieval equals a dense
+    numpy evaluation of sum-over-qtokens of max-over-dtokens dot."""
+    import numpy as np
+
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    toks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("tok"),
+        F.col("embedding").alias("vec"),
+    )
+    q = toks.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("tok").alias("qtok"), "vec"
+    )
+    d = toks.filter(F.col("doc_id") % 20 != 0)
+    got = {
+        (r.qid, r.rank): (r.doc_id, r.score)
+        for r in maxsim_retrieval(q, d, k=5, dtok_col="tok").collect()
+    }
+
+    rows = toks.collect()
+    docs: dict[int, list] = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(np.array(r.vec, dtype=np.float64))
+    want = {}
+    for qid in sorted(docs):
+        if qid % 20 != 0:
+            continue
+        Q = np.stack(docs[qid])
+        scores = []
+        for did in sorted(docs):
+            if did % 20 == 0:
+                continue
+            D = np.stack(docs[did])
+            scores.append((-(Q @ D.T).max(axis=1).sum(), did))
+        scores.sort()
+        for rank, (neg, did) in enumerate(scores[:5], start=1):
+            want[(qid, rank)] = (did, -neg)
+    assert got.keys() == want.keys()
+    for key, (did, score) in want.items():
+        gdid, gscore = got[key]
+        assert gdid == did
+        assert abs(gscore - score) < 1e-5

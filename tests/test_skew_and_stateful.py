@@ -5,7 +5,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
-from vector_index_spark.operators.skew import salted_agg, with_salt
+from vector_index_spark.operators.skew import salted_agg, salted_join, with_salt
 from vector_index_spark.sources.loaders import read_events
 from vector_index_spark.streaming.stateful import stream_user_totals
 
@@ -48,6 +48,79 @@ def test_salt_is_deterministic(spark):
     b = sorted((r["event_id"], r["__salt"]) for r in with_salt(ev, 8).collect())
     assert a == b
     assert len({s for _, s in a}) > 1  # actually spreads
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed big side: one hot user owns half the rows
+    ev = read_events(spark, SF_CORRECT).select("event_id", "user_id", "value")
+    big = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(7)).otherwise(F.col("user_id")),
+    )
+    small = (
+        big.select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    plain = {
+        tuple(r)
+        for r in big.join(small, "user_id").select(
+            "event_id", "user_id", "user_tag"
+        ).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(big, small, on="user_id", n_salts=8)
+        .select("event_id", "user_id", "user_tag")
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # the hot key's rows must land in >1 salt bucket (row-hash salt, not
+    # key-hash) — otherwise salting buys nothing
+    ev = read_events(spark, SF_CORRECT).select("event_id").limit(200)
+    hot = ev.withColumn("k", F.lit(1))
+    from vector_index_spark.operators.skew import with_salt  # noqa: F811
+
+    n_buckets = (
+        hot.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                        for c in hot.columns
+                    ]
+                ),
+                F.lit(8),
+            ),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_salted_join_left_keeps_dangling(spark):
+    ev = read_events(spark, SF_CORRECT).select("event_id", "user_id").limit(50)
+    small = ev.filter(F.col("user_id") % 2 == 0).select("user_id").distinct() \
+        .withColumn("tag", F.lit("even"))
+    plain = {
+        tuple(r)
+        for r in ev.join(small, "user_id", "left").select(
+            "event_id", "user_id", "tag"
+        ).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(ev, small, on="user_id", n_salts=4, how="left")
+        .select("event_id", "user_id", "tag")
+        .collect()
+    }
+    assert plain == salted
 
 
 def test_stateful_stream_totals_match_batch(spark, tmp_path):

@@ -28,6 +28,45 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFram
     return df.withColumn(salt_col, F.pmod(F.xxhash64(first), F.lit(n_salts)))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big (skewed) side gets a deterministic salt,
+    the small side is replicated ``n_salts``-way, and the join key becomes
+    (key, salt) — a hot key's rows spread over ``n_salts`` partitions
+    instead of landing on one straggler task. Results are identical to
+    ``big.join(small, on, how)``.
+
+    Replication multiplies the small side by ``n_salts``, so this is for
+    small-but-not-broadcastable right sides (a broadcast join needs no
+    salting — there is no shuffle to skew). Supports inner and left joins
+    (the salted right side would duplicate right-outer dangling rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # salt from a whole-row hash, NOT the key: a key-derived salt would
+    # send every row of a hot key to the same sub-key again. Row-hash is
+    # deterministic (retry-safe) and spreads a hot key's rows because the
+    # non-key columns differ.
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                         for c in big.columns]),
+            F.lit(n_salts),
+        ),
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = salted.join(replicated, [on, "__salt"], how)
+    return joined.drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
