@@ -123,3 +123,42 @@ def test_hamming_plan_stays_integer_codegen(spark):
     # broadcast the query side; no Python in the distance path
     assert "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_maxsim_plan_broadcasts_queries_with_partial_agg(spark):
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    toks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("dtok"),
+        F.col("embedding").alias("vec"),
+    )
+    q = toks.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("dtok").alias("qtok"), "vec"
+    )
+    d = toks.filter(F.col("doc_id") % 20 != 0)
+    plan = _plan(maxsim_retrieval(q, d, 10))
+    # query token set broadcasts; dot product stays in codegen (no Python)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the per-(qid,doc,qtoken) max partial-aggregates map-side: below
+    # (string-after, since plans print top-down) the last shuffle exchange
+    below_last_exchange = plan.rsplit("Exchange hashpartitioning", 1)[-1]
+    assert "partial_max" in below_last_exchange, plan
+    assert "BroadcastNestedLoopJoin" in below_last_exchange, plan
+
+
+def test_salted_join_no_python_and_joins_on_salt(spark):
+    from vector_index_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plan = _plan(salted_join(li, o, on="l_orderkey", n_salts=8))
+    # the join key must include the salt so the hot key spreads
+    assert "__salt" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

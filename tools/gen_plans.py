@@ -87,6 +87,27 @@ def main() -> None:
             plan(hamming_knn(test, train, 10, dim=64)),
         ),
     ]
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    toks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("dtok"),
+        F.col("embedding").alias("vec"),
+    )
+    qtoks = toks.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("dtok").alias("qtok"), "vec"
+    )
+    sections += [
+        (
+            "Maxsim late interaction: query tokens broadcast, per-(query,doc,"
+            "qtoken) max partial-aggregated map-side, WindowGroupLimit top-k",
+            plan(
+                maxsim_retrieval(
+                    qtoks, toks.filter(F.col("doc_id") % 20 != 0), 10
+                )
+            ),
+        ),
+    ]
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",

@@ -147,7 +147,6 @@ def semantic_dedup(
     gated in tests (kmeans is not SQL-expressible → rows-only contract
     check).
     """
-    from vector_index_spark.functions.distance import cos_dist
     from vector_index_spark.index.ivf import build_ivf
 
     vin = vectors.select(
@@ -157,23 +156,48 @@ def semantic_dedup(
     assigned, _ = build_ivf(
         vin, n_centroids=n_cells, seed=seed, replicas=replicas
     )
-    # both sides of the self-join read this (and the kmeans-assignment
-    # pandas UDF upstream is the expensive part) — evaluate it once
+    # the kmeans-assignment pandas UDF upstream is the expensive part and
+    # CC's first round would re-execute it several times — evaluate once
     assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select(
-        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("va")
-    )
-    b = assigned.select(
-        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vb")
-    )
+
+    # Per-cell threshold scan as ONE normalized GEMM per cell (the
+    # SemDeDup paper's within-cluster similarity matrix) instead of a
+    # pair-blowup join + per-pair interpreted cosine: the only shuffle is
+    # the groupBy on centroid_id, and the similarity matrix is computed in
+    # row blocks so task memory stays O(block x cell), not O(cell^2).
+    import numpy as np
+    import pandas as pd
+
+    thr_sim = 1.0 - cos_threshold
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        out_a, out_b = [], []
+        block = 2048
+        for lo in range(0, n, block):
+            S = Vn[lo : lo + block] @ Vn.T  # (block, n)
+            rows, cols = np.nonzero(S >= thr_sim)
+            ra = ids[rows + lo]
+            rb = ids[cols]
+            keep = ra < rb
+            out_a.append(ra[keep])
+            out_b.append(rb[keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
     pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        assigned.groupBy("centroid_id")
+        .applyInPandas(cell_pairs, "id_a long, id_b long")
         # replicas make the same pair meet in up to `replicas` cells
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("dist", cos_dist(F.col("va"), F.col("vb")))
-        .filter(F.col("dist") <= cos_threshold)
-        .select("id_a", "id_b")
     )
     return near_dup_clusters(vin.select(F.col("id").alias(id_col)), pairs, id_col=id_col)
 
