@@ -1658,6 +1658,26 @@ def q91_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface — props JSON parsed to map<string,bigint> with
+    from_json, exploded to (key, value) rows, aggregated per (event_type,
+    key). Generate + partial aggregate, no pre-agg shuffle of raw rows."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "v"
+        ),
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("total"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1751,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
+        "q92_props_map_stats": q92_props_map_stats,
     }
 
 
@@ -2881,5 +2902,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1
+        """,
+        "q92_props_map_stats": """
+            WITH kv AS (
+              SELECT event_type,
+                     unnest(json_keys(props)) AS prop_key,
+                     CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+                          AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type, prop_key, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS total,
+                   round(avg(v), 6) AS avg_v
+            FROM kv GROUP BY 1, 2
         """,
     }

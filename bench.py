@@ -129,6 +129,25 @@ def main() -> None:
         ).count(),
     )
 
+    # ColBERT-style maxsim late interaction: 5-token pseudo-docs from the
+    # embedding table, sum-of-max dot scoring, top-10 per query
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    toks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("dtok"),
+        F.col("embedding").alias("vec"),
+    )
+    mq = toks.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("dtok").alias("qtok"), "vec"
+    )
+    timed(
+        "maxsim_topk",
+        lambda: maxsim_retrieval(
+            mq, toks.filter(F.col("doc_id") % 20 != 0), 10
+        ).count(),
+    )
+
     # LSH approximate route — the engine's native E2LSH (banded bucket
     # join + multi-probe + exact Arrow re-rank). The MLlib
     # BucketedRandomProjectionLSH compatibility path is ~10x slower at

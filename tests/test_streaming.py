@@ -235,3 +235,56 @@ def test_stream_index_ingest_equals_batch_build(spark, tmp_path):
     )
     hits = graph_ann_query(vectors, edges, queries, 5, 32).collect()
     assert len(hits) == 5
+
+
+def test_parquet_replay_stream_source_drains_to_batch(spark, tmp_path):
+    """Custom Python streaming source: events replayed in 2k-row
+    micro-batches through a windowed aggregate must equal the batch
+    result (same oracle-checked hourly stats shape)."""
+    import uuid as _uuid
+
+    from vector_index_spark.sources.replay_stream import ParquetReplayDataSource
+    from vector_index_spark.streaming.events import hourly_event_stats
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{SF_CORRECT}/events.parquet")
+        .option("batchRows", "2000")
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink = f"replay_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (str(r.window_start), r.event_type, r.n_events, r.value_sum)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    )
+    want = sorted(
+        (str(r.window_start), r.event_type, r.n_events, r.value_sum)
+        for r in hourly_event_stats(read_events(spark, SF_CORRECT)).collect()
+    )
+    assert got == want
