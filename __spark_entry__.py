@@ -1678,6 +1678,34 @@ def q92_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (top-3 terms by tf * ln(N/df)). The
+    postings build is the only corpus shuffle; per-term df broadcasts
+    back; per-doc top-n is a map-side-partial WindowGroupLimit."""
+    from vector_index_spark.operators.bm25 import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), top_n=3)
+
+
+def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the 'new crawl' (doc_id % 7 == 0) deduped
+    against the existing corpus's persisted MinHash band table without
+    re-banding the corpus. Must equal the full-corpus pipeline's pairs
+    restricted to pairs touching a new doc — the oracle runs the full
+    pipeline and restricts."""
+    from vector_index_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_relations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 7 == 0)
+    ex_toks, ex_bands = minhash_relations(existing)
+    res = incremental_minhash_dedup(ex_toks, ex_bands, new)
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1772,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
         "q92_props_map_stats": q92_props_map_stats,
+        "q93_tfidf_keywords": q93_tfidf_keywords,
+        "q94_incremental_dedup": q94_incremental_dedup,
     }
 
 
@@ -2915,5 +2945,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS total,
                    round(avg(v), 6) AS avg_v
             FROM kv GROUP BY 1, 2
+        """,
+        "q93_tfidf_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT t.doc_id, t.term,
+                     round(t.tf * ln(n.n_docs * 1.0 / d.df_t), 6) AS score
+              FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+        """,
+        "q94_incremental_dedup": f"""
+            WITH {_MINHASH_CTES_SQL}
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM pairs
+            WHERE jaccard >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
         """,
     }

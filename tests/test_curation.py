@@ -77,3 +77,44 @@ def test_duplicate_span_removal_semantics(spark):
     assert out[3]["n_removed"] == 0
     assert out[3]["clean_text"] == "completely different words here only once ever said"
     assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0
+
+
+def test_incremental_minhash_dedup_round_trips_band_table(spark, tmp_path):
+    """The persisted band/shingle relations reload and the incremental
+    pass over a new batch equals the full-pipeline pairs restricted to
+    pairs touching a new doc."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_near_dup,
+        minhash_relations,
+    )
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    existing = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 7 == 0)
+
+    ex_toks, ex_bands = minhash_relations(existing)
+    toks_path, bands_path = str(tmp_path / "toks"), str(tmp_path / "bands")
+    ex_toks.write.parquet(toks_path)
+    # band table partitioned by band: an incremental probe prunes to the
+    # band partitions it actually hits
+    ex_bands.write.partitionBy("band").parquet(bands_path)
+
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in incremental_minhash_dedup(
+            spark.read.parquet(toks_path),
+            spark.read.parquet(bands_path),
+            new,
+        ).collect()
+    )
+    full = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_near_dup(d).collect()
+        if r.id_a % 7 == 0 or r.id_b % 7 == 0
+    )
+    assert got == full
+    assert len(got) > 0  # fixture actually contains cross-batch dups

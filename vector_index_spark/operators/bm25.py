@@ -138,3 +138,38 @@ def hybrid_search(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "rrf_score")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: score = tf * ln(N/df),
+    top ``top_n`` terms per doc by (score desc, term asc).
+
+    Plan shape: the postings build is the only corpus shuffle; the tiny
+    per-term df relation broadcasts back onto postings, and the per-doc
+    top-n is a WindowGroupLimit partitioned on doc_id — partial top-n
+    runs map-side, so the final shuffle carries <= top_n rows per doc.
+    Returns (doc_id, rank, term, score), score rounded to 6 decimals.
+    """
+    postings, stats = bm25_postings(df, text_col=text_col, id_col=id_col)
+    scored = postings.join(
+        F.broadcast(stats.select("term", "df_t", "n_docs")), "term"
+    ).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "score")
+    )

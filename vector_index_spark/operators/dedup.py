@@ -75,22 +75,21 @@ def fingerprint_dedup(
     ).select("keep_id", "fp", "n_dups")
 
 
-def minhash_near_dup(
+def minhash_relations(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+) -> tuple[DataFrame, DataFrame]:
+    """The two MinHash index relations:
+    ``toks (id, shingles)`` and ``banded (id, band, band_hash)``.
 
-    Pipeline: k-word shingles -> ``num_hashes`` seeded min-hashes ->
-    ``bands`` bands of ``num_hashes/bands`` rows -> docs sharing any full
-    band become candidates -> exact shingle-Jaccard filter.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    ``banded`` is the persistable LSH index — write it partitioned by
+    ``band`` and an incremental crawl only joins its new docs' bands
+    against it (see ``incremental_minhash_dedup``). The shingle relation
+    is needed only to verify candidates with exact Jaccard.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -133,7 +132,91 @@ def minhash_near_dup(
             )
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
+    return toks, banded
 
+
+def incremental_minhash_dedup(
+    existing_toks: DataFrame,
+    existing_bands: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for an incremental batch against an EXISTING corpus
+    (the incremental-crawl pattern: dedup each new crawl against
+    everything already kept without re-banding the whole corpus).
+
+    ``existing_toks``/``existing_bands`` are persisted
+    ``minhash_relations`` outputs (bands partitioned by ``band`` so the
+    probe join prunes). Candidates = new-vs-existing plus new-vs-new
+    band collisions; the existing-vs-existing quadrant — by far the
+    largest at 100 TB — is never recomputed. Verification joins shingles
+    for candidate ids only.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    where at least one side is a new doc — identical to what a full
+    ``minhash_near_dup`` over (existing + new) would emit for those
+    pairs, which is the oracle contract (q94).
+    """
+    new_toks, new_bands = minhash_relations(
+        new_docs, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    all_bands = existing_bands.unionByName(new_bands)
+    cands = (
+        new_bands.alias("a")
+        .join(all_bands.alias("b"), ["band", "band_hash"])
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_toks = existing_toks.unionByName(new_toks)
+    pairs = (
+        cands.join(
+            all_toks.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            all_toks.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: k-word shingles -> ``num_hashes`` seeded min-hashes ->
+    ``bands`` bands of ``num_hashes/bands`` rows -> docs sharing any full
+    band become candidates -> exact shingle-Jaccard filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    toks, banded = minhash_relations(
+        df, text_col, id_col, shingle_k, num_hashes, bands
+    )
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_hash"])
