@@ -1706,6 +1706,14 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q95_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (KenLM-filter analogue): add-one-smoothed
+    corpus bigram model, per-doc mean log-probability."""
+    from vector_index_spark.operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1802,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_props_map_stats": q92_props_map_stats,
         "q93_tfidf_keywords": q93_tfidf_keywords,
         "q94_incremental_dedup": q94_incremental_dedup,
+        "q95_bigram_lm_score": q95_bigram_lm_score,
     }
 
 
@@ -2974,5 +2983,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM pairs
             WHERE jaccard >= 0.5 AND (id_a % 7 = 0 OR id_b % 7 = 0)
+        """,
+        "q95_bigram_lm_score": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(t="text")} AS ws FROM documents
+            ), bigrams AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+              WHERE len(ws) >= 2
+            ), unigrams AS (
+              SELECT doc_id, unnest(ws) AS w1 FROM toks
+            ), c2 AS (
+              SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, count(*) AS c1 FROM unigrams GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT w1) AS v FROM unigrams
+            ), scored AS (
+              SELECT b.doc_id,
+                     ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+              FROM bigrams b
+              JOIN c2 USING (w1, w2)
+              JOIN c1 USING (w1)
+              CROSS JOIN v
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM scored GROUP BY doc_id
         """,
     }

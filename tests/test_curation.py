@@ -118,3 +118,16 @@ def test_incremental_minhash_dedup_round_trips_band_table(spark, tmp_path):
     )
     assert got == full
     assert len(got) > 0  # fixture actually contains cross-batch dups
+
+
+def test_bigram_lm_flags_gibberish(spark):
+    """A doc of corpus-frequent phrasing must out-score a doc of tokens
+    that never repeat (every bigram novel -> only smoothing mass)."""
+    from vector_index_spark.operators.textstats import bigram_lm_score
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((100, "zq xv jk wp mn bt cd fg hl rs"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.avg_logprob for r in bigram_lm_score(df).collect()}
+    assert scores[100] < scores[0]
+    assert all(scores[i] == scores[0] for i in range(10))

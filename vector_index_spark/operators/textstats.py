@@ -262,3 +262,70 @@ def c4_clean(
         doc_ok.alias("keep"),
         F.when(doc_ok, F.array_join(kept, "\n")).otherwise("").alias("clean_text"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    relational analogue of the KenLM perplexity quality filter
+    (CCNet-style): low average log-probability flags boilerplate and
+    gibberish against the corpus's own token distribution.
+
+    Model: P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V), add-one smoothed,
+    where counts come from the SAME corpus (self-scoring, the usual
+    first pass before an external LM exists). Score = mean ln P over the
+    doc's bigrams; docs with no bigram are dropped.
+
+    Plan shape at 100 TB: the bigram explode is a Generate (no shuffle);
+    the count tables shuffle once on their keys; scoring joins doc
+    bigrams to the count tables on the bigram/unigram keys — shuffle
+    joins on uniformly-hashed token keys, AQE splitting the stopword
+    bigrams' skew. No driver state, no vocabulary collect.
+
+    Returns (doc_id, n_bigrams, avg_logprob) — logprob rounded to 6.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("ws"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at("ws", i + 1).alias("w1"),
+                        F.element_at("ws", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    unigrams = toks.select("doc_id", F.explode("ws").alias("w1"))
+
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = unigrams.select("w1").distinct().count()
+
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(v)))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
