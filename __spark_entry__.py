@@ -1714,6 +1714,21 @@ def q95_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q96_rpt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection-tree ANN route (rpTree / Annoy single-tree core):
+    depth-3 median-split tree, best-first multi-probe over 4 of 8 leaves,
+    exact L2 within probed leaves. Rows-only (recall gated in
+    test_ann_routes)."""
+    from vector_index_spark.index.rpt import assign_rpt, rpt_knn, train_rpt
+
+    train = _train(spark, sf_dir)
+    test = _test(spark, sf_dir)
+    W, T = train_rpt(train, depth=3, seed=7)
+    assigned = assign_rpt(train, W, T)
+    res = rpt_knn(test, assigned, W, T, K, probes=4)
+    return res.select("qid", "rank", "id", F.round("dist", 6).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1811,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_tfidf_keywords": q93_tfidf_keywords,
         "q94_incremental_dedup": q94_incremental_dedup,
         "q95_bigram_lm_score": q95_bigram_lm_score,
+        "q96_rpt_ann": q96_rpt_ann,
     }
 
 

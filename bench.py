@@ -272,6 +272,16 @@ def main() -> None:
     )
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
+    # RP-tree route at the 62k corpus (fit + assign + multi-probe query)
+    def rpt_big():
+        from vector_index_spark.index.rpt import assign_rpt, rpt_knn, train_rpt
+
+        W, T = train_rpt(big_train, depth=5, seed=7)
+        assigned = assign_rpt(big_train, W, T)
+        rpt_knn(big_test, assigned, W, T, K, probes=8).count()
+
+    timed(f"rpt_build_query_k100_{n_big // 1000}k", rpt_big)
+
     # PCA filter-and-refine at the same 62k corpus (train + project +
     # reduced-space shortlist + exact re-rank)
     def pca_big():

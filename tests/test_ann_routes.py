@@ -315,3 +315,63 @@ def test_pca_route_flat_spectrum_floor(spark):
         for r in pca_knn(test, proj, mean, comp, k, candidate_factor=4).collect()
     }
     assert len(got & exact) / len(exact) >= 0.7
+
+
+def test_rpt_route_recall_on_clustered_data(spark):
+    """RP-tree route: on clustered data (the regime tree indexes serve)
+    a depth-4 tree probing 8 of 16 leaves must recover >= 0.95 of the
+    exact top-10, with exact distances on every returned pair."""
+    import numpy as np
+
+    from vector_index_spark.index.rpt import assign_rpt, rpt_knn, train_rpt
+    from vector_index_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    d, n_clusters = 32, 20
+    centers = rng.standard_normal((n_clusters, d)) * 4.0
+    X = np.concatenate(
+        [centers[i] + rng.standard_normal((100, d)) for i in range(n_clusters)]
+    )
+    Qm = centers[rng.integers(0, n_clusters, 60)] + rng.standard_normal((60, d))
+    train = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vec array<double>",
+    )
+    test = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qm[i]]) for i in range(len(Qm))],
+        "qid long, vec array<double>",
+    )
+    k = 10
+    exact = {(r["qid"], r["id"]): r["dist"] for r in knn_join(test, train, k).collect()}
+    W, T = train_rpt(train, depth=4, seed=7)
+    assigned = assign_rpt(train, W, T)
+    rows = rpt_knn(test, assigned, W, T, k, probes=8).collect()
+    got = {(r["qid"], r["id"]) for r in rows}
+    assert len(got & exact.keys()) / len(exact) >= 0.95
+    for r in rows:
+        if (r["qid"], r["id"]) in exact:
+            assert abs(r["dist"] - exact[(r["qid"], r["id"])]) < 1e-9
+
+
+def test_rpt_leaves_are_balanced_and_deterministic(spark):
+    """Median splits must give near-equal leaf sizes (the skew-free
+    layout property) and the fit must be deterministic."""
+    import numpy as np
+
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    W1, T1 = train_rpt(train, depth=3, seed=9)
+    W2, T2 = train_rpt(train, depth=3, seed=9)
+    assert np.array_equal(W1, W2) and np.array_equal(T1, T2)
+    sizes = {
+        r["leaf"]: r["n"]
+        for r in assign_rpt(train, W1, T1).groupBy("leaf").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_total = sum(sizes.values())
+    assert len(sizes) == 8
+    # balanced: every leaf within 2x of the ideal eighth
+    assert max(sizes.values()) <= 2 * (n_total / 8)

@@ -1,0 +1,174 @@
+"""Random-projection-tree ANN route (rpTree, Dasgupta & Freund STOC'08;
+the single-tree core of Annoy-style indexes).
+
+The missing family next to graph (index.graph), LSH (index.lsh),
+IVF/IVF-PQ (index.ivf/ivfpq), PQ/SQ (index.pq/sq) and PCA (index.pca):
+a balanced spatial TREE. Internal node i (heap order, children 2i+1 and
+2i+2) splits on a seeded Gaussian direction at the node sample's median
+projection, so leaves hold ~equal row counts by construction — the
+partitioning is skew-free without any AQE help, which is the property
+that makes tree routes attractive as a Parquet layout key.
+
+Spark shape mirrors index.ivf: the tree (a (2^depth-1) x d matrix + a
+threshold vector, kilobytes) fits on a bounded driver sample; corpus
+assignment is one Arrow-batched matrix walk emitting a ``leaf`` column
+(persist partitioned by leaf for partition-pruned probing); queries
+compute their probe-leaf sets driver-side (query sets are small —
+the same assumption as the PCA/GEMM routes), join against only the
+probed leaves, score with the Arrow L2 kernel, and merge with the
+standard (dist, id) window. Multi-probe = flip the ``probes-1``
+smallest-|margin| split decisions on the root-to-leaf path and descend
+greedily below each flip — the spill heuristic that recovers
+near-boundary neighbors without replicating rows (contrast: IVF's
+``replicas`` duplicates storage instead; both bound the miss rate).
+
+Reference parity: the reference has exactly one index family (the
+dehnsw graph, source/dehnsw.h:25); tree routes are north-star breadth.
+Deterministic given the seed; recall-gated, not hash-matched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def train_rpt(
+    train: DataFrame,
+    depth: int = 4,
+    seed: int = 42,
+    sample_size: int = 262_144,
+    vec_col: str = "vec",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the tree on a bounded driver sample.
+
+    Returns (normals[(2^depth)-1, d] unit rows, thresholds[(2^depth)-1]).
+    Node i's split: go right iff x @ normals[i] > thresholds[i];
+    thresholds are per-node sample medians (balanced leaves).
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    sample = train.select(F.col(vec_col).alias("v")).limit(sample_size).toPandas()["v"]
+    X = np.stack(sample.to_numpy()).astype(np.float64)
+    d = X.shape[1]
+    n_nodes = (1 << depth) - 1
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((n_nodes, d))
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    T = np.zeros(n_nodes)
+    # breadth-first: node i's sample subset determines its median
+    node = np.zeros(len(X), dtype=np.int64)
+    for level in range(depth):
+        for i in range((1 << level) - 1, (1 << (level + 1)) - 1):
+            mask = node == i
+            if mask.any():
+                T[i] = np.median(X[mask] @ W[i])
+            right = mask & (X @ W[i] > T[i])
+            node[mask] = 2 * i + 1
+            node[right] = 2 * i + 2
+    return W, T
+
+
+def _leaves(X: np.ndarray, W: np.ndarray, T: np.ndarray, depth: int) -> np.ndarray:
+    node = np.zeros(len(X), dtype=np.int64)
+    for _ in range(depth):
+        go_right = (X * W[node]).sum(axis=1) > T[node]
+        node = 2 * node + 1 + go_right
+    return node - ((1 << depth) - 1)  # heap index -> leaf ordinal
+
+
+def assign_rpt(
+    df: DataFrame,
+    normals: np.ndarray,
+    thresholds: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Walk every corpus vector to its leaf. Returns (leaf, id, vec);
+    persist partitioned by ``leaf`` for partition-pruned probing."""
+    depth = int(np.log2(len(normals) + 1))
+    bc = df.sparkSession.sparkContext.broadcast((normals, thresholds, depth))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _leaf(v):
+        import pandas as pd
+
+        W, T, D = bc.value
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(_leaves(X, W, T, D))
+
+    return df.select(
+        _leaf(F.col(vec_col)).alias("leaf"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+
+
+def _probe_leaves(
+    q: np.ndarray, W: np.ndarray, T: np.ndarray, depth: int, probes: int
+) -> list[int]:
+    """Best-first multi-probe (the Annoy priority search): expand tree
+    nodes in increasing total anti-greedy margin cost, yielding the
+    ``probes`` leaves cheapest to reach — every flip COMBINATION is
+    reachable, not just single flips, so probes can usefully grow to the
+    full leaf count."""
+    import heapq
+
+    first = 1 << depth
+    heap = [(0.0, 0)]
+    leaves: list[int] = []
+    while heap and len(leaves) < probes:
+        cost, node = heapq.heappop(heap)
+        if node >= first - 1:
+            leaves.append(node - (first - 1))
+            continue
+        m = q @ W[node] - T[node]
+        near = 2 * node + 1 + (m > 0)
+        far = 2 * node + 1 + (m <= 0)
+        heapq.heappush(heap, (cost, near))
+        heapq.heappush(heap, (cost + abs(m), far))
+    return leaves
+
+
+def rpt_knn(
+    test: DataFrame,
+    assigned: DataFrame,
+    normals: np.ndarray,
+    thresholds: np.ndarray,
+    k: int,
+    probes: int = 4,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate top-k via the tree: exact L2 over the ``probes`` probed
+    leaves per query only. Returns (qid, rank, id, dist) — distances are
+    exact for every returned candidate (misses only, no false scores)."""
+    spark = test.sparkSession
+    depth = int(np.log2(len(normals) + 1))
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    tp = t.toPandas()
+    probe_rows = []
+    for qid, vec in zip(tp["qid"], tp["vec"]):
+        q = np.asarray(vec, dtype=np.float64)
+        for leaf in set(_probe_leaves(q, normals, thresholds, depth, probes)):
+            probe_rows.append((int(qid), int(leaf)))
+    probe_df = spark.createDataFrame(probe_rows, "p_qid long, leaf long")
+
+    cands = probe_df.join(
+        F.broadcast(t).withColumnRenamed("qid", "p_qid"), "p_qid"
+    ).join(assigned.withColumnRenamed("vec", "cvec"), "leaf")
+    from vector_index_spark.functions.distance import l2sq_arrow
+
+    scored = cands.select(
+        F.col("p_qid").alias("qid"),
+        "id",
+        l2sq_arrow()(F.col("vec"), F.col("cvec")).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
