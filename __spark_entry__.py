@@ -1729,6 +1729,17 @@ def q96_rpt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "id", F.round("dist", 6).alias("dist"))
 
 
+def q97_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training: one corpus-scale word-count
+    shuffle, driver merge loop on the bounded histogram. Returns the
+    learned merge table (rank, left, right). Rows-only (hand-computed
+    merges + incremental-vs-rescan parity gated in test_bpe)."""
+    from vector_index_spark.operators.bpe import merges_df, train_bpe
+
+    merges = train_bpe(_t(spark, sf_dir, "documents"), num_merges=40, min_freq=2)
+    return merges_df(spark, merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1827,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_incremental_dedup": q94_incremental_dedup,
         "q95_bigram_lm_score": q95_bigram_lm_score,
         "q96_rpt_ann": q96_rpt_ann,
+        "q97_bpe_vocab": q97_bpe_vocab,
     }
 
 
