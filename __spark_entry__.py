@@ -1740,6 +1740,23 @@ def q97_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, merges)
 
 
+def q98_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi + anti join: definite-misses dropped
+    before the exchange, exact join removes false positives — result
+    provably equals the plain semi/anti join (the oracle)."""
+    from vector_index_spark.operators.bloom import bloom_anti_join, bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hot = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200_000)
+    semi = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+    anti = bloom_anti_join(li, hot, "l_orderkey", "o_orderkey")
+    agg = lambda df, tag: df.groupBy("l_returnflag").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    ).withColumn("side", F.lit(tag))
+    return agg(semi, "semi").unionByName(agg(anti, "anti")).orderBy("side", "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1839,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bigram_lm_score": q95_bigram_lm_score,
         "q96_rpt_ann": q96_rpt_ann,
         "q97_bpe_vocab": q97_bpe_vocab,
+        "q98_bloom_semi_join": q98_bloom_semi_join,
     }
 
 
@@ -3038,5 +3056,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS avg_logprob
             FROM scored GROUP BY doc_id
+        """,
+        "q98_bloom_semi_join": """
+            WITH hot AS (
+              SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+            ), s_agg AS (
+              SELECT l_returnflag, count(*) AS n,
+                     round(sum(l_extendedprice), 2) AS revenue,
+                     'semi' AS side
+              FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hot)
+              GROUP BY l_returnflag
+            ), a_agg AS (
+              SELECT l_returnflag, count(*) AS n,
+                     round(sum(l_extendedprice), 2) AS revenue,
+                     'anti' AS side
+              FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM hot)
+              GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, revenue, side
+            FROM (SELECT * FROM s_agg UNION ALL SELECT * FROM a_agg)
+            ORDER BY side, l_returnflag
         """,
     }
