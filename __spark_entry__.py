@@ -1757,6 +1757,18 @@ def q98_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(semi, "semi").unionByName(agg(anti, "anti")).orderBy("side", "l_returnflag")
 
 
+def q99_k_center_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point sampling) diverse-subset
+    selection: 16 centers over the embeddings table; each round is one
+    map-only codegen pass + a struct-max tree-reduce. Rows-only (numpy
+    greedy parity + cluster-coverage gated in test_diversity)."""
+    from vector_index_spark.operators.diversity import k_center_df, k_center_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return k_center_df(spark, k_center_select(df, k=16))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1857,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_rpt_ann": q96_rpt_ann,
         "q97_bpe_vocab": q97_bpe_vocab,
         "q98_bloom_semi_join": q98_bloom_semi_join,
+        "q99_k_center_select": q99_k_center_select,
     }
 
 
