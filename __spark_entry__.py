@@ -1769,6 +1769,16 @@ def q99_k_center_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_center_df(spark, k_center_select(df, k=16))
 
 
+def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (> 0.5% of the stream) via map-only
+    Misra-Gries candidates + exact candidate-only recount — no groupBy
+    over the full key space; guarantee makes the result EXACT, so the
+    oracle is a plain GROUP BY ... HAVING."""
+    from vector_index_spark.operators.heavy import heavy_tokens
+
+    return heavy_tokens(_t(spark, sf_dir, "documents"), 0.005)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1870,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_bpe_vocab": q97_bpe_vocab,
         "q98_bloom_semi_join": q98_bloom_semi_join,
         "q99_k_center_select": q99_k_center_select,
+        "q100_heavy_hitters": q100_heavy_hitters,
     }
 
 
@@ -3089,5 +3100,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, n, revenue, side
             FROM (SELECT * FROM s_agg UNION ALL SELECT * FROM a_agg)
             ORDER BY side, l_returnflag
+        """,
+        "q100_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS_SQL.format(t="text")}) AS token FROM documents
+            ), n AS (SELECT count(*) AS n FROM toks)
+            SELECT token, count(*) AS cnt FROM toks, n
+            GROUP BY token, n.n HAVING count(*) > 0.005 * n.n
         """,
     }

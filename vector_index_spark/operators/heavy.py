@@ -1,0 +1,98 @@
+"""Exact heavy hitters at scale: Misra-Gries candidate pass + exact
+recount of the candidates only — the two-pass pattern that finds every
+token/key with frequency above a threshold WITHOUT a corpus-wide
+groupBy on the (huge, Zipf-skewed) key space.
+
+Why not one groupBy? At 100 TB the token relation has billions of
+distinct keys; a full count shuffles all of them to find the few
+thousand frequent ones. Here:
+
+- Pass 1 (map-only, zero shuffle): each partition maintains a
+  Misra-Gries summary of capacity c over its token stream and emits at
+  most c (token, est) rows. The merged summaries' pointwise-sum
+  estimate undercounts any token by at most n/(c+1) total (Agarwal et
+  al. 2013 mergeability), so every token with true count > n/(c+1) is
+  GUARANTEED to appear in some summary. Driver merge is bounded:
+  partitions x c rows.
+- Pass 2 (one broadcast semi join + a candidate-only groupBy): exact
+  counts for the candidate set only — thousands of keys shuffle, not
+  billions. Output = exactly the tokens with count > threshold, with
+  exact counts (no sketch error survives), provided
+  threshold >= n/(c+1), which the operator enforces by sizing c from
+  the requested threshold fraction.
+
+This complements the approx sketches (q41 HLL, q49 approx_percentile):
+same one-pass-summary machinery, but with an exactness guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_index_spark.functions.text import tokens
+
+
+def _mg_summaries(items: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``capacity`` rows
+    (item, est) per partition, est undercounting by <= n_p/(capacity+1)."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["item"]:
+                if w in counts:
+                    counts[w] += 1
+                elif len(counts) < capacity:
+                    counts[w] = 1
+                else:
+                    dead = [k for k in counts if counts[k] == 1]
+                    for k in counts:
+                        counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts.keys()), "est": list(counts.values())}
+            )
+
+    return items.mapInPandas(summarize, "item string, est long")
+
+
+def heavy_hitters(
+    items: DataFrame,
+    threshold_frac: float,
+    item_col: str = "item",
+    slack: int = 4,
+) -> DataFrame:
+    """Exact (item, cnt) for every item with cnt > threshold_frac * n.
+
+    Capacity is sized ``slack / threshold_frac`` so the Misra-Gries
+    guarantee (no miss above n/(c+1)) holds with margin; pass 2 makes
+    counts exact and drops sub-threshold candidates."""
+    if not 0.0 < threshold_frac < 1.0:
+        raise ValueError(f"threshold_frac must be in (0,1), got {threshold_frac}")
+    capacity = max(int(slack / threshold_frac), 8)
+    src = items.select(F.col(item_col).alias("item"))
+    cand = _mg_summaries(src, capacity).select("item").distinct()
+    n = src.count()
+    thresh = threshold_frac * n
+    return (
+        src.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(thresh))
+    )
+
+
+def heavy_tokens(
+    docs: DataFrame, threshold_frac: float, text_col: str = "text"
+) -> DataFrame:
+    """Heavy hitters over the tokenized corpus: exact (token, cnt) for
+    tokens above the frequency threshold."""
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("item"))
+    return heavy_hitters(toks, threshold_frac).select(
+        F.col("item").alias("token"), "cnt"
+    )
