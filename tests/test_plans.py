@@ -162,3 +162,31 @@ def test_salted_join_no_python_and_joins_on_salt(spark):
     # the join key must include the salt so the hot key spreads
     assert "__salt" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key with equal bucket counts:
+    the join must read bucket-aligned with NO Exchange anywhere (and,
+    with sorted buckets, no extra Sort for the merge join) — the
+    write-once-join-many layout for 100 TB fact tables."""
+    from vector_index_spark.operators.layout import bucketed_join, write_bucketed
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    write_bucketed(li, "t_li_bucketed", "okey", 8)
+    write_bucketed(o, "t_o_bucketed", "okey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_li_bucketed", "t_o_bucketed", "okey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # identical result to the plain (shuffled) join
+        assert joined.count() == li.join(o, "okey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

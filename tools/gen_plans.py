@@ -108,6 +108,26 @@ def main() -> None:
             ),
         ),
     ]
+    from vector_index_spark.operators.layout import bucketed_join, write_bucketed
+
+    write_bucketed(
+        li.select(F.col("l_orderkey").alias("okey"), "l_extendedprice"),
+        "t_li_bucketed", "okey", 8,
+    )
+    write_bucketed(
+        o.select(F.col("o_orderkey").alias("okey"), "o_orderpriority"),
+        "t_o_bucketed", "okey", 8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections += [
+        (
+            "Bucketed co-located join: both sides bucketed by the key -> "
+            "SortMergeJoin with ZERO Exchange (write-once, join-many)",
+            plan(bucketed_join(spark, "t_li_bucketed", "t_o_bucketed", "okey")),
+        ),
+    ]
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",

@@ -25,6 +25,9 @@ layout, dehnsw.h:666-844); this is engine-side scale work per SURVEY
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +96,42 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sorted_by: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket sorted)
+    Parquet table — the storage-side half of the zero-shuffle join.
+
+    At 100 TB this is THE join strategy for repeatedly-joined fact
+    tables: both sides bucketed by the join key with the same bucket
+    count join with NO Exchange at read time (Spark trusts the on-disk
+    hash distribution), and with ``sorted_by`` the sort-merge join's
+    Sort can be satisfied per-bucket too. One shuffle at WRITE time
+    amortizes over every future join/aggregate on that key. Bucket
+    count rule of thumb: total_size / num_buckets ~ 128-512 MB.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a leftover managed-table directory from a previous session blocks
+    # saveAsTable even after the catalog entry is gone
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sorted_by:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, table_a: str, table_b: str, key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With both
+    sides bucketed (write_bucketed, equal bucket counts) the physical
+    plan contains no Exchange — asserted in test_plans."""
+    return spark.table(table_a).join(spark.table(table_b), key, how)
