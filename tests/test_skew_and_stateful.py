@@ -152,3 +152,40 @@ def test_stateful_stream_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_topk_matches_batch(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from vector_index_spark.streaming.stateful import stream_topk_by_key
+
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "src_twk")
+    ev.write.parquet(src)
+    out = stream_topk_by_key(spark, src, EVENT_SCHEMA, k=3)
+    sink = f"s{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_twk"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.rank, r.user_id, r.total)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id")
+    )
+    want = {
+        (r.event_type, r.rank, r.user_id, r.total)
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("total"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want
