@@ -1779,6 +1779,25 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_tokens(_t(spark, sf_dir, "documents"), 0.005)
 
 
+def q101_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (CCNet recipe): Gopher-rule weak
+    labels -> hashed unigram+bigram logistic regression (MLlib, treeAggregate
+    training, map-only scoring) -> per-doc quality probability. Rows-only
+    (L-BFGS fit isn't SQL-expressible; planted-signal separation and
+    filter behavior gated in test_classifier)."""
+    from vector_index_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        weak_quality_labels(docs), num_features=1 << 15, max_iter=15
+    )
+    return score_quality(model, docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1881,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_bloom_semi_join": q98_bloom_semi_join,
         "q99_k_center_select": q99_k_center_select,
         "q100_heavy_hitters": q100_heavy_hitters,
+        "q101_quality_classifier": q101_quality_classifier,
     }
 
 
