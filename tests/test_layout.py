@@ -77,3 +77,55 @@ def test_zorder_by_shrinks_spans_on_both_dims(spark):
     assert z.count() == orders.count()
     assert z.columns == orders.columns
     z.unpersist()
+
+
+def test_compact_files_hits_target_count_and_preserves_rows(spark, tmp_path):
+    from vector_index_spark.operators.layout import compact_parquet, input_bytes
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)  # 64 tiny files
+    frag = spark.read.parquet(src)
+    assert len(frag.inputFiles()) == 64
+
+    total = input_bytes(frag)
+    target_mb = 1
+    dst = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, src, dst, target_mb=target_mb)
+    expect = max(1, -(-total // (target_mb << 20)))
+    assert n_files == expect
+    assert n_files < 64
+
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count()
+    a = frag.groupBy().agg(F.sum("l_extendedprice").alias("s")).first().s
+    b = out.groupBy().agg(F.sum("l_extendedprice").alias("s")).first().s
+    assert round(a, 4) == round(b, 4)
+
+
+def test_compact_files_sorted_keeps_range_pruning(spark, tmp_path):
+    from vector_index_spark.operators.layout import compact_files
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    src = str(tmp_path / "frag2")
+    li.repartition(32).write.parquet(src)
+    frag = spark.read.parquet(src)
+
+    out = compact_files(frag, target_mb=1, sort_col="l_orderkey")
+    dst = str(tmp_path / "sorted")
+    out.write.parquet(dst)
+    files = spark.read.parquet(dst).inputFiles()
+    # per-file key ranges must be disjoint (so min/max stats prune)
+    spans = []
+    for f in files:
+        one = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).first()
+        spans.append((one.lo, one.hi))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo

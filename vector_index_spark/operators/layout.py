@@ -98,6 +98,65 @@ def zorder_by(
     )
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the files backing ``df``'s scan, via the
+    Hadoop FileSystem API (works for any scheme, not just file://)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    return total
+
+
+def compact_files(
+    df: DataFrame,
+    target_mb: int = 256,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Small-files compaction: return ``df`` repartitioned so a Parquet
+    write produces files of ~``target_mb`` each.
+
+    Streaming ingest and fine-grained partitioning leave lakehouse tables
+    as thousands of KB-scale files; at 100 TB the resulting task-per-file
+    scheduling and footer-read overhead dominates scan time. Compaction is
+    one read + one write sized from the REAL on-disk footprint (summed via
+    the FileSystem API — no row sampling, no guessing):
+
+      n_files = ceil(input_bytes / target_mb)
+
+    With ``sort_col`` the repartition is range-based + sorted so min/max
+    file stats stay prunable on that column (the OPTIMIZE ... ORDER BY
+    shape); otherwise round-robin for maximally even file sizes. Output
+    size ~= input size because codec and encoding carry over.
+    """
+    total = input_bytes(df)
+    n = max(1, -(-total // (target_mb << 20)))
+    if sort_col is not None:
+        return df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    return df.repartition(n)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 256,
+    sort_col: str | None = None,
+) -> int:
+    """Compact a Parquet directory into ``dst_dir`` at ~``target_mb`` per
+    file; returns the number of files written."""
+    out = compact_files(spark.read.parquet(src_dir), target_mb, sort_col)
+    out.write.mode("overwrite").parquet(dst_dir)
+    p = spark._jvm.org.apache.hadoop.fs.Path(dst_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1 for s in fs.listStatus(p) if s.getPath().getName().endswith(".parquet")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
