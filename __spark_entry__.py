@@ -1798,6 +1798,18 @@ def q101_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(model, docs).orderBy("doc_id")
 
 
+def q102_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join on part names (record-linkage
+    entity resolution): q-gram blocking with a provable no-miss guarantee,
+    JVM levenshtein verify — exact, so the oracle is the brute-force
+    banded nested loop."""
+    from vector_index_spark.operators.fuzzy import fuzzy_self_join
+
+    part = _t(spark, sf_dir, "part")
+    res = fuzzy_self_join(part, "p_name", "p_partkey", max_dist=1)
+    return res.select("aid", "bid", res.dist.cast("long").alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1901,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_k_center_select": q99_k_center_select,
         "q100_heavy_hitters": q100_heavy_hitters,
         "q101_quality_classifier": q101_quality_classifier,
+        "q102_fuzzy_part_names": q102_fuzzy_part_names,
     }
 
 
@@ -3127,5 +3140,12 @@ def oracle_sql() -> dict[str, str]:
             ), n AS (SELECT count(*) AS n FROM toks)
             SELECT token, count(*) AS cnt FROM toks, n
             GROUP BY token, n.n HAVING count(*) > 0.005 * n.n
+        """,
+        "q102_fuzzy_part_names": """
+            SELECT a.p_partkey AS aid, b.p_partkey AS bid,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+              AND levenshtein(a.p_name, b.p_name) <= 1
         """,
     }
