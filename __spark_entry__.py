@@ -1810,6 +1810,23 @@ def q102_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("aid", "bid", res.dist.cast("long").alias("dist"))
 
 
+def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HLL sketch table
+    merged up to per-event_type distinct-user estimates — the re-aggregable
+    distinct-count pattern (sketch bytes shuffle, raw rows scanned once).
+    Rows-only (Datasketches HLL estimates differ from DuckDB's sketch;
+    merge==direct-build and accuracy gated in test_sketches)."""
+    from vector_index_spark.operators.sketches import (
+        build_sketch_table,
+        estimate,
+        merge_sketch_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = build_sketch_table(ev, ["event_type", "day"], "user_id")
+    return estimate(merge_sketch_table(fine, ["event_type"])).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_l2sq_pairs": q01_l2sq_pairs,
@@ -1914,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_heavy_hitters": q100_heavy_hitters,
         "q101_quality_classifier": q101_quality_classifier,
         "q102_fuzzy_part_names": q102_fuzzy_part_names,
+        "q103_sketch_rollup": q103_sketch_rollup,
     }
 
 
