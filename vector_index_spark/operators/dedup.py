@@ -293,9 +293,25 @@ def simhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hamming_radius: int = 6,
+    bits: int = 48,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 48-bit simhash per doc, pairs with
-    Hamming distance <= radius. Returns (id_a, id_b, hamming)."""
+    """SimHash near-duplicate pairs: ``bits``-bit simhash per doc, pairs
+    with Hamming distance <= radius. Returns (id_a, id_b, hamming).
+
+    EXACT and sub-quadratic via pigeonhole banding (the classic
+    Manku/Jain/Sarma WWW'07 rotation trick, expressed relationally): the
+    hash is split into ``radius + 1`` disjoint bit bands; any two hashes
+    within Hamming distance ``radius`` differ in at most ``radius`` bands,
+    so they AGREE exactly on at least one band. Candidates therefore only
+    meet through an equi-join on (band index, band bits) — the shuffle key
+    — and are then verified with the full bit_count. No cross join ever
+    appears in the plan; the result is identical to the all-pairs scan.
+    """
+    n_bands = hamming_radius + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"hamming_radius + 1 bands ({n_bands}) exceed {bits} hash bits"
+        )
     sh_udf = simhash_udf()
     sh = (
         _spread(
@@ -304,11 +320,29 @@ def simhash_near_dup(
         .filter(F.size(tokens(F.col("__text"))) > 0)
         .select("id", sh_udf(F.col("__text")).alias("sh"))
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # band widths: distribute `bits` over n_bands as evenly as possible
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.shiftright(F.col("sh"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select("id", "sh", F.posexplode(bands).alias("band", "band_bits"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "band_bits"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "band_bits"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
@@ -322,17 +356,165 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cos_threshold: float = 0.2,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_size: int = 262_144,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine distance below threshold.
-    Returns (id_a, id_b, cos) with id_a < id_b."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cos_dist(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos") < cos_threshold)
-        .select("id_a", "id_b", "cos")
+    Returns (id_a, id_b, cos) with id_a < id_b.
+
+    EXACT without an all-pairs cross join, via triangle-inequality cell
+    blocking: cosine distance t equals squared L2 distance 2t on the unit
+    sphere, so after normalization a qualifying pair is within L2 radius
+    eps = sqrt(2t). Vectors are k-means-assigned to their single nearest
+    cell; a cell PAIR (a, b) can contain a qualifying pair only if
+
+        ||c_a - c_b|| <= r_a + r_b + eps        (triangle inequality)
+
+    where r_x is cell x's member radius. Only surviving cell pairs are
+    scanned, each with one blocked GEMM (numpy, Arrow-batched), and every
+    emitted pair carries the exact float64 cosine — so the output is
+    identical to the naive scan. Each vector lives in exactly one cell and
+    each cell pair is scanned once, so no dedup shuffle is needed.
+
+    Scale shape: the only wide shuffle is the groupBy on the cell-pair id;
+    cell-pair candidacy is a driver-side O(n_cells^2) check on kilobytes of
+    centroid state. For clustered corpora at tight thresholds the pair
+    graph is sparse; the worst case (loose threshold, uniform data)
+    degrades to the blocked GEMM over all cell pairs — never to per-pair
+    interpreted code.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_index_spark.index.ivf import _kmeans
+
+    spark = df.sparkSession
+    eps = float(np.sqrt(2.0 * cos_threshold)) + 1e-9
+    vin = _spread(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        "id",
+    )
+
+    # fit cells on a bounded normalized sample (the ivf pattern)
+    sample = vin.select("vec").limit(sample_size).toPandas()["vec"]
+    X = np.stack(sample.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    centers = _kmeans(X / norms[:, None], min(n_cells, len(X)), 20, seed)
+    bc = spark.sparkContext.broadcast(centers)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: long, cdist: double>")
+    def _assign(v):
+        C = bc.value
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
+        nb = np.linalg.norm(Xb, axis=1)
+        nb[nb == 0.0] = 1.0
+        Xn = Xb / nb[:, None]
+        d2 = (
+            (Xn * Xn).sum(1)[:, None] - 2.0 * Xn @ C.T + (C * C).sum(1)[None, :]
+        )
+        cell = d2.argmin(axis=1)
+        cd = np.sqrt(np.maximum(d2[np.arange(len(Xb)), cell], 0.0))
+        return pd.DataFrame({"cell": cell.astype(np.int64), "cdist": cd})
+
+    assigned = vin.select(
+        "id", "vec", _assign(F.col("vec")).alias("a")
+    ).select("id", "vec", F.col("a.cell").alias("cell"), F.col("a.cdist").alias("cdist"))
+    # radii are one tiny agg; the assignment UDF would otherwise re-run for
+    # the radii pass AND each pair-side join below — evaluate once
+    assigned = assigned.localCheckpoint(eager=True)
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell").agg(F.max("cdist").alias("r")).collect()
+    }
+
+    # driver-side candidate cell pairs (n_cells^2 on kilobytes of state)
+    cd = np.sqrt(
+        np.maximum(
+            (centers * centers).sum(1)[:, None]
+            - 2.0 * centers @ centers.T
+            + (centers * centers).sum(1)[None, :],
+            0.0,
+        )
+    )
+    cand = [
+        (int(a), int(b))
+        for a in radii
+        for b in radii
+        if a <= b and cd[a, b] <= radii[a] + radii[b] + eps + 1e-9
+    ]
+    pairs_df = spark.createDataFrame(cand, "pa long, pb long").withColumn(
+        "pair_id", F.col("pa") * F.lit(2**20) + F.col("pb")
+    )
+    lhs = assigned.join(
+        F.broadcast(pairs_df), F.col("cell") == F.col("pa")
+    ).select("pair_id", "pa", "pb", F.lit(0).alias("side"), "id", "vec")
+    rhs = assigned.join(
+        F.broadcast(pairs_df.filter(F.col("pa") != F.col("pb"))),
+        F.col("cell") == F.col("pb"),
+    ).select("pair_id", "pa", "pb", F.lit(1).alias("side"), "id", "vec")
+    tagged = lhs.unionAll(rhs)
+
+    thr = float(cos_threshold)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        la = pdf[pdf["side"] == 0]
+        lb = pdf[pdf["side"] == 1]
+        self_pair = int(pdf["pa"].iat[0]) == int(pdf["pb"].iat[0])
+        if (len(la) == 0) or (not self_pair and len(lb) == 0):
+            return empty
+        ids_a = la["id"].to_numpy(dtype=np.int64)
+        Va = np.stack(la["vec"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(Va, axis=1)
+        na[na == 0.0] = 1.0
+        if self_pair:
+            ids_b, Vb, nb = ids_a, Va, na
+        else:
+            ids_b = lb["id"].to_numpy(dtype=np.int64)
+            Vb = np.stack(lb["vec"].to_numpy()).astype(np.float64)
+            nb = np.linalg.norm(Vb, axis=1)
+            nb[nb == 0.0] = 1.0
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for lo in range(0, len(Va), block):
+            C = 1.0 - (Va[lo : lo + block] @ Vb.T) / np.outer(
+                na[lo : lo + block], nb
+            )
+            rows, cols = np.nonzero(C < thr)
+            ra, rb = ids_a[rows + lo], ids_b[cols]
+            vals = C[rows, cols]
+            if self_pair:
+                # full matrix computed: keep the upper triangle once
+                m = ra < rb
+                ra, rb, vals = ra[m], rb[m], vals[m]
+            else:
+                # disjoint cells -> each pair seen once; canonical order
+                ra, rb = np.minimum(ra, rb), np.maximum(ra, rb)
+            out_a.append(ra)
+            out_b.append(rb)
+            out_c.append(vals)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return tagged.groupBy("pair_id").applyInPandas(
+        scan, "id_a long, id_b long, cos double"
     )
 
 
