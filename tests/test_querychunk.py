@@ -1,0 +1,101 @@
+"""Query-set batching guard (index.querychunk): every broadcast-the-queries
+ANN route must produce identical results when the query set exceeds
+max_queries_per_batch and is hash-chunked — the latent driver-OOM guard
+factored out of graph_ann_query (VERDICT r01 "What's wrong" #4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+K = 5
+CHUNK = 7  # 50 test queries -> 8 chunks
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return train, test
+
+
+def _rows(df):
+    return sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9)) for r in df.collect()
+    )
+
+
+def test_pq_chunked_matches_single_batch(split):
+    from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq
+
+    train, test = split
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    enc = encode_pq(train, books).cache()
+    whole = pq_knn(test, enc, train, books, K)
+    chunked = pq_knn(test, enc, train, books, K, max_queries_per_batch=CHUNK)
+    assert _rows(whole) == _rows(chunked)
+
+
+def test_sq_chunked_matches_single_batch(split):
+    from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq
+
+    train, test = split
+    mins, maxs = train_sq(train)
+    enc = encode_sq(train, mins, maxs).cache()
+    whole = sq_knn(test, enc, train, mins, maxs, K)
+    chunked = sq_knn(
+        test, enc, train, mins, maxs, K, max_queries_per_batch=CHUNK
+    )
+    assert _rows(whole) == _rows(chunked)
+
+
+def test_ivfpq_chunked_matches_single_batch(split):
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+
+    train, test = split
+    enc, centroids, books = build_ivfpq(train, n_centroids=8, n_subspaces=8)
+    enc = enc.cache()
+    whole = ivfpq_knn(test, enc, centroids, books, train, K, nprobe=4)
+    chunked = ivfpq_knn(
+        test, enc, centroids, books, train, K, nprobe=4,
+        max_queries_per_batch=CHUNK,
+    )
+    assert _rows(whole) == _rows(chunked)
+
+
+def test_pca_chunked_matches_single_batch(split):
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+
+    train, test = split
+    mean, comps = train_pca(train, 16)
+    proj = project_pca(train, mean, comps).cache()
+    whole = pca_knn(test, proj, mean, comps, K)
+    chunked = pca_knn(test, proj, mean, comps, K, max_queries_per_batch=CHUNK)
+    assert _rows(whole) == _rows(chunked)
+
+
+def test_graph_chunked_matches_single_batch(spark, split):
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.searcher import graph_ann_query
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = split
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train, params).cache()
+    vectors = assign_shards(train, params.sub_index_bound).cache()
+    whole = graph_ann_query(vectors, edges, test, K)
+    chunked = graph_ann_query(
+        vectors, edges, test, K, max_queries_per_batch=CHUNK
+    )
+    assert _rows(whole) == _rows(chunked)

@@ -129,11 +129,40 @@ def ivfpq_knn(
     qid_col: str = "qid",
     id_col: str = "id",
     vec_col: str = "vec",
+    max_queries_per_batch: int = 65_536,
 ) -> DataFrame:
     """Probe ``nprobe`` cells per query, ADC-scan their codes with
     per-(query, cell) residual lookup tables, exact-re-rank the top
     ``candidate_factor * k`` candidates. Returns (qid, rank, id, dist)
-    with exact float64 distances."""
+    with exact float64 distances. Query sets larger than
+    ``max_queries_per_batch`` are hash-chunked (index.querychunk) so the
+    query/LUT broadcast stays bounded."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
+    return chunked_over_queries(
+        test,
+        lambda chunk: _ivfpq_knn_batch(
+            chunk, encoded, centroids, codebooks, train, k, nprobe,
+            candidate_factor, qid_col, id_col, vec_col,
+        ),
+        max_queries_per_batch,
+        qid_col,
+    )
+
+
+def _ivfpq_knn_batch(
+    test: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    train: DataFrame,
+    k: int,
+    nprobe: int,
+    candidate_factor: int,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
     probes = knn_join(

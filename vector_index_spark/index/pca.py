@@ -101,10 +101,36 @@ def pca_knn(
     candidate_factor: int = 4,
     qid_col: str = "qid",
     vec_col: str = "vec",
+    max_queries_per_batch: int = 65_536,
 ) -> DataFrame:
     """Reduced-space shortlist + scan-side exact refine. Returns
     (qid, rank, id, dist) with exact float64 distances (GEMM
-    accumulation — see knn_fast's numerical note)."""
+    accumulation — see knn_fast's numerical note). Query sets larger than
+    ``max_queries_per_batch`` are hash-chunked (index.querychunk) so the
+    query-matrix broadcast stays bounded."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
+    return chunked_over_queries(
+        test,
+        lambda chunk: _pca_knn_batch(
+            chunk, projected, mean, components, k, candidate_factor,
+            qid_col, vec_col,
+        ),
+        max_queries_per_batch,
+        qid_col,
+    )
+
+
+def _pca_knn_batch(
+    test: DataFrame,
+    projected: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    k: int,
+    candidate_factor: int,
+    qid_col: str,
+    vec_col: str,
+) -> DataFrame:
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
     qids = t["qid"].to_numpy(dtype=np.int64)

@@ -113,6 +113,7 @@ def pq_knn(
     qid_col: str = "qid",
     id_col: str = "id",
     vec_col: str = "vec",
+    max_queries_per_batch: int = 65_536,
 ) -> DataFrame:
     """ADC candidate scan over PQ codes + exact re-rank.
 
@@ -120,7 +121,33 @@ def pq_knn(
     every code row as the table sum (asymmetric distance), keep
     ``candidate_factor * k`` candidates per partition, then re-rank the
     merged candidates with the exact float64 distance on raw vectors.
-    Returns (qid, rank, id, dist) with exact distances."""
+    Returns (qid, rank, id, dist) with exact distances. Query sets larger
+    than ``max_queries_per_batch`` are hash-chunked (index.querychunk) so
+    the LUT broadcast stays bounded."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
+    return chunked_over_queries(
+        test,
+        lambda chunk: _pq_knn_batch(
+            chunk, encoded, train, codebooks, k, candidate_factor,
+            qid_col, id_col, vec_col,
+        ),
+        max_queries_per_batch,
+        qid_col,
+    )
+
+
+def _pq_knn_batch(
+    test: DataFrame,
+    encoded: DataFrame,
+    train: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    candidate_factor: int,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
     qids = t["qid"].to_numpy(dtype=np.int64)

@@ -281,30 +281,26 @@ def graph_ann_query(
     own bounded broadcast (block-manager managed, disk-spillable) and the
     per-chunk results union lazily — no unbounded driver materialization.
     """
-    spark = vectors.sparkSession
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-    n_queries = t.count()
-    if n_queries > max_queries_per_batch:
-        # Non-recursive split: every chunk runs the single-batch path
-        # directly. (A recursive re-split on the same hash would never
-        # separate a bucket's rows — all members of hash%N == i share
-        # residues mod divisors of N — so recursion could never terminate.)
-        n_chunks = int(np.ceil(n_queries / max_queries_per_batch))
-        chunks = [
-            graph_ann_query(
-                vectors,
-                edges,
-                t.filter(F.pmod(F.xxhash64(F.col("qid")), F.lit(n_chunks)) == i),
-                k,
-                relaxed_monotonicity,
-                max_queries_per_batch=2**62,  # force single-batch per chunk
-            )
-            for i in range(n_chunks)
-        ]
-        out = chunks[0]
-        for c in chunks[1:]:
-            out = out.unionAll(c)
-        return out
+    return chunked_over_queries(
+        t,
+        lambda chunk: _graph_ann_query_batch(
+            vectors, edges, chunk, k, relaxed_monotonicity
+        ),
+        max_queries_per_batch,
+    )
+
+
+def _graph_ann_query_batch(
+    vectors: DataFrame,
+    edges: DataFrame,
+    t: DataFrame,
+    k: int,
+    relaxed_monotonicity: int,
+) -> DataFrame:
+    spark = vectors.sparkSession
     test_pdf = t.toPandas()
     if len(test_pdf) == 0:
         return spark.createDataFrame(

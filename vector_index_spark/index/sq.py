@@ -87,13 +87,41 @@ def sq_knn(
     qid_col: str = "qid",
     id_col: str = "id",
     vec_col: str = "vec",
+    max_queries_per_batch: int = 65_536,
 ) -> DataFrame:
     """Approximate scan over SQ8 codes + exact re-rank.
 
     Per Arrow batch: dequantize codes, one GEMM against the broadcast query
     matrix, keep ``candidate_factor * k`` per (query, partition); merged
     candidates re-rank with exact float64 distance on the raw vectors.
-    Returns (qid, rank, id, dist) with exact distances."""
+    Returns (qid, rank, id, dist) with exact distances. Query sets larger
+    than ``max_queries_per_batch`` are hash-chunked (index.querychunk) so
+    the query-matrix broadcast stays bounded."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
+    return chunked_over_queries(
+        test,
+        lambda chunk: _sq_knn_batch(
+            chunk, encoded, train, mins, maxs, k, candidate_factor,
+            qid_col, id_col, vec_col,
+        ),
+        max_queries_per_batch,
+        qid_col,
+    )
+
+
+def _sq_knn_batch(
+    test: DataFrame,
+    encoded: DataFrame,
+    train: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    k: int,
+    candidate_factor: int,
+    qid_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
     qids = t["qid"].to_numpy(dtype=np.int64)
