@@ -39,6 +39,12 @@ from vector_index_spark.streaming.events import hourly_event_stats  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = 100
+# Per-entry repeats: single-shot numbers carry the documented ~2x
+# background-load variance (BASELINE.md), which masks real regressions
+# round-over-round; the median of 3 is stable. Entries whose repeats would
+# blow the per-entry budget stop early and report the median of what ran.
+REPEAT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+ENTRY_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_ENTRY_BUDGET", "40"))
 
 
 def main() -> None:
@@ -48,9 +54,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        for _ in range(REPEAT):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+            if sum(runs) > ENTRY_BUDGET_S:
+                break
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     train = emb.filter(F.col("vec_id") % 10 != 0).select(
@@ -78,6 +90,8 @@ def main() -> None:
     state: dict = {}
 
     def build():
+        if "edges" in state:  # repeated runs must not stack cached copies
+            state["edges"].unpersist()
         edges = build_graph_index(train, params)
         edges.cache()
         edges.count()
@@ -257,6 +271,8 @@ def main() -> None:
     big_state: dict = {}
 
     def big_build():
+        if "edges" in big_state:  # repeated runs must not stack cached copies
+            big_state["edges"].unpersist()
         e = build_graph_index(big_train, big_params)
         e.cache()
         e.count()

@@ -82,3 +82,50 @@ def test_results_roundtrip(spark, tmp_path, fmt):
         spark, path, fmt, schema="qid long, rank int, id long, dist double"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, res.collect()))
+
+def test_annb_frames_bit_exact(spark):
+    """HDF5 ingest minus the h5py read: annb_frames must preserve float32
+    values bit-exactly and assign row-index ids (reference id convention,
+    example/example.py:66-102)."""
+    import numpy as np
+
+    from vector_index_spark.sources.loaders import annb_frames
+
+    rng = np.random.default_rng(11)
+    train = rng.standard_normal((7, 5)).astype(np.float32)
+    test = rng.standard_normal((3, 5)).astype(np.float32)
+    t, q = annb_frames(spark, train, test)
+    trows = {r.id: r.vec for r in t.collect()}
+    qrows = {r.qid: r.vec for r in q.collect()}
+    assert sorted(trows) == list(range(7)) and sorted(qrows) == list(range(3))
+    for i in range(7):
+        assert np.array_equal(np.asarray(trows[i], dtype=np.float32), train[i])
+    for i in range(3):
+        assert np.array_equal(np.asarray(qrows[i], dtype=np.float32), test[i])
+
+
+def test_annb_hdf5_gate_or_roundtrip(spark, tmp_path):
+    """With h5py present: full write->load round-trip; without it: the
+    documented ImportError gate (not a silent wrong answer)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_index_spark.sources.loaders import load_annb_hdf5
+
+    try:
+        import h5py  # type: ignore
+    except ImportError:
+        with _pytest.raises(ImportError, match="h5py"):
+            load_annb_hdf5(spark, str(tmp_path / "missing.hdf5"))
+        return
+    rng = np.random.default_rng(13)
+    train = rng.standard_normal((6, 4)).astype(np.float32)
+    test = rng.standard_normal((2, 4)).astype(np.float32)
+    path = str(tmp_path / "annb.hdf5")
+    with h5py.File(path, "w") as f:
+        f["train"] = train
+        f["test"] = test
+    t, q = load_annb_hdf5(spark, path)
+    got = np.stack([r.vec for r in t.orderBy("id").collect()]).astype(np.float32)
+    assert np.array_equal(got, train)
+    assert q.count() == 2

@@ -104,6 +104,21 @@ def load_annb_neighbors(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf, "qid long, pos long, neighbor_id long")
 
 
+def annb_frames(spark: SparkSession, train: np.ndarray, test: np.ndarray):
+    """ann-benchmarks matrices -> (corpus, queries) DataFrames with the
+    reference's id convention (row index = id, example/example.py:66-102).
+    Factored out of load_annb_hdf5 so the conversion is testable bit-exactly
+    without h5py; only the literal ``h5py.File`` reads remain gated."""
+    train = np.asarray(train, dtype=np.float32)
+    test = np.asarray(test, dtype=np.float32)
+    t = pd.DataFrame({"id": np.arange(len(train)), "vec": list(train)})
+    q = pd.DataFrame({"qid": np.arange(len(test)), "vec": list(test)})
+    return (
+        spark.createDataFrame(t, "id long, vec array<float>"),
+        spark.createDataFrame(q, "qid long, vec array<float>"),
+    )
+
+
 def load_annb_hdf5(spark: SparkSession, path: str):
     """ann-benchmarks HDF5 ingest (reference example/example.py:66-102).
     Gated: h5py is not available in every environment."""
@@ -116,9 +131,4 @@ def load_annb_hdf5(spark: SparkSession, path: str):
     with h5py.File(path, "r") as f:  # pragma: no cover
         train = np.asarray(f["train"], dtype=np.float32)
         test = np.asarray(f["test"], dtype=np.float32)
-    t = pd.DataFrame({"id": np.arange(len(train)), "vec": list(train)})
-    q = pd.DataFrame({"qid": np.arange(len(test)), "vec": list(test)})
-    return (
-        spark.createDataFrame(t, "id long, vec array<float>"),
-        spark.createDataFrame(q, "qid long, vec array<float>"),
-    )
+    return annb_frames(spark, train, test)
