@@ -1,0 +1,77 @@
+"""Shared cell-cogrouped GEMM scan for partitioned ANN routes (IVF cells,
+RPT leaves — any route whose corpus is split by a cell key and whose
+queries probe a cell subset).
+
+One blocked GEMM per cell replaces per-candidate-pair kernels: the
+candidate row blowup (corpus * probed_fraction rows PER QUERY through a
+join) never materializes — each cell task sees (queries probing the cell)
+x (cell members) and emits only the cell-local top-k, which is sufficient
+because cells partition the candidate set: a global top-k candidate is
+top-k within every cell that holds it. Merge volume is O(Q * probes * k),
+corpus-size-independent.
+
+Determinism: corpus rows are sorted by id inside the task and selected
+with a stable argsort on distance, so the emitted set follows the engine's
+(dist, id) tie order regardless of shuffle arrival order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+QSCAN_SCHEMA = "qid long, id long, dist double"
+
+
+def cell_topk_scan(
+    queries_with_cell: DataFrame,
+    corpus_with_cell: DataFrame,
+    cell_col: str,
+    k: int,
+    query_block: int = 1024,
+) -> DataFrame:
+    """Cogroup ``queries_with_cell`` (cell, qid, vec) against
+    ``corpus_with_cell`` (cell, id, vec) on ``cell_col`` and emit the
+    cell-local exact-L2 top-k as (qid, id, dist) — float64 GEMM, blocked
+    over query rows so task memory stays O(query_block x cell size)."""
+
+    def score(key, qpdf, cpdf):
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int64"), "id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        cpdf = cpdf.sort_values("id")
+        ids = cpdf["id"].to_numpy(dtype=np.int64)
+        C = np.stack(cpdf["vec"].to_numpy()).astype(np.float64)
+        csq = (C * C).sum(axis=1)
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
+        qsq = (Q * Q).sum(axis=1)
+        kk = min(k, len(ids))
+        out = []
+        for lo in range(0, len(Q), query_block):
+            D = (
+                qsq[lo : lo + query_block, None]
+                - 2.0 * Q[lo : lo + query_block] @ C.T
+                + csq[None, :]
+            )
+            top = np.argsort(D, axis=1, kind="stable")[:, :kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids[lo : lo + query_block], kk),
+                        "id": ids[top].reshape(-1),
+                        "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        queries_with_cell.groupBy(cell_col)
+        .cogroup(corpus_with_cell.groupBy(cell_col))
+        .applyInPandas(score, QSCAN_SCHEMA)
+    )

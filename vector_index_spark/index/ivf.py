@@ -149,37 +149,30 @@ def ivf_knn(
     exact search within those clusters only. Returns (qid, rank, id, dist).
 
     Plan shape: tiny centroid table is the knn_join corpus (broadcast);
-    the candidate join hits only probed clusters (centroid_id equi-join —
+    probed queries cogroup with ``assigned`` on centroid_id (equi-key —
     partition-prunable when ``assigned`` is stored partitioned by
-    centroid_id). Replicated postings are deduped per (qid, id) before
-    scoring (duplicate rows are identical, so the result is unaffected
-    by which one survives)."""
+    centroid_id) and each cell scores with ONE blocked GEMM emitting only
+    the cell-local top-k (index.cellscan) — the candidate row blowup
+    (corpus * nprobe * replicas / n_centroids rows PER QUERY) never
+    materializes through a join. Replicated postings surface as duplicate
+    (qid, id) rows with identical distances; they dedupe before the final
+    (dist, id) window merge."""
+    from vector_index_spark.index.cellscan import cell_topk_scan
+
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
     probes = knn_join(
         t,
         centroids.select(F.col("centroid_id").alias("id"), "vec"),
         nprobe,
     ).select(F.col("qid").alias("p_qid"), F.col("id").alias("centroid_id"))
-    cands = (
-        probes.join(F.broadcast(t).withColumnRenamed("qid", "p_qid"), "p_qid")
-        .join(assigned.withColumnRenamed("vec", "cvec"), "centroid_id")
-        .dropDuplicates(["p_qid", "id"])
-    )
-    # Arrow-batched distance for the candidate scan: this is the hot loop
-    # (corpus * nprobe * replicas / n_centroids rows/query) and the
-    # interpreted HOF form costs ~20us/row; the route is recall-gated, not
-    # oracle-hashed, so the numpy accumulation order is fine
-    # (functions.distance.l2sq_arrow).
-    from vector_index_spark.functions.distance import l2sq_arrow
-
-    scored = cands.select(
-        F.col("p_qid").alias("qid"),
-        "id",
-        l2sq_arrow()(F.col("vec"), F.col("cvec")).alias("dist"),
-    )
+    qcell = probes.join(
+        F.broadcast(t).withColumnRenamed("qid", "p_qid"), "p_qid"
+    ).select(F.col("p_qid").alias("qid"), "vec", "centroid_id")
+    cell_hits = cell_topk_scan(qcell, assigned, "centroid_id", k)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cell_hits.dropDuplicates(["qid", "id"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")
     )

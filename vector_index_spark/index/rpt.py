@@ -173,50 +173,9 @@ def rpt_knn(
 
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
     qleaf = t.select("qid", "vec", F.explode(_plv(F.col("vec"))).alias("leaf"))
+    from vector_index_spark.index.cellscan import cell_topk_scan
 
-    def score(key, qpdf, cpdf):
-        import pandas as pd
-
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype="int64"), "id": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="float64")}
-            )
-        # deterministic (dist, id) tie order: sort corpus by id, then a
-        # stable argsort on distance alone is a (dist, id) lexsort
-        cpdf = cpdf.sort_values("id")
-        ids = cpdf["id"].to_numpy(dtype=np.int64)
-        C = np.stack(cpdf["vec"].to_numpy()).astype(np.float64)
-        csq = (C * C).sum(axis=1)
-        qids = qpdf["qid"].to_numpy(dtype=np.int64)
-        Q = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
-        qsq = (Q * Q).sum(axis=1)
-        kk = min(k, len(ids))
-        out = []
-        block = 1024
-        for lo in range(0, len(Q), block):
-            D = (
-                qsq[lo : lo + block, None]
-                - 2.0 * Q[lo : lo + block] @ C.T
-                + csq[None, :]
-            )
-            top = np.argsort(D, axis=1, kind="stable")[:, :kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "qid": np.repeat(qids[lo : lo + block], kk),
-                        "id": ids[top].reshape(-1),
-                        "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    leafed = (
-        qleaf.groupBy("leaf")
-        .cogroup(assigned.groupBy("leaf"))
-        .applyInPandas(score, "qid long, id long, dist double")
-    )
+    leafed = cell_topk_scan(qleaf, assigned, "leaf", k)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
         leafed.withColumn("rank", F.row_number().over(w))
