@@ -798,6 +798,120 @@ def q111_hamming_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(spark, sf_dir, _route_hamming(spark, sf_dir), 0.7)
 
 
+def q112_lsh_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for the LSH-bucketed similarity join (q39): the
+    oracle recomputes the EXACT threshold-join pair count in SQL and pins
+    false_positives = 0 (candidates are exact-distance verified, so found
+    ⊆ exact by construction) and a coverage floor. Measured coverage 1.0
+    at sf0.01 (8 hash tables recover every pair); floor 0.95."""
+    from vector_index_spark.index.lsh import lsh_similarity_join
+    from vector_index_spark.operators.similarity import threshold_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec"))
+    found = (
+        lsh_similarity_join(a, b, threshold=1.25)
+        .filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").cache()
+    )
+    exact = (
+        threshold_join(a, b, 1.25)
+        .filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").cache()
+    )
+    n_found, n_exact = found.count(), exact.count()
+    fp = found.join(exact, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, fp, bool(n_found - fp >= 0.95 * n_exact))],
+        "n_exact long, false_positives long, coverage_ok boolean",
+    )
+
+
+def q113_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for the HLL sketch (q41): the oracle recomputes
+    the EXACT per-type distinct counts; the Spark side must agree on them
+    AND its approx_count_distinct(rsd=2%) estimate must sit within 5%
+    relative error (2.5 sigma; measured 0.0 at sf0.01 where HLL uses its
+    exact small-cardinality mode)."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__hll") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q114_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for the Greenwald-Khanna sketch (q49): the oracle
+    pins per-type row counts; the Spark side must place each
+    percentile_approx(accuracy=10000) estimate inside the EXACT
+    [p-1%, p+1%] rank window it computes itself — 100x the sketch's
+    declared 1/accuracy rank-error bound."""
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.49)").alias("__p49"),
+            F.expr("percentile(value, 0.51)").alias("__p51"),
+            F.expr("percentile(value, 0.98)").alias("__p98"),
+            F.max("value").alias("__vmax"),
+            F.percentile_approx("value", 0.5, 10000).alias("__p50a"),
+            F.percentile_approx("value", 0.99, 10000).alias("__p99a"),
+        )
+        .select(
+            "event_type",
+            "n",
+            ((F.col("__p49") <= F.col("__p50a"))
+             & (F.col("__p50a") <= F.col("__p51"))).alias("p50_ok"),
+            ((F.col("__p98") <= F.col("__p99a"))
+             & (F.col("__p99a") <= F.col("__vmax"))).alias("p99_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q115_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for SemDeDup (q85): the oracle recomputes the
+    EXACT cosine-threshold pair count in SQL; the Spark side must agree on
+    it, report zero false positives (cell pairs are exact-cosine verified)
+    and clear a coverage floor (boundary misses are bounded by replicas —
+    measured 0.797 at sf0.01 with 8 cells x 2 replicas on uniform
+    embeddings, the worst case for k-means locality; floor 0.7)."""
+    from vector_index_spark.operators.components import semantic_dup_pairs
+    from vector_index_spark.operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = semantic_dup_pairs(
+        emb, n_cells=8, replicas=2, cos_threshold=0.6
+    ).cache()
+    exact = (
+        embedding_near_dup(emb, cos_threshold=0.6)
+        .select("id_a", "id_b").cache()
+    )
+    n_sem, n_exact = sem.count(), exact.count()
+    fp = sem.join(exact, ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, fp, bool(n_sem - fp >= 0.7 * n_exact))],
+        "n_exact long, false_positives long, coverage_ok boolean",
+    )
+
+
 def q28_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-distance exact top-k — the reference's third metric
     (source/distance.h:158-170, dead code there, dispatched here)."""
@@ -1981,6 +2095,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_semantic_dedup": q85_semantic_dedup,
         "q86_zorder_keys": q86_zorder_keys,
         "q88_small_qty_revenue": q88_small_qty_revenue,
+        # positions 51+: next rotation's window candidates
+        "q112_lsh_join_gate": q112_lsh_join_gate,
+        "q113_hll_gate": q113_hll_gate,
+        "q114_quantile_gate": q114_quantile_gate,
+        "q115_semdedup_gate": q115_semdedup_gate,
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
@@ -2085,6 +2204,38 @@ def oracle_sql() -> dict[str, str]:
               END AS hist_7,
               CASE WHEN n = 0 THEN 0.0 ELSE 1.0 END::DOUBLE AS hist_sum
             FROM b
+        """,
+        "q112_lsh_join_gate": f"""
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     {_L2SQ_SQL.format(a="a.vec", b="b.vec")} AS dist
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT count(*) AS n_exact, 0::BIGINT AS false_positives,
+                   true AS coverage_ok
+            FROM p WHERE dist < 1.25
+        """,
+        "q113_hll_gate": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                   true AS hll_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q114_quantile_gate": """
+            SELECT event_type, count(*) AS n,
+                   true AS p50_ok, true AS p99_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q115_semdedup_gate": """
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     1.0 - list_cosine_similarity(a.vec, b.vec) AS cos
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT count(*) AS n_exact, 0::BIGINT AS false_positives,
+                   true AS coverage_ok
+            FROM p WHERE cos < 0.6
         """,
         "q01_l2sq_pairs": f"""
             WITH pairs AS ({_PAIRS_SQL})

@@ -145,8 +145,35 @@ def semantic_dedup(
 
     Returns (id_col, cluster_id, keep) for every input vector. Recall is
     gated in tests (kmeans is not SQL-expressible → rows-only contract
-    check).
+    check) and driver-side by the q115 pair gate (zero false positives +
+    coverage floor vs the exact pair set).
     """
+    vin = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    pairs = semantic_dup_pairs(
+        vectors, id_col, vec_col, n_cells, replicas, cos_threshold, seed
+    )
+    return near_dup_clusters(
+        vin.select(F.col("id").alias(id_col)), pairs, id_col=id_col
+    )
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    replicas: int = 2,
+    cos_threshold: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """The pair stage of semantic_dedup, exposed for auditing: every
+    (id_a, id_b) with exact cosine distance < threshold that met inside a
+    cell. found ⊆ exact by construction (exact verify); misses are
+    boundary-bounded by ``replicas`` — both properties are what the q115
+    driver gate asserts against the exact blocked scan."""
     from vector_index_spark.index.ivf import build_ivf
 
     vin = vectors.select(
@@ -193,13 +220,12 @@ def semantic_dedup(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    pairs = (
+    return (
         assigned.groupBy("centroid_id")
         .applyInPandas(cell_pairs, "id_a long, id_b long")
         # replicas make the same pair meet in up to `replicas` cells
         .dropDuplicates(["id_a", "id_b"])
     )
-    return near_dup_clusters(vin.select(F.col("id").alias(id_col)), pairs, id_col=id_col)
 
 
 def near_dup_clusters(
