@@ -186,34 +186,56 @@ def _ivfpq_knn_batch(
     ).select("p_qid", "centroid_id", "cid", "codes")
 
     def scan(batches):
+        """Fully vectorized ADC: LUTs for every distinct (query, cell)
+        pair in the batch are built with one broadcasted subtraction per
+        subspace (no per-group Python loop — per-group dispatch cost
+        dominated the scan at nprobe * |Q| groups per batch), scoring is
+        one fancy-indexed gather, and the per-group top-ncand falls out of
+        a single (group, approx, id) lexsort."""
         import pandas as pd
 
         b_qpos, bQ, bC, books = bc.value
         m, ncent, sub = books.shape
+        n_cells = bC.shape[0]
+        # bound LUT block memory to ~32M doubles
+        pair_block = max(1, 32_000_000 // (m * ncent))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out_q, out_i, out_a = [], [], []
-            for (q, cell), grp in pdf.groupby(["p_qid", "centroid_id"]):
-                r = bQ[b_qpos[int(q)]] - bC[int(cell)]
-                # ADC LUT for this query's residual against this cell
-                lut = np.empty((m, ncent))
+            q_arr = pdf["p_qid"].to_numpy(dtype=np.int64)
+            cell_arr = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            pair_key = q_arr * n_cells + cell_arr
+            uniq, gid = np.unique(pair_key, return_inverse=True)
+            qrow = np.array(
+                [b_qpos[int(x)] for x in uniq // n_cells], dtype=np.int64
+            )
+            ucell = uniq % n_cells
+            approx = np.empty(len(pdf))
+            srange = np.arange(m)[None, :]
+            for lo in range(0, len(uniq), pair_block):
+                hi = min(lo + pair_block, len(uniq))
+                R = bQ[qrow[lo:hi]] - bC[ucell[lo:hi]]  # (P, d) residuals
+                lut = np.empty((hi - lo, m, ncent))
                 for s in range(m):
-                    seg = r[s * sub : (s + 1) * sub]
-                    lut[s] = ((books[s] - seg[None, :]) ** 2).sum(axis=1)
-                codes = np.stack(grp["codes"].to_numpy()).astype(np.int64)
-                approx = lut[np.arange(m)[None, :], codes].sum(axis=1)
-                kk = min(ncand, len(approx))
-                sel = np.argpartition(approx, kk - 1)[:kk]
-                out_q.append(np.full(kk, int(q), dtype=np.int64))
-                out_i.append(grp["cid"].to_numpy(dtype=np.int64)[sel])
-                out_a.append(approx[sel])
+                    seg = R[:, s * sub : (s + 1) * sub]
+                    lut[:, s, :] = (
+                        (seg[:, None, :] - books[s][None, :, :]) ** 2
+                    ).sum(-1)
+                mask = (gid >= lo) & (gid < hi)
+                approx[mask] = lut[
+                    (gid[mask] - lo)[:, None], srange, codes[mask]
+                ].sum(axis=1)
+            # per-(query, cell) top-ncand: stable (group, approx, id) sort
+            order = np.lexsort((cids, approx, gid))
+            gs = gid[order]
+            counts = np.bincount(gs, minlength=len(uniq))
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.arange(len(gs)) - starts[gs]
+            keep = order[rank < ncand]
             yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "id": np.concatenate(out_i),
-                    "approx": np.concatenate(out_a),
-                }
+                {"qid": q_arr[keep], "id": cids[keep], "approx": approx[keep]}
             )
 
     cands = (
