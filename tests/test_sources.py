@@ -104,28 +104,60 @@ def test_annb_frames_bit_exact(spark):
         assert np.array_equal(np.asarray(qrows[i], dtype=np.float32), test[i])
 
 
-def test_annb_hdf5_gate_or_roundtrip(spark, tmp_path):
-    """With h5py present: full write->load round-trip; without it: the
-    documented ImportError gate (not a silent wrong answer)."""
+def test_annb_hdf5_roundtrip(spark, tmp_path):
+    """Full .hdf5 -> DataFrames round-trip. Writes with h5py when present
+    (cross-implementation interop), else with the spec-derived minihdf5
+    writer; load_annb_hdf5 must recover the float32 matrices bit-exactly
+    either way (reference op #24, example/example.py:66-102)."""
     import numpy as np
-    import pytest as _pytest
 
     from vector_index_spark.sources.loaders import load_annb_hdf5
 
-    try:
-        import h5py  # type: ignore
-    except ImportError:
-        with _pytest.raises(ImportError, match="h5py"):
-            load_annb_hdf5(spark, str(tmp_path / "missing.hdf5"))
-        return
     rng = np.random.default_rng(13)
     train = rng.standard_normal((6, 4)).astype(np.float32)
     test = rng.standard_normal((2, 4)).astype(np.float32)
     path = str(tmp_path / "annb.hdf5")
-    with h5py.File(path, "w") as f:
-        f["train"] = train
-        f["test"] = test
+    try:
+        import h5py  # type: ignore
+
+        with h5py.File(path, "w") as f:
+            f["train"] = train
+            f["test"] = test
+    except ImportError:
+        from vector_index_spark.sources.minihdf5 import write_hdf5
+
+        write_hdf5(path, {"train": train, "test": test})
     t, q = load_annb_hdf5(spark, path)
     got = np.stack([r.vec for r in t.orderBy("id").collect()]).astype(np.float32)
     assert np.array_equal(got, train)
     assert q.count() == 2
+
+
+def test_minihdf5_roundtrip_dtypes(tmp_path):
+    """Pure-python HDF5 subset: float32/float64/int64 datasets round-trip
+    bit-exactly, and non-HDF5 input fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_index_spark.sources.minihdf5 import read_hdf5, write_hdf5
+
+    rng = np.random.default_rng(5)
+    data = {
+        "train": rng.standard_normal((100, 16)).astype(np.float32),
+        "distances": rng.standard_normal((10, 5)),
+        "neighbors": rng.integers(0, 1000, (10, 5)).astype(np.int64),
+        "flat": rng.standard_normal(17).astype(np.float32),
+    }
+    for compress in (False, True):
+        path = str(tmp_path / f"mini_{compress}.hdf5")
+        write_hdf5(path, data, compress=compress, chunk_rows=7)
+        back = read_hdf5(path)
+        assert sorted(back) == sorted(data)
+        for name, arr in data.items():
+            assert back[name].dtype == arr.dtype, name
+            assert np.array_equal(back[name], arr), name
+
+    bad = tmp_path / "not_hdf5.bin"
+    bad.write_bytes(b"parquet-or-something" * 4)
+    with _pytest.raises(NotImplementedError, match="signature"):
+        read_hdf5(str(bad))

@@ -121,13 +121,19 @@ def annb_frames(spark: SparkSession, train: np.ndarray, test: np.ndarray):
 
 def load_annb_hdf5(spark: SparkSession, path: str):
     """ann-benchmarks HDF5 ingest (reference example/example.py:66-102).
-    Gated: h5py is not available in every environment."""
+
+    Uses h5py when present (full format coverage); otherwise falls back to
+    the pure-python subset reader (sources.minihdf5 — superblock v0/v2,
+    contiguous or deflate-chunked fixed int/float datasets, the layout
+    libhdf5 writes for these files). Unsupported features raise
+    NotImplementedError, never a silent wrong answer."""
     try:
         import h5py  # type: ignore
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "h5py is required for HDF5 ingest; convert to parquet instead"
-        ) from exc
+    except ImportError:
+        from vector_index_spark.sources.minihdf5 import read_hdf5
+
+        data = read_hdf5(path)
+        return annb_frames(spark, data["train"], data["test"])
     with h5py.File(path, "r") as f:  # pragma: no cover
         train = np.asarray(f["train"], dtype=np.float32)
         test = np.asarray(f["test"], dtype=np.float32)
