@@ -886,6 +886,27 @@ def q114_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) of each
+    query's exact top-20 shortlist, lam=0.7. Rows-only: the greedy
+    selection is iterative (not SQL-expressible); ordering properties are
+    gated in tests/test_diversity.py."""
+    from vector_index_spark.operators.diversity import mmr_rerank
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    short = knn_join(test, train, 20).select("qid", "id")
+    cand = short.join(
+        train.select(F.col("id"), F.col("vec")), "id"
+    ).join(
+        F.broadcast(test.select("qid", F.col("vec").alias("qvec"))), "qid"
+    )
+    res = mmr_rerank(cand, K, lam=0.7)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("mmr", 6).alias("mmr"),
+    )
+
+
 def q115_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched gate for SemDeDup (q85): the oracle recomputes the
     EXACT cosine-threshold pair count in SQL; the Spark side must agree on
@@ -2100,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_hll_gate": q113_hll_gate,
         "q114_quantile_gate": q114_quantile_gate,
         "q115_semdedup_gate": q115_semdedup_gate,
+        "q116_mmr_rerank": q116_mmr_rerank,
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,

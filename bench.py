@@ -130,6 +130,15 @@ def main() -> None:
         ).count(),
     )
 
+    # exact embedding near-dup: triangle-inequality cell-blocked GEMM
+    # (the EXACT sibling of semantic_dedup — no cross join, no misses)
+    from vector_index_spark.operators.dedup import embedding_near_dup
+
+    timed(
+        "embedding_neardup_exact",
+        lambda: embedding_near_dup(emb, cos_threshold=0.2).count(),
+    )
+
     # Z-order layout: Morton-cluster orders on (custkey, order day)
     from vector_index_spark.operators.layout import zorder_by
 

@@ -70,3 +70,57 @@ def test_coverage_radius_decreases_with_k(spark):
     r4 = coverage_radius(df, sel[:4])
     r8 = coverage_radius(df, sel)
     assert r8 <= r4
+
+
+def test_mmr_lambda_one_is_relevance_order(spark):
+    """lam=1 reduces MMR to pure cosine-relevance ranking."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.operators.diversity import mmr_rerank
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(8)
+    rows = []
+    for i in range(12):
+        v = rng.standard_normal(8)
+        rows.append((7, i, [float(x) for x in v], [float(x) for x in q]))
+    df = spark.createDataFrame(
+        rows, "qid long, id long, vec array<double>, qvec array<double>"
+    )
+    got = [r.id for r in mmr_rerank(df, 12, lam=1.0).orderBy("rank").collect()]
+    V = np.stack([r[2] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    want = list(np.argsort(-(Vn @ qn), kind="stable"))
+    assert got == [rows[i][1] for i in want]
+
+
+def test_mmr_demotes_duplicates(spark):
+    """A near-duplicate of the top pick must rank below a distinct but
+    less-relevant candidate at lam=0.5 — the point of MMR."""
+    from vector_index_spark.operators.diversity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    best = [1.0, 0.1, 0.0, 0.0]
+    dup = [1.0, 0.100001, 0.0, 0.0]     # near-identical to best
+    other = [0.5, 0.0, 0.8, 0.0]        # less relevant, very different
+    rows = [(1, 10, best, q), (1, 11, dup, q), (1, 12, other, q)]
+    df = spark.createDataFrame(
+        rows, "qid long, id long, vec array<double>, qvec array<double>"
+    )
+    got = [r.id for r in mmr_rerank(df, 3, lam=0.5).orderBy("rank").collect()]
+    assert got == [10, 12, 11]
+
+
+def test_mmr_bounds_and_validation(spark):
+    import pytest
+    from vector_index_spark.operators.diversity import mmr_rerank
+
+    rows = [(1, 1, [1.0, 0.0], [1.0, 0.0]), (1, 2, [0.0, 1.0], [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "qid long, id long, vec array<double>, qvec array<double>"
+    )
+    assert mmr_rerank(df, 10).count() == 2  # k > candidates -> all ranked
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, 2, lam=1.5)

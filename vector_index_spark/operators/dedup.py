@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_index_spark.functions.distance import cos_dist
 from vector_index_spark.functions.hashing import minhash_signature_udf, portable_hash
 from vector_index_spark.functions.text import (
     fingerprint,

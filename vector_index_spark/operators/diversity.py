@@ -112,3 +112,81 @@ def coverage_radius(
     return df.select(F.col(vec_col).alias(vec_col)).agg(
         F.max(mind).alias("r")
     ).collect()[0]["r"]
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    of per-query candidate lists: greedily pick the candidate maximizing
+
+        lam * cos(q, v_i)  -  (1 - lam) * max_{j in selected} cos(v_i, v_j)
+
+    — the standard relevance/diversity tradeoff for retrieval results
+    (lam=1 is pure relevance order; lam->0 spreads the list).
+
+    ``candidates``: (qid, id, vec, qvec) — a shortlist per query (e.g. the
+    top-100 from any ANN route joined back to its vectors). Returns
+    (qid, rank, id, mmr) with rank 1..min(k, |candidates_q|).
+
+    Scale shape: the greedy loop is per-query over an already-bounded
+    shortlist (k' candidates), so it runs inside one applyInPandas task
+    per query group — O(k * k') numpy work per query, no driver loop, no
+    shuffle beyond the groupBy on qid. Ties break to the smaller id;
+    deterministic for fixed inputs.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    import numpy as np
+    import pandas as pd
+
+    cand = candidates.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(query_vec_col).cast("array<double>").alias("qvec"),
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")  # deterministic tie order
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["vec"].to_numpy())
+        q = np.asarray(pdf["qvec"].iloc[0])
+        nv = np.linalg.norm(V, axis=1)
+        nv[nv == 0.0] = 1.0
+        Vn = V / nv[:, None]
+        qn = q / (np.linalg.norm(q) or 1.0)
+        rel = Vn @ qn                      # cos(q, v_i)
+        sim = Vn @ Vn.T                    # cos(v_i, v_j)
+        n = len(ids)
+        kk = min(k, n)
+        selected = np.zeros(n, dtype=bool)
+        max_sim = np.full(n, -np.inf)
+        out_id = np.empty(kk, dtype=np.int64)
+        out_score = np.empty(kk)
+        for r in range(kk):
+            score = lam * rel if r == 0 else lam * rel - (1.0 - lam) * max_sim
+            score = np.where(selected, -np.inf, score)
+            pick = int(score.argmax())     # first (lowest-id) argmax wins
+            out_id[r] = ids[pick]
+            out_score[r] = score[pick]
+            selected[pick] = True
+            np.maximum(max_sim, sim[:, pick], out=max_sim)
+        return pd.DataFrame(
+            {
+                "qid": np.full(kk, pdf["qid"].iloc[0], dtype=np.int64),
+                "rank": np.arange(1, kk + 1, dtype=np.int32),
+                "id": out_id,
+                "mmr": out_score,
+            }
+        )
+
+    return cand.groupBy("qid").applyInPandas(
+        rerank, "qid long, rank int, id long, mmr double"
+    )
