@@ -60,3 +60,53 @@ def stream_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ann_query(
+    queries: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    k: int,
+    relaxed_monotonicity: int = 64,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ANN serving twin: queries arrive on a stream, each
+    micro-batch runs the standard cogrouped beam search against the
+    persisted graph index at ``index_path``, and (qid, rank, id, dist)
+    rows append to ``output_path`` (parquet).
+
+    The index loads once on start and its relations are cached — per-batch
+    cost is the search only, proportional to the batch's query count (the
+    query-side broadcast pattern of index.searcher, with its query-chunk
+    guard), never to index size. foreachBatch + checkpoint gives
+    exactly-once appends per micro-batch; a replayed batch overwrites
+    nothing (append sink, batch-id dedup by the checkpoint).
+    """
+    from vector_index_spark.index.persistence import load_index
+    from vector_index_spark.index.searcher import graph_ann_query
+
+    spark = queries.sparkSession
+    vectors, edges, params = load_index(spark, index_path)
+    if edges is None:
+        raise ValueError(f"index at {index_path!r} has no graph edges")
+    vectors, edges = vectors.cache(), edges.cache()
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = graph_ann_query(
+            vectors, edges, batch_df, k, relaxed_monotonicity,
+            qid_col=qid_col, vec_col=vec_col,
+        )
+        res.write.mode("append").parquet(output_path)
+
+    writer = (
+        queries.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
