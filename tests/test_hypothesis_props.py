@@ -74,3 +74,71 @@ def test_portable_hash_contract(s, seed):
     via_hex = int(hashlib.md5(payload).hexdigest()[:12], 16)
     assert via_bytes == via_hex
     assert 0 <= via_bytes < 2**48
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 48) - 1),
+        min_size=2, max_size=24,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_simhash_band_pigeonhole_recovers_all_pairs(hashes, radius):
+    """The pigeonhole banding lemma behind dedup.simhash_near_dup: with
+    radius+1 disjoint bands (the same divmod width split as the operator),
+    every pair within Hamming radius shares at least one exact band."""
+    bits, n_bands = 48, radius + 1
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def bands(h):
+        return [
+            (i, (h >> offsets[i]) & ((1 << widths[i]) - 1))
+            for i in range(n_bands)
+        ]
+
+    for i, a in enumerate(hashes):
+        for b in hashes[i + 1 :]:
+            if bin(a ^ b).count("1") <= radius:
+                assert set(bands(a)) & set(bands(b)), (a, b, radius)
+
+
+@settings(max_examples=40, deadline=None)
+@given(matrices(), st.floats(min_value=0.05, max_value=1.5))
+def test_cell_pruning_never_drops_qualifying_pairs(X, cos_t):
+    """The triangle-inequality cell-pair pruning lemma behind
+    dedup.embedding_near_dup: if ||c_a - c_b|| > r_a + r_b + sqrt(2t),
+    no pair (x in a, y in b) can have cosine distance < t. Tested against
+    arbitrary (even adversarial) cell assignments, not just k-means."""
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms[:, None]
+    n = len(Xn)
+    rng = np.random.default_rng(int(abs(X).sum() * 1000) % (2**32))
+    n_cells = rng.integers(1, min(5, n) + 1)
+    assign = rng.integers(0, n_cells, n)
+    centers = np.stack(
+        [
+            Xn[assign == c].mean(axis=0) if (assign == c).any() else np.zeros(X.shape[1])
+            for c in range(n_cells)
+        ]
+    )
+    radii = np.array(
+        [
+            np.linalg.norm(Xn[assign == c] - centers[c], axis=1).max()
+            if (assign == c).any() else 0.0
+            for c in range(n_cells)
+        ]
+    )
+    eps = np.sqrt(2.0 * cos_t)
+    cdist = np.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=2)
+    for i in range(n):
+        for j in range(i + 1, n):
+            cos = 1.0 - float(Xn[i] @ Xn[j])
+            if cos < cos_t:
+                a, b = assign[i], assign[j]
+                assert cdist[a, b] <= radii[a] + radii[b] + eps + 1e-9, (
+                    i, j, cos, cos_t,
+                )
