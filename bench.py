@@ -295,6 +295,19 @@ def main() -> None:
             big_state["edges"], big_test, K, 64,
         ).count(),
     )
+
+    # routed variant: centroid routing probes nprobe shards per query
+    # instead of all of them — the 100x-scale default
+    def routed_big():
+        from vector_index_spark.index.searcher import routed_graph_ann_query
+
+        routed_graph_ann_query(
+            assign_shards(big_train, big_params.sub_index_bound),
+            big_state["edges"], big_test, K, nprobe=8,
+            relaxed_monotonicity=64,
+        ).count()
+
+    timed(f"graph_routed_query_k100_{n_big // 1000}k", routed_big)
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
     # RP-tree route at the 62k corpus (fit + assign + multi-probe query)
