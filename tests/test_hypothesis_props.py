@@ -142,3 +142,31 @@ def test_cell_pruning_never_drops_qualifying_pairs(X, cos_t):
                 assert cdist[a, b] <= radii[a] + radii[b] + eps + 1e-9, (
                     i, j, cos, cos_t,
                 )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from(["<f4", "<f8", "<i8", "<i4", "<u2"]),
+    st.booleans(),
+    st.integers(min_value=1, max_value=70),
+)
+def test_minihdf5_roundtrip_property(n, d, dtype, compress, chunk_rows):
+    """sources.minihdf5: any small 2-D array of any supported dtype
+    round-trips bit-exactly, contiguous or deflate-chunked, for any chunk
+    size (incl. chunk > rows and ragged final chunks)."""
+    import tempfile, os
+    from vector_index_spark.sources.minihdf5 import read_hdf5, write_hdf5
+
+    rng = np.random.default_rng(n * 1000 + d)
+    if dtype.startswith("<f"):
+        arr = rng.standard_normal((n, d)).astype(dtype)
+    else:
+        arr = rng.integers(0, 200, (n, d)).astype(dtype)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "p.h5")
+        write_hdf5(path, {"x": arr}, compress=compress, chunk_rows=chunk_rows)
+        back = read_hdf5(path)["x"]
+    assert back.dtype == arr.dtype
+    assert np.array_equal(back, arr)
