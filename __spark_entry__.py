@@ -283,21 +283,14 @@ def q07_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q08_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2C Q8 — index persistence round-trip (reference save/load,
-    source/dehnsw.h:666-844). Builds a deterministic kNN-graph edge relation
-    (each train vector's 4 nearest others), writes it shard-partitioned,
-    re-reads it, and aggregates count + portable checksum + distance sum.
-    The oracle computes the same aggregate directly: round-trip must be
-    identity (mirrors dehnsw_example.cpp:208-228 re-query equivalence)."""
-    import os
-    import tempfile
-
+def _toy_edge_index(spark: SparkSession, sf_dir: str):
+    """Deterministic kNN-graph edge relation (each train vector's 4
+    nearest others) + sharded vectors + params — the SQL-recomputable
+    fixture shared by the persistence (q08) and compaction (q117)
+    round-trips."""
     from pyspark.sql import Window
 
     from vector_index_spark.config import IndexParameters
-    from vector_index_spark.functions.hashing import portable_hash
-    from vector_index_spark.index.persistence import load_index, save_index
 
     train = _train(spark, sf_dir)
     g = knn_join(train.select(F.col("id").alias("qid"), "vec"), train, 5)
@@ -315,11 +308,13 @@ def q08_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vectors = assign_shards(train, SUB_INDEX_BOUND).select("shard", "id", "vec")
-    path = os.path.join(tempfile.gettempdir(), f"vis_q08_index_{os.getpid()}")
     params = IndexParameters(dimension=64, sub_index_bound=SUB_INDEX_BOUND)
-    save_index(vectors, edges, params, path)
-    _, edges_back, params_back = load_index(spark, path)
-    assert params_back == params
+    return vectors, edges, params
+
+
+def _edge_aggregate(edges_back: DataFrame) -> DataFrame:
+    from vector_index_spark.functions.hashing import portable_hash
+
     return edges_back.agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum(
@@ -331,6 +326,51 @@ def q08_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("edge_checksum"),
         F.round(F.sum("dist"), 4).alias("dist_sum"),
     )
+
+
+def q08_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2C Q8 — index persistence round-trip (reference save/load,
+    source/dehnsw.h:666-844). Builds a deterministic kNN-graph edge relation
+    (each train vector's 4 nearest others), writes it shard-partitioned,
+    re-reads it, and aggregates count + portable checksum + distance sum.
+    The oracle computes the same aggregate directly: round-trip must be
+    identity (mirrors dehnsw_example.cpp:208-228 re-query equivalence)."""
+    import os
+    import tempfile
+
+    from vector_index_spark.index.persistence import load_index, save_index
+
+    vectors, edges, params = _toy_edge_index(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"vis_q08_index_{os.getpid()}")
+    save_index(vectors, edges, params, path)
+    _, edges_back, params_back = load_index(spark, path)
+    assert params_back == params
+    return _edge_aggregate(edges_back)
+
+
+def q117_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op #19 ``optimize`` (python_binding/dehnswpy.cpp:18-21) —
+    index compaction must be a pure layout rewrite: save, compact to a new
+    path, load the compacted copy, and aggregate the same count/checksum/
+    distance-sum as q08. The oracle recomputes the aggregate from the raw
+    data, so any row lost, duplicated or altered by compaction
+    hash-mismatches."""
+    import os
+    import tempfile
+
+    from vector_index_spark.index.persistence import (
+        compact_index,
+        load_index,
+        save_index,
+    )
+
+    vectors, edges, params = _toy_edge_index(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"vis_q117_{os.getpid()}")
+    save_index(vectors, edges, params, base)
+    compact_index(spark, base, base + "_compact")
+    _, edges_back, params_back = load_index(spark, base + "_compact")
+    assert params_back == params
+    return _edge_aggregate(edges_back)
 
 
 def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2122,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_quantile_gate": q114_quantile_gate,
         "q115_semdedup_gate": q115_semdedup_gate,
         "q116_mmr_rerank": q116_mmr_rerank,
+        "q117_compaction_roundtrip": q117_compaction_roundtrip,
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
@@ -2381,6 +2422,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {K}
         """,
         "q08_index_roundtrip": f"""
+            WITH train AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id % 10 <> 0
+            ), d AS (
+              SELECT t.id AS src, c.id AS dst,
+                     {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM train t CROSS JOIN train c WHERE t.id <> c.id
+            ), ranked AS (
+              SELECT src, dst, dist,
+                     row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS r
+              FROM d
+            ), edges AS (
+              SELECT src // {SUB_INDEX_BOUND} AS shard, 0 AS layer, src, dst, dist
+              FROM ranked WHERE r <= 4
+            )
+            SELECT count(*) AS n_edges,
+                   sum(('0x' || substring(md5(
+                        (shard::VARCHAR || ',' || layer::VARCHAR || ','
+                         || src::VARCHAR || ',' || dst::VARCHAR)), 1, 12))::BIGINT
+                   )::BIGINT AS edge_checksum,
+                   round(sum(dist), 4) AS dist_sum
+            FROM edges
+        """,
+        "q117_compaction_roundtrip": f"""
             WITH train AS (
               SELECT vec_id AS id, embedding::DOUBLE[] AS vec
               FROM embeddings WHERE vec_id % 10 <> 0
