@@ -2409,10 +2409,12 @@ def oracle_sql() -> dict[str, str]:
                                   * lv.res * 1000000) AS bucket_start,
                    raw.event_type,
                    count(*) AS n_events,
-                   round(sum(raw.value), 6) AS value_sum,
+                   round(CAST(sum(CAST(raw.value AS DECIMAL(38,12)))
+                              AS DOUBLE), 6) AS value_sum,
                    round(min(raw.value), 6) AS value_min,
                    round(max(raw.value), 6) AS value_max,
-                   round(sum(raw.value) / count(*), 6) AS value_avg
+                   round(CAST(sum(CAST(raw.value AS DECIMAL(38,12)))
+                              AS DOUBLE) / count(*), 6) AS value_avg
             FROM raw CROSS JOIN lv
             GROUP BY 1, 2, 3
         """,

@@ -12,9 +12,13 @@ and coarser levels re-aggregate bounded partials.
 
 Compositional aggregates only: count and sum add, min/max combine, and
 avg is re-derived as sum/count at output time — never averaged across
-levels. Sums stay unrounded between levels; rounding happens once at the
-output projection so every level is hash-comparable with a direct
-group-by over raw data.
+levels. Sums are carried as ``DECIMAL(38, 12)`` between levels: decimal
+addition is associative and order-independent, so the partial-derived
+coarse sums are bit-identical to a direct group-by over raw rows on ANY
+partitioning (a float64 sum is not — its value depends on accumulation
+order, which follows the cluster layout). The decimal is cast back to
+double only in the output projection, where the single ``round(·, 6)``
+happens.
 
 Plan shape: the finest-level aggregate subtree is byte-identical under
 every output level, so Catalyst's exchange-reuse rule collapses them —
@@ -78,7 +82,9 @@ def multi_resolution_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("__sum"),
+            # Decimal accumulation: order-independent, so the result does
+            # not depend on partitioning / shuffle layout.
+            F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sum"),
             F.min(value_col).alias("value_min"),
             F.max(value_col).alias("value_max"),
         )
@@ -91,7 +97,9 @@ def multi_resolution_rollup(
             )
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("__sum").alias("__sum"),
+                # Spark widens sum(decimal(38,12)) back to decimal(38,12);
+                # re-cast defensively so every level carries the same type.
+                F.sum("__sum").cast("decimal(38,12)").alias("__sum"),
                 F.min("value_min").alias("value_min"),
                 F.max("value_max").alias("value_max"),
             )
@@ -105,10 +113,15 @@ def multi_resolution_rollup(
             "bucket_start",
             *key_cols,
             "n_events",
-            F.round(F.col("__sum"), 6).alias("value_sum"),
+            F.round(F.col("__sum").cast("double"), 6).alias("value_sum"),
             F.round("value_min", 6).alias("value_min"),
             F.round("value_max", 6).alias("value_max"),
-            F.round(F.col("__sum") / F.col("n_events"), 6).alias("value_avg"),
+            # double(exact_sum) / n in IEEE double — deterministic because
+            # the decimal sum is exact; matches the oracle's
+            # round(CAST(sum AS DOUBLE) / count, 6) bit-for-bit.
+            F.round(
+                F.col("__sum").cast("double") / F.col("n_events"), 6
+            ).alias("value_avg"),
         )
         out = projected if out is None else out.unionByName(projected)
     return out
