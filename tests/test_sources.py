@@ -161,3 +161,64 @@ def test_minihdf5_roundtrip_dtypes(tmp_path):
     bad.write_bytes(b"parquet-or-something" * 4)
     with _pytest.raises(NotImplementedError, match="signature"):
         read_hdf5(str(bad))
+
+
+def test_minihdf5_superblock_v2(tmp_path):
+    """Superblock v2 + v2 OHDR fixture (h5py libver='latest' shape,
+    hand-built because h5py isn't in the container): the root object
+    header address sits at byte 36 of a v2 superblock (byte 28 is the
+    EOF address), and a v2 OHDR with the timestamps flag carries FOUR
+    4-byte times (16 bytes) before the chunk-0 size (ADVICE r02 #1/#2).
+    The fixture grafts both onto a writer-produced file: a v2 root OHDR
+    (flags 0x20, symbol-table message reusing the v0 file's B-tree +
+    heap) and a 48-byte v2 superblock, then requires bit-exact reads."""
+    import struct
+
+    import numpy as np
+
+    from vector_index_spark.sources import minihdf5
+    from vector_index_spark.sources.minihdf5 import read_hdf5, write_hdf5
+
+    rng = np.random.default_rng(7)
+    data = {
+        "train": rng.standard_normal((20, 8)).astype(np.float32),
+        "neighbors": rng.integers(0, 100, (5, 3)).astype(np.int64),
+    }
+    path = tmp_path / "v0.hdf5"
+    write_hdf5(str(path), data)
+    buf = bytearray(path.read_bytes())
+
+    # pull the root symbol-table message (btree, heap) out of the v0 file
+    rd = minihdf5._Reader(bytes(buf))
+    st = [
+        struct.unpack_from("<QQ", bytes(buf), body)
+        for mtype, body, _ in rd._messages(rd.root_oh)
+        if mtype == 0x11
+    ]
+    assert st, "v0 fixture has no symbol table message"
+    btree, heap = st[0]
+
+    # append a v2 OHDR root group: flags 0x20 (times present, 1-byte
+    # chunk0 size), 16 bytes of times, chunk0 = one symbol-table message
+    root2 = len(buf)
+    msg = bytes([0x11]) + struct.pack("<H", 16) + b"\x00" + struct.pack("<QQ", btree, heap)
+    buf += b"OHDR" + bytes([2, 0x20]) + b"\x00" * 16 + bytes([len(msg)]) + msg
+    eof = len(buf)
+
+    # overwrite the head with a 48-byte v2 superblock (the v0 superblock
+    # region is >= 64 bytes, so nothing live is clobbered)
+    sb2 = (
+        b"\x89HDF\r\n\x1a\n"
+        + bytes([2, 8, 8, 0])
+        + struct.pack("<QQQQ", 0, minihdf5.UNDEF, eof, root2)
+        + b"\x00\x00\x00\x00"  # checksum (reader does not verify)
+    )
+    buf[: len(sb2)] = sb2
+    v2path = tmp_path / "v2.hdf5"
+    v2path.write_bytes(bytes(buf))
+
+    back = read_hdf5(str(v2path))
+    assert sorted(back) == sorted(data)
+    for name, arr in data.items():
+        assert back[name].dtype == arr.dtype, name
+        assert np.array_equal(back[name], arr), name

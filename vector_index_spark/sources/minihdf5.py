@@ -51,7 +51,10 @@ class _Reader:
         elif ver in (2, 3):
             if buf[9] != 8 or buf[10] != 8:
                 raise NotImplementedError("only 8-byte offsets/lengths")
-            (self.root_oh,) = struct.unpack_from("<Q", buf, 28)
+            # v2/v3 layout after the 12 header bytes: base address @12,
+            # superblock extension @20, EOF @28, root object header @36
+            # (spec III.B; offset 28 is the EOF address, not the root OH)
+            (self.root_oh,) = struct.unpack_from("<Q", buf, 36)
         else:
             raise NotImplementedError(f"superblock version {ver}")
 
@@ -65,7 +68,7 @@ class _Reader:
             flags = b[addr + 5]
             pos = addr + 6
             if flags & 0x20:
-                pos += 8  # access/mod/change/birth times
+                pos += 16  # access/mod/change/birth times: four 4-byte fields
             if flags & 0x10:
                 pos += 4  # max compact/dense attrs
             size_bytes = 1 << (flags & 0x3)

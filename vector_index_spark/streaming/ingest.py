@@ -81,9 +81,13 @@ def stream_ann_query(
     The index loads once on start and its relations are cached — per-batch
     cost is the search only, proportional to the batch's query count (the
     query-side broadcast pattern of index.searcher, with its query-chunk
-    guard), never to index size. foreachBatch + checkpoint gives
-    exactly-once appends per micro-batch; a replayed batch overwrites
-    nothing (append sink, batch-id dedup by the checkpoint).
+    guard), never to index size. foreachBatch itself is at-least-once — a
+    micro-batch replayed after a failure between the write and the
+    checkpoint commit runs again — so each batch writes with OVERWRITE
+    into its own ``batch_id=<n>`` partition directory: the replay
+    rewrites the same partition with the same rows and the output stays
+    exactly-once (the standard idempotent-foreachBatch recipe). Readers
+    see ``batch_id`` as an extra partition column on ``output_path``.
     """
     from vector_index_spark.index.persistence import load_index
     from vector_index_spark.index.searcher import graph_ann_query
@@ -101,7 +105,7 @@ def stream_ann_query(
             vectors, edges, batch_df, k, relaxed_monotonicity,
             qid_col=qid_col, vec_col=vec_col,
         )
-        res.write.mode("append").parquet(output_path)
+        res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (
         queries.writeStream.foreachBatch(_serve)
