@@ -373,6 +373,159 @@ def q117_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edge_aggregate(edges_back)
 
 
+def _clustered_split(spark: SparkSession, sf_dir: str):
+    """Deterministic clustered variant of the embeddings fixture: 8
+    well-separated clusters (offset magnitude >> intra-cluster spread),
+    same row counts as _train/_test so the recall-gate oracle holds."""
+    clustered = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when((F.col("vec_id") % 8) == (i % 8), F.lit(25.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("vec"),
+    )
+    train = clustered.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), "vec"
+    )
+    test = clustered.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), "vec"
+    )
+    return train, test
+
+
+def q118_cell_routed_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched recall gate for cluster-assigned shard routing
+    (operators/shard.ivf_cell_shards + routed_graph_ann_query): on the
+    clustered fixture, probing only nprobe=4 of ~8 cell shards must clear
+    the recall floor — the sharp-routing property id-ranged shards lack
+    (SCALE.md). Measured 1.0 at sf0.01 (floor 0.9)."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.searcher import (
+        routed_graph_ann_query,
+        shard_centroids,
+    )
+    from vector_index_spark.operators.shard import ivf_cell_shards
+
+    train, test = _clustered_split(spark, sf_dir)
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=700,
+    )
+    sharded = ivf_cell_shards(train, 8, params.sub_index_bound, seed=11)
+    edges = build_graph_index(sharded, params, shard_col="shard")
+    route = routed_graph_ann_query(
+        sharded, edges, test, K, nprobe=4, centroids=shard_centroids(sharded)
+    )
+    return _recall_gate_vs(route, train, test, 0.9)
+
+
+def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for MMR re-ranking (q116, rows-only): by
+    construction the FIRST selection maximizes pure relevance — the
+    diversity term is empty on an empty selected set (Carbonell &
+    Goldstein SIGIR'98 eq. 1) — so for every query the rank-1 MMR pick
+    must be the shortlist candidate with maximal cosine similarity to
+    the query (ties to the smaller id, mirroring the operator's
+    deterministic tie order). A greedy-loop or scoring regression flips
+    the boolean."""
+    from pyspark.sql import Window
+
+    from vector_index_spark.operators.diversity import mmr_rerank
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    short = knn_join(test, train, 20).select("qid", "id")
+    cand = short.join(train.select("id", "vec"), "id").join(
+        F.broadcast(test.select("qid", F.col("vec").alias("qvec"))), "qid"
+    )
+    res = mmr_rerank(cand, K, lam=0.7)
+    first = res.filter(F.col("rank") == 1).select("qid", F.col("id").alias("mmr_id"))
+    w = Window.partitionBy("qid").orderBy(F.col("cd").asc(), F.col("id").asc())
+    best = (
+        cand.withColumn("cd", cos_dist(F.col("qvec"), F.col("vec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("qid", F.col("id").alias("best_id"))
+    )
+    joined = first.join(best, "qid")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min(F.col("mmr_id") == F.col("best_id")).alias("first_pick_is_max_rel"),
+    )
+
+
+def q120_classifier_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for the fastText-style quality classifier (q101,
+    rows-only): scores must separate the weak classes — the mean predicted
+    probability over Gopher-pass docs must exceed the mean over fails by
+    >= 0.2, and probabilities must be valid. Training collapse (all-0.5
+    scores, flipped labels, degenerate fit) flips the booleans."""
+    from vector_index_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = weak_quality_labels(docs)
+    model = train_quality_classifier(labeled, num_features=1 << 15, max_iter=15)
+    scored = score_quality(model, docs).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.when(F.col("label") == 1, F.col("quality_prob"))).alias("p_good"),
+        F.avg(F.when(F.col("label") == 0, F.col("quality_prob"))).alias("p_bad"),
+        F.min(
+            (F.col("quality_prob") >= 0.0) & (F.col("quality_prob") <= 1.0)
+        ).alias("probs_valid"),
+    )
+    return agg.select(
+        "n_docs",
+        (F.col("p_good") - F.col("p_bad") >= 0.2).alias("separated"),
+        "probs_valid",
+    )
+
+
+def q121_kcenter_cover_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for k-center selection (q99, rows-only): the
+    greedy farthest-point centers must cover the corpus strictly better
+    than the naive first-k-ids baseline (coverage radius = max distance
+    from any point to its nearest center), and yield exactly k distinct
+    corpus members. Gates the 2-approximation actually optimizing."""
+    from vector_index_spark.operators.diversity import k_center_select
+    from vector_index_spark.operators.knn import knn_join as _kj
+
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+
+    def radius(center_ids: list[int]) -> float:
+        cents = df.filter(F.col("id").isin([int(c) for c in center_ids])).select(
+            F.col("id").alias("qid"), "vec"
+        )
+        # nearest center per point, then the max of those distances
+        d = _kj(df.select(F.col("id").alias("qid"), "vec"),
+                cents.select(F.col("qid").alias("id"), "vec"), 1)
+        return d.agg(F.max("dist")).collect()[0][0]
+
+    sel_ids = [int(i) for i, _vec in k_center_select(df, k=16)]
+    baseline = [r.id for r in df.orderBy("id").limit(16).collect()]
+    r_greedy = radius(sel_ids)
+    r_base = radius(baseline)
+    n_distinct = len(set(sel_ids))
+    return spark.createDataFrame(
+        [(
+            int(n_distinct),
+            bool(n_distinct == 16),
+            bool(r_greedy < r_base),
+        )],
+        "n_centers long, k_distinct boolean, beats_naive_baseline boolean",
+    )
+
+
 def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2C Q9 — exact dedup: GROUP BY text, keep min doc_id."""
     from vector_index_spark.operators.dedup import exact_dedup
@@ -727,6 +880,15 @@ def _recall_gate(
     corpora sit far above them.
     """
     train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    return _recall_gate_vs(route, train, test, floor)
+
+
+def _recall_gate_vs(
+    route: DataFrame, train: DataFrame, test: DataFrame, floor: float
+) -> DataFrame:
+    """_recall_gate against an explicit corpus/query split (for gates whose
+    fixture transforms the vectors — e.g. the clustered cell-routing
+    fixture; row counts, and therefore the oracle, are unchanged)."""
     neighbors = knn_join(test, train, K).select(
         "qid", (F.col("rank") - 1).alias("pos"),
         F.col("id").alias("neighbor_id"), "dist",
@@ -2107,6 +2269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must show green), then queries whose only green row is from round 1;
     # entries hash-green in CORRECTNESS_r02 rotate to the back (their signal
     # is on record).
+        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
+        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
+        "q120_classifier_margin_gate": q120_classifier_margin_gate,
+        "q121_kcenter_cover_gate": q121_kcenter_cover_gate,
         "q117_compaction_roundtrip": q117_compaction_roundtrip,
         "q112_lsh_join_gate": q112_lsh_join_gate,
         "q115_semdedup_gate": q115_semdedup_gate,
@@ -2240,6 +2406,19 @@ def oracle_sql() -> dict[str, str]:
         # declared floor; the Spark side must achieve recall_ok=true on the
         # reference's position-wise recall metric. See _recall_gate.
         "q22_graph_recall_gate": _recall_gate_oracle(0.95),
+        "q118_cell_routed_recall_gate": _recall_gate_oracle(0.9),
+        "q119_mmr_first_pick_gate": """
+            SELECT count(*) AS n_queries, true AS first_pick_is_max_rel
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        "q120_classifier_margin_gate": """
+            SELECT count(*) AS n_docs, true AS separated, true AS probs_valid
+            FROM documents
+        """,
+        "q121_kcenter_cover_gate": """
+            SELECT CAST(16 AS BIGINT) AS n_centers, true AS k_distinct,
+                   true AS beats_naive_baseline
+        """,
         "q104_lsh_recall_gate": _recall_gate_oracle(0.9),
         "q105_ivf_recall_gate": _recall_gate_oracle(0.7),
         "q106_pq_recall_gate": _recall_gate_oracle(0.9),
