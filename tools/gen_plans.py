@@ -128,6 +128,18 @@ def main() -> None:
     ]
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    from vector_index_spark.operators.fuzzy import fuzzy_self_join
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    sections += [
+        (
+            "Fuzzy (edit-distance) self-join: prefix-filtered q-gram block "
+            "(each string indexes its q*d+1 rarest grams), id-only dedup "
+            "shuffle, banded threshold levenshtein verify",
+            plan(fuzzy_self_join(part, "p_name", "p_partkey", max_dist=1)),
+        ),
+    ]
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
