@@ -103,3 +103,44 @@ def test_unsaved_index_guards(data):
         idx.append(train.limit(1))
     with pytest.raises(ValueError, match="save first"):
         idx.optimize("/tmp/nowhere")
+
+def test_ivf_cell_lifecycle(spark, data, tmp_path):
+    """Cell-sharded scheme through the facade: build -> routed query ->
+    save/load -> append (nearest-centroid routing, no re-fit) -> remove
+    (shards preserved). The scheme survives persistence via params."""
+    from dataclasses import replace
+
+    train, test = data
+    params = replace(PARAMS, shard_by="ivf_cell", sub_index_bound=700)
+    idx = VectorIndex.build(train, params, n_cells=4, seed=11)
+    assert idx.count() == 450
+    # every shard respects the size bound at build time
+    assert (
+        idx.vectors.groupBy("shard").count().agg(F.max("count")).collect()[0][0]
+        <= 700
+    )
+    exact = idx.exact_query(test, K).collect()
+    approx = idx.query(test, K, nprobe=2).collect()
+    assert _recall(approx, exact) >= 0.5  # uniform data, 2 of ~4 shards
+
+    path = str(tmp_path / "cell_idx")
+    idx.save(path)
+    idx2 = VectorIndex.load(spark, path)
+    assert idx2.params.shard_by == "ivf_cell"
+    # snapshot BEFORE mutation: append/remove dynamically overwrite the
+    # partitions a lazy idx2.vectors plan would re-read
+    before = sorted((r.id, r.shard) for r in idx2.vectors.collect())
+    old_shards = {s for _i, s in before}
+
+    # append: new ids land on their nearest existing centroid
+    extra = test.select((F.col("qid") + 10_000).alias("id"), "vec")
+    idx3 = idx2.append(extra)
+    assert idx3.count() == 500
+    new_shards = {r.shard for r in idx3.vectors.select("shard").distinct().collect()}
+    assert new_shards == old_shards  # no re-fit, no new shards
+
+    # remove: survivors keep their shard assignment
+    idx4 = idx3.remove(extra.select("id"))
+    assert idx4.count() == 450
+    after = sorted((r.id, r.shard) for r in idx4.vectors.collect())
+    assert before == after

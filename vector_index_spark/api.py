@@ -63,8 +63,15 @@ class VectorIndex:
         params: IndexParameters,
         id_col: str = "id",
         vec_col: str = "vec",
+        n_cells: int | None = None,
+        seed: int = 42,
     ) -> "VectorIndex":
         """Bulk build (the reference's insert loop, parallel per shard).
+
+        ``params.shard_by`` selects the shard scheme: ``"id_range"`` (the
+        reference's ``id DIV sub_index_bound``) or ``"ivf_cell"``
+        (k-means-cell locality shards — sharp ``query(nprobe=...)``
+        routing; ``n_cells`` defaults to ceil(n / sub_index_bound)).
 
         Metric handling (the reference's Distance_Type enum,
         source/distance.h:10-15 — only Euclidean2 ever dispatches there;
@@ -100,8 +107,21 @@ class VectorIndex:
                     ),
                 ).alias("vec"),
             )
-        edges = build_graph_index(t, params)
-        vectors = assign_shards(t, params.sub_index_bound)
+        if params.shard_by == "ivf_cell":
+            from vector_index_spark.operators.shard import ivf_cell_shards
+
+            n = n_cells
+            if n is None:
+                n = max(1, -(-t.count() // params.sub_index_bound))
+            # eager checkpoint: the edge build and the stored vectors MUST
+            # see one identical assignment (never recomputed independently)
+            vectors = ivf_cell_shards(
+                t, n, params.sub_index_bound, seed=seed
+            ).localCheckpoint(eager=True)
+            edges = build_graph_index(vectors, params, shard_col="shard")
+        else:
+            edges = build_graph_index(t, params)
+            vectors = assign_shards(t, params.sub_index_bound)
         return cls(vectors, edges, params)
 
     @classmethod

@@ -22,6 +22,7 @@ import json
 
 
 DISTANCE_TYPES = ("euclidean2", "inner_product", "cosine_similarity")
+SHARD_SCHEMES = ("id_range", "ivf_cell")
 
 
 @dataclass(frozen=True)
@@ -32,11 +33,20 @@ class IndexParameters:
     relaxed_monotonicity: int = 128
     step: int = 4
     sub_index_bound: int = 100_000
+    # shard assignment scheme, persisted so append() can route new rows
+    # consistently: "id_range" = the reference's id DIV sub_index_bound
+    # (dehnsw.h:601); "ivf_cell" = k-means-cell locality sharding
+    # (operators.shard.ivf_cell_shards) for sharp nprobe routing
+    shard_by: str = "id_range"
 
     def __post_init__(self) -> None:
         if self.distance_type not in DISTANCE_TYPES:
             raise ValueError(
                 f"distance_type must be one of {DISTANCE_TYPES}, got {self.distance_type!r}"
+            )
+        if self.shard_by not in SHARD_SCHEMES:
+            raise ValueError(
+                f"shard_by must be one of {SHARD_SCHEMES}, got {self.shard_by!r}"
             )
         if self.dimension <= 0 or self.sub_index_bound <= 0:
             raise ValueError("dimension and sub_index_bound must be positive")

@@ -36,7 +36,7 @@ def build_graph_index(
     id_col: str = "id",
     vec_col: str = "vec",
     shard_col: str | None = None,
-    shard_by: str = "id_range",
+    shard_by: str | None = None,
     n_cells: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
@@ -70,6 +70,8 @@ def build_graph_index(
             rows, columns=["shard", "layer", "src", "dst", "dist"]
         )
 
+    if shard_by is None:  # scheme recorded in params unless overridden
+        shard_by = params.shard_by
     if shard_col is not None:
         sharded = vectors.select(
             F.col(shard_col).cast("long").alias("shard"),
@@ -125,7 +127,9 @@ def remove_from_index(spark, path: str, ids: DataFrame,
         .join(doomed, "id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    rebuilt = build_graph_index(survivors.select("id", "vec"), params)
+    # rebuild over the PRESERVED shard assignment: correct for both
+    # schemes (id-range is deletion-stable; ivf_cell must not be re-fit)
+    rebuilt = build_graph_index(survivors, params, shard_col="shard")
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -154,17 +158,35 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
     fills to ``sub_index_bound``, then the next opens, dehnsw.h:601-609;
     untouched shards' graphs are never recomputed).
 
-    Because a shard build is deterministic in id order, an appended index
-    is bit-identical to a from-scratch build over the union — asserted in
-    tests. Uses dynamic partition overwrite so only affected shard
-    partitions rewrite on disk."""
+    Because a shard build is deterministic in id order, an appended
+    id-range index is bit-identical to a from-scratch build over the
+    union — asserted in tests. (ivf_cell indexes route appends to their
+    nearest existing shard centroid instead — the cell fit is never
+    redone, so a from-scratch rebuild may shard differently by design.)
+    Uses dynamic partition overwrite so only affected shard partitions
+    rewrite on disk."""
     from vector_index_spark.index.persistence import load_index
 
     vectors, _edges, params = load_index(spark, path)
-    new = assign_shards(
-        new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        params.sub_index_bound,
-    )
+    rows = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if params.shard_by == "ivf_cell":
+        # route new rows to their NEAREST existing shard centroid (the
+        # cell layout must not re-fit on append; shards may grow past
+        # sub_index_bound until a rebuild/optimize — documented contract)
+        from vector_index_spark.index.searcher import shard_centroids
+        from vector_index_spark.operators.knn import knn_join
+
+        cents = shard_centroids(vectors).select(
+            F.col("shard").alias("id"), F.col("centroid").alias("vec")
+        )
+        new = (
+            knn_join(rows.withColumnRenamed("id", "qid"), cents, 1)
+            .select(F.col("id").alias("shard"), F.col("qid").alias("id"))
+            .join(rows, "id")
+            .select("shard", "id", "vec")
+        )
+    else:
+        new = assign_shards(rows, params.sub_index_bound)
     clash = new.join(vectors.select("id"), "id").limit(1).collect()
     if clash:
         raise ValueError(
@@ -179,7 +201,8 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
     merged = existing_in_affected.unionByName(
         new.select("shard", "id", "vec")
     ).localCheckpoint(eager=True)
-    rebuilt = build_graph_index(merged.select("id", "vec"), params)
+    # preserved/derived shard column — never re-fit on append
+    rebuilt = build_graph_index(merged, params, shard_col="shard")
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
