@@ -432,8 +432,6 @@ def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query (ties to the smaller id, mirroring the operator's
     deterministic tie order). A greedy-loop or scoring regression flips
     the boolean."""
-    from pyspark.sql import Window
-
     from vector_index_spark.operators.diversity import mmr_rerank
 
     train, test = _train(spark, sf_dir), _test(spark, sf_dir)
@@ -443,11 +441,13 @@ def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = mmr_rerank(cand, K, lam=0.7)
     first = res.filter(F.col("rank") == 1).select("qid", F.col("id").alias("mmr_id"))
-    w = Window.partitionBy("qid").orderBy(F.col("cd").asc(), F.col("id").asc())
+    # pure-relevance reference via the SAME numeric path (lam=1.0 makes
+    # the score exactly the relevance term): comparing two numpy cosine
+    # argmaxes avoids the numpy-vs-HOF last-ulp ordering hazard that
+    # functions/distance.py documents for oracle-hashed outputs
     best = (
-        cand.withColumn("cd", cos_dist(F.col("qvec"), F.col("vec")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        mmr_rerank(cand, 1, lam=1.0)
+        .filter(F.col("rank") == 1)
         .select("qid", F.col("id").alias("best_id"))
     )
     joined = first.join(best, "qid")
@@ -496,26 +496,21 @@ def q121_kcenter_cover_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the naive first-k-ids baseline (coverage radius = max distance
     from any point to its nearest center), and yield exactly k distinct
     corpus members. Gates the 2-approximation actually optimizing."""
-    from vector_index_spark.operators.diversity import k_center_select
-    from vector_index_spark.operators.knn import knn_join as _kj
+    from vector_index_spark.operators.diversity import (
+        coverage_radius,
+        k_center_select,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
 
-    def radius(center_ids: list[int]) -> float:
-        cents = df.filter(F.col("id").isin([int(c) for c in center_ids])).select(
-            F.col("id").alias("qid"), "vec"
-        )
-        # nearest center per point, then the max of those distances
-        d = _kj(df.select(F.col("id").alias("qid"), "vec"),
-                cents.select(F.col("qid").alias("id"), "vec"), 1)
-        return d.agg(F.max("dist")).collect()[0][0]
-
-    sel_ids = [int(i) for i, _vec in k_center_select(df, k=16)]
-    baseline = [r.id for r in df.orderBy("id").limit(16).collect()]
-    r_greedy = radius(sel_ids)
-    r_base = radius(baseline)
-    n_distinct = len(set(sel_ids))
+    selected = k_center_select(df, k=16)
+    baseline = [
+        (r.id, list(r.vec)) for r in df.orderBy("id").limit(16).collect()
+    ]
+    r_greedy = coverage_radius(df, selected)
+    r_base = coverage_radius(df, baseline)
+    n_distinct = len({int(i) for i, _vec in selected})
     return spark.createDataFrame(
         [(
             int(n_distinct),

@@ -100,6 +100,56 @@ def build_graph_index(
     return sharded.groupBy("shard").applyInPandas(build, EDGE_SCHEMA)
 
 
+def _apply_metric_transform(
+    rows: DataFrame, stored: DataFrame, params: IndexParameters
+) -> DataFrame:
+    """Apply the index's build-time vector transform to appended rows so
+    they live in the same space as the stored vectors (api.VectorIndex
+    .build): cosine indexes store unit vectors; inner-product indexes
+    store the norm augmentation [x, sqrt(M^2 - |x|^2)].
+
+    The MIPS bound M is recovered from any stored row — the augmented
+    norm is |x|^2 + (M^2 - |x|^2) = M^2 by construction. A new row with
+    |x| > M cannot be represented under the build-time bound; that fails
+    loudly (re-build the index) rather than silently mis-ranking."""
+    from vector_index_spark.functions.distance import l2_norm, normalize
+
+    if params.distance_type == "cosine_similarity":
+        return rows.select("id", normalize(F.col("vec")).alias("vec"))
+    if params.distance_type == "inner_product":
+        m2_row = stored.select(
+            (l2_norm(F.col("vec")) * l2_norm(F.col("vec"))).alias("m2")
+        ).first()
+        if m2_row is None:
+            raise ValueError("append to an empty inner_product index")
+        m2 = float(m2_row.m2)
+        over = rows.filter(
+            l2_norm(F.col("vec")) * l2_norm(F.col("vec")) > m2 * (1 + 1e-9)
+        ).limit(1).collect()
+        if over:
+            raise ValueError(
+                f"append_to_index: id {over[0].id} has norm above the "
+                "index's build-time MIPS bound M; rebuild the index to "
+                "raise the bound"
+            )
+        return rows.select(
+            "id",
+            F.concat(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(m2)
+                            - l2_norm(F.col("vec")) * l2_norm(F.col("vec")),
+                            F.lit(0.0),
+                        )
+                    )
+                ),
+            ).alias("vec"),
+        )
+    return rows
+
+
 def remove_from_index(spark, path: str, ids: DataFrame,
                       id_col: str = "id") -> None:
     """Batch delete: drop rows and rebuild ONLY the shards they lived in
@@ -169,22 +219,36 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
 
     vectors, _edges, params = load_index(spark, path)
     rows = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    rows = _apply_metric_transform(rows, vectors, params)
     if params.shard_by == "ivf_cell":
         # route new rows to their NEAREST existing shard centroid (the
         # cell layout must not re-fit on append; shards may grow past
-        # sub_index_bound until a rebuild/optimize — documented contract)
-        from vector_index_spark.index.searcher import shard_centroids
-        from vector_index_spark.operators.knn import knn_join
+        # sub_index_bound until a rebuild/optimize — documented contract).
+        # The centroid table is the BOUNDED side (one row per shard):
+        # collect it once and argmin per row in an Arrow batch — never a
+        # broadcast of the (unbounded) append batch itself.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-        cents = shard_centroids(vectors).select(
-            F.col("shard").alias("id"), F.col("centroid").alias("vec")
+        from vector_index_spark.index.searcher import shard_centroids
+
+        cent_rows = shard_centroids(vectors).orderBy("shard").collect()
+        C = np.stack([np.asarray(r.centroid) for r in cent_rows]).astype(
+            np.float64
         )
-        new = (
-            knn_join(rows.withColumnRenamed("id", "qid"), cents, 1)
-            .select(F.col("id").alias("shard"), F.col("qid").alias("id"))
-            .join(rows, "id")
-            .select("shard", "id", "vec")
-        )
+        shard_ids = np.array([r.shard for r in cent_rows], dtype=np.int64)
+        cc = (C * C).sum(1)
+
+        @pandas_udf("long")
+        def _nearest_shard(v: pd.Series) -> pd.Series:
+            Xb = np.stack(v.to_numpy()).astype(np.float64)
+            d = (Xb * Xb).sum(1)[:, None] - 2.0 * Xb @ C.T + cc[None, :]
+            return pd.Series(shard_ids[d.argmin(axis=1)])
+
+        new = rows.select(
+            _nearest_shard(F.col("vec")).alias("shard"), "id", "vec"
+        ).localCheckpoint(eager=True)
     else:
         new = assign_shards(rows, params.sub_index_bound)
     clash = new.join(vectors.select("id"), "id").limit(1).collect()

@@ -177,15 +177,14 @@ def shard_centroids(vectors: DataFrame) -> DataFrame:
     One grouped-aggregate pandas UDAF per shard (Arrow-batched numpy
     mean), not d separate ``sum(element_at(vec, i))`` aggregate
     expressions — at d=960 the per-dimension form bloats the plan with
-    ~1000 aggregate columns for no gain (VERDICT r02 "What's wrong" #3)."""
-    from vector_index_spark.functions.udaf import vector_centroid_udaf
+    ~1000 aggregate columns for no gain (VERDICT r02 "What's wrong" #3).
+    Delegates to functions.udaf.label_centroids with the shard as the
+    label."""
+    from vector_index_spark.functions.udaf import label_centroids
 
-    centroid = vector_centroid_udaf()
-    cents = vectors.groupBy("shard").agg(
-        centroid(F.col("vec")).alias("centroid")
+    return label_centroids(vectors, label_col="shard", vec_col="vec").select(
+        "shard", "n", F.col("centroid")
     )
-    counts = vectors.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-    return counts.join(cents, "shard").select("shard", "n", "centroid")
 
 
 def routed_graph_ann_query(
@@ -217,9 +216,12 @@ def routed_graph_ann_query(
     the full query or probe set on the driver.
     """
     cents = centroids if centroids is not None else shard_centroids(vectors)
+    # materialize the (tiny, one-row-per-shard) routing table ONCE: each
+    # query chunk reuses it instead of re-running the full-corpus
+    # centroid aggregation per chunk
     cents_kv = cents.select(
         F.col("shard").alias("id"), F.col("centroid").alias("vec")
-    )
+    ).localCheckpoint(eager=True)
     from vector_index_spark.index.querychunk import chunked_over_queries
 
     t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))

@@ -40,11 +40,13 @@ def ivf_cell_shards(
     sharp — a query's true neighbors concentrate in its few nearest
     shards rather than spreading uniformly over all of them.
 
-    Cells larger than ``sub_index_bound`` split into hash sub-shards so
-    the per-task build memory bound (the reference's ``sub_index_bound``
-    contract, dehnsw.h:601-609) still holds; sub-shards of one cell have
-    near-identical centroids, so centroid routing probes them together.
-    Deterministic given ``seed``. Returns (shard, id, vec)."""
+    Cells larger than ``sub_index_bound`` split into sub-shards by
+    id-ordered row number — an EXACT size cap (a hash split only bounds
+    in expectation), so the per-task build memory bound (the reference's
+    ``sub_index_bound`` contract, dehnsw.h:601-609) strictly holds;
+    sub-shards of one cell have near-identical centroids, so centroid
+    routing probes them together. Deterministic given ``seed``.
+    Returns (shard, id, vec)."""
     import numpy as np
 
     from vector_index_spark.index.ivf import _kmeans
@@ -84,12 +86,16 @@ def ivf_cell_shards(
     split_map = spark.createDataFrame(
         mapping, "__cell long, __offset long, __splits long"
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__cell").orderBy("id")
     return (
         celled.join(F.broadcast(split_map), "__cell")
+        .withColumn("__rn", F.row_number().over(w))
         .select(
             (
                 F.col("__offset")
-                + F.pmod(F.xxhash64(F.col("id")), F.col("__splits"))
+                + ((F.col("__rn") - 1) / F.lit(sub_index_bound)).cast("long")
             ).alias("shard"),
             "id",
             "vec",
