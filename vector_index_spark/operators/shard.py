@@ -31,7 +31,7 @@ def ivf_cell_shards(
     id_col: str = "id",
     vec_col: str = "vec",
     seed: int = 42,
-    sample_size: int = 262_144,
+    sample_size: int = 65_536,
     iters: int = 20,
 ) -> DataFrame:
     """Cluster-assigned sharding: ``shard`` follows vector-space locality
@@ -46,7 +46,12 @@ def ivf_cell_shards(
     ``sub_index_bound`` contract, dehnsw.h:601-609) strictly holds;
     sub-shards of one cell have near-identical centroids, so centroid
     routing probes them together. Deterministic given ``seed``.
-    Returns (shard, id, vec)."""
+    Returns (shard, id, vec).
+
+    The centroid fit samples at most ``sample_size`` rows to the driver
+    (64k x 960d float64 = ~500 MB worst case); a routing partition needs
+    far less fit fidelity than an ANN cell structure, so the default is
+    a quarter of build_ivf's."""
     import numpy as np
 
     from vector_index_spark.index.ivf import _kmeans
