@@ -441,14 +441,29 @@ def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = mmr_rerank(cand, K, lam=0.7)
     first = res.filter(F.col("rank") == 1).select("qid", F.col("id").alias("mmr_id"))
-    # pure-relevance reference via the SAME numeric path (lam=1.0 makes
-    # the score exactly the relevance term): comparing two numpy cosine
-    # argmaxes avoids the numpy-vs-HOF last-ulp ordering hazard that
-    # functions/distance.py documents for oracle-hashed outputs
-    best = (
-        mmr_rerank(cand, 1, lam=1.0)
-        .filter(F.col("rank") == 1)
-        .select("qid", F.col("id").alias("best_id"))
+
+    # INDEPENDENT pure-relevance reference: a separate numpy argmax over
+    # the same candidates — not a second mmr_rerank call (which would be
+    # tautological: any scoring bug would hit both sides identically),
+    # and numpy on both sides so the numpy-vs-HOF last-ulp ordering
+    # hazard functions/distance.py documents cannot flip the hash.
+    def _best_by_cosine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")  # mmr's deterministic tie order
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        q = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)
+        nv = np.linalg.norm(V, axis=1)
+        nv[nv == 0.0] = 1.0
+        cos = (V / nv[:, None]) @ (q / (np.linalg.norm(q) or 1.0))
+        pick = int(cos.argmax())  # first (lowest-id) argmax wins
+        return pd.DataFrame(
+            {"qid": [int(pdf["qid"].iloc[0])], "best_id": [int(pdf["id"].iloc[pick])]}
+        )
+
+    best = cand.groupBy("qid").applyInPandas(
+        _best_by_cosine, "qid long, best_id long"
     )
     joined = first.join(best, "qid")
     return joined.agg(

@@ -455,3 +455,21 @@ def test_build_graph_index_shard_by_ivf_cell_matches_helper(spark):
         (r.shard, r.layer, r.src, r.dst, round(r.dist, 9)) for r in df.collect()
     )
     assert rows(via_param) == rows(via_helper)
+
+
+def test_ivf_cell_shards_exact_cap_and_determinism(spark):
+    """The iterated-salted-hash split must enforce sub_index_bound EXACTLY
+    (a single hash round only bounds sizes in expectation — a tight bound
+    forces the re-split rounds to actually run), preserve every row, and
+    be deterministic across invocations."""
+    from vector_index_spark.operators.shard import ivf_cell_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a = ivf_cell_shards(df, 8, 50, seed=3)
+    sizes = {r.shard: r.n for r in a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert max(sizes.values()) <= 50, f"cap violated: {max(sizes.values())}"
+    assert sum(sizes.values()) == df.count()
+    rows = lambda d: sorted((r.id, r.shard) for r in d.collect())  # noqa: E731
+    assert rows(a) == rows(ivf_cell_shards(df, 8, 50, seed=3))

@@ -40,24 +40,35 @@ def ivf_cell_shards(
     sharp — a query's true neighbors concentrate in its few nearest
     shards rather than spreading uniformly over all of them.
 
-    Cells larger than ``sub_index_bound`` split into sub-shards by
-    id-ordered row number — an EXACT size cap (a hash split only bounds
-    in expectation), so the per-task build memory bound (the reference's
-    ``sub_index_bound`` contract, dehnsw.h:601-609) strictly holds;
-    sub-shards of one cell have near-identical centroids, so centroid
-    routing probes them together. Deterministic given ``seed``.
-    Returns (shard, id, vec).
+    Cells larger than ``sub_index_bound`` split into hash sub-shards,
+    then any sub-shard still above the bound re-splits with a fresh hash
+    salt until every shard is within it — an EXACT size cap (one hash
+    round only bounds sizes in expectation) that stays MAP-ONLY: no
+    per-cell sort, no window that would funnel a giant cell's vectors
+    through a single task. Each round costs one bytes-light count
+    aggregate plus a broadcast-map re-assignment of only the overfull
+    rows; 1-2 rounds suffice in practice. Sub-shards of one cell have
+    near-identical centroids, so centroid routing probes them together.
+    Deterministic given ``seed``. Returns (shard, id, vec).
 
     The centroid fit samples at most ``sample_size`` rows to the driver
     (64k x 960d float64 = ~500 MB worst case); a routing partition needs
     far less fit fidelity than an ANN cell structure, so the default is
-    a quarter of build_ivf's."""
+    a quarter of build_ivf's. The sample is an id-hash filter, not a
+    partition-order ``limit`` prefix — row order often correlates with
+    content (crawl order, time), and a prefix sample would skew the fit
+    toward the first rows' region of vector space."""
     import numpy as np
 
     from vector_index_spark.index.ivf import _kmeans
 
+    n_rows = df.count()
+    stride = max(1, n_rows // sample_size)
     sample = (
-        df.select(F.col(vec_col).alias("vec")).limit(sample_size).toPandas()["vec"]
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .filter(F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), stride) == 0)
+        .limit(sample_size)
+        .toPandas()["vec"]
     )
     X = np.stack(sample.to_numpy()).astype(np.float64)
     C = _kmeans(X, n_cells, iters, seed)
@@ -82,30 +93,63 @@ def ivf_cell_shards(
         int(r["__cell"]): r["n"]
         for r in celled.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    mapping, offset = [], 0
+    spark = df.sparkSession
+    mapping, next_id = [], 0
     for cell in sorted(counts):
         n_splits = max(1, -(-counts[cell] // sub_index_bound))
-        mapping.append((cell, offset, n_splits))
-        offset += n_splits
-    spark = df.sparkSession
+        mapping.append((cell, next_id, n_splits))
+        next_id += n_splits
     split_map = spark.createDataFrame(
-        mapping, "__cell long, __offset long, __splits long"
+        mapping, "__key long, __base long, __splits long"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__cell").orderBy("id")
-    return (
-        celled.join(F.broadcast(split_map), "__cell")
-        .withColumn("__rn", F.row_number().over(w))
-        .select(
-            (
-                F.col("__offset")
-                + ((F.col("__rn") - 1) / F.lit(sub_index_bound)).cast("long")
-            ).alias("shard"),
-            "id",
-            "vec",
+    out = celled.join(
+        F.broadcast(split_map), F.col("__cell") == F.col("__key")
+    ).select(
+        (
+            F.col("__base")
+            + F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.col("__splits"))
+        ).alias("shard"),
+        "id",
+        "vec",
+    )
+    # a hash round only bounds sizes in expectation: re-split any still-
+    # overfull shard with a fresh salt until the cap strictly holds
+    # (geometric convergence; each round is one count + a broadcast map)
+    for salt in range(1, 64):
+        over = {
+            int(r["shard"]): r["n"]
+            for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+            if r["n"] > sub_index_bound
+        }
+        if not over:
+            break
+        remap = []
+        for shard in sorted(over):
+            n_splits = -(-over[shard] // sub_index_bound)
+            remap.append((shard, next_id, n_splits))
+            next_id += n_splits
+        remap_df = spark.createDataFrame(
+            remap, "__key long, __base long, __splits long"
         )
-    )
+        out = (
+            out.join(F.broadcast(remap_df), F.col("shard") == F.col("__key"), "left")
+            .select(
+                F.when(
+                    F.col("__base").isNull(), F.col("shard")
+                ).otherwise(
+                    F.col("__base")
+                    + F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(seed + salt)),
+                        F.col("__splits"),
+                    )
+                ).alias("shard"),
+                "id",
+                "vec",
+            )
+        )
+    else:  # pragma: no cover - would need adversarial hash collisions
+        raise RuntimeError("ivf_cell_shards: split did not converge")
+    return out
 
 
 def shard_stats(
