@@ -88,37 +88,51 @@ def ivf_cell_shards(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
     )
-    # bounded driver state: one row per cell (n_cells is a parameter)
+    spark = df.sparkSession
+
+    def _apply_round(frame, round_map, salt):
+        """shard' = base + hash(id, salt) % splits for mapped shards,
+        unchanged otherwise. Broadcast map join — map-only."""
+        return frame.join(
+            F.broadcast(round_map), F.col("shard") == F.col("__key"), "left"
+        ).select(
+            F.when(F.col("__base").isNull(), F.col("shard"))
+            .otherwise(
+                F.col("__base")
+                + F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.col("__splits"))
+            )
+            .alias("shard"),
+            *[c for c in frame.columns if c != "shard"],
+        )
+
+    # The split chain is computed on a CACHED light (cell, id) projection
+    # — the vector payload and the assignment UDF run once, not once per
+    # re-split round — then replayed over the full table in one map-only
+    # pass at the end.
+    light = celled.select("__cell", "id").cache()
     counts = {
         int(r["__cell"]): r["n"]
-        for r in celled.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in light.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    spark = df.sparkSession
     mapping, next_id = [], 0
     for cell in sorted(counts):
         n_splits = max(1, -(-counts[cell] // sub_index_bound))
         mapping.append((cell, next_id, n_splits))
         next_id += n_splits
-    split_map = spark.createDataFrame(
-        mapping, "__key long, __base long, __splits long"
-    )
-    out = celled.join(
-        F.broadcast(split_map), F.col("__cell") == F.col("__key")
-    ).select(
-        (
-            F.col("__base")
-            + F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.col("__splits"))
-        ).alias("shard"),
-        "id",
-        "vec",
-    )
-    # a hash round only bounds sizes in expectation: re-split any still-
-    # overfull shard with a fresh salt until the cap strictly holds
-    # (geometric convergence; each round is one count + a broadcast map)
+    rounds = [
+        spark.createDataFrame(mapping, "__key long, __base long, __splits long")
+    ]
+    lshard = light.select(F.col("__cell").alias("shard"), "id")
+    lshard = _apply_round(lshard, rounds[0], seed)
+    # one hash round only bounds sizes in expectation: re-split any
+    # still-overfull shard with a fresh salt until the cap strictly
+    # holds (geometric convergence; each round is one bytes-light count)
     for salt in range(1, 64):
         over = {
             int(r["shard"]): r["n"]
-            for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in lshard.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
             if r["n"] > sub_index_bound
         }
         if not over:
@@ -128,28 +142,20 @@ def ivf_cell_shards(
             n_splits = -(-over[shard] // sub_index_bound)
             remap.append((shard, next_id, n_splits))
             next_id += n_splits
-        remap_df = spark.createDataFrame(
-            remap, "__key long, __base long, __splits long"
+        rounds.append(
+            spark.createDataFrame(remap, "__key long, __base long, __splits long")
         )
-        out = (
-            out.join(F.broadcast(remap_df), F.col("shard") == F.col("__key"), "left")
-            .select(
-                F.when(
-                    F.col("__base").isNull(), F.col("shard")
-                ).otherwise(
-                    F.col("__base")
-                    + F.pmod(
-                        F.xxhash64(F.col("id"), F.lit(seed + salt)),
-                        F.col("__splits"),
-                    )
-                ).alias("shard"),
-                "id",
-                "vec",
-            )
-        )
+        lshard = _apply_round(lshard, rounds[-1], seed + salt)
     else:  # pragma: no cover - would need adversarial hash collisions
         raise RuntimeError("ivf_cell_shards: split did not converge")
-    return out
+    light.unpersist()
+
+    # replay the recorded chain over the full table: one UDF pass + a
+    # fixed number of broadcast map joins, no corpus shuffle
+    out = celled.select(F.col("__cell").alias("shard"), "id", "vec")
+    for i, round_map in enumerate(rounds):
+        out = _apply_round(out, round_map, seed if i == 0 else seed + i)
+    return out.select("shard", "id", "vec")
 
 
 def shard_stats(
