@@ -26,12 +26,31 @@ BLOCK cheaply with a recall guarantee, then VERIFY exactly.
   4. verify: length filter + JVM ``levenshtein`` (whole-stage codegen,
      no Python) on the deduplicated candidates.
 
-Scale notes: candidate volume is sum over grams of prefix-occurrence
+For ``max_dist == 1`` (the entity-resolution common case) a sharper
+exact block replaces the gram join: the FastSS / SymSpell deletion
+neighborhood (Bocek et al. 2007, "Fast Similarity Search in Large
+Dictionaries"; public paper). If ed(a, b) <= 1 then deleting at most
+one character from each side reaches a common string (substitution:
+drop the differing position from both; insertion/deletion: drop the
+extra character from the longer side), so blocking on
+{s} ∪ {s minus one char} — L+1 keys per string, each hashed to 8
+bytes — provably keeps every qualifying pair. Unlike q-grams, these
+keys carry the WHOLE string's entropy: on low-entropy text (TPC-H
+part names are 5-word color phrases from a ~92-word vocabulary) the
+rarest-gram prefixes still collide corpus-wide (measured 76 s at
+sf0.1), while deletion keys collide essentially only on true matches
+(1-2 s, same exact output — hash collisions add candidates, never
+remove them, and the levenshtein verify discards them).
+
+Scale notes: deletion-key volume is O(L) 8-byte keys per string —
+right for short strings (names, titles, URLs); for d >= 2 the
+neighborhood is C(L, d) so the q-gram prefix path takes over. On the
+gram path, candidate volume is sum over grams of prefix-occurrence
 counts squared, dominated by rare grams by construction; residual hot
 grams are the skew axis AQE skew-join splits; the exact verify is
-map-only after the gram join. No O(n^2) anywhere for normal text; the
-short-string branch is O(k^2) only over strings shorter than q*(d+1)
-(k tiny in practice).
+map-only after the candidate join. No O(n^2) anywhere for normal
+text; the short-string branch is O(k^2) only over strings shorter
+than q*(d+1) (k tiny in practice).
 """
 
 from __future__ import annotations
@@ -51,12 +70,14 @@ def fuzzy_self_join(
     Returns (aid, bid, dist). Exact — the q-gram block provably keeps
     every qualifying pair (see module docstring), and levenshtein verifies.
     """
-    guarantee_len = q * (max_dist + 1)
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("s"),
         F.length(text_col).alias("slen"),
     )
+    if max_dist == 1:
+        return _deletion_blocked_pairs(s)
+    guarantee_len = q * (max_dist + 1)
 
     long_s = s.filter(F.col("slen") >= guarantee_len)
     all_grams = long_s.select(
@@ -123,10 +144,59 @@ def fuzzy_self_join(
     )
 
     cands = long_cands.unionByName(short_cands).dropDuplicates(["aid", "bid"])
-    # threshold form: banded O(len * d) DP per pair instead of the full
-    # matrix; returns -1 above the threshold (Spark >= 3.5 semantics)
+    return _verify(cands, max_dist)
+
+
+def _verify(cands: DataFrame, max_dist: int) -> DataFrame:
+    """Exact edit-distance check on deduplicated (aid, bid, sa, sb)
+    candidates: banded O(len * d) DP per pair instead of the full matrix;
+    levenshtein returns -1 above the threshold (Spark >= 3.5 semantics)."""
     return (
         cands.withColumn("dist", F.levenshtein("sa", "sb", max_dist))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("aid", "bid", "dist")
     )
+
+
+def _deletion_blocked_pairs(s: DataFrame) -> DataFrame:
+    """FastSS blocking for max_dist=1 (see module docstring): every string
+    keys on xxhash64 of itself and of each single-character deletion; any
+    pair within edit distance 1 shares a key. Key lengths are {L, L-1}, so
+    a length band |la - lb| <= 1 prunes cross-length hash collisions
+    before the verify."""
+    del_i = lambda i: F.concat(  # noqa: E731 — s minus character i
+        F.col("s").substr(F.lit(1), i - 1),
+        F.col("s").substr(i + 1, F.col("slen")),
+    )
+    keys = s.select(
+        "id",
+        F.col("slen").alias("len"),
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("s")),
+                    F.when(
+                        F.col("slen") > 0,
+                        F.transform(
+                            F.sequence(F.lit(1), F.col("slen")), del_i
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("key"),
+    ).select("id", "len", F.xxhash64("key").alias("kh"))
+    a = keys.select(F.col("id").alias("aid"), F.col("len").alias("la"), "kh")
+    b = keys.select(F.col("id").alias("bid"), F.col("len").alias("lb"), "kh")
+    cands = (
+        a.join(b, "kh")
+        .filter(
+            (F.col("aid") < F.col("bid"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 1)
+        )
+        .select("aid", "bid")
+        .dropDuplicates(["aid", "bid"])
+        .join(s.select(F.col("id").alias("aid"), F.col("s").alias("sa")), "aid")
+        .join(s.select(F.col("id").alias("bid"), F.col("s").alias("sb")), "bid")
+        .select("aid", "bid", "sa", "sb")
+    )
+    return _verify(cands, 1)
