@@ -1749,6 +1749,27 @@ def q65_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_resolution_rollup(read_events(spark, sf_dir))
 
 
+def q122_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance (the hypertable update
+    path): finest-level partials computed over two DISJOINT slices of the
+    event table (even/odd event_id — standing in for separate loads or
+    streaming micro-batches), unioned, then every resolution derived from
+    the persisted partials alone (operators/rollup.rollup_from_partials —
+    raw events are never re-read). DECIMAL(38,12) partial sums make the
+    result bit-identical to the q65 single-pass rebuild on ANY slicing,
+    so the oracle is the same direct triple group-by over raw rows."""
+    from vector_index_spark.operators.rollup import (
+        rollup_from_partials,
+        rollup_partials,
+    )
+    from vector_index_spark.sources.loaders import read_events
+
+    ev = read_events(spark, sf_dir)
+    half_a = rollup_partials(ev.filter(F.col("event_id") % 2 == 0), 60)
+    half_b = rollup_partials(ev.filter(F.col("event_id") % 2 == 1), 60)
+    return rollup_from_partials(half_a.unionByName(half_b))
+
+
 def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star curation — deterministic per-source rate sampling
     (multiplicative-hash decision, stable under any repartitioning; the
@@ -2304,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_fuzzy_part_names": q102_fuzzy_part_names,
         "q103_sketch_rollup": q103_sketch_rollup,
         "q65_event_rollup": q65_event_rollup,
+        "q122_rollup_incremental": q122_rollup_incremental,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -2410,7 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         # ANN recall gates: the oracle pins the denominator (query count and
         # max_hit follow from the deterministic vec_id%10 split) plus the
         # declared floor; the Spark side must achieve recall_ok=true on the
@@ -3743,3 +3765,8 @@ def oracle_sql() -> dict[str, str]:
               AND levenshtein(a.p_name, b.p_name) <= 1
         """,
     }
+    # The incremental rollup derives every level from persisted partials,
+    # but must equal the direct group-by over raw rows bit-for-bit — the
+    # q65 oracle doubles as its reference.
+    out["q122_rollup_incremental"] = out["q65_event_rollup"]
+    return out

@@ -52,6 +52,26 @@ def test_levels_are_consistent(spark):
     out.unpersist()
 
 
+def test_incremental_partials_equal_full_rebuild(spark):
+    """The continuous-aggregate contract: partials computed over any
+    disjoint slicing of the raw table must combine to a rollup
+    BIT-IDENTICAL to the single-pass batch rebuild (decimal sums are
+    associative — tuple equality, not approximate)."""
+    from vector_index_spark.operators.rollup import (
+        rollup_from_partials,
+        rollup_partials,
+    )
+
+    ev = read_events(spark, SF_CORRECT)
+    full = multi_resolution_rollup(ev)
+    half_a = rollup_partials(ev.filter(F.col("event_id") % 2 == 0), 60)
+    half_b = rollup_partials(ev.filter(F.col("event_id") % 2 == 1), 60)
+    merged = rollup_from_partials(half_a.unionByName(half_b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_single_scan_plan(spark):
     """All resolutions must reuse the finest level's aggregate exchange —
     the raw table is scanned once, not once per resolution."""

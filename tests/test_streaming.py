@@ -54,6 +54,42 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     assert key(got) == key(want)
 
 
+def test_stream_rollup_partials_equal_batch(spark, tmp_path):
+    """Streamed continuous-aggregate state + derive-on-read must be
+    BIT-IDENTICAL to the batch multi-resolution rollup, on a forced
+    multi-micro-batch slicing (decimal partials are slicing-independent)."""
+    from vector_index_spark.operators.rollup import (
+        multi_resolution_rollup,
+        rollup_from_partials,
+    )
+    from vector_index_spark.streaming.rollup import stream_rollup_partials
+
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "events_rollup_src")
+    ev.repartition(8).write.parquet(src)
+    out = stream_rollup_partials(
+        spark, src, EVENT_SCHEMA, max_files_per_trigger=2
+    )
+    sink = f"roll_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    batch_id = q.lastProgress["batchId"] if q.lastProgress else None
+    assert batch_id is not None and batch_id >= 2, (
+        f"slicing not exercised: {batch_id}"
+    )
+    partials = spark.sql(f"SELECT * FROM {sink}")
+    got = rollup_from_partials(partials).collect()
+    want = multi_resolution_rollup(ev).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_stream_equals_batch(spark, tmp_path):
     # materialize normalized events as a streamable dir
     ev = read_events(spark, SF_CORRECT)

@@ -39,8 +39,10 @@ keys carry the WHOLE string's entropy: on low-entropy text (TPC-H
 part names are 5-word color phrases from a ~92-word vocabulary) the
 rarest-gram prefixes still collide corpus-wide (measured 76 s at
 sf0.1), while deletion keys collide essentially only on true matches
-(1-2 s, same exact output — hash collisions add candidates, never
-remove them, and the levenshtein verify discards them).
+(~8 s for the same exact 3.9M-pair output, now dominated by the
+verify+materialize of the result itself — hash collisions add
+candidates, never remove them, and the levenshtein verify discards
+them).
 
 Scale notes: deletion-key volume is O(L) 8-byte keys per string —
 right for short strings (names, titles, URLs); for d >= 2 the

@@ -50,6 +50,94 @@ def time_bucket(ts: Column | str, width_seconds: int) -> Column:
     )
 
 
+def _validate_widths(widths: Sequence[int]) -> list[int]:
+    ws = list(widths)
+    if ws != sorted(ws) or len(set(ws)) != len(ws):
+        raise ValueError(f"widths must be strictly ascending, got {widths}")
+    for finer, coarser in zip(ws, ws[1:]):
+        if coarser % finer != 0:
+            raise ValueError(
+                f"each width must divide the next: {coarser} % {finer} != 0"
+            )
+    return ws
+
+
+def rollup_partials(
+    events: DataFrame,
+    width_seconds: int,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Finest-level partial aggregates — the persisted continuous-aggregate
+    state. Schema: ``(bucket_start, *keys, n_events, __sum DECIMAL(38,12),
+    value_min, value_max)``. Decimal accumulation is order-independent,
+    so the partials do not depend on partitioning / shuffle layout —
+    partials computed over ANY disjoint slicing of the raw table (batch
+    partitions, streaming micro-batches, incremental loads) combine to
+    bit-identical totals via :func:`combine_partials`."""
+    return events.groupBy(
+        time_bucket(ts_col, width_seconds).alias("bucket_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sum"),
+        F.min(value_col).alias("value_min"),
+        F.max(value_col).alias("value_max"),
+    )
+
+
+def combine_partials(
+    partials: DataFrame, width_seconds: int, keys: Sequence[str]
+) -> DataFrame:
+    """Re-aggregate partial rows onto the same or a coarser grid: count and
+    sum add, min/max combine. ``width_seconds`` equal to the partials' own
+    grid merges duplicate buckets (e.g. one row per streaming micro-batch)
+    without coarsening; a multiple of it derives the next resolution."""
+    return partials.groupBy(
+        time_bucket("bucket_start", width_seconds).alias("bucket_start"),
+        *keys,
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        # Spark widens sum(decimal(38,12)); re-cast so every level
+        # carries the same type.
+        F.sum("__sum").cast("decimal(38,12)").alias("__sum"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+
+
+def _finalize(level: DataFrame, w: int, key_cols: Sequence[str]) -> DataFrame:
+    return level.select(
+        F.lit(w).cast("long").alias("resolution_s"),
+        "bucket_start",
+        *key_cols,
+        "n_events",
+        F.round(F.col("__sum").cast("double"), 6).alias("value_sum"),
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        # double(exact_sum) / n in IEEE double — deterministic because
+        # the decimal sum is exact; matches the oracle's
+        # round(CAST(sum AS DOUBLE) / count, 6) bit-for-bit.
+        F.round(
+            F.col("__sum").cast("double") / F.col("n_events"), 6
+        ).alias("value_avg"),
+    )
+
+
+def _derive_and_union(
+    level: DataFrame, ws: list[int], key_cols: list[str]
+) -> DataFrame:
+    levels = [(ws[0], level)]
+    for w in ws[1:]:
+        level = combine_partials(level, w, key_cols)
+        levels.append((w, level))
+    out = None
+    for w, lvl in levels:
+        projected = _finalize(lvl, w, key_cols)
+        out = projected if out is None else out.unionByName(projected)
+    return out
+
+
 def multi_resolution_rollup(
     events: DataFrame,
     widths: Sequence[int] = (60, 3600, 86400),
@@ -66,62 +154,26 @@ def multi_resolution_rollup(
     aggregates the previous level's partials (count/sum add, min/max
     combine), so the raw table is scanned exactly once regardless of how
     many resolutions are requested."""
-    ws = list(widths)
-    if ws != sorted(ws) or len(set(ws)) != len(ws):
-        raise ValueError(f"widths must be strictly ascending, got {widths}")
-    for finer, coarser in zip(ws, ws[1:]):
-        if coarser % finer != 0:
-            raise ValueError(
-                f"each width must divide the next: {coarser} % {finer} != 0"
-            )
+    ws = _validate_widths(widths)
     key_cols = list(keys)
+    level = rollup_partials(events, ws[0], key_cols, ts_col, value_col)
+    return _derive_and_union(level, ws, key_cols)
 
-    level = (
-        events.groupBy(
-            time_bucket(ts_col, ws[0]).alias("bucket_start"), *key_cols
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # Decimal accumulation: order-independent, so the result does
-            # not depend on partitioning / shuffle layout.
-            F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sum"),
-            F.min(value_col).alias("value_min"),
-            F.max(value_col).alias("value_max"),
-        )
-    )
-    levels = [(ws[0], level)]
-    for w in ws[1:]:
-        level = (
-            level.groupBy(
-                time_bucket("bucket_start", w).alias("bucket_start"), *key_cols
-            )
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                # Spark widens sum(decimal(38,12)) back to decimal(38,12);
-                # re-cast defensively so every level carries the same type.
-                F.sum("__sum").cast("decimal(38,12)").alias("__sum"),
-                F.min("value_min").alias("value_min"),
-                F.max("value_max").alias("value_max"),
-            )
-        )
-        levels.append((w, level))
 
-    out = None
-    for w, lvl in levels:
-        projected = lvl.select(
-            F.lit(w).cast("long").alias("resolution_s"),
-            "bucket_start",
-            *key_cols,
-            "n_events",
-            F.round(F.col("__sum").cast("double"), 6).alias("value_sum"),
-            F.round("value_min", 6).alias("value_min"),
-            F.round("value_max", 6).alias("value_max"),
-            # double(exact_sum) / n in IEEE double — deterministic because
-            # the decimal sum is exact; matches the oracle's
-            # round(CAST(sum AS DOUBLE) / count, 6) bit-for-bit.
-            F.round(
-                F.col("__sum").cast("double") / F.col("n_events"), 6
-            ).alias("value_avg"),
-        )
-        out = projected if out is None else out.unionByName(projected)
-    return out
+def rollup_from_partials(
+    partials: DataFrame,
+    widths: Sequence[int] = (60, 3600, 86400),
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Derive the full multi-resolution rollup from PERSISTED finest-level
+    partials (:func:`rollup_partials` output, batched or streamed) — the
+    incremental-maintenance read path: raw events are never re-read, and
+    duplicate bucket rows from separate loads/micro-batches are combined
+    exactly first. ``widths[0]`` must be the grid the partials were
+    computed on. Output is bit-identical to
+    :func:`multi_resolution_rollup` over the raw table (decimal sums are
+    associative), on any slicing — asserted in tests/test_rollup.py."""
+    ws = _validate_widths(widths)
+    key_cols = list(keys)
+    level = combine_partials(partials, ws[0], key_cols)
+    return _derive_and_union(level, ws, key_cols)
