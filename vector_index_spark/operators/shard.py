@@ -31,7 +31,7 @@ def ivf_cell_shards(
     id_col: str = "id",
     vec_col: str = "vec",
     seed: int = 42,
-    sample_size: int = 65_536,
+    sample_size: int = 16_384,
     iters: int = 20,
 ) -> DataFrame:
     """Cluster-assigned sharding: ``shard`` follows vector-space locality
@@ -51,10 +51,12 @@ def ivf_cell_shards(
     near-identical centroids, so centroid routing probes them together.
     Deterministic given ``seed``. Returns (shard, id, vec).
 
-    The centroid fit samples at most ``sample_size`` rows to the driver
-    (64k x 960d float64 = ~500 MB worst case); a routing partition needs
-    far less fit fidelity than an ANN cell structure, so the default is
-    a quarter of build_ivf's. The sample is an id-hash filter, not a
+    The centroid fit samples at most ``sample_size`` rows to the driver;
+    a routing partition needs far less fit fidelity than an ANN cell
+    structure (any centroid set that separates the space routes well —
+    recall gate q118 holds at 1.0 under a 16x smaller fit), so the
+    default is 1/16 of build_ivf's, which also keeps the driver-side
+    k-means a sub-second cost. The sample is an id-hash filter, not a
     partition-order ``limit`` prefix — row order often correlates with
     content (crawl order, time), and a prefix sample would skew the fit
     toward the first rows' region of vector space."""
