@@ -1770,6 +1770,84 @@ def q122_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_from_partials(half_a.unionByName(half_b))
 
 
+def q123_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event analytics — ordered 3-step funnel (view -> click -> purchase,
+    each hop within 24 h of the previous): per-step user counts and
+    conversion vs step 1. k steps = k aggregate+join rounds all keyed on
+    user_id, each round's input filtered to one event type before it
+    shuffles. Counts are exact integers; conv_rate is one exact integer
+    division — deterministic on any partitioning."""
+    from vector_index_spark.operators.funnel import funnel_counts
+    from vector_index_spark.sources.loaders import read_events
+
+    return funnel_counts(
+        read_events(spark, sf_dir),
+        ["view", "click", "purchase"],
+        within_seconds=86_400,
+    )
+
+
+def q124_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event analytics — D-n retention: cohort = first-seen day, retained
+    at offset d = any event on cohort_day + d. The count shuffle carries
+    DISTINCT (cohort_day, offset, user) triples (map-side partial dedup —
+    the two-level exact-distinct shape), never raw events."""
+    from vector_index_spark.operators.funnel import retention_cohorts
+    from vector_index_spark.sources.loaders import read_events
+
+    # cohort_day as ISO string: DATE survives every comparison layer the
+    # same way (duckdb's pandas export widens DATE to midnight timestamps)
+    return retention_cohorts(read_events(spark, sf_dir)).withColumn(
+        "cohort_day", F.col("cohort_day").cast("string")
+    )
+
+
+def q125_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event analytics — hourly volume z-score outliers per event type.
+    All aggregates exact (bigint counts, decimal sum-of-squares); mean/
+    std/z are a fixed per-row IEEE tree over those sums, so the output is
+    bit-identical on any partitioning and to the oracle's same tree."""
+    from vector_index_spark.operators.funnel import hourly_count_anomalies
+    from vector_index_spark.sources.loaders import read_events
+
+    return hourly_count_anomalies(read_events(spark, sf_dir), z_threshold=1.5)
+
+
+# One SQL text, two engines: q126 runs _Q126_SQL verbatim through
+# spark.sql() on registered temp views while the oracle hands the same
+# string to DuckDB — the declared-SQL entry point of SURVEY §2C, proven on
+# a TPC-H Q7 shape (nation-pair shipping volume by year).
+_Q126_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue,
+           count(*) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-SQL surface — the exact oracle SQL text executed by
+    spark.sql() over temp views (no DataFrame code in the query path):
+    Catalyst plans the 6-table join from the same ANSI text DuckDB runs.
+    The two small dims broadcast; lineitem-orders shuffle on the keys."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q126_SQL)
+
+
 def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star curation — deterministic per-source rate sampling
     (multiplicative-hash decision, stable under any repartitioning; the
@@ -2326,6 +2404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_sketch_rollup": q103_sketch_rollup,
         "q65_event_rollup": q65_event_rollup,
         "q122_rollup_incremental": q122_rollup_incremental,
+        # round-3 additions: event analytics + declared-SQL surface
+        "q123_funnel_steps": q123_funnel_steps,
+        "q124_retention_cohorts": q124_retention_cohorts,
+        "q125_volume_anomalies": q125_volume_anomalies,
+        "q126_sql_nation_volume": q126_sql_nation_volume,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -2631,6 +2714,85 @@ def oracle_sql() -> dict[str, str]:
             FROM raw CROSS JOIN lv
             GROUP BY 1, 2, 3
         """,
+        "q123_funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t
+                AND e.ts <= s1.t + INTERVAL 86400 SECONDS
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                AND e.ts <= s2.t + INTERVAL 86400 SECONDS
+              GROUP BY e.user_id
+            ), counts AS (
+              SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3
+            )
+            SELECT step_idx, step, n_users,
+                   round(n_users / (first_value(n_users)
+                         OVER (ORDER BY step_idx)), 6) AS conv_rate
+            FROM counts ORDER BY step_idx
+        """,
+        "q124_retention_cohorts": """
+            WITH first_day AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), sizes AS (
+              SELECT cohort_day, count(*) AS cohort_size
+              FROM first_day GROUP BY cohort_day
+            ), triples AS (
+              SELECT DISTINCT f.cohort_day,
+                     CAST(e.ts AS DATE) - f.cohort_day AS day_offset,
+                     e.user_id
+              FROM events e JOIN first_day f ON e.user_id = f.user_id
+            ), ret AS (
+              SELECT cohort_day, day_offset, count(*) AS n_active
+              FROM triples GROUP BY cohort_day, day_offset
+            )
+            SELECT CAST(r.cohort_day AS VARCHAR) AS cohort_day,
+                   r.day_offset, r.n_active, s.cohort_size,
+                   round(r.n_active / s.cohort_size, 6) AS retention
+            FROM ret r JOIN sizes s USING (cohort_day)
+            ORDER BY cohort_day, day_offset
+        """,
+        "q125_volume_anomalies": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                     count(*) AS n_events
+              FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ), moments AS (
+              SELECT event_type, count(*) AS __n, sum(n_events) AS __s,
+                     sum(CAST(CAST(n_events AS DECIMAL(18,0))
+                              * CAST(n_events AS DECIMAL(18,0))
+                              AS DECIMAL(38,0))) AS __ss
+              FROM hourly GROUP BY event_type
+            )
+            SELECT event_type, bucket_start, n_events, mean_n, std_n, z
+            FROM (
+              SELECT h.event_type, h.bucket_start, h.n_events,
+                     round(CAST(m.__s AS DOUBLE) / m.__n, 6) AS mean_n,
+                     round(sqrt(CAST(m.__ss AS DOUBLE) / m.__n
+                           - (CAST(m.__s AS DOUBLE) / m.__n)
+                             * (CAST(m.__s AS DOUBLE) / m.__n)), 6) AS std_n,
+                     round((h.n_events - CAST(m.__s AS DOUBLE) / m.__n)
+                           / sqrt(CAST(m.__ss AS DOUBLE) / m.__n
+                             - (CAST(m.__s AS DOUBLE) / m.__n)
+                               * (CAST(m.__s AS DOUBLE) / m.__n)), 6) AS z
+              FROM hourly h JOIN moments m USING (event_type)
+            )
+            WHERE abs(z) >= 1.5
+            ORDER BY event_type, bucket_start
+        """,
+        "q126_sql_nation_volume": _Q126_SQL,
         "q07_recall": f"""
             {_KNN_BASE_SQL}
             SELECT count(*) AS total_hit, count(*) AS max_hit, 1.0::DOUBLE AS recall
