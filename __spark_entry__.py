@@ -1838,6 +1838,37 @@ _Q126_SQL = """
 """
 
 
+def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index mutation lifecycle end-to-end (reference add/remove,
+    python_binding/dehnswpy.cpp + dehnsw.h insert/remove): build the graph
+    index on a 70% hash slice of the corpus, save, append the other 30%,
+    remove every 7th id, then hash-gate graph-ANN recall of the mutated
+    index against brute-force kNN over exactly the surviving rows. Append
+    and remove rebuild only affected shards (test_append asserts
+    bit-identity with a fresh build), so recall matches q22's 1.0 measured
+    floor; any drift in the mutation path flips recall_ok."""
+    import os
+    import shutil
+    import tempfile
+
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    slice_key = F.pmod(F.xxhash64("id"), F.lit(10))
+    path = os.path.join(tempfile.gettempdir(), f"vis_q127_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = VectorIndex.build(train.filter(slice_key < 7), params).save(path)
+    idx = idx.append(train.filter(slice_key >= 7))
+    idx = idx.remove(train.filter(F.col("id") % 7 == 0).select("id"))
+    survivors = train.filter(F.col("id") % 7 != 0)
+    return _recall_gate_vs(idx.query(test, k=K), survivors, test, 0.95)
+
+
 def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-SQL surface — the exact oracle SQL text executed by
     spark.sql() over temp views (no DataFrame code in the query path):
@@ -2409,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_retention_cohorts": q124_retention_cohorts,
         "q125_volume_anomalies": q125_volume_anomalies,
         "q126_sql_nation_volume": q126_sql_nation_volume,
+        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -2793,6 +2825,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, bucket_start
         """,
         "q126_sql_nation_volume": _Q126_SQL,
+        "q127_append_remove_recall_gate": _recall_gate_oracle(0.95),
         "q07_recall": f"""
             {_KNN_BASE_SQL}
             SELECT count(*) AS total_hit, count(*) AS max_hit, 1.0::DOUBLE AS recall
