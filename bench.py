@@ -303,6 +303,22 @@ def main() -> None:
     # windowed event aggregation (streaming twin measured in batch form)
     timed("events_hourly", lambda: hourly_event_stats(read_events(spark, SF_DIR)).count())
 
+    # event-sequence analytics (funnel + retention + anomaly in one entry:
+    # each is sub-second; a regression in any of the three moves the number)
+    from vector_index_spark.operators.funnel import (
+        funnel_counts,
+        hourly_count_anomalies,
+        retention_cohorts,
+    )
+
+    def funnel_run():
+        ev = read_events(spark, SF_DIR)
+        funnel_counts(ev, ["view", "click", "purchase"], within_seconds=86_400).count()
+        retention_cohorts(ev).count()
+        hourly_count_anomalies(ev, z_threshold=1.5).count()
+
+    timed("events_funnel_retention", funnel_run)
+
     # meaningful-scale ANN: 16k-vector corpus derived deterministically from
     # the driver embeddings (32 offset variants/row — same derivation as
     # tests/test_stress_multishard). The small embeddings table makes the
