@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.distance import cos_dist, ip_dist, l2sq
@@ -1869,6 +1869,124 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
     return _recall_gate_vs(idx.query(test, k=K), survivors, test, 0.95)
 
 
+def q128_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — order-count distribution over customers INCLUDING
+    zero-order customers: left outer join, per-customer count of non-null
+    order keys, then a second tiny aggregate over the counts. The first
+    shuffle is on the join key; the distribution aggregate moves one row
+    per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _rev_decimal() -> Column:
+    """Exact-revenue aggregation term: the per-row product is ONE IEEE
+    double op (deterministic), and the decimal cast makes the SUM
+    order-independent — stronger than the round-4 float-sum contract the
+    earlier TPC-H-shape queries use."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,12)"
+    )
+
+
+def q129_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share for one ship month: broadcast
+    the part dimension, conditional decimal aggregate, ratio computed from
+    the two exact sums (bit-deterministic on any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_decimal()).otherwise(
+                    F.lit(0).cast("decimal(38,12)")
+                )
+            ).alias("__promo"),
+            F.sum(_rev_decimal()).alias("__total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("__promo").cast("double")
+            / F.col("__total").cast("double"), 6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.col("__promo").cast("double"), 4).alias("promo_rev"),
+        F.round(F.col("__total").cast("double"), 4).alias("total_rev"),
+    )
+
+
+def q130_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue in a
+    quarter: lineitem-orders-customer shuffle on their keys, nation
+    broadcasts, exact decimal revenue makes the top-20 cut deterministic
+    (ties broken by custkey)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(_rev_decimal()).alias("__rev"))
+        .orderBy(F.desc("__rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "c_mktsegment",
+            F.round(F.col("__rev").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+def q131_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate across the lineitem-part
+    join (brand/size/quantity bands): the disjunction pushes partkey
+    residuals into the join and the scan keeps only referenced columns;
+    exact decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(_rev_decimal()).cast("double"), 4).alias("revenue"),
+    )
+
+
 def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-SQL surface — the exact oracle SQL text executed by
     spark.sql() over temp views (no DataFrame code in the query path):
@@ -2441,6 +2559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_volume_anomalies": q125_volume_anomalies,
         "q126_sql_nation_volume": q126_sql_nation_volume,
         "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
+        "q128_custdist": q128_custdist,
+        "q129_promo_revenue": q129_promo_revenue,
+        "q130_returned_items": q130_returned_items,
+        "q131_disjunctive_revenue": q131_disjunctive_revenue,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -2826,6 +2948,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q126_sql_nation_volume": _Q126_SQL,
         "q127_append_remove_recall_gate": _recall_gate_oracle(0.95),
+        "q128_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q129_promo_revenue": """
+            SELECT round(100.0 * CAST(promo AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS promo_revenue_pct,
+                   round(CAST(promo AS DOUBLE), 4) AS promo_rev,
+                   round(CAST(total AS DOUBLE), 4) AS total_rev
+            FROM (
+              SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,12))
+                         ELSE CAST(0 AS DECIMAL(38,12)) END) AS promo,
+                     sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(38,12))) AS total
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= DATE '1995-09-01'
+                AND l.l_shipdate < DATE '1995-10-01'
+            )
+        """,
+        "q130_returned_items": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   n_name, c_mktsegment,
+                   round(CAST(rev AS DOUBLE), 4) AS revenue
+            FROM (
+              SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                     c.c_mktsegment,
+                     sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(38,12))) AS rev
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= DATE '1996-01-01'
+                AND o.o_orderdate < DATE '1996-04-01'
+              GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                       c.c_mktsegment
+            )
+            ORDER BY rev DESC, c_custkey LIMIT 20
+        """,
+        "q131_disjunctive_revenue": """
+            SELECT count(*) AS n_lines,
+                   round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                       AS DECIMAL(38,12))) AS DOUBLE), 4)
+                     AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
         "q07_recall": f"""
             {_KNN_BASE_SQL}
             SELECT count(*) AS total_hit, count(*) AS max_hit, 1.0::DOUBLE AS recall

@@ -50,6 +50,10 @@ def funnel_counts(
     one row per step: ``(step_idx, step, n_users, conv_rate)`` with
     ``conv_rate`` relative to step 1, rounded to 6 decimals (exact
     integer division — deterministic).
+
+    The final unpartitioned window runs over exactly ``len(steps)`` rows
+    (the per-step counts), so its single task is bounded by the funnel
+    length, never the data.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
