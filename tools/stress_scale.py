@@ -1,0 +1,112 @@
+"""Scale-curve probe: build + query the graph-ANN index at growing corpus
+sizes and print per-row / per-query throughput, so the claim "the 62k
+bench numbers extrapolate" is measured, not asserted.
+
+Not part of bench.py (a 250k build would blow the per-entry budget);
+run ad hoc:
+
+    PYTHONPATH=. python tools/stress_scale.py [multipliers...]
+
+Defaults to 16/64/128 offset-variants of the sf0.1 embeddings table
+(~62k/250k/500k rows x 64 dims). Expected shape: build cost per ROW is
+flat (shards are constant-size, more shards = more parallel tasks until
+cores saturate, then linear wall growth), query cost per QUERY grows
+~linearly with shard count on the all-shard route and stays near-flat on
+the nprobe-routed route — the routed curve is the 100x answer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_index_spark import get_spark  # noqa: E402
+from vector_index_spark.config import IndexParameters  # noqa: E402
+from vector_index_spark.index.builder import build_graph_index  # noqa: E402
+from vector_index_spark.index.searcher import (  # noqa: E402
+    graph_ann_query,
+    routed_graph_ann_query,
+    shard_centroids,
+)
+from vector_index_spark.operators.shard import assign_shards  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 100
+
+
+def corpus(emb, n_copies: int):
+    copies = emb.sparkSession.range(n_copies).select(F.col("id").alias("copy"))
+    return emb.crossJoin(copies).select(
+        (F.col("vec_id") * n_copies + F.col("copy")).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.col("copy") - n_copies / 2 + 0.5)
+            * 0.02 * F.cos(i + F.col("copy")),
+        ).alias("vec"),
+    )
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [16, 64, 128]
+    spark = get_spark(app_name="vector-index-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = []
+    for m in multipliers:
+        big = corpus(emb, m)
+        train = big.filter(F.col("id") % 40 != 0).cache()
+        test = (
+            big.filter(F.col("id") % 40 == 0)
+            .limit(500)
+            .select(F.col("id").alias("qid"), "vec")
+            .cache()
+        )
+        n = train.count()
+        nq = test.count()
+        params = IndexParameters(
+            dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+            step=2, sub_index_bound=2048,
+        )
+        t0 = time.perf_counter()
+        edges = build_graph_index(train, params).cache()
+        edges.count()
+        t_build = time.perf_counter() - t0
+        vectors = assign_shards(train, params.sub_index_bound)
+
+        t0 = time.perf_counter()
+        graph_ann_query(vectors, edges, test, K, 64).count()
+        t_query = time.perf_counter() - t0
+
+        cents = shard_centroids(vectors)
+        t0 = time.perf_counter()
+        routed_graph_ann_query(
+            vectors, edges, test, K, nprobe=8, centroids=cents
+        ).count()
+        t_routed = time.perf_counter() - t0
+
+        row = {
+            "rows": n,
+            "shards": -(-n // params.sub_index_bound),
+            "build_s": round(t_build, 2),
+            "build_us_per_row": round(t_build / n * 1e6, 1),
+            "query_all_s": round(t_query, 2),
+            "query_all_ms_per_q": round(t_query / nq * 1e3, 2),
+            "query_routed_s": round(t_routed, 2),
+            "query_routed_ms_per_q": round(t_routed / nq * 1e3, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        edges.unpersist()
+        train.unpersist()
+        test.unpersist()
+    print(json.dumps({"scale_curve": rows}))
+
+
+if __name__ == "__main__":
+    main()
