@@ -189,3 +189,55 @@ def test_transform_with_state_topk_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_funnel_progress_matches_batch(spark, tmp_path):
+    """Drain == batch for the stateful streaming funnel: three
+    chronological slices appended as one file each (increasing mtimes +
+    maxFilesPerTrigger=1 => micro-batches replay in ts order, the
+    operator's documented ordering contract), then the drained per-step
+    counts must equal operators/funnel.funnel_counts exactly."""
+    import time as _time
+
+    from vector_index_spark.operators.funnel import funnel_counts
+    from vector_index_spark.streaming.stateful import stream_funnel_progress
+
+    steps = ["view", "click", "purchase"]
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "src_funnel")
+    slices = [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
+    for lo, hi in slices:
+        sl = ev
+        if lo:
+            sl = sl.filter(F.col("ts") >= lo)
+        if hi:
+            sl = sl.filter(F.col("ts") < hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    out = stream_funnel_progress(
+        spark, src, EVENT_SCHEMA, steps, within_seconds=86_400,
+        max_files_per_trigger=1,
+    )
+    sink = f"s{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.step_idx, r.step): r.n
+        for r in spark.sql(
+            f"SELECT step_idx, step, count(*) AS n FROM {sink} "
+            "GROUP BY step_idx, step"
+        ).collect()
+    }
+    want = {
+        (r.step_idx, r.step): r.n_users
+        for r in funnel_counts(ev, steps, within_seconds=86_400).collect()
+    }
+    assert got == want

@@ -107,3 +107,87 @@ def stream_topk_by_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_funnel_progress: the streaming twin of operators/funnel.funnel_counts.
+# State per user = (index of the next step to reach, anchor timestamp of the
+# last reached step); each micro-batch advances the state machine over the
+# user's events in timestamp order and emits one row per NEWLY reached step —
+# so the drained output aggregated by step equals the batch funnel exactly.
+#
+# Ordering contract: the greedy state machine is single-pass, so events must
+# arrive non-decreasing in ts per user ACROSS micro-batches; disorder WITHIN
+# a micro-batch is absorbed by the per-batch sort. An event arriving after a
+# later-ts event was already consumed is ignored (the standard tradeoff of
+# incremental funnel state — a replay/backfill goes through the batch twin).
+# State volume is O(distinct users) fixed-width tuples; emitted rows are
+# bounded by len(steps) per user over the stream's lifetime.
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, step_idx int, step string, reached_ts timestamp"
+FUNNEL_STATE_SCHEMA = "next_idx int, anchor_us long"
+
+
+def _make_funnel_updater(steps: list[str], within_seconds: int | None):
+    within_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+
+    def _update_funnel(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        next_idx, anchor_us = state.get if state.exists else (0, 0)
+        emitted: list[tuple[int, str, object]] = []
+        pdf = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            if next_idx >= len(steps):
+                break
+            if et != steps[next_idx]:
+                continue
+            t_us = ts.value // 1_000
+            if next_idx > 0:
+                if t_us < anchor_us:
+                    continue
+                if within_us is not None and t_us > anchor_us + within_us:
+                    continue
+            emitted.append((next_idx + 1, steps[next_idx], ts))
+            anchor_us = t_us
+            next_idx += 1
+        state.update((next_idx, anchor_us))
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(emitted),
+                    "step_idx": [e[0] for e in emitted],
+                    "step": [e[1] for e in emitted],
+                    "reached_ts": [e[2] for e in emitted],
+                }
+            )
+
+    return _update_funnel
+
+
+def stream_funnel_progress(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ordered-funnel progress: one output row per (user, step)
+    the moment the user reaches it. ``output.groupBy(step_idx, step).count()``
+    after a drain equals :func:`operators.funnel.funnel_counts` n_users
+    (asserted in tests/test_skew_and_stateful.py)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_updater(list(steps), within_seconds),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
