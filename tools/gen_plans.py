@@ -140,6 +140,39 @@ def main() -> None:
         ),
     ]
 
+    from vector_index_spark.operators.funnel import (
+        funnel_counts,
+        hourly_count_anomalies,
+    )
+    from vector_index_spark.operators.rollup import multi_resolution_rollup
+    from vector_index_spark.sources.loaders import read_events
+
+    def final_plan(df) -> str:
+        # AQE materializes ReusedExchange only in the final plan
+        df.collect()
+        return plan(df)
+
+    ev = read_events(spark, SF)
+    sections += [
+        (
+            "Multi-resolution rollup: ONE raw scan + partial-aggregate "
+            "exchange reused by every coarser level (ReusedExchange; final "
+            "AQE plan after execution)",
+            final_plan(multi_resolution_rollup(ev)),
+        ),
+        (
+            "Ordered funnel: k aggregate+join rounds all keyed on user_id, "
+            "each round's input filtered to one event type before it "
+            "shuffles; final window over k rows only",
+            plan(funnel_counts(ev, ["view", "click", "purchase"], 86_400)),
+        ),
+        (
+            "Volume anomalies: per-type moments broadcast back onto hourly "
+            "counts; exact integer/decimal aggregates, scalar IEEE tail",
+            plan(hourly_count_anomalies(ev, z_threshold=1.5)),
+        ),
+    ]
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
