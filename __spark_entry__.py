@@ -1813,6 +1813,74 @@ def q125_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_count_anomalies(read_events(spark, sf_dir), z_threshold=1.5)
 
 
+def q132_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-table maintenance — Delta-style MERGE INTO as one full-outer
+    join on the key (operators/merge.merge_upsert): matched customers take
+    the update batch's values, new keys insert, the rest pass through."""
+    from vector_index_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+                F.lit(0).cast(c.schema["c_nationkey"].dataType).alias("c_nationkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    out = merge_upsert(c, updates, ["c_custkey"])
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+def q133_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-table maintenance — SCD type-2 application
+    (operators/merge.scd2_apply): segment moves close the current row and
+    open a new one at the change timestamp, no-op changes are idempotent,
+    brand-new keys insert; one keyed full-outer join, history streams
+    through untouched."""
+    from vector_index_spark.operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    ts = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    changes = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey", F.lit("MOVED").alias("c_mktsegment"), "c_acctbal",
+            ts.alias("ts"),
+        )
+        .unionByName(
+            c.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 3 != 0))
+            .select("c_custkey", "c_mktsegment", "c_acctbal", ts.alias("ts"))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+                ts.alias("ts"),
+            )
+        )
+    )
+    out = scd2_apply(
+        dim, changes, keys=["c_custkey"], attrs=["c_mktsegment", "c_acctbal"]
+    )
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
 # One SQL text, two engines: q126 runs _Q126_SQL verbatim through
 # spark.sql() on registered temp views while the oracle hands the same
 # string to DuckDB — the declared-SQL entry point of SURVEY §2C, proven on
@@ -2563,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_promo_revenue": q129_promo_revenue,
         "q130_returned_items": q130_returned_items,
         "q131_disjunctive_revenue": q131_disjunctive_revenue,
+        "q132_merge_upsert": q132_merge_upsert,
+        "q133_scd2_history": q133_scd2_history,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -3006,6 +3076,69 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 30)
                OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
                    AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "q132_merge_upsert": """
+            WITH updates AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     c_acctbal + 100 AS c_acctbal,
+                     'UPDATED' AS c_mktsegment
+              FROM customer WHERE c_custkey % 5 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000,
+                     'NEW#' || CAST(c_custkey AS VARCHAR),
+                     0, 0.0, 'NEW'
+              FROM customer WHERE c_custkey % 7 = 0
+            )
+            SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                        ELSE t.c_name END AS c_name,
+                   CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                        ELSE t.c_nationkey END AS c_nationkey,
+                   round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                         ELSE t.c_acctbal END, 2) AS c_acctbal,
+                   CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment
+            FROM customer t FULL OUTER JOIN updates u
+              ON t.c_custkey = u.c_custkey
+        """,
+        "q133_scd2_history": """
+            WITH cur AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM customer
+            ), changes AS (
+              SELECT c_custkey, 'MOVED' AS c_mktsegment, c_acctbal,
+                     TIMESTAMP '2024-06-01 00:00:00' AS ts
+              FROM customer WHERE c_custkey % 3 = 0
+              UNION ALL
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     TIMESTAMP '2024-06-01 00:00:00'
+              FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 3 <> 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW', 0.0,
+                     TIMESTAMP '2024-06-01 00:00:00'
+              FROM customer WHERE c_custkey % 13 = 0
+            )
+            SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2)
+                     AS c_acctbal, c.valid_from, c.valid_to
+            FROM cur c LEFT JOIN changes n USING (c_custkey)
+            WHERE n.ts IS NULL
+               OR (n.c_mktsegment = c.c_mktsegment
+                   AND n.c_acctbal = c.c_acctbal)
+            UNION ALL
+            SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2),
+                   c.valid_from, n.ts
+            FROM cur c JOIN changes n USING (c_custkey)
+            WHERE NOT (n.c_mktsegment = c.c_mktsegment
+                       AND n.c_acctbal = c.c_acctbal)
+            UNION ALL
+            SELECT n.c_custkey, n.c_mktsegment, round(n.c_acctbal, 2),
+                   n.ts, CAST(NULL AS TIMESTAMP)
+            FROM changes n LEFT JOIN cur c USING (c_custkey)
+            WHERE c.valid_from IS NULL
+               OR NOT (n.c_mktsegment = c.c_mktsegment
+                       AND n.c_acctbal = c.c_acctbal)
         """,
         "q07_recall": f"""
             {_KNN_BASE_SQL}
