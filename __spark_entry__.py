@@ -1945,10 +1945,16 @@ def q128_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per customer."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # aggregate orders BEFORE the outer join: the join then moves one row
+    # per customer instead of one per order (Catalyst doesn't push
+    # aggregates below outer joins itself; at orders >> customers scale
+    # this is the difference between shuffling the fact table and
+    # shuffling a key-count relation)
+    per_cust_orders = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_cust = c.join(per_cust_orders, "c_custkey", "left_outer").select(
+        F.coalesce("__n", F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
