@@ -1928,7 +1928,10 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
         step=2, sub_index_bound=250,
     )
     slice_key = F.pmod(F.xxhash64("id"), F.lit(10))
-    path = os.path.join(tempfile.gettempdir(), f"vis_q127_{os.getpid()}")
+    # fixed path (no pid): each run replaces the last run's directory, so
+    # repeated invocations leave at most one index behind instead of one
+    # per process lifetime
+    path = os.path.join(tempfile.gettempdir(), "vis_q127_mutation_gate")
     shutil.rmtree(path, ignore_errors=True)
     idx = VectorIndex.build(train.filter(slice_key < 7), params).save(path)
     idx = idx.append(train.filter(slice_key >= 7))
@@ -3019,7 +3022,7 @@ def oracle_sql() -> dict[str, str]:
                                * (CAST(m.__s AS DOUBLE) / m.__n)), 6) AS z
               FROM hourly h JOIN moments m USING (event_type)
             )
-            WHERE abs(z) >= 1.5
+            WHERE std_n > 0 AND abs(z) >= 1.5
             ORDER BY event_type, bucket_start
         """,
         "q126_sql_nation_volume": _Q126_SQL,

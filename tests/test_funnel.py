@@ -94,3 +94,21 @@ def test_anomaly_partitioning_invariance(spark):
 def test_funnel_empty_steps_rejected(tiny_events):
     with pytest.raises(ValueError):
         funnel_counts(tiny_events, [])
+
+
+def test_funnel_rejects_repeated_steps(tiny_events):
+    with pytest.raises(ValueError):
+        funnel_counts(tiny_events, ["view", "view"])
+
+
+def test_anomaly_constant_volume_type_excluded(spark):
+    """A type appearing in a single hourly bucket has std=0: it must be
+    excluded on both engines rather than diverge (Spark NULL vs SQL NaN)."""
+    rows = [(1, _ts(1, h), "steady", 1.0) for h in range(10)] + [
+        (2, _ts(1, 5, 30), "burst", 1.0)  # single bucket -> std 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    out = hourly_count_anomalies(ev, z_threshold=0.0).collect()
+    assert all(r.event_type != "burst" for r in out)

@@ -100,3 +100,27 @@ def test_merge_plan_is_single_keyed_join(spark, dim):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_null_key_rows(spark):
+    """NULL is a legal merge-key value under eqNullSafe: a NULL-key update
+    must replace the NULL-key target row, not silently vanish."""
+    target = spark.createDataFrame([(None, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(None, "a2"), (3, "c")], "k long, v string")
+    got = {tuple(r) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {(None, "a2"), (2, "b"), (3, "c")}
+
+
+def test_scd2_null_valid_from_row_survives(spark):
+    """A malformed-but-representable current row (valid_from NULL) must not
+    be dropped by the presence detection."""
+    d = spark.createDataFrame(
+        [(1, "A", 10.0, None, None)],
+        "k long, seg string, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 1.0, T1)], "k long, seg string, bal double, ts timestamp"
+    )
+    out = scd2_apply(d, changes, ["k"], ["seg", "bal"]).collect()
+    got = {(r.k, r.seg, r.valid_from, r.valid_to) for r in out}
+    assert got == {(1, "A", None, None), (2, "B", T1, None)}

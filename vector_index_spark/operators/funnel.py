@@ -57,6 +57,11 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        # the min-based formulation is event-identity-blind: with a
+        # repeated step name one event at ts t would satisfy both hops
+        # (t >= t), diverging from the consume-once streaming twin.
+        raise ValueError(f"step names must be distinct, got {list(steps)}")
     reached = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -120,6 +125,8 @@ def retention_cohorts(
     sizes = first_day.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
+    # one distinct suffices: (user, day) is unique after it, and the
+    # 1:1 join + (cohort_day, offset) derivation preserve uniqueness
     triples = (
         events.select(user_col, F.to_date(ts_col).alias("__day"))
         .distinct()
@@ -129,7 +136,6 @@ def retention_cohorts(
             F.datediff("__day", "cohort_day").alias("day_offset"),
             user_col,
         )
-        .distinct()
     )
     ret = triples.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active")
@@ -194,6 +200,9 @@ def hourly_count_anomalies(
             F.round(std, 6).alias("std_n"),
             F.round(z, 6).alias("z"),
         )
-        .filter(F.abs(F.col("z")) >= z_threshold)
+        # std_n > 0 guard: a constant-volume type has no outliers by
+        # definition, and 0/0 diverges across engines (Spark NULL-drops
+        # the row, IEEE SQL engines produce NaN and may keep it)
+        .filter((F.col("std_n") > 0) & (F.abs(F.col("z")) >= z_threshold))
         .orderBy(type_col, "bucket_start")
     )

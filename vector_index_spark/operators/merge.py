@@ -42,15 +42,19 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: target={target.columns} updates={updates.columns}"
         )
-    t, u = target.alias("t"), updates.alias("u")
+    # join-side presence marker, NOT a key-is-null check: with eqNullSafe
+    # a NULL merge key is a legal value, so key columns can't double as
+    # presence detectors
+    t = target.alias("t")
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys],
     )
-    anchor = F.col(f"u.{keys[0]}")
+    matched = F.col("u.__u_present").isNotNull()
     return t.join(u, cond, "full_outer").select(
         *[
-            F.when(anchor.isNotNull(), F.col(f"u.{c}"))
+            F.when(matched, F.col(f"u.{c}"))
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
             for c in target.columns
@@ -98,15 +102,21 @@ def scd2_apply(
     key_l = list(keys)
     attr_l = list(attrs)
     hist = dim.filter(F.col(end_col).isNotNull())
-    cur = dim.filter(F.col(end_col).isNull()).alias("c")
-    ch = changes.alias("n")
+    # presence markers, not NULL-sentinel columns: a current row with a
+    # NULL valid_from (or a change with NULL ts) must not silently vanish
+    cur = (
+        dim.filter(F.col(end_col).isNull())
+        .withColumn("__c_present", F.lit(True))
+        .alias("c")
+    )
+    ch = changes.withColumn("__n_present", F.lit(True)).alias("n")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"c.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_l],
     )
     j = cur.join(ch, cond, "full_outer")
-    has_cur = F.col(f"c.{eff_col}").isNotNull()
-    has_chg = F.col(f"n.{ts_col}").isNotNull()
+    has_cur = F.col("c.__c_present").isNotNull()
+    has_chg = F.col("n.__n_present").isNotNull()
     differs = reduce(
         lambda a, b: a | b,
         [~F.col(f"c.{a}").eqNullSafe(F.col(f"n.{a}")) for a in attr_l],

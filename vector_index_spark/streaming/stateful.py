@@ -118,9 +118,12 @@ def stream_topk_by_key(
 #
 # Ordering contract: the greedy state machine is single-pass, so events must
 # arrive non-decreasing in ts per user ACROSS micro-batches; disorder WITHIN
-# a micro-batch is absorbed by the per-batch sort. An event arriving after a
-# later-ts event was already consumed is ignored (the standard tradeoff of
-# incremental funnel state — a replay/backfill goes through the batch twin).
+# a micro-batch is absorbed by the per-batch sort (ties at the same ts are
+# ordered by funnel position, matching the batch twin's inclusive hops).
+# Same-ts step pairs SPLIT across micro-batches in reverse funnel order are
+# the residual blind spot, as is any event arriving after a later-ts event
+# was already consumed (the standard tradeoff of incremental funnel state —
+# a replay/backfill goes through the batch twin).
 # State volume is O(distinct users) fixed-width tuples; emitted rows are
 # bounded by len(steps) per user over the stream's lifetime.
 # ---------------------------------------------------------------------------
@@ -131,6 +134,7 @@ FUNNEL_STATE_SCHEMA = "next_idx int, anchor_us long"
 
 def _make_funnel_updater(steps: list[str], within_seconds: int | None):
     within_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    step_rank = {s: i for i, s in enumerate(steps)}
 
     def _update_funnel(
         key: tuple,
@@ -139,7 +143,15 @@ def _make_funnel_updater(steps: list[str], within_seconds: int | None):
     ) -> Iterable[pd.DataFrame]:
         next_idx, anchor_us = state.get if state.exists else (0, 0)
         emitted: list[tuple[int, str, object]] = []
-        pdf = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+        pdf = pd.concat(list(batches), ignore_index=True)
+        # order ties at the same ts by funnel position: the batch twin's
+        # min-based hops are inclusive (click@t after view@t qualifies),
+        # so the single pass must consume the earlier step first — a bare
+        # ts sort could place the click before the view and drop it
+        pdf["__rank"] = pdf["event_type"].map(
+            lambda s: step_rank.get(s, len(steps))
+        )
+        pdf = pdf.sort_values(["ts", "__rank"], kind="mergesort")
         for ts, et in zip(pdf["ts"], pdf["event_type"]):
             if next_idx >= len(steps):
                 break
