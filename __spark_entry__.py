@@ -1881,6 +1881,29 @@ def q133_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("c_acctbal", F.round("c_acctbal", 2))
 
 
+def q134_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-health profiling — per-column null counts, exact distinct
+    cardinality, min/max over documents in ONE aggregate pass
+    (operators/profile.profile_table; long-format output, no per-column
+    jobs). Exact distinct here for the oracle; the 100 TB default is the
+    HLL mode."""
+    from vector_index_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"), distinct="exact")
+
+
+_Q134_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_Q134_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, 'n_nonnull' AS metric,
+               CAST(count({c}) AS VARCHAR) AS value FROM documents
+UNION ALL SELECT '{c}', 'n_null', CAST(count(*) - count({c}) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'min', CAST(min({c}) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'max', CAST(max({c}) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS VARCHAR) FROM documents"""
+    for c in _Q134_COLS
+)
+
+
 # One SQL text, two engines: q126 runs _Q126_SQL verbatim through
 # spark.sql() on registered temp views while the oracle hands the same
 # string to DuckDB — the declared-SQL entry point of SURVEY §2C, proven on
@@ -2642,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_disjunctive_revenue": q131_disjunctive_revenue,
         "q132_merge_upsert": q132_merge_upsert,
         "q133_scd2_history": q133_scd2_history,
+        "q134_table_profile": q134_table_profile,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -3026,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, bucket_start
         """,
         "q126_sql_nation_volume": _Q126_SQL,
+        "q134_table_profile": _Q134_SQL,
         "q127_append_remove_recall_gate": _recall_gate_oracle(0.95),
         "q128_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
