@@ -83,3 +83,36 @@ def test_l2sq_vs_duckdb(spark, duck, pairs):
     FROM pairs
     """
     compare_to_oracle(sdf, duck, sql)
+
+
+def test_assert_dim_passes_and_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    import pytest as _pytest
+
+    from vector_index_spark.functions.distance import assert_dim
+
+    ok = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    assert assert_dim(ok, "vec", 2).count() == 1
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "id long, vec array<double>"
+    )
+    # count() prunes the vec column, so the probe must be forced by an
+    # action that actually reads vectors (as every kernel does)
+    assert assert_dim(bad, "vec", 2).count() == 2
+    with _pytest.raises(Exception) as ei:
+        assert_dim(bad, "vec", 2).select(F.sum(F.size("vec"))).collect()
+    assert "dimension mismatch" in str(ei.value)
+
+
+def test_build_rejects_ragged_vectors(spark):
+    import pytest as _pytest
+
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)] + [(99, [1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    params = IndexParameters(dimension=2, sub_index_bound=10)
+    with _pytest.raises(Exception) as ei:
+        VectorIndex.build(df, params).edges.count()
+    assert "dimension mismatch" in str(ei.value)

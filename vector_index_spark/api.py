@@ -85,9 +85,16 @@ class VectorIndex:
             sqrt(M^2-|x|^2)]); query() augments with 0 and reports
             ip_dist recomputed on the original components.
         """
-        from vector_index_spark.functions.distance import l2_norm, normalize
+        from vector_index_spark.functions.distance import (
+            assert_dim,
+            l2_norm,
+            normalize,
+        )
 
         t = train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        # fail fast on ragged vectors: a mismatched length would otherwise
+        # surface as a silently-NULL distance deep inside the kernels
+        t = assert_dim(t, "vec", params.dimension)
         if params.distance_type == "cosine_similarity":
             t = t.select("id", normalize(F.col("vec")).alias("vec"))
         elif params.distance_type == "inner_product":

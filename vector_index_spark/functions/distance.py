@@ -101,3 +101,30 @@ def l2sq_arrow():
         return pd.Series((d * d).sum(axis=1))
 
     return _l2sq
+
+
+def assert_dim(df, vec_col: str, dim: int):
+    """Fail fast on ragged vectors: raises at execution time if any row's
+    vector length differs from ``dim``.
+
+    The zip_with/aggregate distance kernels pad mismatched-length arrays
+    with NULL, which propagates to a silently-NULL distance — the worst
+    failure mode (rows quietly drop from top-k results). The check is one
+    codegen'd ``size() == dim`` comparison per row, negligible next to
+    any distance kernel; apply it once at ingest (VectorIndex.build does)
+    rather than inside every kernel call."""
+    from pyspark.sql import functions as F
+
+    probe = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat(
+            F.lit(f"vector dimension mismatch: expected {dim}, got "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
+    )
+    # assert_true returns NULL on success; fold the probe into the vector
+    # column itself (a dropped side-column would be pruned away by
+    # Catalyst, silently disabling the check)
+    return df.withColumn(
+        vec_col, F.when(probe.isNull(), F.col(vec_col))
+    )
