@@ -1892,6 +1892,81 @@ def q134_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "documents"), distinct="exact")
 
 
+def _component_sum(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """One-row frame with the exact order-independent sum of every vector
+    component: per-element float32->float64 is exact, the decimal cast is
+    deterministic per value, and SUM over DECIMAL(38,12) keeps scale 12
+    (an F.aggregate lambda cannot — Spark's decimal-add rule widens
+    (38,12)+(38,12) to scale 11). Mirrors the oracle's UNNEST shape."""
+    return df.select(F.explode(vec_col).alias("__x")).agg(
+        F.round(
+            F.sum(F.col("__x").cast("double").cast("decimal(38,12)"))
+            .cast("double"), 6,
+        ).alias(out)
+    )
+
+
+def q135_binary_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference binary vector format round-trip (op 20;
+    example/dehnsw_example.cpp:46-69: uint64 count, uint64 dim, float32
+    row-major): write the train split to the format, re-ingest with
+    load_annb_binary, and aggregate count/dim/id-checksum/exact component
+    sum. The oracle recomputes the aggregate from the source parquet, so
+    any row or byte lost in the format round-trip hash-mismatches. The
+    single-file write is bounded driver work (it IS a single-file exchange
+    format); the scale read path is the splittable annb_datasource."""
+    import os
+    import struct
+    import tempfile
+
+    import numpy as np
+
+    from vector_index_spark.sources.loaders import load_annb_binary
+
+    pdf = _train(spark, sf_dir).orderBy("id").toPandas()
+    mat = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+    path = os.path.join(tempfile.gettempdir(), "vis_q135_train.bin")
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<QQ", mat.shape[0], mat.shape[1]))
+        mat.tofile(fh)
+    df = load_annb_binary(spark, path)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max(F.size("vec")).cast("long").alias("dim"),
+        F.sum("id").alias("id_checksum"),
+    )
+    return stats.crossJoin(_component_sum(df, "vec", "component_sum"))
+
+
+def q136_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann-benchmarks HDF5 round-trip (op 24; reference
+    example/example.py:66-102): write train/test matrices with the
+    pure-python minihdf5 writer (deflate-chunked — the layout libhdf5
+    produces), re-ingest via load_annb_hdf5, and aggregate both frames;
+    the oracle recomputes from the source parquet."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from vector_index_spark.sources.loaders import load_annb_hdf5
+    from vector_index_spark.sources.minihdf5 import write_hdf5
+
+    tr = _train(spark, sf_dir).orderBy("id").toPandas()
+    te = _test(spark, sf_dir).orderBy("qid").toPandas()
+    X = np.stack(tr["vec"].to_numpy()).astype(np.float32)
+    Q = np.stack(te["vec"].to_numpy()).astype(np.float32)
+    path = os.path.join(tempfile.gettempdir(), "vis_q136.hdf5")
+    write_hdf5(path, {"train": X, "test": Q}, compress=True)
+    corpus, queries = load_annb_hdf5(spark, path)
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_train"))
+        .crossJoin(_component_sum(corpus, "vec", "train_sum"))
+        .crossJoin(queries.agg(F.count(F.lit(1)).alias("n_test")))
+        .crossJoin(_component_sum(queries, "vec", "test_sum"))
+    )
+
+
 _Q134_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 _Q134_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, 'n_nonnull' AS metric,
@@ -2666,6 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_merge_upsert": q132_merge_upsert,
         "q133_scd2_history": q133_scd2_history,
         "q134_table_profile": q134_table_profile,
+        "q135_binary_format_ingest": q135_binary_format_ingest,
+        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
         # r1-green-only entries: re-confirm under the current codebase
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
@@ -3051,6 +3128,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q126_sql_nation_volume": _Q126_SQL,
         "q134_table_profile": _Q134_SQL,
+        "q135_binary_format_ingest": """
+            WITH train AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+            ), comp AS (
+              SELECT sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,12))) AS s
+              FROM train, UNNEST(embedding) AS u(x)
+            )
+            SELECT (SELECT count(*) FROM train) AS n_vectors,
+                   (SELECT CAST(max(len(embedding)) AS BIGINT) FROM train) AS dim,
+                   (SELECT count(*) * (count(*) - 1) // 2 FROM train)
+                     AS id_checksum,
+                   (SELECT round(CAST(s AS DOUBLE), 6) FROM comp)
+                     AS component_sum
+        """,
+        "q136_hdf5_roundtrip": """
+            WITH tr AS (
+              SELECT embedding FROM embeddings WHERE vec_id % 10 <> 0
+            ), te AS (
+              SELECT embedding FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT (SELECT count(*) FROM tr) AS n_train,
+                   (SELECT round(CAST(sum(CAST(CAST(u.x AS DOUBLE)
+                        AS DECIMAL(38,12))) AS DOUBLE), 6)
+                    FROM tr, UNNEST(embedding) AS u(x)) AS train_sum,
+                   (SELECT count(*) FROM te) AS n_test,
+                   (SELECT round(CAST(sum(CAST(CAST(u.x AS DOUBLE)
+                        AS DECIMAL(38,12))) AS DOUBLE), 6)
+                    FROM te, UNNEST(embedding) AS u(x)) AS test_sum
+        """,
         "q127_append_remove_recall_gate": _recall_gate_oracle(0.95),
         "q128_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
