@@ -319,6 +319,19 @@ def main() -> None:
 
     timed("events_funnel_retention", funnel_run)
 
+    # keyed-table maintenance + profiling (one entry for the family)
+    from vector_index_spark.operators.merge import merge_upsert
+    from vector_index_spark.operators.profile import profile_table
+
+    def merge_profile_run():
+        updates = cust.withColumn("c_mktsegment", F.lit("UPDATED")).filter(
+            F.col("c_custkey") % 3 == 0
+        )
+        merge_upsert(cust, updates, ["c_custkey"]).count()
+        profile_table(docs, distinct="approx").count()
+
+    timed("merge_profile", merge_profile_run)
+
     # meaningful-scale ANN: 16k-vector corpus derived deterministically from
     # the driver embeddings (32 offset variants/row — same derivation as
     # tests/test_stress_multishard). The small embeddings table makes the
