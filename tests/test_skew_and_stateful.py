@@ -223,7 +223,7 @@ def test_stream_funnel_progress_matches_batch(spark, tmp_path):
     q = (
         out.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("update")
+        .outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ck_funnel"))
         .start()
@@ -235,6 +235,68 @@ def test_stream_funnel_progress_matches_batch(spark, tmp_path):
             f"SELECT step_idx, step, count(*) AS n FROM {sink} "
             "GROUP BY step_idx, step"
         ).collect()
+    }
+    want = {
+        (r.step_idx, r.step): r.n_users
+        for r in funnel_counts(ev, steps, within_seconds=86_400).collect()
+    }
+    assert got == want
+
+
+def test_stream_funnel_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: drain the first two chronological slices, STOP
+    the query, append the third slice, and resume a NEW query on the SAME
+    checkpoint — the per-user state machines must pick up where they left
+    off, so the union of both runs' emissions equals the batch funnel."""
+    import time as _time
+
+    from vector_index_spark.operators.funnel import funnel_counts
+    from vector_index_spark.streaming.stateful import stream_funnel_progress
+
+    steps = ["view", "click", "purchase"]
+    ev = read_events(spark, SF_CORRECT)
+    src = str(tmp_path / "src_funnel_rs")
+    ck = str(tmp_path / "ck_funnel_rs")
+    slices = [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]
+
+    def write_slice(lo, hi):
+        sl = ev
+        if lo:
+            sl = sl.filter(F.col("ts") >= lo)
+        if hi:
+            sl = sl.filter(F.col("ts") < hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    out_dir = str(tmp_path / "out_funnel_rs")
+
+    def drain():
+        out = stream_funnel_progress(
+            spark, src, EVENT_SCHEMA, steps, within_seconds=86_400,
+            max_files_per_trigger=1,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_slice(*slices[0])
+    write_slice(*slices[1])
+    drain()
+    write_slice(*slices[2])
+    drain()
+
+    got = {
+        (r.step_idx, r.step): r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("step_idx", "step")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     want = {
         (r.step_idx, r.step): r.n_users

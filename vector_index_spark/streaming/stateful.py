@@ -196,10 +196,12 @@ def stream_funnel_progress(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
+    # append, not update: each (user, step) row is emitted exactly once and
+    # never revised, which also unlocks file sinks + checkpoint recovery
     return stream.groupBy("user_id").applyInPandasWithState(
         _make_funnel_updater(list(steps), within_seconds),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
-        outputMode="update",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
