@@ -1925,7 +1925,12 @@ def q135_binary_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pdf = _train(spark, sf_dir).orderBy("id").toPandas()
     mat = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
-    path = os.path.join(tempfile.gettempdir(), "vis_q135_train.bin")
+    # per-session token: concurrent sessions on one host must not read each
+    # other's partially written files; reruns within a session still replace
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vis_q135_train_{spark.sparkContext.applicationId}.bin",
+    )
     with open(path, "wb") as fh:
         fh.write(struct.pack("<QQ", mat.shape[0], mat.shape[1]))
         mat.tofile(fh)
@@ -1956,7 +1961,9 @@ def q136_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     te = _test(spark, sf_dir).orderBy("qid").toPandas()
     X = np.stack(tr["vec"].to_numpy()).astype(np.float32)
     Q = np.stack(te["vec"].to_numpy()).astype(np.float32)
-    path = os.path.join(tempfile.gettempdir(), "vis_q136.hdf5")
+    path = os.path.join(
+        tempfile.gettempdir(), f"vis_q136_{spark.sparkContext.applicationId}.hdf5"
+    )
     write_hdf5(path, {"train": X, "test": Q}, compress=True)
     corpus, queries = load_annb_hdf5(spark, path)
     return (
@@ -2026,10 +2033,13 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
         step=2, sub_index_bound=250,
     )
     slice_key = F.pmod(F.xxhash64("id"), F.lit(10))
-    # fixed path (no pid): each run replaces the last run's directory, so
-    # repeated invocations leave at most one index behind instead of one
-    # per process lifetime
-    path = os.path.join(tempfile.gettempdir(), "vis_q127_mutation_gate")
+    # per-session path (applicationId): concurrent sessions on one host
+    # never touch each other's index; reruns within a session still replace
+    # the previous directory, so at most one index per session lifetime
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"vis_q127_mutation_gate_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     idx = VectorIndex.build(train.filter(slice_key < 7), params).save(path)
     idx = idx.append(train.filter(slice_key >= 7))

@@ -116,3 +116,32 @@ def test_build_rejects_ragged_vectors(spark):
     with _pytest.raises(Exception) as ei:
         VectorIndex.build(df, params).edges.count()
     assert "dimension mismatch" in str(ei.value)
+
+
+def test_query_and_append_reject_ragged_vectors(spark, tmp_path):
+    """The mutation and query paths get the same assert_dim guard as
+    build() (ADVICE r3: ragged vectors through append()/query() previously
+    skipped the check and hit the silent-NULL-distance failure)."""
+    import pytest as _pytest
+
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    params = IndexParameters(dimension=2, sub_index_bound=10)
+    idx = VectorIndex.build(df, params).save(str(tmp_path / "idx"))
+
+    bad_q = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0])], "qid long, vec array<double>"
+    )
+    with _pytest.raises(Exception) as ei:
+        idx.query(bad_q, k=3).collect()
+    assert "dimension mismatch" in str(ei.value)
+
+    bad_new = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "id long, vec array<double>"
+    )
+    with _pytest.raises(Exception) as ei:
+        idx.append(bad_new)
+    assert "dimension mismatch" in str(ei.value)

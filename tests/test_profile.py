@@ -45,3 +45,18 @@ def test_profile_rejects_unknown_column(spark):
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     with pytest.raises(ValueError):
         profile_table(docs, columns=["nope"])
+
+
+def test_profile_handles_hostile_column_names(spark):
+    """Raw column names never enter a SQL string (ADVICE r3: a quote or
+    backtick in a name used to break the stack() pivot)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], ["it's", "b`tick"]
+    )
+    from vector_index_spark.operators.profile import profile_table
+
+    rows = profile_table(df, distinct="exact").collect()
+    by_key = {(r.col_name, r.metric): r.value for r in rows}
+    assert by_key[("it's", "n_nonnull")] == "2"
+    assert by_key[("b`tick", "n_null")] == "1"
+    assert by_key[("b`tick", "n_distinct")] == "1"

@@ -84,6 +84,12 @@ class VectorIndex:
           - inner_product: norm-augmentation reduction (x -> [x,
             sqrt(M^2-|x|^2)]); query() augments with 0 and reports
             ip_dist recomputed on the original components.
+
+        Dimension guard: ragged vectors raise at execution time via
+        ``assert_dim`` (also applied by ``append`` and ``query``). The
+        probe rides the vector column, so a plan that never reads vectors
+        (e.g. a bare ``count()``) skips it — every distance-computing
+        path reads them and therefore checks.
         """
         from vector_index_spark.functions.distance import (
             assert_dim,
@@ -152,9 +158,12 @@ class VectorIndex:
         """Approximate top-k (all shards; pass ``nprobe`` to route by shard
         centroid). Returns (qid, rank, id, dist) where dist is in the
         index's metric (l2sq / cos_dist / ip_dist)."""
-        from vector_index_spark.functions.distance import dot, normalize
+        from vector_index_spark.functions.distance import assert_dim, dot, normalize
 
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        # same ragged-vector fail-fast as build(): a mismatched query length
+        # would otherwise surface as silently-NULL distances
+        t = assert_dim(t, "vec", self.params.dimension)
         metric = self.params.distance_type
         if metric == "cosine_similarity":
             t = t.select("qid", normalize(F.col("vec")).alias("vec"))
@@ -241,7 +250,11 @@ class VectorIndex:
                vec_col: str = "vec") -> "VectorIndex":
         if not self.path:
             raise ValueError("append requires a persisted index (call save first)")
+        from vector_index_spark.functions.distance import assert_dim
+
         spark = self.vectors.sparkSession
+        # mutation path gets the same dimension guard as build()
+        new_vectors = assert_dim(new_vectors, vec_col, self.params.dimension)
         append_to_index(spark, self.path, new_vectors, id_col, vec_col)
         return VectorIndex.load(spark, self.path)
 

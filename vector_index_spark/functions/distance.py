@@ -111,8 +111,13 @@ def assert_dim(df, vec_col: str, dim: int):
     with NULL, which propagates to a silently-NULL distance — the worst
     failure mode (rows quietly drop from top-k results). The check is one
     codegen'd ``size() == dim`` comparison per row, negligible next to
-    any distance kernel; apply it once at ingest (VectorIndex.build does)
-    rather than inside every kernel call."""
+    any distance kernel; apply it once at ingest (VectorIndex.build,
+    append and query all do) rather than inside every kernel call.
+
+    Caveat: the probe is folded into ``vec_col``, so a downstream plan
+    that prunes the vector column entirely (``count()``, id-only
+    projections) also prunes the check — the guard fires on any plan that
+    actually reads vectors, which is every distance/kernel path."""
     from pyspark.sql import functions as F
 
     probe = F.assert_true(

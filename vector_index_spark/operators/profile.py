@@ -39,36 +39,48 @@ def profile_table(
     if distinct not in ("approx", "exact", None):
         raise ValueError(f"distinct must be 'approx', 'exact' or None: {distinct!r}")
 
+    # positional __c{i} renames via toDF: raw column names never enter an
+    # alias, a SQL string, or the column resolver (which parses backticks),
+    # so names containing quotes/backticks profile correctly
+    positions = [df.columns.index(c) for c in cols]
+    safe = df.toDF(*[f"__in{i}" for i in range(len(df.columns))])
     aggs = [F.count(F.lit(1)).alias("__n")]
     metrics = ["n_nonnull", "n_null", "min", "max"]
-    for c in cols:
+    for i, pos in enumerate(positions):
+        src = F.col(f"__in{pos}")
         aggs += [
-            F.count(c).alias(f"{c}__n_nonnull"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            F.count(src).alias(f"__c{i}__n_nonnull"),
+            F.min(src).cast("string").alias(f"__c{i}__min"),
+            F.max(src).cast("string").alias(f"__c{i}__max"),
         ]
         if distinct == "approx":
-            aggs.append(F.approx_count_distinct(c).alias(f"{c}__n_distinct"))
+            aggs.append(F.approx_count_distinct(src).alias(f"__c{i}__n_distinct"))
         elif distinct == "exact":
-            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+            aggs.append(F.count_distinct(src).alias(f"__c{i}__n_distinct"))
     if distinct is not None:
         metrics.append("n_distinct")
-    wide = df.agg(*aggs)
+    wide = safe.agg(*aggs)
 
-    # pivot the single wide row to long format with one stack() expression
-    # (still lazy — no driver collect)
-    pairs = []
-    for c in cols:
-        pairs += [
-            f"'{c}'", "'n_nonnull'", f"CAST(`{c}__n_nonnull` AS STRING)",
-            f"'{c}'", "'n_null'", f"CAST(__n - `{c}__n_nonnull` AS STRING)",
-            f"'{c}'", "'min'", f"`{c}__min`",
-            f"'{c}'", "'max'", f"`{c}__max`",
+    # pivot the single wide row to long format by exploding an array of
+    # structs (still lazy — no driver collect; column names appear only as
+    # literals, the expressions reference the safe positional aliases)
+    def _entry(name: str, metric: str, value):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.lit(metric).alias("metric"),
+            value.cast("string").alias("value"),
+        )
+
+    entries = []
+    for i, c in enumerate(cols):
+        entries += [
+            _entry(c, "n_nonnull", F.col(f"__c{i}__n_nonnull")),
+            _entry(c, "n_null", F.col("__n") - F.col(f"__c{i}__n_nonnull")),
+            _entry(c, "min", F.col(f"__c{i}__min")),
+            _entry(c, "max", F.col(f"__c{i}__max")),
         ]
         if distinct is not None:
-            pairs += [
-                f"'{c}'", "'n_distinct'", f"CAST(`{c}__n_distinct` AS STRING)",
-            ]
-    n_rows = len(cols) * len(metrics)
-    stack = f"stack({n_rows}, {', '.join(pairs)}) AS (col_name, metric, value)"
-    return wide.selectExpr(stack)
+            entries.append(_entry(c, "n_distinct", F.col(f"__c{i}__n_distinct")))
+    return wide.select(
+        F.explode(F.array(*entries)).alias("__e")
+    ).select("__e.col_name", "__e.metric", "__e.value")

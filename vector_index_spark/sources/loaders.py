@@ -81,10 +81,13 @@ def load_annb_binary(
         count, dim = struct.unpack("<QQ", fh.read(16))
         data = np.fromfile(fh, dtype=np.float32, count=count * dim)
     mat = data.reshape(count, dim)
+    # .tolist() yields Python floats: required so the frame converts under
+    # BOTH the Arrow and the non-Arrow createDataFrame paths (the non-Arrow
+    # verifier rejects numpy.float32 scalars inside array<float> cells).
     pdf = pd.DataFrame(
         {
             "id": np.arange(id_start, id_start + count, dtype=np.int64),
-            "vec": list(mat),
+            "vec": mat.tolist(),
         }
     )
     return spark.createDataFrame(pdf, "id long, vec array<float>")
@@ -111,8 +114,10 @@ def annb_frames(spark: SparkSession, train: np.ndarray, test: np.ndarray):
     without h5py; only the literal ``h5py.File`` reads remain gated."""
     train = np.asarray(train, dtype=np.float32)
     test = np.asarray(test, dtype=np.float32)
-    t = pd.DataFrame({"id": np.arange(len(train)), "vec": list(train)})
-    q = pd.DataFrame({"qid": np.arange(len(test)), "vec": list(test)})
+    # .tolist() (Python floats) keeps the frames valid for the non-Arrow
+    # createDataFrame path as well as the Arrow one — see load_annb_binary.
+    t = pd.DataFrame({"id": np.arange(len(train)), "vec": train.tolist()})
+    q = pd.DataFrame({"qid": np.arange(len(test)), "vec": test.tolist()})
     return (
         spark.createDataFrame(t, "id long, vec array<float>"),
         spark.createDataFrame(q, "qid long, vec array<float>"),
