@@ -2605,11 +2605,41 @@ def q96_rpt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_rows(_route_rpt(spark, sf_dir))
 
 
+# The 40 BPE merges learned from the sf0.01 documents corpus (num_merges=40,
+# min_freq=2). Training is deterministic (operators/bpe.py: ties break
+# count-desc then lex), so this is a pure function of the fixed testdata —
+# pinned here as the q97 oracle per VERDICT r3 #3; freshness asserted by
+# tests/test_bpe.py::test_q97_oracle_pin_matches_fresh_training.
+_Q97_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+]
+
+_Q97_PIN_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        "({}, '{}', '{}')".format(
+            i + 1, a.replace("'", "''"), b.replace("'", "''")
+        )
+        for i, (a, b) in enumerate(_Q97_MERGES)
+    )
+    + ') AS t("rank", "left", "right")'
+)
+
+
 def q97_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training: one corpus-scale word-count
     shuffle, driver merge loop on the bounded histogram. Returns the
-    learned merge table (rank, left, right). Rows-only (hand-computed
-    merges + incremental-vs-rescan parity gated in test_bpe)."""
+    learned merge table (rank, left, right), hash-gated against the
+    pinned deterministic expectation (_Q97_MERGES; hand-computed merges +
+    incremental-vs-rescan parity additionally gated in test_bpe)."""
     from vector_index_spark.operators.bpe import merges_df, train_bpe
 
     merges = train_bpe(_t(spark, sf_dir, "documents"), num_merges=40, min_freq=2)
@@ -2687,11 +2717,14 @@ def q102_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-(event_type, day) HLL sketch table
-    merged up to per-event_type distinct-user estimates — the re-aggregable
-    distinct-count pattern (sketch bytes shuffle, raw rows scanned once).
-    Rows-only (Datasketches HLL estimates differ from DuckDB's sketch;
-    merge==direct-build and accuracy gated in test_sketches)."""
+    """Mergeable-sketch rollup, hash-gated (VERDICT r3 #3): per-
+    (event_type, day) HLL sketch table merged up to per-event_type
+    estimates — the re-aggregable distinct-count pattern (sketch bytes
+    shuffle, raw rows scanned once). The oracle recomputes the EXACT
+    per-type row and distinct-user counts; the Spark side must agree on
+    them AND prove (a) merge_ok: the merged-sketch estimate equals a
+    direct build at the coarse granularity (HLL union at equal lgK is
+    lossless), (b) est_ok: the estimate sits within 5% of exact."""
     from vector_index_spark.operators.sketches import (
         build_sketch_table,
         estimate,
@@ -2700,7 +2733,31 @@ def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     fine = build_sketch_table(ev, ["event_type", "day"], "user_id")
-    return estimate(merge_sketch_table(fine, ["event_type"])).orderBy("event_type")
+    merged = estimate(merge_sketch_table(fine, ["event_type"])).select(
+        "event_type", "n_rows", F.col("approx_distinct").alias("__merged")
+    )
+    direct = estimate(build_sketch_table(ev, ["event_type"], "user_id")).select(
+        "event_type", F.col("approx_distinct").alias("__direct")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_users_exact",
+            (F.col("__merged") == F.col("__direct")).alias("merge_ok"),
+            (
+                F.abs(F.col("__merged") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4422,6 +4479,23 @@ def oracle_sql() -> dict[str, str]:
             FROM part a JOIN part b ON a.p_partkey < b.p_partkey
             WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
               AND levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        # BPE training is deterministic (ties break count-desc then lex,
+        # operators/bpe.py module docstring), so the merge table is a pure
+        # function of the fixed sf0.01 corpus: the oracle pins it. The pin
+        # is NOT hand-maintained faith — tests/test_bpe.py::
+        # test_q97_oracle_pin_matches_fresh_training retrains at sf0.01 and
+        # asserts equality, and the first merges are hand-computed in
+        # test_bpe's unit cases.
+        "q97_bpe_vocab": _Q97_PIN_SQL,
+        # Oracle recomputes the exact per-type counts; the ok flags are
+        # proven Spark-side (merge==direct lossless HLL union; estimate
+        # within 5% of exact) and must all arrive TRUE.
+        "q103_sketch_rollup": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS merge_ok, TRUE AS est_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
     # The incremental rollup derives every level from persisted partials,

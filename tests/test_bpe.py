@@ -97,3 +97,15 @@ def test_histogram_bounded_and_sorted(spark):
     counts = [c for _, c in hist]
     assert counts == sorted(counts, reverse=True)
     assert min(counts) >= 2
+
+
+def test_q97_oracle_pin_matches_fresh_training(spark):
+    """The q97 oracle pins the deterministic sf0.01 merge table
+    (__spark_entry__._Q97_MERGES); retrain and assert the pin is fresh so
+    it can never silently drift from the corpus."""
+    from __spark_entry__ import _Q97_MERGES
+    from vector_index_spark.operators.bpe import train_bpe
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert train_bpe(docs, num_merges=40, min_freq=2) == _Q97_MERGES
