@@ -53,9 +53,14 @@ def _make_synthetic_triple(tmp: str) -> tuple[str, str, str]:
     return paths
 
 
-def main(argv: list[str]) -> None:
-    spark = get_spark(app_name="migrate-from-reference")
-    spark.sparkContext.setLogLevel("ERROR")
+def main(argv: list[str], spark=None) -> float:
+    """Run the migration workflow; returns the measured recall. Pass an
+    existing ``spark`` (e.g. from a test) to reuse a session — the script
+    only stops sessions it created itself."""
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="migrate-from-reference")
+        spark.sparkContext.setLogLevel("ERROR")
     spark.dataSource.register(AnnbDataSource)
 
     if len(argv) == 3:
@@ -110,7 +115,9 @@ def main(argv: list[str]) -> None:
     idx.save(out)
     print(f"index persisted to {out} (params.json + vectors/ + edges/)")
     assert r.recall >= 0.95
-    spark.stop()
+    if own_session:
+        spark.stop()
+    return r.recall
 
 
 if __name__ == "__main__":

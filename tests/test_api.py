@@ -144,3 +144,21 @@ def test_ivf_cell_lifecycle(spark, data, tmp_path):
     assert idx4.count() == 450
     after = sorted((r.id, r.shard) for r in idx4.vectors.collect())
     assert before == after
+
+
+def test_migration_example_end_to_end(spark):
+    """examples/migrate_from_reference.py is the user-facing path off the
+    reference (binary triple -> ingest -> build -> query -> recall vs
+    shipped ground truth -> parquet index); run it in CI on its synthetic
+    triple so it can never rot (VERDICT r3 #5). The script itself asserts
+    recall >= 0.95."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    try:
+        from migrate_from_reference import main
+    finally:
+        sys.path.pop(0)
+    recall = main([], spark=spark)
+    assert recall >= 0.95

@@ -89,3 +89,89 @@ def test_knn_fast_matches_window_path_at_size(spark, big):
     assert sorted((r.qid, r.rank, r.id) for r in a) == sorted(
         (r.qid, r.rank, r.id) for r in b
     )
+
+def test_tree_merge_levels_bounded_and_exact(spark):
+    """tree_merge_topk == single-window merge, and no level's exchange
+    carries more than Q * k * groups rows (SCALE.md's Q*k*shards merge
+    mitigation, shipped as code per VERDICT r3 #4)."""
+    from vector_index_spark.index.searcher import (
+        _level_topk,
+        _merge_group_sizes,
+        _merge_topk,
+        tree_merge_topk,
+    )
+
+    n_shards, Q, k = 122, 20, 10
+    # synthetic per-shard partials: every shard answers every query with k
+    # candidates; distances deterministic, some cross-shard duplicate ids
+    # (same id+dist from two shards) to exercise dedup at every level
+    per_shard = (
+        spark.range(n_shards).select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(Q).select(F.col("id").alias("qid")))
+        .crossJoin(spark.range(k).select(F.col("id").alias("slot")))
+        .select(
+            "qid",
+            # duplicate ids across shard pairs (2s and 2s+1 emit the same id)
+            ((F.col("shard") / 2).cast("long") * 1000 + F.col("slot")).alias("id"),
+            (
+                F.pmod(F.col("qid") * 7 + (F.col("shard") / 2).cast("long") * 13
+                       + F.col("slot") * 3, F.lit(997)).cast("double")
+            ).alias("dist"),
+        )
+        .repartition(n_shards, "id")  # arbitrary partitioning; groups come
+    )                                  # from spark_partition_id
+    ref = _merge_topk(per_shard, k).collect()
+    tree = tree_merge_topk(per_shard, k, n_groups=n_shards, fanin=4).collect()
+    assert sorted(map(tuple, tree)) == sorted(map(tuple, ref))
+
+    # level-by-level row bound: each level's OUTPUT (= next exchange's
+    # input) is <= Q * k * groups
+    sizes = _merge_group_sizes(n_shards, 4)
+    assert sizes == [31, 8, 2, 1]
+    cur = per_shard.withColumn("__g", F.spark_partition_id().cast("long"))
+    for g in sizes[:-1]:
+        cur = _level_topk(cur, k, g)
+        n = cur.count()
+        assert n <= Q * k * g, (g, n)
+    assert sizes[-1] == 1  # final global merge sees <= Q*k*fanin rows
+    assert cur.count() <= Q * k * 4
+
+
+def test_routed_tree_query_122_shards(spark, big):
+    """routed + tree-merge composed path at 122+ shards: exact parity with
+    the all-shard single-window merge when every shard is probed, and
+    recall preserved at nprobe < n_shards."""
+    from vector_index_spark.index.searcher import (
+        graph_ann_query,
+        routed_tree_graph_ann_query,
+    )
+
+    train, test = big
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=130,
+    )
+    edges = build_graph_index(train, params).cache()
+    vectors = assign_shards(train, params.sub_index_bound)
+    n_shards = vectors.select("shard").distinct().count()
+    assert n_shards >= 120
+    test30 = test.limit(30).cache()
+
+    ref = graph_ann_query(vectors, edges, test30, K, 64).collect()
+    # probe every shard -> routing is a no-op -> tree merge must reproduce
+    # the single-window merge EXACTLY
+    full = routed_tree_graph_ann_query(
+        vectors, edges, test30, K, nprobe=n_shards, fanin=4
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, ref))
+
+    # routed subset: overlap with the all-shard answer stays high even on
+    # id-ranged shards (worst case for routing) at nprobe=n_shards/2
+    routed = routed_tree_graph_ann_query(
+        vectors, edges, test30, K, nprobe=61, fanin=4
+    ).collect()
+    ref_sets = {}
+    for r in ref:
+        ref_sets.setdefault(r.qid, set()).add(r.id)
+    hit = sum(1 for r in routed if r.id in ref_sets.get(r.qid, ()))
+    assert hit / len(ref) >= 0.6

@@ -34,10 +34,13 @@ def _shard_cogroup(vectors: DataFrame, edges: DataFrame):
     wall). An explicit repartition (REPARTITION_BY_NUM) is reused by the
     cogroup's distribution requirement and is exempt from coalescing.
     8x parallelism keeps hash collisions (two shards on one task) rare;
-    empty partitions cost ~ms each."""
+    empty partitions cost ~ms each.
+
+    Returns ``(cogroup, n_parts)`` — the partition count doubles as the
+    initial merge-group count for :func:`tree_merge_topk`."""
     spark = vectors.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 8, 64)
-    return (
+    cg = (
         vectors.select("shard", "id", "vec")
         .repartition(n_parts, "shard")
         .groupBy("shard")
@@ -47,6 +50,68 @@ def _shard_cogroup(vectors: DataFrame, edges: DataFrame):
             .groupBy("shard")
         )
     )
+    return cg, n_parts
+
+
+def _merge_group_sizes(n_groups: int, fanin: int) -> list[int]:
+    """Group counts after each tree-merge level: n -> ceil(n/fanin) -> ...
+    -> 1 (the final global merge)."""
+    if fanin < 2:
+        raise ValueError(f"fanin must be >= 2: {fanin}")
+    sizes: list[int] = []
+    g = n_groups
+    while g > 1:
+        g = -(-g // fanin)
+        sizes.append(g)
+    if not sizes:
+        sizes.append(1)
+    return sizes
+
+
+def _level_topk(df: DataFrame, k: int, n_groups: int) -> DataFrame:
+    """One intermediate tree-merge level: fold the current merge groups
+    into ``n_groups`` coarser groups and keep the per-(qid, group)
+    deduplicated top-k. Exact: any global top-k candidate survives its
+    group's top-k (duplicates of one id carry identical exact distances,
+    and within-group dedup stops them from occupying two slots)."""
+    w = Window.partitionBy("qid", "__g").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        df.withColumn("__g", F.pmod(F.col("__g"), F.lit(n_groups)))
+        .withColumn("__dup", F.lag("id").over(w) == F.col("id"))
+        .filter(~F.coalesce(F.col("__dup"), F.lit(False)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "id", "dist", "__g")
+    )
+
+
+def tree_merge_topk(
+    per_shard: DataFrame, k: int, n_groups: int, fanin: int = 8
+) -> DataFrame:
+    """Multi-level top-k merge — the Q*k*shards merge mitigation SCALE.md
+    names (graph-ANN-query section: "(b) tree-merge").
+
+    The single-window merge moves O(Q * k * shards) rows into one
+    exchange and sorts k*shards rows per query in one window — at 1000
+    shards x 10^5 queries x k=100 that is 10^10 rows. Here each level
+    folds ``fanin`` merge groups into one with a per-(qid, group) window,
+    so no exchange ever carries more than Q * k * groups_at_that_level
+    rows and no single window sorts more than k * fanin rows per query;
+    the final global merge sees <= Q * k * fanin rows. Levels =
+    ceil(log_fanin(n_groups)). Result is EXACTLY :func:`_merge_topk`'s
+    (top-k of per-group top-k is the global top-k; asserted in
+    test_stress_multishard at 122 shards).
+
+    ``n_groups`` is the partition count of ``per_shard`` (each search
+    task's output starts as its own merge group via spark_partition_id)."""
+    cur = per_shard.withColumn("__g", F.spark_partition_id().cast("long"))
+    for g in _merge_group_sizes(n_groups, fanin):
+        if g == 1:
+            return _merge_topk(cur.drop("__g"), k)
+        cur = _level_topk(cur, k, g)
+    return _merge_topk(cur.drop("__g"), k)
 
 
 def _merge_topk(per_shard: DataFrame, k: int) -> DataFrame:
@@ -198,9 +263,12 @@ def routed_graph_ann_query(
     qid_col: str = "qid",
     vec_col: str = "vec",
     max_queries_per_batch: int = 100_000,
+    tree_merge_fanin: int | None = None,
 ) -> DataFrame:
     """Graph ANN with shard routing: each query searches only its
     ``nprobe`` nearest shards (by shard centroid) instead of every shard.
+    ``tree_merge_fanin`` switches the final top-k merge to
+    :func:`tree_merge_topk` (see :func:`routed_tree_graph_ann_query`).
 
     This is the Q x k x shards merge mitigation from SCALE.md: fan-out,
     per-shard beam work, and merge volume all shrink by
@@ -228,7 +296,8 @@ def routed_graph_ann_query(
     return chunked_over_queries(
         t,
         lambda chunk: _routed_query_batch(
-            vectors, edges, cents_kv, chunk, k, nprobe, relaxed_monotonicity
+            vectors, edges, cents_kv, chunk, k, nprobe, relaxed_monotonicity,
+            tree_merge_fanin,
         ),
         max_queries_per_batch,
     )
@@ -242,6 +311,7 @@ def _routed_query_batch(
     k: int,
     nprobe: int,
     relaxed_monotonicity: int,
+    tree_merge_fanin: int | None = None,
 ) -> DataFrame:
     from vector_index_spark.operators.knn import knn_join
 
@@ -288,9 +358,10 @@ def _routed_query_batch(
                 out_dist.append(d)
         return pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
 
-    per_shard = _shard_cogroup(vectors, edges).applyInPandas(
-        search, RESULT_SCHEMA
-    )
+    cg, n_parts = _shard_cogroup(vectors, edges)
+    per_shard = cg.applyInPandas(search, RESULT_SCHEMA)
+    if tree_merge_fanin is not None:
+        return tree_merge_topk(per_shard, k, n_parts, tree_merge_fanin)
     return _merge_topk(per_shard, k)
 
 
@@ -303,6 +374,7 @@ def graph_ann_query(
     qid_col: str = "qid",
     vec_col: str = "vec",
     max_queries_per_batch: int = 100_000,
+    tree_merge_fanin: int | None = None,
 ) -> DataFrame:
     """Approximate top-k for every test row. Returns (qid, rank, id, dist)
     ordered by (dist, id) per query.
@@ -322,9 +394,39 @@ def graph_ann_query(
     return chunked_over_queries(
         t,
         lambda chunk: _graph_ann_query_batch(
-            vectors, edges, chunk, k, relaxed_monotonicity
+            vectors, edges, chunk, k, relaxed_monotonicity, tree_merge_fanin
         ),
         max_queries_per_batch,
+    )
+
+
+def routed_tree_graph_ann_query(
+    vectors: DataFrame,
+    edges: DataFrame,
+    test: DataFrame,
+    k: int,
+    nprobe: int,
+    fanin: int = 8,
+    relaxed_monotonicity: int = 64,
+    centroids: DataFrame | None = None,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+    max_queries_per_batch: int = 100_000,
+) -> DataFrame:
+    """The composed 100-TB query path: centroid ROUTING (each query probes
+    only its ``nprobe`` nearest shards — fan-out, beam work and merge
+    volume all shrink by nprobe/n_shards) + TREE-MERGE (no exchange
+    carries more than Q*k*groups rows, no window sorts more than k*fanin
+    rows per query). This is SCALE.md's "(a) route ... or (b) tree-merge"
+    shipped as one named function — at 1000+ shards you want both: routing
+    bounds how many shards answer, the tree bounds how their answers meet.
+    Result parity with the single-window merge is exact (top-k of
+    per-group top-k) and asserted at 122 shards in test_stress_multishard."""
+    return routed_graph_ann_query(
+        vectors, edges, test, k, nprobe,
+        relaxed_monotonicity=relaxed_monotonicity, centroids=centroids,
+        qid_col=qid_col, vec_col=vec_col,
+        max_queries_per_batch=max_queries_per_batch, tree_merge_fanin=fanin,
     )
 
 
@@ -334,6 +436,7 @@ def _graph_ann_query_batch(
     t: DataFrame,
     k: int,
     relaxed_monotonicity: int,
+    tree_merge_fanin: int | None = None,
 ) -> DataFrame:
     spark = vectors.sparkSession
     test_pdf = t.toPandas()
@@ -364,7 +467,8 @@ def _graph_ann_query_batch(
                 out_dist.append(d)
         return pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
 
-    per_shard = _shard_cogroup(vectors, edges).applyInPandas(
-        search, RESULT_SCHEMA
-    )
+    cg, n_parts = _shard_cogroup(vectors, edges)
+    per_shard = cg.applyInPandas(search, RESULT_SCHEMA)
+    if tree_merge_fanin is not None:
+        return tree_merge_topk(per_shard, k, n_parts, tree_merge_fanin)
     return _merge_topk(per_shard, k)
