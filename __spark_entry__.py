@@ -424,7 +424,8 @@ def q118_cell_routed_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched gate for MMR re-ranking (q116, rows-only): by
+    """Hash-matched gate for MMR re-ranking (operators/diversity.mmr_rerank;
+    subsumes the former rows-only q116 entry): by
     construction the FIRST selection maximizes pure relevance — the
     diversity term is empty on an empty selected set (Carbonell &
     Goldstein SIGIR'98 eq. 1) — so for every query the rank-1 MMR pick
@@ -466,15 +467,37 @@ def q119_mmr_first_pick_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _best_by_cosine, "qid long, best_id long"
     )
     joined = first.join(best, "qid")
+    # folded row contract of the former rows-only q116 entry: exactly K
+    # rows per query, ranks exactly 1..K, ids distinct
+    shape = (
+        res.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("id").alias("__nid"),
+            F.countDistinct("rank").alias("__nrk"),
+            F.min("rank").alias("__rmin"),
+            F.max("rank").alias("__rmax"),
+        )
+        .agg(
+            F.sum("__n").cast("long").alias("n_result_rows"),
+            F.min(
+                (F.col("__n") == K)
+                & (F.col("__nid") == K)
+                & (F.col("__nrk") == K)
+                & (F.col("__rmin") == 1)
+                & (F.col("__rmax") == K)
+            ).alias("shape_ok"),
+        )
+    )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.min(F.col("mmr_id") == F.col("best_id")).alias("first_pick_is_max_rel"),
-    )
+    ).crossJoin(shape)
 
 
 def q120_classifier_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched gate for the fastText-style quality classifier (q101,
-    rows-only): scores must separate the weak classes — the mean predicted
+    """Hash-matched gate for the fastText-style quality classifier
+    (operators/classifier; subsumes the former rows-only q101 entry): scores must separate the weak classes — the mean predicted
     probability over Gopher-pass docs must exceed the mean over fails by
     >= 0.2, and probabilities must be valid. Training collapse (all-0.5
     scores, flipped labels, degenerate fit) flips the booleans."""
@@ -506,7 +529,8 @@ def q120_classifier_margin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q121_kcenter_cover_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched gate for k-center selection (q99, rows-only): the
+    """Hash-matched gate for k-center selection (operators/diversity.
+    k_center_select; subsumes the former rows-only q99 entry): the
     greedy farthest-point centers must cover the corpus strictly better
     than the naive first-k-ids baseline (coverage radius = max distance
     from any point to its nearest center), and yield exactly k distinct
@@ -609,20 +633,6 @@ def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, minhash_near_dup(docs))
 
 
-def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North star — SemDeDup: k-means-cell-blocked cosine near-dup removal
-    over the embedding column (replicas=2 boundary replication), clusters
-    via connected components. Rows-only: kmeans is not SQL-expressible;
-    recall and false-positive behavior are gated in test_components."""
-    from vector_index_spark.operators.components import semantic_dedup
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding",
-        n_cells=8, replicas=2, cos_threshold=0.6,
-    )
-
-
 def q86_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine scale path — Z-order (Morton) clustering key over
     (o_custkey, order epoch-day): min-max scale to 16 bits, parallel-
@@ -646,13 +656,6 @@ def q86_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", key.alias("zkey"))
 
 
-def q87_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path — PCA filter-and-refine: orthonormal top-32
-    projection (contraction => reduced L2 lower-bounds full L2),
-    shortlist in the reduced space, exact float64 re-rank. Rows-only:
-    recall gated in test_ann_routes (0.99+ on decaying spectra; the
-    uniform fixture is the documented worst case)."""
-    return _ann_rows(_route_pca(spark, sf_dir))
 
 
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,13 +867,6 @@ def _route_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_shortlist_knn(test, train, K, dim=64, candidate_factor=16)
 
 
-def _ann_rows(res: DataFrame) -> DataFrame:
-    return res.select(
-        "qid", F.col("rank").cast("long").alias("rank"), "id",
-        F.round("dist", 6).alias("dist"),
-    )
-
-
 def _recall_gate(
     spark: SparkSession, sf_dir: str, route: DataFrame, floor: float
 ) -> DataFrame:
@@ -898,17 +894,55 @@ def _recall_gate_vs(
 ) -> DataFrame:
     """_recall_gate against an explicit corpus/query split (for gates whose
     fixture transforms the vectors — e.g. the clustered cell-routing
-    fixture; row counts, and therefore the oracle, are unchanged)."""
+    fixture; row counts, and therefore the oracle, are unchanged).
+
+    Besides the recall floor, the gate carries the ROUTE-SHAPE contract
+    that used to live in separate rows-only entries (VERDICT r3 #7):
+    ``n_route_rows`` (oracle pins n_queries * k) and ``shape_ok`` — per
+    query exactly k rows, k distinct ids, ranks exactly 1..k, and
+    distance non-decreasing in rank. The route is localCheckpointed
+    (bounded: Q*k rows) so the recall join and the shape audit share one
+    route execution."""
+    from pyspark.sql import Window
+
+    route = route.localCheckpoint(eager=True)
     neighbors = knn_join(test, train, K).select(
         "qid", (F.col("rank") - 1).alias("pos"),
         F.col("id").alias("neighbor_id"), "dist",
     )
-    return recall_total(route, neighbors).select(
+    w = Window.partitionBy("qid").orderBy("rank")
+    per_q = (
+        route.withColumn("__prev", F.lag("dist").over(w))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("id").alias("__nid"),
+            F.countDistinct("rank").alias("__nrk"),
+            F.min("rank").alias("__rmin"),
+            F.max("rank").alias("__rmax"),
+            F.max(
+                F.coalesce(F.col("dist") < F.col("__prev"), F.lit(False))
+            ).alias("__viol"),
+        )
+    )
+    shape = per_q.agg(
+        F.sum("__n").cast("long").alias("n_route_rows"),
+        F.min(
+            (F.col("__n") == K)
+            & (F.col("__nid") == K)
+            & (F.col("__nrk") == K)
+            & (F.col("__rmin") == 1)
+            & (F.col("__rmax") == K)
+            & ~F.col("__viol")
+        ).alias("shape_ok"),
+    )
+    gate = recall_total(route, neighbors).select(
         (F.col("max_hit") / K).cast("long").alias("n_queries"),
         F.col("max_hit").cast("long").alias("max_hit"),
         F.lit(float(floor)).alias("recall_floor"),
         (F.col("recall") >= floor).alias("recall_ok"),
     )
+    return gate.crossJoin(shape)
 
 
 def _recall_gate_oracle(floor: float) -> str:
@@ -916,102 +950,89 @@ def _recall_gate_oracle(floor: float) -> str:
         SELECT count(*) AS n_queries,
                count(*) * {K} AS max_hit,
                {floor}::DOUBLE AS recall_floor,
-               true AS recall_ok
+               true AS recall_ok,
+               count(*) * {K} AS n_route_rows,
+               true AS shape_ok
         FROM embeddings WHERE vec_id % 10 = 0
     """
 
 
-def q20_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-index ANN query (dehnsw semantics: bulk build per shard +
-    beam search, source/dehnsw.h:241-323/403-509). Deterministic but not
-    SQL-expressible -> rows-only check; quality is gated hash-matched by
-    q22_graph_recall_gate and tests/test_graph_index.py."""
-    return _ann_rows(_route_graph(spark, sf_dir))
-
-
-def q21_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN route — the engine's native E2LSH (seeded Gaussian
-    projections, banded bucket join, multi-probe, exact Arrow re-rank).
-    The MLlib BucketedRandomProjectionLSH compatibility path is exercised
-    in tests/test_ann_routes.py. Rows-only check (recall gated hash-matched
-    by q104_lsh_recall_gate)."""
-    return _ann_rows(_route_lsh(spark, sf_dir))
-
-
 def q22_graph_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the graph-ANN route vs exact kNN — the reference's own
-    quality metric (example/dehnsw_example.cpp:26-44,185), as a
-    hash-matched gate (see _recall_gate). Measured 1.0 at sf0.01."""
+    """Recall + route-shape contract of the graph-ANN route (dehnsw
+    semantics: bulk build per shard + beam search, source/dehnsw.h:
+    241-323/403-509) vs exact kNN — the reference's own quality metric
+    (example/dehnsw_example.cpp:26-44,185) as a hash-matched gate (see
+    _recall_gate_vs). Measured recall 1.0 at sf0.01."""
     return _recall_gate(spark, sf_dir, _route_graph(spark, sf_dir), 0.95)
 
 
-def q23_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN route (KMeans cells + nprobe probing, fixed seed) — the
-    partition-pruned scale path. Rows-only check; recall gated hash-matched
-    by q105_ivf_recall_gate."""
-    return _ann_rows(_route_ivf(spark, sf_dir))
-
-
 def q104_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the E2LSH route (q21). Measured 0.974
-    at sf0.01 on the position-wise metric."""
+    """Hash-matched recall + shape gate for the engine's native E2LSH
+    route (seeded Gaussian projections, banded bucket join, multi-probe,
+    exact Arrow re-rank; the MLlib BucketedRandomProjectionLSH
+    compatibility path is exercised in tests/test_ann_routes.py).
+    Measured 0.974 at sf0.01 on the position-wise metric."""
     return _recall_gate(spark, sf_dir, _route_lsh(spark, sf_dir), 0.9)
 
 
 def q105_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the IVF route (q23). Measured 0.758 at
-    sf0.01 — the position-wise metric fails every rank after the first
-    miss, and uniform embeddings are k-means' worst case; clustered-data
-    recall >= 0.95 is gated in tests/test_ann_routes.py."""
+    """Hash-matched recall + shape gate for the IVF route (KMeans cells +
+    nprobe probing, fixed seed — the partition-pruned scale path).
+    Measured 0.758 at sf0.01 — the position-wise metric fails every rank
+    after the first miss, and uniform embeddings are k-means' worst case;
+    clustered-data recall >= 0.95 is gated in tests/test_ann_routes.py."""
     return _recall_gate(spark, sf_dir, _route_ivf(spark, sf_dir), 0.7)
 
 
 def q106_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the PQ/ADC route (q43). Measured 0.978
-    at sf0.01."""
+    """Hash-matched recall + shape gate for the PQ/ADC route. Measured
+    0.978 at sf0.01."""
     return _recall_gate(spark, sf_dir, _route_pq(spark, sf_dir), 0.9)
 
 
 def q107_sq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the SQ8 route (q62). Measured 1.0 at
+    """Hash-matched recall + shape gate for the SQ8 route. Measured 1.0 at
     sf0.01 (uint8 quantization loses nothing at candidate_factor=3 on
     64-dim data)."""
     return _recall_gate(spark, sf_dir, _route_sq(spark, sf_dir), 0.98)
 
 
 def q108_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the IVF-PQ route (q74). Measured 0.948
-    at sf0.01."""
+    """Hash-matched recall + shape gate for the IVF-PQ route. Measured
+    0.948 at sf0.01."""
     return _recall_gate(spark, sf_dir, _route_ivfpq(spark, sf_dir), 0.85)
 
 
 def q109_pca_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the PCA filter-and-refine route (q87).
-    Measured 0.458 at sf0.01: uniform embeddings have a FLAT spectrum, the
-    documented worst case for spectral truncation (tests gate >= 0.99 on
-    decaying spectra). The gate still hard-fails any machinery regression."""
+    """Hash-matched recall + shape gate for the PCA filter-and-refine
+    route. Measured 0.458 at sf0.01: uniform embeddings have a FLAT
+    spectrum, the documented worst case for spectral truncation (tests
+    gate >= 0.99 on decaying spectra). The gate still hard-fails any
+    machinery regression."""
     return _recall_gate(spark, sf_dir, _route_pca(spark, sf_dir), 0.4)
 
 
 def q110_rpt_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the random-projection-tree route (q96).
-    Measured 0.164 at sf0.01: depth-3/4-probe on UNIFORM data is the
-    documented worst case (no cluster structure for median splits to find;
-    position-wise metric compounds each miss). Clustered-data recall >=
-    0.95 is gated in tests/test_ann_routes.py; exhaustive probing is exact
-    (verified in tests). The gate hard-fails any machinery regression."""
+    """Hash-matched recall + shape gate for the random-projection-tree
+    route. Measured 0.164 at sf0.01: depth-3/4-probe on UNIFORM data is
+    the documented worst case (no cluster structure for median splits to
+    find; position-wise metric compounds each miss). Clustered-data
+    recall >= 0.95 is gated in tests/test_ann_routes.py; exhaustive
+    probing is exact (verified in tests). The gate hard-fails any
+    machinery regression."""
     return _recall_gate(spark, sf_dir, _route_rpt(spark, sf_dir), 0.12)
 
 
 def q111_hamming_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched recall gate for the Hamming sign-bit shortlist route
-    (q81). Measured 0.746 at sf0.01 (1-bit sign quantization on uniform
+    """Hash-matched recall + shape gate for the Hamming sign-bit shortlist
+    route. Measured 0.746 at sf0.01 (1-bit sign quantization on uniform
     64-dim data; clustered-data gate in tests/test_pipeline_ops.py)."""
     return _recall_gate(spark, sf_dir, _route_hamming(spark, sf_dir), 0.7)
 
 
 def q112_lsh_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched gate for the LSH-bucketed similarity join (q39): the
+    """Hash-matched gate for the LSH-bucketed similarity join (index/lsh.
+    lsh_similarity_join; subsumes the former rows-only q39 entry): the
     oracle recomputes the EXACT threshold-join pair count in SQL and pins
     false_positives = 0 (candidates are exact-distance verified, so found
     ⊆ exact by construction) and a coverage floor. Measured coverage 1.0
@@ -1098,29 +1119,9 @@ def q114_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) of each
-    query's exact top-20 shortlist, lam=0.7. Rows-only: the greedy
-    selection is iterative (not SQL-expressible); ordering properties are
-    gated in tests/test_diversity.py."""
-    from vector_index_spark.operators.diversity import mmr_rerank
-
-    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
-    short = knn_join(test, train, 20).select("qid", "id")
-    cand = short.join(
-        train.select(F.col("id"), F.col("vec")), "id"
-    ).join(
-        F.broadcast(test.select("qid", F.col("vec").alias("qvec"))), "qid"
-    )
-    res = mmr_rerank(cand, K, lam=0.7)
-    return res.select(
-        "qid", F.col("rank").cast("long").alias("rank"), "id",
-        F.round("mmr", 6).alias("mmr"),
-    )
-
-
 def q115_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-matched gate for SemDeDup (q85): the oracle recomputes the
+    """Hash-matched gate for SemDeDup (operators/components.semantic_dedup;
+    subsumes the former rows-only q85 entry): the oracle recomputes the
     EXACT cosine-threshold pair count in SQL; the Spark side must agree on
     it, report zero false positives (cell pairs are exact-cosine verified)
     and clear a coverage floor (boundary misses are bounded by replicas —
@@ -1308,22 +1309,6 @@ def q38_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(clean_corpus(docs))
 
 
-def q39_lsh_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed similarity join (the scale path for q10's exact
-    threshold join). Rows-only: bucket membership is hash-structure
-    dependent; pair completeness vs exact is asserted in
-    tests/test_ann_routes.py."""
-    from vector_index_spark.index.lsh import lsh_similarity_join
-
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec"))
-    res = lsh_similarity_join(a, b, threshold=1.25).filter(
-        F.col("id_a") < F.col("id_b")
-    )
-    return res.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
-
-
 def q40_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2D aggregation — exact distinct counts per event type (the
     count-distinct shuffle shape; the HLL sketch variant is the rows-only
@@ -1495,11 +1480,6 @@ def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN route — product-quantized ADC candidate scan + exact
-    re-rank (32x vector compression; the memory-side scale path).
-    Rows-only; recall >= 0.95 gated in tests/test_ann_routes.py."""
-    return _ann_rows(_route_pq(spark, sf_dir))
 
 
 def q52_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,11 +1660,6 @@ def q61_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_t(spark, sf_dir, "documents"))
 
 
-def q62_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 ANN route — uint8 scalar quantization (4x compression, near-exact
-    fidelity) scan + exact re-rank. Rows-only; recall >= 0.95 gated in
-    tests/test_ann_routes.py::test_sq_knn_recall."""
-    return _ann_rows(_route_sq(spark, sf_dir))
 
 
 def q63_tree_merge_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,12 +2227,6 @@ def q73_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(corpus, bench, n=8)
 
 
-def q74_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN route — coarse cells + product-quantized residuals + ADC
-    scan + exact re-rank (the faiss-IVFPQ layout; per-query touched bytes
-    ~ corpus/n_cells * nprobe * m code bytes). Rows-only; recall >= 0.95
-    gated in tests/test_ann_routes.py::test_ivfpq_knn_recall."""
-    return _ann_rows(_route_ivfpq(spark, sf_dir))
 
 
 def q75_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,12 +2365,6 @@ def q80_full_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q81_hamming_shortlist_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-shortlist ANN — Hamming scan over packed sign bits picks a
-    shortlist (32x cheaper bytes than floats), exact float64 re-rank
-    restores precision (the RaBitQ/BQ-style two-stage pattern). Rows-only;
-    recall gated in tests/test_pipeline_ops.py."""
-    return _ann_rows(_route_hamming(spark, sf_dir))
 
 
 _BM25_TERMS = ["spark", "merge", "filter"]
@@ -2597,12 +2560,6 @@ def q95_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
-def q96_rpt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-projection-tree ANN route (rpTree / Annoy single-tree core):
-    depth-3 median-split tree, best-first multi-probe over 4 of 8 leaves,
-    exact L2 within probed leaves. Rows-only (recall gated in
-    test_ann_routes)."""
-    return _ann_rows(_route_rpt(spark, sf_dir))
 
 
 # The 40 BPE merges learned from the sf0.01 documents corpus (num_merges=40,
@@ -2663,18 +2620,6 @@ def q98_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(semi, "semi").unionByName(agg(anti, "anti")).orderBy("side", "l_returnflag")
 
 
-def q99_k_center_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-center greedy (farthest-point sampling) diverse-subset
-    selection: 16 centers over the embeddings table; each round is one
-    map-only codegen pass + a struct-max tree-reduce. Rows-only (numpy
-    greedy parity + cluster-coverage gated in test_diversity)."""
-    from vector_index_spark.operators.diversity import k_center_df, k_center_select
-
-    emb = _t(spark, sf_dir, "embeddings")
-    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    return k_center_df(spark, k_center_select(df, k=16))
-
-
 def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens (> 0.5% of the stream) via map-only
     Misra-Gries candidates + exact candidate-only recount — no groupBy
@@ -2683,25 +2628,6 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_index_spark.operators.heavy import heavy_tokens
 
     return heavy_tokens(_t(spark, sf_dir, "documents"), 0.005)
-
-
-def q101_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style quality classifier (CCNet recipe): Gopher-rule weak
-    labels -> hashed unigram+bigram logistic regression (MLlib, treeAggregate
-    training, map-only scoring) -> per-doc quality probability. Rows-only
-    (L-BFGS fit isn't SQL-expressible; planted-signal separation and
-    filter behavior gated in test_classifier)."""
-    from vector_index_spark.operators.classifier import (
-        score_quality,
-        train_quality_classifier,
-        weak_quality_labels,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    model = train_quality_classifier(
-        weak_quality_labels(docs), num_features=1 << 15, max_iter=15
-    )
-    return score_quality(model, docs).orderBy("doc_id")
 
 
 def q102_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2778,7 +2704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_semdedup_gate": q115_semdedup_gate,
         "q113_hll_gate": q113_hll_gate,
         "q114_quantile_gate": q114_quantile_gate,
-        "q116_mmr_rerank": q116_mmr_rerank,
         "q89_salted_join": q89_salted_join,
         "q90_maxsim_retrieval": q90_maxsim_retrieval,
         "q91_distinct_users_daily": q91_distinct_users_daily,
@@ -2788,9 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bigram_lm_score": q95_bigram_lm_score,
         "q97_bpe_vocab": q97_bpe_vocab,
         "q98_bloom_semi_join": q98_bloom_semi_join,
-        "q99_k_center_select": q99_k_center_select,
         "q100_heavy_hitters": q100_heavy_hitters,
-        "q101_quality_classifier": q101_quality_classifier,
         "q102_fuzzy_part_names": q102_fuzzy_part_names,
         "q103_sketch_rollup": q103_sketch_rollup,
         "q65_event_rollup": q65_event_rollup,
@@ -2841,7 +2764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_shipping_priority": q36_shipping_priority,
         "q37_vec_dedup": q37_vec_dedup,
         "q38_clean_pipeline": q38_clean_pipeline,
-        "q39_lsh_threshold_join": q39_lsh_threshold_join,
         "q40_distinct_users": q40_distinct_users,
         "q41_hll_users": q41_hll_users,
         "q42_value_percentiles": q42_value_percentiles,
@@ -2858,18 +2780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pii_redaction": q59_pii_redaction,
         "q60_gopher_quality": q60_gopher_quality,
         "q61_repetition_profile": q61_repetition_profile,
-        # hash-green in CORRECTNESS_r02 — rotated to the back
-        "q20_graph_ann": q20_graph_ann,
+        # hash-green in CORRECTNESS_r02 — rotated to the back.
+        # (The former rows-only route entries q20/q21/q23/q43/q62/q74/q81/
+        # q87/q96 were folded into their recall gates in round 4: each gate
+        # now hash-checks the route's row-count and shape contract
+        # (n_route_rows, shape_ok) on top of the recall floor, so the
+        # standalone no-oracle rows added nothing — VERDICT r3 #7.)
         "q22_graph_recall_gate": q22_graph_recall_gate,
-        "q21_lsh_ann": q21_lsh_ann,
-        "q23_ivf_ann": q23_ivf_ann,
         "q32_grid_search": q32_grid_search,
-        "q43_pq_ann": q43_pq_ann,
-        "q62_sq_ann": q62_sq_ann,
-        "q74_ivfpq_ann": q74_ivfpq_ann,
-        "q81_hamming_shortlist_ann": q81_hamming_shortlist_ann,
-        "q87_pca_ann": q87_pca_ann,
-        "q96_rpt_ann": q96_rpt_ann,
         "q104_lsh_recall_gate": q104_lsh_recall_gate,
         "q105_ivf_recall_gate": q105_ivf_recall_gate,
         "q106_pq_recall_gate": q106_pq_recall_gate,
@@ -2905,7 +2823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_bm25_search": q82_bm25_search,
         "q83_hybrid_search": q83_hybrid_search,
         "q84_dedup_clusters": q84_dedup_clusters,
-        "q85_semantic_dedup": q85_semantic_dedup,
         "q86_zorder_keys": q86_zorder_keys,
         "q88_small_qty_revenue": q88_small_qty_revenue,
     }
@@ -2923,8 +2840,9 @@ def oracle_sql() -> dict[str, str]:
         # reference's position-wise recall metric. See _recall_gate.
         "q22_graph_recall_gate": _recall_gate_oracle(0.95),
         "q118_cell_routed_recall_gate": _recall_gate_oracle(0.9),
-        "q119_mmr_first_pick_gate": """
-            SELECT count(*) AS n_queries, true AS first_pick_is_max_rel
+        "q119_mmr_first_pick_gate": f"""
+            SELECT count(*) AS n_queries, true AS first_pick_is_max_rel,
+                   count(*) * {K} AS n_result_rows, true AS shape_ok
             FROM embeddings WHERE vec_id % 10 = 0
         """,
         "q120_classifier_margin_gate": """
