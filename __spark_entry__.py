@@ -2689,61 +2689,30 @@ def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Registry order IS the correctness window: the driver oracle-checks the
-    # first 50 entries. Round-3 rotation (VERDICT r02 "Next round" #2): the
-    # 20 queries that have never been in any round's window lead (q112-q117
-    # gates, then q89-q103), followed by q65 (this round's determinism fix —
-    # must show green), then queries whose only green row is from round 1;
-    # entries hash-green in CORRECTNESS_r02 rotate to the back (their signal
-    # is on record).
-        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
-        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
-        "q120_classifier_margin_gate": q120_classifier_margin_gate,
-        "q121_kcenter_cover_gate": q121_kcenter_cover_gate,
-        "q117_compaction_roundtrip": q117_compaction_roundtrip,
-        "q112_lsh_join_gate": q112_lsh_join_gate,
-        "q115_semdedup_gate": q115_semdedup_gate,
-        "q113_hll_gate": q113_hll_gate,
-        "q114_quantile_gate": q114_quantile_gate,
-        "q89_salted_join": q89_salted_join,
-        "q90_maxsim_retrieval": q90_maxsim_retrieval,
-        "q91_distinct_users_daily": q91_distinct_users_daily,
-        "q92_props_map_stats": q92_props_map_stats,
-        "q93_tfidf_keywords": q93_tfidf_keywords,
-        "q94_incremental_dedup": q94_incremental_dedup,
-        "q95_bigram_lm_score": q95_bigram_lm_score,
-        "q97_bpe_vocab": q97_bpe_vocab,
-        "q98_bloom_semi_join": q98_bloom_semi_join,
-        "q100_heavy_hitters": q100_heavy_hitters,
-        "q102_fuzzy_part_names": q102_fuzzy_part_names,
-        "q103_sketch_rollup": q103_sketch_rollup,
-        "q65_event_rollup": q65_event_rollup,
-        "q122_rollup_incremental": q122_rollup_incremental,
-        # round-3 additions: event analytics + declared-SQL surface
-        "q123_funnel_steps": q123_funnel_steps,
-        "q124_retention_cohorts": q124_retention_cohorts,
-        "q125_volume_anomalies": q125_volume_anomalies,
-        "q126_sql_nation_volume": q126_sql_nation_volume,
-        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
-        "q128_custdist": q128_custdist,
-        "q129_promo_revenue": q129_promo_revenue,
-        "q130_returned_items": q130_returned_items,
-        "q131_disjunctive_revenue": q131_disjunctive_revenue,
-        "q132_merge_upsert": q132_merge_upsert,
-        "q133_scd2_history": q133_scd2_history,
-        "q134_table_profile": q134_table_profile,
+    # first 50 entries. Round-4 rotation: (a) q135/q136 — never green, fixed
+    # this round — lead; (b) every gate whose SCHEMA changed this round
+    # (q22/q104-q111 recall+shape fold, q118/q119/q127 extended gates) and
+    # the two new oracles (q97 pin, q103 gate) must show their new green;
+    # (c) the window fills with the entries whose last driver check is
+    # round 1 (stalest first). Entries green in r2/r3 rotate to the back —
+    # their signal is on record; the r1 rows-only twins q41/q49 sit just
+    # behind the window (weakest check, least staleness value).
         "q135_binary_format_ingest": q135_binary_format_ingest,
         "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
-        # r1-green-only entries: re-confirm under the current codebase
-        "q01_l2sq_pairs": q01_l2sq_pairs,
-        "q02_ip_cos_pairs": q02_ip_cos_pairs,
-        "q03_knn_ids": q03_knn_ids,
-        "q04_knn_join": q04_knn_join,
-        "q05_shard_stats": q05_shard_stats,
-        "q06_two_phase_knn": q06_two_phase_knn,
-        "q07_recall": q07_recall,
-        "q08_index_roundtrip": q08_index_roundtrip,
-        "q09_dedup_exact": q09_dedup_exact,
-        "q10_threshold_join": q10_threshold_join,
+        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q104_lsh_recall_gate": q104_lsh_recall_gate,
+        "q105_ivf_recall_gate": q105_ivf_recall_gate,
+        "q106_pq_recall_gate": q106_pq_recall_gate,
+        "q107_sq_recall_gate": q107_sq_recall_gate,
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q109_pca_recall_gate": q109_pca_recall_gate,
+        "q110_rpt_recall_gate": q110_rpt_recall_gate,
+        "q111_hamming_recall_gate": q111_hamming_recall_gate,
+        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
+        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
+        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
+        "q97_bpe_vocab": q97_bpe_vocab,
+        "q103_sketch_rollup": q103_sketch_rollup,
         "q11_star_agg": q11_star_agg,
         "q12_token_topn": q12_token_topn,
         "q13_minhash_pairs": q13_minhash_pairs,
@@ -2765,13 +2734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_vec_dedup": q37_vec_dedup,
         "q38_clean_pipeline": q38_clean_pipeline,
         "q40_distinct_users": q40_distinct_users,
-        "q41_hll_users": q41_hll_users,
         "q42_value_percentiles": q42_value_percentiles,
         "q44_label_centroids": q44_label_centroids,
         "q45_rolling_hash": q45_rolling_hash,
         "q46_semantic_search": q46_semantic_search,
         "q48_rollup_revenue": q48_rollup_revenue,
-        "q49_approx_quantiles": q49_approx_quantiles,
         "q50_semi_anti_join": q50_semi_anti_join,
         "q51_top_events_per_user": q51_top_events_per_user,
         "q52_asof_purchase_click": q52_asof_purchase_click,
@@ -2780,22 +2747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pii_redaction": q59_pii_redaction,
         "q60_gopher_quality": q60_gopher_quality,
         "q61_repetition_profile": q61_repetition_profile,
-        # hash-green in CORRECTNESS_r02 — rotated to the back.
-        # (The former rows-only route entries q20/q21/q23/q43/q62/q74/q81/
-        # q87/q96 were folded into their recall gates in round 4: each gate
-        # now hash-checks the route's row-count and shape contract
-        # (n_route_rows, shape_ok) on top of the recall floor, so the
-        # standalone no-oracle rows added nothing — VERDICT r3 #7.)
-        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q41_hll_users": q41_hll_users,
+        "q49_approx_quantiles": q49_approx_quantiles,
         "q32_grid_search": q32_grid_search,
-        "q104_lsh_recall_gate": q104_lsh_recall_gate,
-        "q105_ivf_recall_gate": q105_ivf_recall_gate,
-        "q106_pq_recall_gate": q106_pq_recall_gate,
-        "q107_sq_recall_gate": q107_sq_recall_gate,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
-        "q109_pca_recall_gate": q109_pca_recall_gate,
-        "q110_rpt_recall_gate": q110_rpt_recall_gate,
-        "q111_hamming_recall_gate": q111_hamming_recall_gate,
         "q14_simhash_pairs": q14_simhash_pairs,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q27_byte_histogram": q27_byte_histogram,
@@ -2825,6 +2779,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_dedup_clusters": q84_dedup_clusters,
         "q86_zorder_keys": q86_zorder_keys,
         "q88_small_qty_revenue": q88_small_qty_revenue,
+        "q120_classifier_margin_gate": q120_classifier_margin_gate,
+        "q121_kcenter_cover_gate": q121_kcenter_cover_gate,
+        "q117_compaction_roundtrip": q117_compaction_roundtrip,
+        "q112_lsh_join_gate": q112_lsh_join_gate,
+        "q115_semdedup_gate": q115_semdedup_gate,
+        "q113_hll_gate": q113_hll_gate,
+        "q114_quantile_gate": q114_quantile_gate,
+        "q89_salted_join": q89_salted_join,
+        "q90_maxsim_retrieval": q90_maxsim_retrieval,
+        "q91_distinct_users_daily": q91_distinct_users_daily,
+        "q92_props_map_stats": q92_props_map_stats,
+        "q93_tfidf_keywords": q93_tfidf_keywords,
+        "q94_incremental_dedup": q94_incremental_dedup,
+        "q95_bigram_lm_score": q95_bigram_lm_score,
+        "q98_bloom_semi_join": q98_bloom_semi_join,
+        "q100_heavy_hitters": q100_heavy_hitters,
+        "q102_fuzzy_part_names": q102_fuzzy_part_names,
+        "q65_event_rollup": q65_event_rollup,
+        "q122_rollup_incremental": q122_rollup_incremental,
+        "q123_funnel_steps": q123_funnel_steps,
+        "q124_retention_cohorts": q124_retention_cohorts,
+        "q125_volume_anomalies": q125_volume_anomalies,
+        "q126_sql_nation_volume": q126_sql_nation_volume,
+        "q128_custdist": q128_custdist,
+        "q129_promo_revenue": q129_promo_revenue,
+        "q130_returned_items": q130_returned_items,
+        "q131_disjunctive_revenue": q131_disjunctive_revenue,
+        "q132_merge_upsert": q132_merge_upsert,
+        "q133_scd2_history": q133_scd2_history,
+        "q134_table_profile": q134_table_profile,
+        "q01_l2sq_pairs": q01_l2sq_pairs,
+        "q02_ip_cos_pairs": q02_ip_cos_pairs,
+        "q03_knn_ids": q03_knn_ids,
+        "q04_knn_join": q04_knn_join,
+        "q05_shard_stats": q05_shard_stats,
+        "q06_two_phase_knn": q06_two_phase_knn,
+        "q07_recall": q07_recall,
+        "q08_index_roundtrip": q08_index_roundtrip,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_threshold_join": q10_threshold_join,
     }
 
 
