@@ -428,6 +428,23 @@ def main() -> None:
         ).count()
 
     timed(f"graph_cell_routed_query_k100_{n_big // 1000}k", cell_routed)
+
+    # routed + tree-merge composed path (round 4): identical answers to the
+    # single-window merge, per-level-bounded merge exchanges — the variant
+    # that survives 1000 shards (SCALE.md graph-ANN-query section)
+    def cell_routed_tree():
+        from vector_index_spark.index.searcher import (
+            routed_tree_graph_ann_query,
+            shard_centroids,
+        )
+
+        routed_tree_graph_ann_query(
+            cell_state["sharded"], cell_state["edges"], big_test, K,
+            nprobe=8, fanin=8,
+            centroids=shard_centroids(cell_state["sharded"]),
+        ).count()
+
+    timed(f"graph_cell_routed_tree_query_k100_{n_big // 1000}k", cell_routed_tree)
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
     # RP-tree route at the 62k corpus (fit + assign + multi-probe query)

@@ -32,6 +32,7 @@ from vector_index_spark.index.builder import build_graph_index  # noqa: E402
 from vector_index_spark.index.searcher import (  # noqa: E402
     graph_ann_query,
     routed_graph_ann_query,
+    routed_tree_graph_ann_query,
     shard_centroids,
 )
 from vector_index_spark.operators.shard import assign_shards  # noqa: E402
@@ -90,6 +91,14 @@ def main() -> None:
         ).count()
         t_routed = time.perf_counter() - t0
 
+        # routed + tree-merge (the composed 1000-shard path): same answers,
+        # merge volume bounded per level instead of one Q*k*probed exchange
+        t0 = time.perf_counter()
+        routed_tree_graph_ann_query(
+            vectors, edges, test, K, nprobe=8, fanin=8, centroids=cents
+        ).count()
+        t_tree = time.perf_counter() - t0
+
         row = {
             "rows": n,
             "shards": -(-n // params.sub_index_bound),
@@ -99,6 +108,8 @@ def main() -> None:
             "query_all_ms_per_q": round(t_query / nq * 1e3, 2),
             "query_routed_s": round(t_routed, 2),
             "query_routed_ms_per_q": round(t_routed / nq * 1e3, 2),
+            "query_routed_tree_s": round(t_tree, 2),
+            "query_routed_tree_ms_per_q": round(t_tree / nq * 1e3, 2),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
