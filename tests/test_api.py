@@ -162,3 +162,24 @@ def test_migration_example_end_to_end(spark):
         sys.path.pop(0)
     recall = main([], spark=spark)
     assert recall >= 0.95
+
+
+def test_query_tree_merge_parity_via_facade(spark, tmp_path):
+    """VectorIndex.query(tree_merge_fanin=...) returns exactly the
+    single-window-merge answers on both the all-shard and routed paths."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    rows = [(i, [float(i % 17), float(i % 5), float(i % 3)]) for i in range(400)]
+    train = spark.createDataFrame(rows, "id long, vec array<double>")
+    test = spark.createDataFrame(rows[::37], "qid long, vec array<double>")
+    params = IndexParameters(dimension=3, sub_index_bound=50)
+    idx = VectorIndex.build(train, params)
+    ref = sorted(map(tuple, idx.query(test, k=5).collect()))
+    tree = sorted(map(tuple, idx.query(test, k=5, tree_merge_fanin=3).collect()))
+    assert tree == ref
+    routed_ref = sorted(map(tuple, idx.query(test, k=5, nprobe=8).collect()))
+    routed_tree = sorted(
+        map(tuple, idx.query(test, k=5, nprobe=8, tree_merge_fanin=3).collect())
+    )
+    assert routed_tree == routed_ref

@@ -154,10 +154,13 @@ class VectorIndex:
         nprobe: int | None = None,
         qid_col: str = "qid",
         vec_col: str = "vec",
+        tree_merge_fanin: int | None = None,
     ) -> DataFrame:
         """Approximate top-k (all shards; pass ``nprobe`` to route by shard
-        centroid). Returns (qid, rank, id, dist) where dist is in the
-        index's metric (l2sq / cos_dist / ip_dist)."""
+        centroid, ``tree_merge_fanin`` to bound the top-k merge per level —
+        at 1000+ shards you want both, see searcher.
+        routed_tree_graph_ann_query). Returns (qid, rank, id, dist) where
+        dist is in the index's metric (l2sq / cos_dist / ip_dist)."""
         from vector_index_spark.functions.distance import assert_dim, dot, normalize
 
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
@@ -177,11 +180,13 @@ class VectorIndex:
             )
         if nprobe is None:
             res = graph_ann_query(
-                self.vectors, self.edges, t, k, relaxed_monotonicity
+                self.vectors, self.edges, t, k, relaxed_monotonicity,
+                tree_merge_fanin=tree_merge_fanin,
             )
         else:
             res = routed_graph_ann_query(
-                self.vectors, self.edges, t, k, nprobe, relaxed_monotonicity
+                self.vectors, self.edges, t, k, nprobe, relaxed_monotonicity,
+                tree_merge_fanin=tree_merge_fanin,
             )
         if metric == "cosine_similarity":
             return res.select("qid", "rank", "id", (F.col("dist") / 2.0).alias("dist"))
