@@ -170,3 +170,24 @@ def test_minihdf5_roundtrip_property(n, d, dtype, compress, chunk_rows):
         back = read_hdf5(path)["x"]
     assert back.dtype == arr.dtype
     assert np.array_equal(back, arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=100_000), st.integers(min_value=2, max_value=64))
+def test_merge_group_sizes_contract(n_groups, fanin):
+    """Tree-merge level plan: strictly decreasing group counts, each level
+    exactly ceil(prev/fanin), terminates at 1 in ceil(log_fanin(n)) levels."""
+    import math
+
+    from vector_index_spark.index.searcher import _merge_group_sizes
+
+    sizes = _merge_group_sizes(n_groups, fanin)
+    assert sizes[-1] == 1
+    prev = n_groups
+    for g in sizes:
+        assert g == -(-prev // fanin) or (prev == 1 and g == 1)
+        assert g <= prev
+        prev = g
+    if n_groups > 1:
+        assert len(sizes) == math.ceil(math.log(n_groups, fanin)) or \
+            fanin ** len(sizes) >= n_groups > fanin ** (len(sizes) - 1)
