@@ -886,11 +886,37 @@ def _recall_gate(
     corpora sit far above them.
     """
     train, test = _train(spark, sf_dir), _test(spark, sf_dir)
-    return _recall_gate_vs(route, train, test, floor)
+    return _recall_gate_vs(
+        route, train, test, floor,
+        neighbors=_exact_neighbors_memo(spark, sf_dir),
+    )
+
+
+# Nine route gates share one ground truth on the standard train/test split;
+# memoize the (bounded: Q*K rows) exact-kNN result per (session, sf_dir) so
+# a driver correctness run computes it once, not once per gate. Keyed by
+# applicationId so a stale entry can never leak across sessions.
+_NEIGHBORS_MEMO: dict = {}
+
+
+def _exact_neighbors_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _NEIGHBORS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    neighbors = knn_join(test, train, K).select(
+        "qid", (F.col("rank") - 1).alias("pos"),
+        F.col("id").alias("neighbor_id"), "dist",
+    ).localCheckpoint(eager=True)
+    _NEIGHBORS_MEMO.clear()  # at most one cached split at a time
+    _NEIGHBORS_MEMO[key] = neighbors
+    return neighbors
 
 
 def _recall_gate_vs(
-    route: DataFrame, train: DataFrame, test: DataFrame, floor: float
+    route: DataFrame, train: DataFrame, test: DataFrame, floor: float,
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """_recall_gate against an explicit corpus/query split (for gates whose
     fixture transforms the vectors — e.g. the clustered cell-routing
@@ -906,10 +932,11 @@ def _recall_gate_vs(
     from pyspark.sql import Window
 
     route = route.localCheckpoint(eager=True)
-    neighbors = knn_join(test, train, K).select(
-        "qid", (F.col("rank") - 1).alias("pos"),
-        F.col("id").alias("neighbor_id"), "dist",
-    )
+    if neighbors is None:
+        neighbors = knn_join(test, train, K).select(
+            "qid", (F.col("rank") - 1).alias("pos"),
+            F.col("id").alias("neighbor_id"), "dist",
+        )
     w = Window.partitionBy("qid").orderBy("rank")
     per_q = (
         route.withColumn("__prev", F.lag("dist").over(w))
