@@ -38,6 +38,28 @@ class ShardGraph:
     adj: list[dict[int, dict[int, int]]] = field(default_factory=list)
     entry: int = -1  # offset of vector_in_highest_layer (dehnsw.h:62)
 
+    # layer-0 CSR cache for the QUERY path (adjacency is static once built
+    # / loaded; build-time mutation must not use this). Neighbor order does
+    # not affect results — the candidate/result heaps order by (dist, id),
+    # never by push order — so the sorted CSR is value-identical to dict
+    # iteration.
+    _csr0_cache: tuple | None = None
+
+    def csr0(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._csr0_cache is None:
+            n = len(self.ids)
+            adj0 = self.adj[0] if self.adj else {}
+            counts = np.zeros(n + 1, dtype=np.int64)
+            for u, m in adj0.items():
+                counts[u + 1] = len(m)
+            indptr = np.cumsum(counts)
+            indices = np.empty(int(indptr[-1]), dtype=np.int64)
+            for u, m in adj0.items():
+                s = indptr[u]
+                indices[s : s + len(m)] = sorted(m)
+            self._csr0_cache = (indptr, indices)
+        return self._csr0_cache
+
     def dist(self, a: int, b: int) -> float:
         d = self.X[a] - self.X[b]
         return float(d @ d)
@@ -297,7 +319,12 @@ def query_shard(
     entry = g.entry
     d_entry = g.dist_q(q, entry)
     candidates: list[tuple[float, int]] = [(d_entry, entry)]
-    visited = {entry}
+    # flat visited flags + CSR layer-0 adjacency: the query graph is
+    # static, so neighbor lists are numpy slices and membership tests are
+    # array loads — same values as the dict/set form (heap order is by
+    # (dist, id), never by neighbor iteration order)
+    visited = np.zeros(len(g.ids), dtype=bool)
+    visited[entry] = True
     # descent: hill-climb per layer; heap carried across layers
     # (dehnsw.h:258-279 — note the heap is not reset per layer)
     for layer in range(top, 0, -1):
@@ -306,9 +333,9 @@ def query_shard(
             improved = False
             best = candidates[0]
             for v in g.adj[layer].get(best[1], ()):
-                if v in visited:
+                if visited[v]:
                     continue
-                visited.add(v)
+                visited[v] = True
                 dv = g.dist_q(q, v)
                 heapq.heappush(candidates, (dv, v))
             if candidates[0] != best:
@@ -318,7 +345,7 @@ def query_shard(
     result: list[tuple[float, int]] = []
     stall = 0
     X = g.X
-    adj0 = g.adj[0]
+    indptr, indices = g.csr0()
     while candidates:
         d, u = heapq.heappop(candidates)
         if len(result) >= k:
@@ -332,11 +359,12 @@ def query_shard(
         else:
             heapq.heappush(result, (-d, -u))
             stall = 0
-        nbrs = [v for v in adj0.get(u, ()) if v not in visited]
-        if nbrs:
-            visited.update(nbrs)
-            D = X[nbrs] - q
-            for dv, v in zip(np.einsum("ij,ij->i", D, D).tolist(), nbrs):
+        nbrs = indices[indptr[u] : indptr[u + 1]]
+        fresh = nbrs[~visited[nbrs]]
+        if fresh.size:
+            visited[fresh] = True
+            D = X[fresh] - q
+            for dv, v in zip(np.einsum("ij,ij->i", D, D).tolist(), fresh.tolist()):
                 heapq.heappush(candidates, (dv, v))
     return sorted((-nd, -nv) for nd, nv in result)
 
