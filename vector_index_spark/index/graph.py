@@ -98,6 +98,11 @@ def search_layer(
     adj = g.adj[layer]
     d0 = g.dist_q(q, entry)
     candidates: list[tuple[float, int]] = [(d0, entry)]
+    # plain python set: measured FASTER than epoch-stamped numpy flags here
+    # — build-time neighbor lists are <= connect (~8) entries, where
+    # fromiter + fancy indexing overhead exceeds set ops (the query path,
+    # which batches against a static CSR, is the opposite — see
+    # query_shard)
     visited = {entry}
     # result: bounded max-heap of (-dist, -offset) — negating the offset
     # too keeps eviction consistent with the engine-wide (dist, id) total
