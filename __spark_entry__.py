@@ -2174,6 +2174,131 @@ def q131_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines (the q126 pattern): Catalyst must decorrelate
+# the correlated EXISTS / NOT EXISTS pair into semi/anti joins from the
+# same ANSI text DuckDB runs — TPC-H Q21's shape on this schema's columns
+# (lateness = shipped > 60 days after order date; no receipt/commit dates
+# in the driver testdata).
+_Q137_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+"""
+
+# TPC-H Q22's shape on this schema: above-average-balance customers with
+# no urgent/high-priority order — scalar aggregate subquery in the filter
+# plus a predicated NOT EXISTS anti join.
+_Q138_SQL = """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def q137_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (see _Q137_SQL): the only late supplier on a
+    finished multi-supplier order. Declared-SQL entry — spark.sql() runs
+    the oracle text verbatim; the EXISTS decorrelates to a semi join on
+    l_orderkey, the NOT EXISTS to an anti join, orders broadcast-joins."""
+    for t in ("supplier", "lineitem", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q137_SQL)
+
+
+def q138_quiet_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (see _Q138_SQL): high-balance customers with no
+    urgent/high order, per market segment. Declared-SQL entry — the scalar
+    avg subquery becomes a broadcast one-row cross join, the predicated
+    NOT EXISTS an anti join on o_custkey."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q138_SQL)
+
+
+def q139_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on this schema (no partsupp table): for every part,
+    the supplier that shipped it at the minimum unit price
+    (l_extendedprice / l_quantity), ties to the smallest s_suppkey — the
+    correlated-min pattern decorrelated into one per-part aggregate plus a
+    join back (one shuffle on l_partkey; supplier dim broadcasts). Unit
+    prices divide identically in IEEE double on both engines, so the
+    argmin row set hash-matches."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+    )
+    best = li.groupBy("l_partkey").agg(F.min("__unit").alias("__min_unit"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(best, "l_partkey")
+        .filter(F.col("__unit") == F.col("__min_unit"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("s_suppkey"),
+            F.round(F.min("__min_unit"), 6).alias("min_unit_price"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), "s_suppkey")
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "s_suppkey", "s_name",
+            "min_unit_price",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q140_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers behind orders whose total quantity
+    exceeds 300 (the HAVING-subquery membership test): the qualifying
+    order keys come from ONE aggregate over lineitem (map-side partial),
+    then drive a semi-ish join; customer dim broadcasts. Top 100 by
+    (o_totalprice desc, o_orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # filter on the UNROUNDED sum (like the oracle's HAVING), round only
+    # the reported column — a boundary sum like 300.004 must stay included
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__tq"))
+        .filter(F.col("__tq") > 300)
+        .select("l_orderkey", F.round("__tq", 2).alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-SQL surface — the exact oracle SQL text executed by
     spark.sql() over temp views (no DataFrame code in the query path):
@@ -2720,10 +2845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round — lead; (b) every gate whose SCHEMA changed this round
     # (q22/q104-q111 recall+shape fold, q118/q119/q127 extended gates) and
     # the two new oracles (q97 pin, q103 gate) must show their new green;
-    # (c) the window fills with the entries whose last driver check is
-    # round 1 (stalest first). Entries green in r2/r3 rotate to the back —
-    # their signal is on record; the r1 rows-only twins q41/q49 sit just
-    # behind the window (weakest check, least staleness value).
+    # (c) the four new TPC-H-shape queries (q137-q140, never checked);
+    # (d) the window fills with the entries whose last driver check is
+    # round 1 (stalest first — the last four r1 fills land just outside
+    # and keep their r1 green on record). Entries green in r2/r3 rotate
+    # to the back; the r1 rows-only twins q41/q49 sit behind the window
+    # (weakest check, least staleness value).
         "q135_binary_format_ingest": q135_binary_format_ingest,
         "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
         "q22_graph_recall_gate": q22_graph_recall_gate,
@@ -2740,6 +2867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
         "q97_bpe_vocab": q97_bpe_vocab,
         "q103_sketch_rollup": q103_sketch_rollup,
+        # new this round (never checked): correlated EXISTS / NOT EXISTS,
+        # scalar-subquery filter, correlated-min, HAVING-subquery shapes
+        "q137_waiting_suppliers": q137_waiting_suppliers,
+        "q138_quiet_high_balance": q138_quiet_high_balance,
+        "q139_min_cost_supplier": q139_min_cost_supplier,
+        "q140_large_volume_orders": q140_large_volume_orders,
         "q11_star_agg": q11_star_agg,
         "q12_token_topn": q12_token_topn,
         "q13_minhash_pairs": q13_minhash_pairs,
@@ -3133,6 +3266,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, bucket_start
         """,
         "q126_sql_nation_volume": _Q126_SQL,
+        "q137_waiting_suppliers": _Q137_SQL,
+        "q138_quiet_high_balance": _Q138_SQL,
+        "q139_min_cost_supplier": """
+            WITH li AS (
+              SELECT l_partkey, l_suppkey,
+                     l_extendedprice / l_quantity AS unit
+              FROM lineitem
+            ), best AS (
+              SELECT l_partkey, min(unit) AS mu FROM li GROUP BY l_partkey
+            ), pick AS (
+              SELECT li.l_partkey AS p_partkey,
+                     min(li.l_suppkey) AS s_suppkey,
+                     round(min(b.mu), 6) AS min_unit_price
+              FROM li JOIN best b
+                ON li.l_partkey = b.l_partkey AND li.unit = b.mu
+              GROUP BY li.l_partkey
+            )
+            SELECT p_partkey, s_suppkey, s_name, min_unit_price
+            FROM pick JOIN supplier USING (s_suppkey)
+            ORDER BY p_partkey
+        """,
+        "q140_large_volume_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
         "q134_table_profile": _Q134_SQL,
         "q135_binary_format_ingest": """
             WITH train AS (
