@@ -30,9 +30,14 @@ from vector_index_spark.operators.sampling import train_val_test_split
 from vector_index_spark.operators.textstats import gopher_quality
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
-    spark = get_spark(app_name="curation-pipeline")
-    spark.sparkContext.setLogLevel("ERROR")
+def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
+    """Run the pipeline; returns the stage counts. Pass an existing
+    ``spark`` (e.g. from a test) to reuse a session — the script only
+    stops sessions it created itself."""
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="curation-pipeline")
+        spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -62,10 +67,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # 5. deterministic split (scan-side hash decision)
     split = train_val_test_split(docs4)
 
+    stats = {
+        "n0": n0, "quality": docs1.count(), "exact": docs2.count(),
+        "neardup": docs3.count(), "decontam": docs4.count(),
+    }
     n_train = split.filter("split = 'train'").count()
+    stats["train"] = n_train
     print(
-        f"docs: {n0} -> quality {docs1.count()} -> exact {docs2.count()}"
-        f" -> neardup {docs3.count()} -> decontam {docs4.count()}"
+        f"docs: {n0} -> quality {stats['quality']} -> exact {stats['exact']}"
+        f" -> neardup {stats['neardup']} -> decontam {stats['decontam']}"
         f" (train {n_train})"
     )
 
@@ -84,13 +94,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
             .parquet(out)
         )
         back = spark.read.parquet(out)
+        stats["chunks"] = chunks.count()
+        stats["bins"] = packed.select("group", "bin_id").distinct().count()
+        stats["exported"] = back.count()
         print(
-            f"chunks: {chunks.count()}  packed bins:"
-            f" {packed.select('group', 'bin_id').distinct().count()}"
-            f"  exported rows: {back.count()}"
+            f"chunks: {stats['chunks']}  packed bins: {stats['bins']}"
+            f"  exported rows: {stats['exported']}"
         )
     print(f"pipeline wall-clock: {time.perf_counter() - t0:.2f}s")
-    spark.stop()
+    if own_session:
+        spark.stop()
+    return stats
 
 
 if __name__ == "__main__":

@@ -321,3 +321,24 @@ def test_rrf_fusion_hand_computed(spark):
     assert out[10].rrf_score == pytest.approx(round(1 / 61, 6))
     assert out[40].rrf_score == pytest.approx(round(1 / 62, 6))
     assert out[30].rrf_score == pytest.approx(round(1 / 63, 6))
+
+
+def test_curation_pipeline_example_end_to_end(spark):
+    """examples/curation_pipeline.py is the north-star workflow assembled
+    from the operators (quality -> dedup -> near-dedup -> decontam ->
+    split -> chunk -> pack -> export); run it in CI so it can't rot.
+    Stage counts must be monotone non-increasing and the export readable."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    try:
+        from curation_pipeline import main
+    finally:
+        sys.path.pop(0)
+    from tests.conftest import SF_SMOKE
+
+    stats = main(SF_SMOKE, spark=spark)
+    assert stats["n0"] >= stats["quality"] >= stats["exact"] >= stats["neardup"]
+    assert stats["neardup"] >= stats["decontam"] >= stats["train"] > 0
+    assert stats["exported"] > 0 and stats["chunks"] > 0 and stats["bins"] > 0
