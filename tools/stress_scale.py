@@ -85,6 +85,13 @@ def main() -> None:
         t_query = time.perf_counter() - t0
 
         cents = shard_centroids(vectors)
+        # unmeasured warm-up pass: the first routed query after a build
+        # pays JIT + page-cache costs that made measured-in-sequence
+        # variants incomparable (the round-4 "tree beats flat at 244
+        # shards" reading was exactly this artifact)
+        routed_graph_ann_query(
+            vectors, edges, test, K, nprobe=8, centroids=cents
+        ).count()
         t0 = time.perf_counter()
         routed_graph_ann_query(
             vectors, edges, test, K, nprobe=8, centroids=cents

@@ -338,6 +338,16 @@ def _routed_query_batch(
     shard_to_qidx = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
     bc = spark.sparkContext.broadcast((qids, Q, shard_to_qidx))
 
+    # prune UNPROBED shards before the cogroup: without this, every shard's
+    # vectors+edges ride the Arrow exchange only for search() to return
+    # empty — a linear-in-corpus cost that broke the flat routed curve at
+    # 244 shards (19.8 ms/q -> this filter restores flatness). The probed
+    # set is already on the driver (bounded by min(n_shards, Q*nprobe));
+    # on a shard-partitioned Parquet index the isin prunes file reads.
+    probed = sorted(shard_to_qidx)
+    vectors = vectors.filter(F.col("shard").isin(probed))
+    edges = edges.filter(F.col("shard").isin(probed))
+
     def search(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(vec_pdf) == 0:
             return pd.DataFrame(columns=["qid", "id", "dist"])
