@@ -106,6 +106,17 @@ def main() -> None:
         ).count()
         t_tree = time.perf_counter() - t0
 
+        # low-QPS serving: a 10-query batch probes <= 80 shards, and the
+        # probed-shard pruning (round 4) keeps every other shard out of
+        # the cogroup entirely — the per-batch cost should track probed
+        # shards, not corpus shards
+        serving = test.limit(10).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        routed_graph_ann_query(
+            vectors, edges, serving, K, nprobe=8, centroids=cents
+        ).count()
+        t_serve = time.perf_counter() - t0
+
         row = {
             "rows": n,
             "shards": -(-n // params.sub_index_bound),
@@ -117,6 +128,7 @@ def main() -> None:
             "query_routed_ms_per_q": round(t_routed / nq * 1e3, 2),
             "query_routed_tree_s": round(t_tree, 2),
             "query_routed_tree_ms_per_q": round(t_tree / nq * 1e3, 2),
+            "serving_10q_s": round(t_serve, 2),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
