@@ -2299,6 +2299,20 @@ def q140_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (TimescaleDB
+    time_bucket_gapfill + locf semantics; operators/rollup.
+    gap_fill_forward): per event type, the complete hourly bucket spine
+    between first and last observation, empty buckets carrying the last
+    observed mean forward. One groupBy shuffle over raw events; the spine
+    generates from a per-key min/max aggregate; the fill window runs over
+    bucket rows only. 215 genuine gap rows at sf0.01."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+    from vector_index_spark.sources.loaders import read_events
+
+    return gap_fill_forward(read_events(spark, sf_dir))
+
+
 def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-SQL surface — the exact oracle SQL text executed by
     spark.sql() over temp views (no DataFrame code in the query path):
@@ -2873,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_quiet_high_balance": q138_quiet_high_balance,
         "q139_min_cost_supplier": q139_min_cost_supplier,
         "q140_large_volume_orders": q140_large_volume_orders,
+        "q141_gapfill_forward": q141_gapfill_forward,
         "q11_star_agg": q11_star_agg,
         "q12_token_topn": q12_token_topn,
         "q13_minhash_pairs": q13_minhash_pairs,
@@ -3300,6 +3315,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "q141_gapfill_forward": """
+            WITH hourly AS (
+              SELECT event_type AS key,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*) AS m
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT key, min(b) AS lo, max(b) AS hi FROM hourly GROUP BY 1
+            ), spine AS (
+              SELECT key, unnest(generate_series(lo, hi, 3600)) AS b
+              FROM bounds
+            ), j AS (
+              SELECT s.key, s.b, coalesce(h.n_events, 0) AS n_events, h.m
+              FROM spine s LEFT JOIN hourly h USING (key, b)
+            )
+            SELECT key AS event_type, make_timestamp(b * 1000000) AS bucket_start,
+                   n_events,
+                   round(last_value(m IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS filled_mean
+            FROM j
         """,
         "q134_table_profile": _Q134_SQL,
         "q135_binary_format_ingest": """

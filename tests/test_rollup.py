@@ -90,3 +90,27 @@ def test_width_validation(spark):
         multi_resolution_rollup(ev, widths=(60, 90))
     with pytest.raises(ValueError):
         time_bucket("ts", 0)
+
+
+def test_gap_fill_forward(spark):
+    """Gap rows appear for missing buckets with n_events=0 and carry the
+    last observed mean; observed buckets keep their own mean."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    rows = [
+        ("a", 0, 10.0), ("a", 10, 20.0),      # bucket 0 (two events)
+        ("a", 7205, 7.0),                      # bucket 7200; 3600 is a GAP
+        ("b", 3600, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, float(s), v) for k, s, v in rows], "event_type string, sec double, value double"
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    out = {
+        (r.event_type, r.bucket_start.timestamp()): (r.n_events, r.filled_mean)
+        for r in gap_fill_forward(df).collect()
+    }
+    assert out[("a", 0.0)] == (2, 15.0)
+    assert out[("a", 3600.0)] == (0, 15.0)   # gap: forward-filled
+    assert out[("a", 7200.0)] == (1, 7.0)
+    assert out[("b", 3600.0)] == (1, 1.0)
+    assert len(out) == 4

@@ -177,3 +177,69 @@ def rollup_from_partials(
     key_cols = list(keys)
     level = combine_partials(partials, ws[0], key_cols)
     return _derive_and_union(level, ws, key_cols)
+
+
+def gap_fill_forward(
+    events: DataFrame,
+    step_seconds: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap filling with forward fill (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` semantics): bucket events onto a
+    ``step_seconds`` grid per key, generate the complete per-key bucket
+    spine between that key's first and last bucket, and carry the last
+    observed mean forward through empty buckets.
+
+    Returns ``(key, bucket_start, n_events, filled_mean)`` where
+    ``n_events`` is 0 for generated gap rows and ``filled_mean`` is the
+    bucket's exact mean (DECIMAL-summed, so partition-order independent)
+    forward-filled with ``last(..., ignorenulls)``; rounding happens once
+    at the output, AFTER the fill.
+
+    Scale shape: one groupBy shuffle over raw events (map-side partial);
+    the spine is ``sequence()``-generated from a per-key min/max aggregate
+    (bounded: keys x buckets, tiny next to raw data); the forward-fill
+    window partitions by key over bucket rows, never raw rows."""
+    from pyspark.sql import Window
+
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+        * step_seconds
+    )
+    hourly = events.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("__b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mean"),
+    )
+    spine = (
+        hourly.groupBy("key")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(step_seconds)))
+            ).alias("__b"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["key", "__b"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.timestamp_seconds("__b").alias("bucket_start"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.last("__mean", ignorenulls=True).over(w), 6).alias(
+                "filled_mean"
+            ),
+        )
+    )
