@@ -2313,6 +2313,20 @@ def q141_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_forward(read_events(spark, sf_dir))
 
 
+def q142_take_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (operators/sampling.
+    take_n_per_group): exactly min(10, |stratum|) documents per source (strata hold 25 at sf0.01, so
+    the cut binds),
+    selected by portable-hash order — the deterministic eval-set
+    construction primitive. WindowGroupLimit bounds the exchange to
+    O(groups * n * partitions); the oracle recomputes the identical
+    row_number over the same md5-derived ordering."""
+    from vector_index_spark.operators.sampling import take_n_per_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return take_n_per_group(d, "source", 10, id_col="doc_id", seed=0)
+
+
 def q126_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-SQL surface — the exact oracle SQL text executed by
     spark.sql() over temp views (no DataFrame code in the query path):
@@ -2888,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_min_cost_supplier": q139_min_cost_supplier,
         "q140_large_volume_orders": q140_large_volume_orders,
         "q141_gapfill_forward": q141_gapfill_forward,
+        "q142_take_n_per_source": q142_take_n_per_source,
         "q11_star_agg": q11_star_agg,
         "q12_token_topn": q12_token_topn,
         "q13_minhash_pairs": q13_minhash_pairs,
@@ -3340,6 +3355,17 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                      AS filled_mean
             FROM j
+        """,
+        "q142_take_n_per_source": """
+            WITH ranked AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(('0:' || (doc_id))::VARCHAR), 1, 12))::BIGINT ASC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
         """,
         "q134_table_profile": _Q134_SQL,
         "q135_binary_format_ingest": """

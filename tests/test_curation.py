@@ -131,3 +131,26 @@ def test_bigram_lm_flags_gibberish(spark):
     scores = {r.doc_id: r.avg_logprob for r in bigram_lm_score(df).collect()}
     assert scores[100] < scores[0]
     assert all(scores[i] == scores[0] for i in range(10))
+
+
+def test_take_n_per_group_deterministic_and_exact(spark):
+    """Exactly min(n, |stratum|) per group, identical row set under any
+    repartitioning (portable-hash order, not scan order)."""
+    from vector_index_spark.operators.sampling import take_n_per_group
+
+    rows = [(f"s{i % 3}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = take_n_per_group(df, "source", 5, id_col="doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in take_n_per_group(df.repartition(13), "source", 5, id_col="doc_id").collect()
+    )
+    assert a == b
+    # n above the stratum size returns the whole stratum
+    tiny = take_n_per_group(df.filter("doc_id < 4"), "source", 99, id_col="doc_id")
+    assert tiny.count() == 4

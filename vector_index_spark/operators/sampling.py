@@ -129,3 +129,35 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def take_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-count stratified sampling: exactly ``min(n, |stratum|)`` rows
+    per group, chosen by portable-hash order (ties broken by id) — the
+    eval-set construction primitive ("1000 docs per source"), deterministic
+    under any partitioning and recomputable bit-for-bit in SQL.
+
+    One window over the group key; rank-k selection is map-side-limited by
+    Spark's WindowGroupLimit before the exchange, so shuffle volume is
+    O(groups * n * partitions), not the corpus. Hash-ordering (not "first
+    n") avoids the scan-order bias of prefix sampling — row order usually
+    correlates with content (crawl order, time)."""
+    from pyspark.sql import Window
+
+    from vector_index_spark.functions.hashing import portable_hash
+
+    h = portable_hash(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
