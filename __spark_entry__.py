@@ -2313,6 +2313,18 @@ def q141_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_forward(read_events(spark, sf_dir))
 
 
+def q143_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (TimescaleDB interpolate semantics;
+    q141's locf twin): empty buckets take the straight line between their
+    surrounding observed anchors — both always exist inside the per-key
+    spine. Identical operand order on both engines keeps the interpolated
+    doubles bit-equal before the single round."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+    from vector_index_spark.sources.loaders import read_events
+
+    return gap_fill_forward(read_events(spark, sf_dir), method="linear")
+
+
 def q142_take_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sampling (operators/sampling.
     take_n_per_group): exactly min(10, |stratum|) documents per source (strata hold 25 at sf0.01, so
@@ -2903,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_large_volume_orders": q140_large_volume_orders,
         "q141_gapfill_forward": q141_gapfill_forward,
         "q142_take_n_per_source": q142_take_n_per_source,
+        "q143_gapfill_linear": q143_gapfill_linear,
         "q11_star_agg": q11_star_agg,
         "q12_token_topn": q12_token_topn,
         "q13_minhash_pairs": q13_minhash_pairs,
@@ -3366,6 +3379,44 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
+        """,
+        "q143_gapfill_linear": """
+            WITH hourly AS (
+              SELECT event_type AS key,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*) AS m
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT key, min(b) AS lo, max(b) AS hi FROM hourly GROUP BY 1
+            ), spine AS (
+              SELECT key, unnest(generate_series(lo, hi, 3600)) AS b
+              FROM bounds
+            ), j AS (
+              SELECT s.key, s.b, coalesce(h.n_events, 0) AS n_events, h.m
+              FROM spine s LEFT JOIN hourly h USING (key, b)
+            ), anch AS (
+              SELECT key, b, n_events, m,
+                     last_value(m IGNORE NULLS) OVER back AS pv,
+                     last_value(CASE WHEN m IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER back AS pb,
+                     first_value(m IGNORE NULLS) OVER fwd AS nv,
+                     first_value(CASE WHEN m IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER fwd AS nb
+              FROM j
+              WINDOW back AS (PARTITION BY key ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     fwd AS (PARTITION BY key ORDER BY b
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT key AS event_type, make_timestamp(b * 1000000) AS bucket_start,
+                   n_events,
+                   round(CASE WHEN m IS NOT NULL THEN m
+                              WHEN pb IS NOT NULL AND nb IS NOT NULL
+                                THEN pv + (nv - pv) * (b - pb) / (nb - pb)
+                              ELSE coalesce(pv, nv) END, 6) AS filled_mean
+            FROM anch
         """,
         "q134_table_profile": _Q134_SQL,
         "q135_binary_format_ingest": """

@@ -114,3 +114,22 @@ def test_gap_fill_forward(spark):
     assert out[("a", 7200.0)] == (1, 7.0)
     assert out[("b", 3600.0)] == (1, 1.0)
     assert len(out) == 4
+
+
+def test_gap_fill_linear(spark):
+    """Linear interpolation between surrounding anchors; observed buckets
+    keep their own mean."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    rows = [("a", 0.0, 10.0), ("a", 10800.0, 40.0)]  # anchors 3 hours apart
+    df = spark.createDataFrame(
+        rows, "event_type string, sec double, value double"
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    out = {
+        r.bucket_start.timestamp(): (r.n_events, r.filled_mean)
+        for r in gap_fill_forward(df, method="linear").collect()
+    }
+    assert out[0.0] == (1, 10.0)
+    assert out[3600.0] == (0, 20.0)
+    assert out[7200.0] == (0, 30.0)
+    assert out[10800.0] == (1, 40.0)

@@ -185,25 +185,31 @@ def gap_fill_forward(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    method: str = "locf",
 ) -> DataFrame:
-    """Time-series gap filling with forward fill (TimescaleDB
-    ``time_bucket_gapfill`` + ``locf`` semantics): bucket events onto a
-    ``step_seconds`` grid per key, generate the complete per-key bucket
-    spine between that key's first and last bucket, and carry the last
-    observed mean forward through empty buckets.
+    """Time-series gap filling (TimescaleDB ``time_bucket_gapfill``
+    semantics): bucket events onto a ``step_seconds`` grid per key,
+    generate the complete per-key bucket spine between that key's first
+    and last bucket, and fill empty buckets by
+
+      - ``method="locf"``: carry the last observed mean forward;
+      - ``method="linear"``: interpolate between the surrounding observed
+        anchors (``interpolate`` semantics) — every gap inside the spine
+        has both anchors by construction, so no NULLs result.
 
     Returns ``(key, bucket_start, n_events, filled_mean)`` where
-    ``n_events`` is 0 for generated gap rows and ``filled_mean`` is the
-    bucket's exact mean (DECIMAL-summed, so partition-order independent)
-    forward-filled with ``last(..., ignorenulls)``; rounding happens once
+    ``n_events`` is 0 for generated gap rows and means are exact
+    (DECIMAL-summed, partition-order independent); rounding happens once
     at the output, AFTER the fill.
 
     Scale shape: one groupBy shuffle over raw events (map-side partial);
     the spine is ``sequence()``-generated from a per-key min/max aggregate
-    (bounded: keys x buckets, tiny next to raw data); the forward-fill
-    window partitions by key over bucket rows, never raw rows."""
+    (bounded: keys x buckets, tiny next to raw data); the fill windows
+    partition by key over bucket rows, never raw rows."""
     from pyspark.sql import Window
 
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear': {method!r}")
     bucket = (
         (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
         * step_seconds
@@ -227,19 +233,37 @@ def gap_fill_forward(
             ).alias("__b"),
         )
     )
-    w = (
+    wback = (
         Window.partitionBy("key")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        spine.join(hourly, ["key", "__b"], "left")
-        .select(
-            F.col("key").alias(key_col),
-            F.timestamp_seconds("__b").alias("bucket_start"),
-            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-            F.round(F.last("__mean", ignorenulls=True).over(w), 6).alias(
-                "filled_mean"
-            ),
+    joined = spine.join(hourly, ["key", "__b"], "left")
+    if method == "locf":
+        filled = F.last("__mean", ignorenulls=True).over(wback)
+    else:
+        wfwd = (
+            Window.partitionBy("key")
+            .orderBy("__b")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        obs_b = F.when(F.col("__mean").isNotNull(), F.col("__b"))
+        prev_v = F.last("__mean", ignorenulls=True).over(wback)
+        prev_b = F.last(obs_b, ignorenulls=True).over(wback)
+        next_v = F.first("__mean", ignorenulls=True).over(wfwd)
+        next_b = F.first(obs_b, ignorenulls=True).over(wfwd)
+        filled = F.when(F.col("__mean").isNotNull(), F.col("__mean")).otherwise(
+            F.when(
+                prev_b.isNotNull() & next_b.isNotNull(),
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("__b") - prev_b)
+                / (next_b - prev_b),
+            ).otherwise(F.coalesce(prev_v, next_v))
+        )
+    return joined.select(
+        F.col("key").alias(key_col),
+        F.timestamp_seconds("__b").alias("bucket_start"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(filled, 6).alias("filled_mean"),
     )
