@@ -3350,7 +3350,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
                      count(*) AS n_events,
                      CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
-                       / count(*) AS m
+                       / count(value) AS m
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT key, min(b) AS lo, max(b) AS hi FROM hourly GROUP BY 1
@@ -3386,7 +3386,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
                      count(*) AS n_events,
                      CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
-                       / count(*) AS m
+                       / count(value) AS m
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT key, min(b) AS lo, max(b) AS hi FROM hourly GROUP BY 1

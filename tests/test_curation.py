@@ -154,3 +154,7 @@ def test_take_n_per_group_deterministic_and_exact(spark):
     # n above the stratum size returns the whole stratum
     tiny = take_n_per_group(df.filter("doc_id < 4"), "source", 99, id_col="doc_id")
     assert tiny.count() == 4
+    # empty input -> empty output, schema preserved
+    empty = take_n_per_group(df.filter("doc_id < 0"), "source", 5, id_col="doc_id")
+    assert empty.count() == 0
+    assert empty.columns == df.columns

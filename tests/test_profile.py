@@ -60,3 +60,17 @@ def test_profile_handles_hostile_column_names(spark):
     assert by_key[("it's", "n_nonnull")] == "2"
     assert by_key[("b`tick", "n_null")] == "1"
     assert by_key[("b`tick", "n_distinct")] == "1"
+
+
+def test_profile_rejects_duplicate_column_names(spark):
+    """Positional resolution would silently profile the FIRST duplicate
+    twice; refuse instead (like by-name resolution would)."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.operators.profile import profile_table
+
+    df = spark.range(3).select(F.col("id"), F.col("id").alias("id"))
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_table(df)
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_table(df, columns=["id"])

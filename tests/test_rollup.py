@@ -133,3 +133,57 @@ def test_gap_fill_linear(spark):
     assert out[3600.0] == (0, 20.0)
     assert out[7200.0] == (0, 30.0)
     assert out[10800.0] == (1, 40.0)
+
+
+def test_gap_fill_single_observation_key(spark):
+    """A key with one observation has a one-bucket spine: both methods
+    degenerate to that constant row, no generated gaps, no NULLs."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    df = spark.createDataFrame(
+        [("a", 100.0, 5.0)], "event_type string, sec double, value double"
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    for method in ("locf", "linear"):
+        rows = gap_fill_forward(df, method=method).collect()
+        assert len(rows) == 1
+        assert (rows[0].n_events, rows[0].filled_mean) == (1, 5.0)
+
+
+def test_gap_fill_all_null_bucket_fills_like_gap(spark):
+    """An observed bucket whose values are all NULL keeps its n_events but
+    has no observed mean: it is filled from the neighbors (count(value)
+    denominator — the NULLs neither deflate a mean nor anchor the fill)."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    rows = [("a", 0.0, 10.0), ("a", 3700.0, None), ("a", 7200.0, 30.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, sec double, value double"
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    locf = {
+        r.bucket_start.timestamp(): (r.n_events, r.filled_mean)
+        for r in gap_fill_forward(df).collect()
+    }
+    assert locf[3600.0] == (1, 10.0)  # row counted, value carried forward
+    lin = {
+        r.bucket_start.timestamp(): (r.n_events, r.filled_mean)
+        for r in gap_fill_forward(df, method="linear").collect()
+    }
+    assert lin[3600.0] == (1, 20.0)  # interpolated across the NULL bucket
+
+
+def test_gap_fill_pre_epoch_buckets_floor(spark):
+    """Negative-epoch timestamps bucket DOWN (floor), matching
+    time_bucket_gapfill / the time_bucket helper — not toward zero."""
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    df = spark.createDataFrame(
+        [("a", -10.0, 1.0), ("a", 10.0, 3.0)],
+        "event_type string, sec double, value double",
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    out = {
+        r.bucket_start.timestamp(): (r.n_events, r.filled_mean)
+        for r in gap_fill_forward(df).collect()
+    }
+    assert out[-3600.0] == (1, 1.0)
+    assert out[0.0] == (1, 3.0)
+    assert len(out) == 2

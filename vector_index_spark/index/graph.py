@@ -72,6 +72,8 @@ class ShardGraph:
 def _add_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
     g.adj[layer].setdefault(u, {})[v] = g.adj[layer].setdefault(u, {}).get(v, 0) + 1
     g.adj[layer].setdefault(v, {})[u] = g.adj[layer].setdefault(v, {}).get(u, 0) + 1
+    if layer == 0:
+        g._csr0_cache = None  # build path never populates it; cheap to clear
 
 
 def _remove_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
@@ -81,6 +83,8 @@ def _remove_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
             m[b] -= 1
             if m[b] <= 0:
                 del m[b]
+    if layer == 0:
+        g._csr0_cache = None
 
 
 def search_layer(

@@ -36,6 +36,11 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
+    # duplicate names would resolve positionally to the FIRST occurrence and
+    # silently profile it twice — refuse, like by-name resolution would
+    dup = sorted({c for c in cols if df.columns.count(c) > 1})
+    if dup:
+        raise ValueError(f"duplicate column names cannot be profiled: {dup}")
     if distinct not in ("approx", "exact", None):
         raise ValueError(f"distinct must be 'approx', 'exact' or None: {distinct!r}")
 

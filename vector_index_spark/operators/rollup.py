@@ -210,17 +210,23 @@ def gap_fill_forward(
 
     if method not in ("locf", "linear"):
         raise ValueError(f"method must be 'locf' or 'linear': {method!r}")
+    # F.floor (not cast-to-long, which truncates toward zero) so pre-1970
+    # timestamps bucket DOWN like time_bucket_gapfill / the time_bucket
+    # helper above
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
         * step_seconds
     )
     hourly = events.groupBy(
         F.col(key_col).alias("key"), bucket.alias("__b")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
+        # mean over OBSERVED values: count(value) excludes NULLs from the
+        # denominator. A bucket whose values are all NULL gets a NULL mean
+        # and is filled like a gap (n_events still reports its raw rows).
         (
             F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.col(value_col))
         ).alias("__mean"),
     )
     spine = (
