@@ -183,3 +183,76 @@ def test_query_tree_merge_parity_via_facade(spark, tmp_path):
         map(tuple, idx.query(test, k=5, nprobe=8, tree_merge_fanin=3).collect())
     )
     assert routed_tree == routed_ref
+
+
+def _scale_fixture(spark, n=1220):
+    rows = [
+        (i, [float((i * 7) % 23), float((i * 3) % 11), float(i % 5)])
+        for i in range(n)
+    ]
+    train = spark.createDataFrame(rows, "id long, vec array<double>")
+    test = spark.createDataFrame(rows[::101], "qid long, vec array<double>")
+    return train, test
+
+
+def test_auto_scale_selects_tree_merge_above_threshold(spark):
+    """At 122 id-ranged shards query() picks the tree merge by itself
+    (VERDICT r4 item 7: the 100 TB path is the default) and the answers
+    are exactly the flat merge's; explicit knobs and auto_scale=False
+    always win."""
+    from vector_index_spark.api import AUTO_TREE_MERGE_FANIN, VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    train, test = _scale_fixture(spark)
+    idx = VectorIndex.build(train, IndexParameters(dimension=3, sub_index_bound=10))
+    assert idx.n_shards() == 122
+    # id-ranged shards: tree merge auto-selected, routing NOT (not sharp)
+    assert idx.resolved_query_params() == (None, AUTO_TREE_MERGE_FANIN)
+    auto = sorted(map(tuple, idx.query(test, k=5).collect()))
+    flat = sorted(map(tuple, idx.query(test, k=5, auto_scale=False).collect()))
+    assert auto == flat
+    assert idx.resolved_query_params(nprobe=4, tree_merge_fanin=2) == (4, 2)
+    assert idx.resolved_query_params(auto_scale=False) == (None, None)
+
+
+def test_auto_scale_routes_on_cell_shards(spark):
+    """On an ivf_cell index above the threshold, query() auto-selects
+    routing + tree merge, identical to passing the resolved knobs
+    explicitly."""
+    from vector_index_spark.api import (
+        AUTO_TREE_MERGE_FANIN,
+        VectorIndex,
+        _auto_nprobe,
+    )
+    from vector_index_spark.config import IndexParameters
+
+    train, test = _scale_fixture(spark)
+    params = IndexParameters(dimension=3, sub_index_bound=10, shard_by="ivf_cell")
+    idx = VectorIndex.build(train, params, n_cells=122)
+    n = idx.n_shards()
+    assert n > 64
+    want_nprobe = min(_auto_nprobe(n), n)
+    assert idx.resolved_query_params() == (want_nprobe, AUTO_TREE_MERGE_FANIN)
+    auto = sorted(map(tuple, idx.query(test, k=5).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            idx.query(
+                test, k=5, nprobe=want_nprobe,
+                tree_merge_fanin=AUTO_TREE_MERGE_FANIN,
+            ).collect(),
+        )
+    )
+    assert auto == explicit
+    assert len(auto) == test.count() * 5
+
+
+def test_auto_scale_inert_below_threshold(spark, data):
+    """A small index keeps the flat all-shard merge: resolution changes
+    nothing below the threshold."""
+    from vector_index_spark.api import VectorIndex
+
+    train, _ = data
+    idx = VectorIndex.build(train, PARAMS)
+    assert idx.n_shards() <= 64
+    assert idx.resolved_query_params() == (None, None)

