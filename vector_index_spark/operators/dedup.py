@@ -108,9 +108,14 @@ def minhash_relations(
     # collapses the projections and re-evaluates the 16-hash signature
     # expression once per band row (bands x the cost).
     sig_udf = minhash_signature_udf(num_hashes)
-    sigs = toks.select("id", sig_udf(F.col("shingles")).alias("sig")).repartition("id")
+    sigs = toks.select(
+        "id",
+        F.size("shingles").alias("n_shingles"),
+        sig_udf(F.col("shingles")).alias("sig"),
+    ).repartition("id")
     banded = sigs.select(
         "id",
+        "n_shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -130,7 +135,7 @@ def minhash_relations(
                 ),
             )
         ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash")
+    ).select("id", "n_shingles", "bh.band", "bh.band_hash")
     return toks, banded
 
 
@@ -204,6 +209,7 @@ def minhash_near_dup(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    length_bucketed: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -211,20 +217,60 @@ def minhash_near_dup(
     ``bands`` bands of ``num_hashes/bands`` rows -> docs sharing any full
     band become candidates -> exact shingle-Jaccard filter.
 
+    ``length_bucketed=True`` is the hot-bucket (boilerplate) skew
+    mitigation from SCALE.md: the candidate join keys on (band,
+    band_hash, length_bucket) instead of (band, band_hash), where the
+    bucket is floor(log_{1/t}(n_shingles)). A pair with Jaccard >= t has
+    size ratio <= 1/t (|A∩B| <= min and >= t*max), so its buckets differ
+    by at most 1 — the a-side probes its own bucket ±1 and NO qualifying
+    pair is lost: the final verified output is IDENTICAL to the plain
+    path (asserted in tests/test_skew.py), while a band bucket shared by
+    docs of very different lengths splits into per-magnitude sub-buckets.
+    (Docs that also share a length are genuine near-dup cliques — their
+    pair OUTPUT is inherently quadratic; collapse exact duplicates first
+    when that is the skew source.)
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     toks, banded = minhash_relations(
         df, text_col, id_col, shingle_k, num_hashes, bands
     )
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_hash"])
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    if length_bucketed:
+        import math
+
+        if not (0.0 < jaccard_threshold < 1.0):
+            raise ValueError(
+                "length_bucketed requires 0 < jaccard_threshold < 1"
+            )
+        lb = F.floor(
+            F.log(F.col("n_shingles").cast("double"))
+            / math.log(1.0 / jaccard_threshold)
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        a = banded.select(
+            F.col("id").alias("id_a"),
+            "band",
+            "band_hash",
+            F.explode(F.array(lb - 1, lb, lb + 1)).alias("__lb"),
+        )
+        b = banded.select(
+            F.col("id").alias("id_b"), "band", "band_hash", lb.alias("__lb")
+        )
+        cands = (
+            a.join(b, ["band", "band_hash", "__lb"])
+            .select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cands = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "band_hash"])
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # verify candidates with exact Jaccard: join shingles back (corpus-side
     # shingles move only for candidate ids, not for every banded row)
     pairs = (
@@ -293,9 +339,15 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     hamming_radius: int = 6,
     bits: int = 48,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: ``bits``-bit simhash per doc, pairs
     with Hamming distance <= radius. Returns (id_a, id_b, hamming).
+
+    ``collapse_identical=True`` is the hot-band (templated text) skew
+    mitigation: banding runs over DISTINCT hash values, bounding the
+    equi-join by distinct-hash counts regardless of how many docs share a
+    hash; identical output (see the branch comment below).
 
     EXACT and sub-quadratic via pigeonhole banding (the classic
     Manku/Jain/Sarma WWW'07 rotation trick, expressed relationally): the
@@ -331,6 +383,53 @@ def simhash_near_dup(
             for i in range(n_bands)
         ]
     )
+    if collapse_identical:
+        # Hot-band skew mitigation (SCALE.md): templated corpora produce
+        # thousands of docs with the SAME simhash, so the banded join's
+        # bucket sizes scale with doc counts. Banding over DISTINCT hash
+        # values instead bounds every join input by the distinct-hash
+        # count; member ids re-enter only at pair emission, which is
+        # output-bound work no pair-emitting dedup can avoid. Result is
+        # IDENTICAL to the plain path (asserted in tests/test_skew.py):
+        # cross-hash pairs verify hamming as usual, same-hash members
+        # expand to within-group pairs at distance 0.
+        dh = sh.select("sh").distinct()
+        banded_h = dh.select("sh", F.posexplode(bands).alias("band", "band_bits"))
+        da = banded_h.select(F.col("sh").alias("sh_a"), "band", "band_bits")
+        db = banded_h.select(F.col("sh").alias("sh_b"), "band", "band_bits")
+        hp = (
+            da.join(db, ["band", "band_bits"])
+            .filter(F.col("sh_a") < F.col("sh_b"))
+            .dropDuplicates(["sh_a", "sh_b"])
+            .withColumn(
+                "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            )
+            .filter(F.col("hamming") <= hamming_radius)
+        )
+        cross = (
+            hp.join(
+                sh.select(F.col("sh").alias("sh_a"), F.col("id").alias("__ia")),
+                "sh_a",
+            )
+            .join(
+                sh.select(F.col("sh").alias("sh_b"), F.col("id").alias("__ib")),
+                "sh_b",
+            )
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                "hamming",
+            )
+        )
+        within = (
+            sh.alias("x")
+            .join(sh.alias("y"), "sh")
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.lit(0).cast("int"))
+        )
+        return cross.unionByName(within).select("id_a", "id_b", "hamming")
+
     banded = sh.select("id", "sh", F.posexplode(bands).alias("band", "band_bits"))
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "band_bits"
