@@ -117,6 +117,19 @@ def main() -> None:
         ).count()
         t_serve = time.perf_counter() - t0
 
+        # warm serving: resident per-shard graph blobs (index/serving.py)
+        # — the steady-state regime of stream_ann_query. Warm cost is the
+        # one-time pack+persist; the measured batch reuses it.
+        from vector_index_spark.index.serving import ServingIndex
+
+        t0 = time.perf_counter()
+        sidx = ServingIndex(vectors, edges, centroids=cents).warm()
+        t_warmup = time.perf_counter() - t0
+        sidx.query(serving, K, nprobe=8).count()  # JIT/first-batch pass
+        t0 = time.perf_counter()
+        sidx.query(serving, K, nprobe=8).count()
+        t_serve_warm = time.perf_counter() - t0
+
         row = {
             "rows": n,
             "shards": -(-n // params.sub_index_bound),
@@ -129,9 +142,12 @@ def main() -> None:
             "query_routed_tree_s": round(t_tree, 2),
             "query_routed_tree_ms_per_q": round(t_tree / nq * 1e3, 2),
             "serving_10q_s": round(t_serve, 2),
+            "serving_warmup_s": round(t_warmup, 2),
+            "serving_warm_10q_s": round(t_serve_warm, 2),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+        sidx.unpersist()
         edges.unpersist()
         train.unpersist()
         test.unpersist()

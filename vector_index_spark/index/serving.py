@@ -1,0 +1,197 @@
+"""Warm ANN serving: resident per-shard graphs, zero per-batch index
+shuffle (VERDICT r4 item 4).
+
+The batch query paths (searcher.graph_ann_query and friends) repartition
+the vectors+edges relations into the shard cogroup on EVERY call — the
+right shape for one big batch, but for low-QPS serving the per-batch cost
+was dominated by re-shuffling and re-grouping index data that never
+changes between batches (measured 2.7 s for a 10-query batch at 500k
+rows, SCALE.md).
+
+:class:`ServingIndex` moves that work to load time, the way a real
+serving node does: the shard cogroup runs ONCE and each shard's
+ready-to-search :class:`~vector_index_spark.index.graph.ShardGraph` is
+pickled into a persisted ``(shard, n_vectors, blob)`` relation. A query
+batch then costs
+
+  - one tiny kNN against the cached centroid table (routing),
+  - a map over the cached blob rows of PROBED shards only — the filter
+    prunes in-memory cache batches by the ``shard`` column's batch
+    stats; there is NO exchange on the index side of the plan,
+  - the usual Q x k x probed-shards top-k merge (one small exchange).
+
+Steady-state serving cost therefore tracks probed-shard work, not corpus
+size. Results are byte-identical to the batch paths (same per-shard beam,
+same merge; asserted in tests/test_serving.py).
+
+At 100 TB the blob relation is the index's natural serving format: it is
+what the executors would hold resident anyway, partition-pruned by
+``shard``, and spillable (MEMORY_AND_DISK) when the fleet's aggregate
+memory is short.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from vector_index_spark.index.graph import graph_from_rows, query_shard
+from vector_index_spark.index.searcher import (
+    RESULT_SCHEMA,
+    _merge_topk,
+    _shard_cogroup,
+    shard_centroids,
+    tree_merge_topk,
+)
+
+BLOB_SCHEMA = "shard long, n_vectors long, blob binary"
+
+
+def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(vec_pdf) == 0:
+        return pd.DataFrame(columns=["shard", "n_vectors", "blob"])
+    vec_pdf = vec_pdf.sort_values("id")
+    X = np.stack(vec_pdf["vec"].to_numpy()).astype(np.float64)
+    ids = vec_pdf["id"].to_numpy(dtype=np.int64)
+    erows = edge_pdf[["layer", "src", "dst", "dist"]].to_numpy(dtype=np.float64)
+    g = graph_from_rows(X, ids, erows)
+    return pd.DataFrame(
+        {
+            "shard": [int(key[0])],
+            "n_vectors": [len(ids)],
+            "blob": [pickle.dumps(g, protocol=pickle.HIGHEST_PROTOCOL)],
+        }
+    )
+
+
+class ServingIndex:
+    """Resident serving form of a graph index: per-shard graphs pickled
+    into one persisted relation, centroid routing table checkpointed.
+
+    ``ServingIndex(vectors, edges).warm()`` pays the one-time cogroup +
+    graph-build + persist; every subsequent :meth:`query` reuses it."""
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        edges: DataFrame,
+        centroids: DataFrame | None = None,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        cg, self._n_parts = _shard_cogroup(vectors, edges)
+        self.blobs = cg.applyInPandas(_pack_shard, BLOB_SCHEMA).persist(
+            storage_level
+        )
+        cents = centroids if centroids is not None else shard_centroids(vectors)
+        self._cents_kv = cents.select(
+            F.col("shard").alias("id"), F.col("centroid").alias("vec")
+        ).localCheckpoint(eager=True)
+        self._spark = vectors.sparkSession
+
+    def warm(self) -> "ServingIndex":
+        """Materialize the blob cache (one job); call once at startup so
+        the first real query batch doesn't pay the build."""
+        self.n_shards = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        nprobe: int | None = None,
+        relaxed_monotonicity: int = 64,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+        tree_merge_fanin: int | None = None,
+    ) -> DataFrame:
+        """Top-k for a (micro-)batch of queries against the resident
+        index. ``nprobe=None`` searches every shard (identical to
+        searcher.graph_ann_query); an integer routes by centroid
+        (identical to routed_graph_ann_query). Returns
+        (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch(
+                chunk, k, nprobe, relaxed_monotonicity, tree_merge_fanin
+            ),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(
+        self,
+        t: DataFrame,
+        k: int,
+        nprobe: int | None,
+        relaxed_monotonicity: int,
+        tree_merge_fanin: int | None,
+    ) -> DataFrame:
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        if nprobe is not None:
+            probes = knn_join(t, self._cents_kv, nprobe).select(
+                "qid", F.col("id").alias("shard")
+            )
+            routed = t.join(
+                probes.groupBy("qid").agg(F.collect_list("shard").alias("__shards")),
+                "qid",
+            )
+            pdf = routed.toPandas()
+        else:
+            pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        if nprobe is not None:
+            acc: dict[int, list[int]] = {}
+            for qi, shards in enumerate(pdf["__shards"]):
+                for s in shards:
+                    acc.setdefault(int(s), []).append(qi)
+            assign = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
+        else:
+            assign = None
+        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        rm = relaxed_monotonicity
+
+        def search(batches):
+            for pdf_b in batches:
+                q_ids, q_mat, asg = bc.value
+                out_qid, out_id, out_dist = [], [], []
+                for shard, blob in zip(pdf_b["shard"], pdf_b["blob"]):
+                    if asg is None:
+                        idx = range(len(q_ids))
+                    else:
+                        ix = asg.get(int(shard))
+                        if ix is None or len(ix) == 0:
+                            continue
+                        idx = ix
+                    g = pickle.loads(blob)
+                    for qi in idx:
+                        for d, off in query_shard(g, q_mat[qi], k, rm):
+                            out_qid.append(int(q_ids[qi]))
+                            out_id.append(int(g.ids[off]))
+                            out_dist.append(d)
+                yield pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
+
+        blobs = self.blobs
+        if assign is not None:
+            # in-memory cache batches carry per-column stats; the isin
+            # prunes unprobed shards' batches without any exchange
+            blobs = blobs.filter(F.col("shard").isin(sorted(assign)))
+        per_shard = blobs.mapInPandas(search, RESULT_SCHEMA)
+        if tree_merge_fanin is not None:
+            return tree_merge_topk(per_shard, k, self._n_parts, tree_merge_fanin)
+        return _merge_topk(per_shard, k)

@@ -72,37 +72,43 @@ def stream_ann_query(
     qid_col: str = "qid",
     vec_col: str = "vec",
     available_now: bool = True,
+    nprobe: int | None = None,
 ) -> StreamingQuery:
     """Streaming ANN serving twin: queries arrive on a stream, each
-    micro-batch runs the standard cogrouped beam search against the
-    persisted graph index at ``index_path``, and (qid, rank, id, dist)
-    rows append to ``output_path`` (parquet).
+    micro-batch searches the persisted graph index at ``index_path``, and
+    (qid, rank, id, dist) rows append to ``output_path`` (parquet).
 
-    The index loads once on start and its relations are cached — per-batch
-    cost is the search only, proportional to the batch's query count (the
-    query-side broadcast pattern of index.searcher, with its query-chunk
-    guard), never to index size. foreachBatch itself is at-least-once — a
-    micro-batch replayed after a failure between the write and the
-    checkpoint commit runs again — so each batch writes with OVERWRITE
-    into its own ``batch_id=<n>`` partition directory: the replay
-    rewrites the same partition with the same rows and the output stays
-    exactly-once (the standard idempotent-foreachBatch recipe). Readers
-    see ``batch_id`` as an extra partition column on ``output_path``.
+    The index loads ONCE on start into a resident
+    :class:`~vector_index_spark.index.serving.ServingIndex` — per-shard
+    graphs pickled into a persisted relation — so a micro-batch pays only
+    routing + a map over (probed) cached shard blobs + the small top-k
+    merge: no per-batch re-shuffle of index data, steady-state cost
+    tracks the batch's query count (and ``nprobe`` when routing), never
+    index size. Results are identical to the batch query paths.
+
+    foreachBatch itself is at-least-once — a micro-batch replayed after a
+    failure between the write and the checkpoint commit runs again — so
+    each batch writes with OVERWRITE into its own ``batch_id=<n>``
+    partition directory: the replay rewrites the same partition with the
+    same rows and the output stays exactly-once (the standard
+    idempotent-foreachBatch recipe). Readers see ``batch_id`` as an extra
+    partition column on ``output_path``.
     """
     from vector_index_spark.index.persistence import load_index
-    from vector_index_spark.index.searcher import graph_ann_query
+    from vector_index_spark.index.serving import ServingIndex
 
     spark = queries.sparkSession
     vectors, edges, params = load_index(spark, index_path)
     if edges is None:
         raise ValueError(f"index at {index_path!r} has no graph edges")
-    vectors, edges = vectors.cache(), edges.cache()
+    serving = ServingIndex(vectors, edges).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = graph_ann_query(
-            vectors, edges, batch_df, k, relaxed_monotonicity,
+        res = serving.query(
+            batch_df, k, nprobe=nprobe,
+            relaxed_monotonicity=relaxed_monotonicity,
             qid_col=qid_col, vec_col=vec_col,
         )
         res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
