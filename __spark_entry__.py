@@ -2357,6 +2357,46 @@ def q144_sweep_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star multimodal — PNG decode with NO image libraries: the
+    from-spec pure-python codec (multimodal/minipng.py, W3C PNG spec)
+    closes the r4 verdict's PIL gap. Deterministic 16x16 grayscale PNGs
+    are synthesized from each document (pixel i = text byte i mod len —
+    SQL-replicable), encoded, decoded, and profiled; the oracle PREDICTS
+    the decoded stats from the text alone, so any codec defect (filter
+    math, CRC, dimension handling) breaks the hash."""
+    from vector_index_spark.multimodal.binary_ops import (
+        decode_pixel_stats,
+        text_to_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_pixel_stats(text_to_png_payload(docs)).select(
+        F.col("id").alias("doc_id"), "width", "height", "channels",
+        "mean_pixel", "min_pixel", "max_pixel",
+    )
+
+
+def q146_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star multimodal — nearest-neighbor resize through the
+    pure-python PNG codec (encode -> decode -> floor-index-map resize ->
+    re-encode -> decode): the oracle recomputes the resized pixels from
+    the deterministic index map src = floor(dst * 16 / 8) = 2 * dst, so
+    the full encode/resize/re-encode chain is hash-gated."""
+    from vector_index_spark.multimodal.binary_ops import (
+        decode_pixel_stats,
+        resize_images,
+        text_to_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_images(text_to_png_payload(docs), width=8, height=8)
+    return decode_pixel_stats(resized).select(
+        F.col("id").alias("doc_id"), "width", "height",
+        "mean_pixel", "min_pixel", "max_pixel",
+    )
+
+
 def q142_take_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sampling (operators/sampling.
     take_n_per_group): exactly min(10, |stratum|) documents per source (strata hold 25 at sf0.01, so
@@ -2923,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered query's latest check is older than round 3. Entries green
     # in r3/r4 rotate behind the window, r3-first.
         "q144_sweep_contract_gate": q144_sweep_contract_gate,
+        "q145_png_pixel_stats": q145_png_pixel_stats,
+        "q146_png_resize_stats": q146_png_resize_stats,
         "q141_gapfill_forward": q141_gapfill_forward,
         "q143_gapfill_linear": q143_gapfill_linear,
         "q134_table_profile": q134_table_profile,
@@ -3447,6 +3489,41 @@ def oracle_sql() -> dict[str, str]:
                                 THEN pv + (nv - pv) * (b - pb) / (nb - pb)
                               ELSE coalesce(pv, nv) END, 6) AS filled_mean
             FROM anch
+        """,
+        # q145/q146: the synthetic-image constructor is SQL-replicable
+        # (pixel i = text byte i mod len; docs are ASCII so char index ==
+        # byte index), so the oracle predicts decoded/resized pixel stats
+        "q145_png_pixel_stats": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     ascii(substr(d.text,
+                       CAST(i.i % length(d.text) AS INTEGER) + 1, 1)) AS p
+              FROM documents d, generate_series(0, 255) AS i(i)
+            )
+            SELECT doc_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(1 AS BIGINT) AS channels,
+                   sum(p) / 256.0 AS mean_pixel,
+                   CAST(min(p) AS BIGINT) AS min_pixel,
+                   CAST(max(p) AS BIGINT) AS max_pixel
+            FROM px GROUP BY doc_id
+        """,
+        "q146_png_resize_stats": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     ascii(substr(d.text,
+                       CAST((2 * (i.i // 8) * 16 + 2 * (i.i % 8))
+                            % length(d.text) AS INTEGER) + 1, 1)) AS p
+              FROM documents d, generate_series(0, 63) AS i(i)
+            )
+            SELECT doc_id,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   sum(p) / 64.0 AS mean_pixel,
+                   CAST(min(p) AS BIGINT) AS min_pixel,
+                   CAST(max(p) AS BIGINT) AS max_pixel
+            FROM px GROUP BY doc_id
         """,
         # q144: the sweep grid and its deterministic contract are static —
         # the oracle pins the expected constants (recall values themselves

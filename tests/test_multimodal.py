@@ -49,25 +49,47 @@ def test_frame_sample_covers_payload(mm):
         assert r.n <= 4
 
 
-def test_resize_is_gated(mm):
-    from vector_index_spark.multimodal.binary_ops import resize_images
-
+def test_non_png_decode_is_gated(mm):
+    """Non-PNG payloads (here: raw text bytes) still require PIL; the
+    gate now raises per-payload inside the UDF."""
     try:
         import PIL  # type: ignore  # noqa: F401
 
         pytest.skip("PIL present; gate not exercised")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        resize_images(mm)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="PIL"):
+        decode_image_meta(mm).collect()
 
 
-def test_image_decode_is_gated(mm):
-    try:
-        import PIL  # type: ignore  # noqa: F401
+def test_png_pipeline_without_pil(spark, mm):
+    """PNG decode works with no image libs: synthesize deterministic
+    16x16 grayscale PNGs from text, decode, and check meta + exact pixel
+    stats against a python recomputation."""
+    from vector_index_spark.multimodal.binary_ops import (
+        decode_pixel_stats,
+        resize_images,
+        text_to_png_payload,
+    )
 
-        pytest.skip("PIL present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image_meta(mm)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(50)
+    pngs = text_to_png_payload(docs).localCheckpoint(eager=True)
+    meta = {r.id: (r.width, r.height, r.channels) for r in decode_image_meta(pngs).collect()}
+    assert set(meta.values()) == {(16, 16, 1)}
+    stats = {r.id: r for r in decode_pixel_stats(pngs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        want = [raw[i % len(raw)] for i in range(256)]
+        got = stats[row.doc_id]
+        assert got.mean_pixel == sum(want) / 256  # exact: power-of-two divisor
+        assert (got.min_pixel, got.max_pixel) == (min(want), max(want))
+    # resize: floor index map means resized (r, c) = original (2r, 2c)
+    small = {r.id: r for r in decode_pixel_stats(resize_images(pngs, 8, 8)).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        want = [raw[(2 * r * 16 + 2 * c) % len(raw)] for r in range(8) for c in range(8)]
+        assert small[row.doc_id].mean_pixel == sum(want) / 64
+        assert small[row.doc_id].width == 8

@@ -84,14 +84,22 @@ class ServingIndex:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     ):
         cg, self._n_parts = _shard_cogroup(vectors, edges)
-        self.blobs = cg.applyInPandas(_pack_shard, BLOB_SCHEMA).persist(
-            storage_level
+        spark = vectors.sparkSession
+        # pack with full cogroup parallelism, then compact the persisted
+        # relation to one partition per core: blob rows are self-contained,
+        # and without this every warm batch pays one near-empty task per
+        # pack partition (256 on local[32]) instead of per core
+        n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self.blobs = (
+            cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
+            .repartition(n_serve)
+            .persist(storage_level)
         )
         cents = centroids if centroids is not None else shard_centroids(vectors)
         self._cents_kv = cents.select(
             F.col("shard").alias("id"), F.col("centroid").alias("vec")
         ).localCheckpoint(eager=True)
-        self._spark = vectors.sparkSession
+        self._spark = spark
 
     def warm(self) -> "ServingIndex":
         """Materialize the blob cache (one job); call once at startup so

@@ -7,10 +7,12 @@ UDF signatures, Arrow batch shapes. The *decoders* are layered:
 
   - byte-histogram features: fully real (numpy over raw bytes) — the
     deterministic baseline feature extractor.
-  - image decode: gated behind an import-try on PIL; this container has no
-    image libs, so without PIL the op raises NotImplementedError per the
-    task contract (STUB — clearly marked), while everything around it
-    (schema, batching) is exercised by the histogram path.
+  - PNG decode/resize/pixel stats: fully real with NO image libs, via the
+    from-spec pure-python codec (multimodal/minipng.py) — PIL is used
+    instead when installed.
+  - non-PNG image decode: still gated behind an import-try on PIL; this
+    container has no image libs, so those payloads raise
+    NotImplementedError per the task contract (STUB — clearly marked).
   - frame sampling: deterministic byte-range chunking — the real
     partitioning pattern for video (byte-range frame extraction), with the
     codec step stubbed the same way.
@@ -87,56 +89,145 @@ def byte_histogram_features(df: DataFrame, bins: int = N_HIST_BINS) -> DataFrame
     )
 
 
-def decode_image_meta(df: DataFrame) -> DataFrame:
-    """Image decode via PIL when available; otherwise NotImplementedError
-    (STUB: no image libs in this container — the task-mandated gate)."""
-    try:
-        from PIL import Image  # type: ignore  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires PIL, which is not installed here; "
-            "byte_histogram_features exercises the same mapInPandas plumbing"
-        ) from exc
+def _decode_array(payload: bytes):
+    """Decode one image payload to a uint8 (h, w, ch) array: PIL when
+    installed (any format), else the from-spec pure-python PNG codec
+    (multimodal/minipng.py). Non-PNG payloads without PIL raise
+    NotImplementedError — the remaining (now much narrower) gate."""
+    from vector_index_spark.multimodal import minipng
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    if minipng.is_png(payload):
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+
+            with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+                return np.asarray(im)
+        except ImportError:
+            return minipng.decode(payload)
+    try:  # pragma: no cover - no PIL in this container
         import io
 
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "non-PNG image decode requires PIL; PNG decodes everywhere "
+            "via multimodal/minipng.py"
+        ) from exc
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Image dimensions/channels per payload. PNG works with no image
+    libs at all (pure-python codec); other formats use PIL when present
+    and raise NotImplementedError otherwise."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
-                with Image.open(io.BytesIO(payload)) as im:
-                    rows.append((rid, im.width, im.height, im.mode))
-            yield pd.DataFrame(rows, columns=["id", "width", "height", "mode"])
+                arr = _decode_array(payload)
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append((rid, arr.shape[1], arr.shape[0], ch))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "channels"]
+            )
 
     return df.select("id", "payload").mapInPandas(
-        decode, "id long, width long, height long, mode string"
+        decode, "id long, width long, height long, channels long"
     )
 
 
+def decode_pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode each image payload and emit exact pixel statistics —
+    the verify-the-decode operator (and the q145 oracle surface):
+    (id, width, height, channels, mean_pixel, min_pixel, max_pixel)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                arr = _decode_array(payload)
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append(
+                    (
+                        rid,
+                        arr.shape[1],
+                        arr.shape[0],
+                        ch,
+                        # no rounding: for power-of-two pixel counts
+                        # (16x16, 8x8) sum/n is an EXACT double, and
+                        # round() would reintroduce half-even-vs-half-up
+                        # ties against SQL oracles
+                        float(arr.mean()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels",
+                    "mean_pixel", "min_pixel", "max_pixel",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        stats,
+        "id long, width long, height long, channels long, "
+        "mean_pixel double, min_pixel long, max_pixel long",
+    )
+
+
+def text_to_png_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic synthetic image constructor for tests/oracles: a
+    ``width x height`` grayscale PNG whose row-major pixel i is byte
+    ``i % len`` of the UTF-8 text — SQL-replicable, so a DuckDB oracle
+    can predict the decoded pixel stats exactly (q145)."""
+    from vector_index_spark.multimodal import minipng
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                px = np.frombuffer(raw, dtype=np.uint8)[
+                    np.arange(n) % len(raw)
+                ].reshape(height, width)
+                ids.append(rid)
+                payloads.append(minipng.encode(px))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(make, "id long, payload binary")
+
+
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Image resize via PIL when available; otherwise NotImplementedError
-    (STUB: no image libs in this container — same gate as decode_image_meta;
-    the mapInPandas plumbing, output schema, and batch shape are the real
-    pattern and identical to the exercised histogram path)."""
-    try:
-        from PIL import Image  # type: ignore  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image resize requires PIL, which is not installed here; "
-            "frame_sample/byte_histogram_features exercise the same plumbing"
-        ) from exc
+    """Nearest-neighbor image resize, re-encoded as PNG. PNG payloads
+    need no image libs (pure-python codec + the deterministic floor
+    index map minipng.resize_nearest); other formats require PIL."""
+    from vector_index_spark.multimodal import minipng
 
-    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
-
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_payloads = [], []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
-                with Image.open(io.BytesIO(payload)) as im:
-                    buf = io.BytesIO()
-                    im.resize((width, height)).save(buf, format="PNG")
-                    out_ids.append(rid)
-                    out_payloads.append(buf.getvalue())
+                arr = _decode_array(payload)
+                out_ids.append(rid)
+                out_payloads.append(
+                    minipng.encode(minipng.resize_nearest(arr, width, height))
+                )
             yield pd.DataFrame({"id": out_ids, "payload": out_payloads})
 
     return df.select("id", "payload").mapInPandas(rz, "id long, payload binary")
