@@ -2397,6 +2397,28 @@ def q146_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star multimodal — AUDIO decode with no audio libraries: the
+    from-spec pure-python RIFF/PCM WAV codec (multimodal/miniwav.py)
+    closes the audio modality the way minipng closes images. Mono PCM16
+    waveforms are synthesized deterministically from each document
+    (sample i = (text byte i mod len - 128) * 256), encoded, decoded,
+    and profiled; the oracle predicts frames/rate/peak/mean/rms from the
+    text alone, so header math, chunk walking, and PCM decode are all
+    hash-gated. mean/rms are exact doubles (power-of-two frame count,
+    correctly-rounded sqrt on bit-equal inputs) — no rounding needed."""
+    from vector_index_spark.multimodal.binary_ops import (
+        decode_audio_stats,
+        text_to_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_stats(text_to_wav_payload(docs)).select(
+        F.col("id").alias("doc_id"), "n_frames", "n_channels",
+        "sample_rate", "peak", "mean_sample", "rms",
+    )
+
+
 def q142_take_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sampling (operators/sampling.
     take_n_per_group): exactly min(10, |stratum|) documents per source (strata hold 25 at sf0.01, so
@@ -2965,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_sweep_contract_gate": q144_sweep_contract_gate,
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,
+        "q147_wav_audio_stats": q147_wav_audio_stats,
         "q141_gapfill_forward": q141_gapfill_forward,
         "q143_gapfill_linear": q143_gapfill_linear,
         "q134_table_profile": q134_table_profile,
@@ -3493,6 +3516,23 @@ def oracle_sql() -> dict[str, str]:
         # q145/q146: the synthetic-image constructor is SQL-replicable
         # (pixel i = text byte i mod len; docs are ASCII so char index ==
         # byte index), so the oracle predicts decoded/resized pixel stats
+        "q147_wav_audio_stats": """
+            WITH s AS (
+              SELECT d.doc_id,
+                     (ascii(substr(d.text,
+                        CAST(i.i % length(d.text) AS INTEGER) + 1, 1))
+                      - 128) * 256 AS x
+              FROM documents d, generate_series(0, 255) AS i(i)
+            )
+            SELECT doc_id,
+                   CAST(256 AS BIGINT) AS n_frames,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(max(abs(x)) AS BIGINT) AS peak,
+                   sum(x) / 256.0 AS mean_sample,
+                   sqrt(sum(CAST(x AS DOUBLE) * x) / 256.0) AS rms
+            FROM s GROUP BY doc_id
+        """,
         "q145_png_pixel_stats": """
             WITH px AS (
               SELECT d.doc_id,

@@ -191,3 +191,51 @@ def test_merge_group_sizes_contract(n_groups, fanin):
     if n_groups > 1:
         assert len(sizes) == math.ceil(math.log(n_groups, fanin)) or \
             fanin ** len(sizes) >= n_groups > fanin ** (len(sizes) - 1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # partkey
+            st.integers(min_value=1, max_value=9),          # suppkey
+            st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+            st.floats(min_value=1.0, max_value=50.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q139_float_equality_argmin_property(spark, rows):
+    """The q139 pattern — groupBy-min then equality-filter on an IEEE
+    double division — under hypothesis-generated prices: Catalyst's
+    codegen division must produce bit-identical doubles to Python's, so
+    the filter always recovers a NON-EMPTY argmin set per part and the
+    (part -> min supplier at min unit price) answer matches a pure-python
+    recomputation exactly. A near-equal-but-not-bit-equal division on
+    either side empties a group or flips a supplier."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "partkey long, suppkey long, price double, qty double"
+    )
+    unit = (F.col("price") / F.col("qty")).alias("__unit")
+    li = df.select("partkey", "suppkey", unit)
+    best = li.groupBy("partkey").agg(F.min("__unit").alias("__m"))
+    got = {
+        (r.partkey): (r.s, r.u)
+        for r in li.join(best, "partkey")
+        .filter(F.col("__unit") == F.col("__m"))
+        .groupBy("partkey")
+        .agg(F.min("suppkey").alias("s"), F.min("__m").alias("u"))
+        .collect()
+    }
+    want: dict[int, tuple[int, float]] = {}
+    for pk, sk, price, qty in rows:
+        u = price / qty  # same IEEE double division
+        cur = want.get(pk)
+        if cur is None or u < cur[1] or (u == cur[1] and sk < cur[0]):
+            want[pk] = (sk, u)
+    assert set(got) == set(want)  # every part recovered (no empty groups)
+    for pk, (sk, u) in want.items():
+        assert got[pk] == (sk, u)

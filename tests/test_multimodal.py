@@ -93,3 +93,25 @@ def test_png_pipeline_without_pil(spark, mm):
         want = [raw[(2 * r * 16 + 2 * c) % len(raw)] for r in range(8) for c in range(8)]
         assert small[row.doc_id].mean_pixel == sum(want) / 64
         assert small[row.doc_id].width == 8
+
+
+def test_wav_pipeline_without_audio_libs(spark):
+    """WAV decode with no audio libs: synthesize deterministic PCM16
+    waveforms from text, decode, and check stats against a python
+    recomputation (exact doubles — power-of-two frame count)."""
+    from vector_index_spark.multimodal.binary_ops import (
+        decode_audio_stats,
+        text_to_wav_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(40)
+    wavs = text_to_wav_payload(docs).localCheckpoint(eager=True)
+    stats = {r.id: r for r in decode_audio_stats(wavs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        x = [(raw[i % len(raw)] - 128) * 256 for i in range(256)]
+        got = stats[row.doc_id]
+        assert (got.n_frames, got.n_channels, got.sample_rate) == (256, 1, 8000)
+        assert got.peak == max(abs(v) for v in x)
+        assert got.mean_sample == sum(x) / 256
+        assert got.rms == (sum(v * v for v in x) / 256) ** 0.5

@@ -233,6 +233,77 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     return df.select("id", "payload").mapInPandas(rz, "id long, payload binary")
 
 
+def text_to_wav_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic synthetic audio constructor for tests/oracles: a
+    mono PCM16 WAV whose sample i is ``(text byte (i mod len) - 128) *
+    256`` — SQL-replicable, so a DuckDB oracle can predict the decoded
+    waveform statistics exactly (q147)."""
+    from vector_index_spark.multimodal import miniwav
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                b = np.frombuffer(raw, dtype=np.uint8)[
+                    np.arange(n_samples) % len(raw)
+                ]
+                x = ((b.astype(np.int16) - 128) * 256).astype(np.int16)
+                ids.append(rid)
+                payloads.append(miniwav.encode(x, sample_rate))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(make, "id long, payload binary")
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (pure-python RIFF/PCM codec, multimodal/
+    miniwav.py — no audio libs) and emit exact waveform statistics:
+    (id, n_frames, n_channels, sample_rate, peak, mean_sample, rms).
+    mean/rms are exact-double for power-of-two frame counts (no
+    rounding, same contract as decode_pixel_stats)."""
+    from vector_index_spark.multimodal import miniwav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                samples, rate = miniwav.decode(bytes(payload))
+                x = samples.astype(np.float64)
+                rows.append(
+                    (
+                        rid,
+                        samples.shape[0],
+                        samples.shape[1],
+                        rate,
+                        int(np.abs(samples.astype(np.int64)).max()),
+                        float(x.mean()),
+                        float(np.sqrt((x * x).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_frames", "n_channels", "sample_rate",
+                    "peak", "mean_sample", "rms",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        stats,
+        "id long, n_frames long, n_channels long, sample_rate long, "
+        "peak long, mean_sample double, rms double",
+    )
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Deterministic byte-range 'frame sampling': split each payload into
     ``n_frames`` contiguous chunks (video-codec step stubbed; the byte-range
