@@ -445,6 +445,27 @@ def main() -> None:
         ).count()
 
     timed(f"graph_cell_routed_tree_query_k100_{n_big // 1000}k", cell_routed_tree)
+
+    # warm serving (round 5): resident per-shard graph blobs
+    # (index/serving.ServingIndex) — the steady-state micro-batch regime.
+    # The ONE-TIME warm (pack + persist) happens outside the timed entry,
+    # like a serving node's startup; the entry times a 10-query batch
+    # (second run — the first pays Python-worker JIT).
+    from vector_index_spark.index.serving import ServingIndex
+
+    serving_batch = big_test.limit(10).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    sidx = ServingIndex(cell_state["sharded"], cell_state["edges"]).warm()
+    timings[f"graph_serving_warmup_{n_big // 1000}k"] = round(
+        time.perf_counter() - t0, 3
+    )
+    sidx.query(serving_batch, K, nprobe=8).count()  # JIT/first-batch pass
+    t0 = time.perf_counter()
+    sidx.query(serving_batch, K, nprobe=8).count()
+    timings[f"graph_serving_warm_10q_{n_big // 1000}k"] = round(
+        time.perf_counter() - t0, 3
+    )
+    sidx.unpersist()
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
     # RP-tree route at the 62k corpus (fit + assign + multi-probe query)
