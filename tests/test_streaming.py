@@ -375,3 +375,55 @@ def test_stream_ann_query_drain_equals_batch(spark, tmp_path):
         for r in graph_ann_query(vectors, edges, test, 5).collect()
     )
     assert got == want
+
+
+def test_stream_ann_query_routed_drain_equals_batch(spark, tmp_path):
+    """Streaming ANN serving with centroid routing (nprobe): draining
+    through the resident ServingIndex must produce exactly the batch
+    routed_graph_ann_query results."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.persistence import save_index
+    from vector_index_spark.index.searcher import routed_graph_ann_query
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import stream_ann_query
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train, params)
+    vectors = assign_shards(train, params.sub_index_bound)
+    idx_path = str(tmp_path / "idx")
+    save_index(vectors, edges, params, idx_path)
+
+    qdir = str(tmp_path / "queries")
+    test.write.parquet(qdir)
+    stream = spark.readStream.schema(
+        "qid long, vec array<float>"
+    ).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = stream_ann_query(
+        stream, idx_path, out, str(tmp_path / "ckpt"), k=5, nprobe=4
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in routed_graph_ann_query(vectors, edges, test, 5, nprobe=4).collect()
+    )
+    assert got == want
