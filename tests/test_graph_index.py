@@ -166,3 +166,31 @@ def test_spark_index_persistence_requery(spark, split, tmp_path):
     assert sorted((r.qid, r.rank, r.id) for r in before) == sorted(
         (r.qid, r.rank, r.id) for r in after
     )
+
+
+def test_csr0_cache_invalidated_by_mutation():
+    """ADVICE r4: a ShardGraph queried (csr0 populated) then mutated must
+    not serve stale adjacency — _add_edge/_remove_edge clear the cache."""
+    import numpy as np
+
+    from vector_index_spark.index.graph import (
+        ShardGraph,
+        _add_edge,
+        _remove_edge,
+    )
+
+    g = ShardGraph(
+        X=np.array([[0.0], [1.0], [2.0]]),
+        ids=np.array([0, 1, 2], dtype=np.int64),
+    )
+    g.layer_of = [0, 0, 0]
+    g.adj = [{0: {}, 1: {}, 2: {}}]
+    _add_edge(g, 0, 0, 1)
+    indptr, indices = g.csr0()
+    assert list(indices) == [1, 0]
+    _add_edge(g, 0, 1, 2)  # mutation AFTER a query would be stale pre-fix
+    indptr, indices = g.csr0()
+    assert list(indices) == [1, 0, 2, 1]
+    _remove_edge(g, 0, 0, 1)
+    indptr, indices = g.csr0()
+    assert list(indices) == [2, 1]
