@@ -96,3 +96,33 @@ def test_serving_empty_batch(served, spark):
     _, _, _, idx = served
     empty = spark.createDataFrame([], "qid long, vec array<double>")
     assert idx.query(empty, K, nprobe=4).count() == 0
+
+
+def test_facade_serving_matches_query(spark):
+    """VectorIndex.serving() parity with the facade query path, and the
+    metric gate for non-euclidean indexes."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    idx = VectorIndex.build(train, PARAMS)
+    sidx = idx.serving().warm()
+    warm = sorted(map(tuple, sidx.query(test, K).collect()))
+    batch = sorted(map(tuple, idx.query(test, K).collect()))
+    assert warm == batch
+    sidx.unpersist()
+
+    cos = VectorIndex.build(
+        train,
+        IndexParameters(
+            dimension=64, sub_index_bound=250, distance_type="cosine_similarity"
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="euclidean2"):
+        cos.serving()

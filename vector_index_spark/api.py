@@ -299,6 +299,23 @@ class VectorIndex:
     def routing_table(self) -> DataFrame:
         return shard_centroids(self.vectors)
 
+    def serving(self):
+        """Warm serving handle: pack every shard's graph into a resident
+        persisted relation once and serve micro-batches from it with no
+        per-batch index shuffle (index/serving.ServingIndex — the
+        steady-state regime of stream_ann_query; SCALE.md serving
+        section). Answers are byte-identical to :meth:`query` on the
+        euclidean2 metric. Call ``.warm()`` on the result at startup."""
+        from vector_index_spark.index.serving import ServingIndex
+
+        if self.params.distance_type != "euclidean2":
+            raise NotImplementedError(
+                "serving() currently serves the euclidean2 metric; for "
+                "cosine/inner-product use query() (their output transforms "
+                "run outside the resident-shard path)"
+            )
+        return ServingIndex(self.vectors, self.edges)
+
     # -- persistence & maintenance ----------------------------------------
 
     def save(self, path: str) -> "VectorIndex":

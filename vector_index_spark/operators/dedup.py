@@ -169,7 +169,12 @@ def incremental_minhash_dedup(
     new_toks, new_bands = minhash_relations(
         new_docs, text_col, id_col, shingle_k, num_hashes, bands
     )
-    all_bands = existing_bands.unionByName(new_bands)
+    # candidate generation needs only the core key columns; selecting them
+    # explicitly keeps persisted band relations written BEFORE the
+    # n_shingles column (round 5) loadable
+    core = ["id", "band", "band_hash"]
+    all_bands = existing_bands.select(*core).unionByName(new_bands.select(*core))
+    new_bands = new_bands.select(*core)
     cands = (
         new_bands.alias("a")
         .join(all_bands.alias("b"), ["band", "band_hash"])
