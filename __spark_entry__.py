@@ -2981,9 +2981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mean + floor bucketing, q134 duplicate-name guard) lead; (b) the seven
     # queries whose only green is round 1 (q51-q61); (c) every r2 hash-green
     # (q14...q88) plus the rows-only refreshes (q32/q41/q49, r1-r2); (d) the
-    # window tail takes the oldest r3 greens (q01-q07). After this window no
-    # registered query's latest check is older than round 3. Entries green
-    # in r3/r4 rotate behind the window, r3-first.
+    # window tail takes the oldest r3 greens (q01-q04; with the four new
+    # round-5 queries q144-q147 in front, q05-q07 land at positions 51-53
+    # just OUTSIDE the 50-entry window and keep their r3 green on record).
+    # After this window no registered query's latest check is older than
+    # round 3. Entries green in r3/r4 rotate behind the window, r3-first.
         "q144_sweep_contract_gate": q144_sweep_contract_gate,
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,

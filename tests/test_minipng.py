@@ -14,7 +14,7 @@ from vector_index_spark.multimodal import minipng as M
 
 def test_roundtrip_gray_rgb_rgba():
     rng = np.random.default_rng(0)
-    for shape in [(5, 7), (5, 7, 3), (4, 4, 4), (1, 1), (3, 1, 3)]:
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (4, 4, 4), (1, 1), (3, 1, 3)]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         out = M.decode(M.encode(img))
         want = img if img.ndim == 3 else img[:, :, None]

@@ -83,23 +83,30 @@ class ServingIndex:
         centroids: DataFrame | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     ):
-        cg, self._n_parts = _shard_cogroup(vectors, edges)
+        cg, _ = _shard_cogroup(vectors, edges)
         spark = vectors.sparkSession
         # pack with full cogroup parallelism, then compact the persisted
         # relation to one partition per core: blob rows are self-contained,
         # and without this every warm batch pays one near-empty task per
         # pack partition (256 on local[32]) instead of per core
-        n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self.blobs = (
             cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
-            .repartition(n_serve)
+            .repartition(self._n_serve)
             .persist(storage_level)
         )
-        cents = centroids if centroids is not None else shard_centroids(vectors)
-        self._cents_kv = cents.select(
-            F.col("shard").alias("id"), F.col("centroid").alias("vec")
-        ).localCheckpoint(eager=True)
+        # centroid routing table: materialized lazily on the FIRST routed
+        # query — unrouted serving (nprobe=None, the stream_ann_query
+        # default) never pays the full-corpus centroid aggregate
+        self._vectors = vectors
+        self._centroids = centroids
+        self._cents_kv = None
         self._spark = spark
+        # broadcasts of the previous batch's query matrix, recycled at the
+        # next batch (by then the previous results are consumed in the
+        # foreachBatch serving loop) — without this a long-running stream
+        # accumulates one query-matrix broadcast per micro-batch
+        self._live_bcs: list = []
 
     def warm(self) -> "ServingIndex":
         """Materialize the blob cache (one job); call once at startup so
@@ -109,6 +116,21 @@ class ServingIndex:
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def _routing_table(self):
+        if self._cents_kv is None:
+            cents = (
+                self._centroids
+                if self._centroids is not None
+                else shard_centroids(self._vectors)
+            )
+            self._cents_kv = cents.select(
+                F.col("shard").alias("id"), F.col("centroid").alias("vec")
+            ).localCheckpoint(eager=True)
+        return self._cents_kv
 
     def query(
         self,
@@ -149,7 +171,7 @@ class ServingIndex:
 
         spark = self._spark
         if nprobe is not None:
-            probes = knn_join(t, self._cents_kv, nprobe).select(
+            probes = knn_join(t, self._routing_table(), nprobe).select(
                 "qid", F.col("id").alias("shard")
             )
             routed = t.join(
@@ -171,7 +193,13 @@ class ServingIndex:
             assign = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
         else:
             assign = None
+        # recycle the previous batch's query broadcasts (consumed by now
+        # in a serving loop; a re-collect of an old result re-ships them)
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
         bc = spark.sparkContext.broadcast((qids, Q, assign))
+        self._live_bcs.append(bc)
         rm = relaxed_monotonicity
 
         def search(batches):
@@ -201,5 +229,8 @@ class ServingIndex:
             blobs = blobs.filter(F.col("shard").isin(sorted(assign)))
         per_shard = blobs.mapInPandas(search, RESULT_SCHEMA)
         if tree_merge_fanin is not None:
-            return tree_merge_topk(per_shard, k, self._n_parts, tree_merge_fanin)
+            # group count = per_shard's ACTUAL partition count (the blob
+            # relation's n_serve), not the pack-time cogroup count — a
+            # larger figure would add a no-op first merge level
+            return tree_merge_topk(per_shard, k, self._n_serve, tree_merge_fanin)
         return _merge_topk(per_shard, k)

@@ -89,6 +89,19 @@ def byte_histogram_features(df: DataFrame, bins: int = N_HIST_BINS) -> DataFrame
     )
 
 
+def _pil_decode(payload: bytes):  # pragma: no cover - no PIL in this container
+    """Decode via PIL; palette images expand to RGB so the output matches
+    minipng.decode byte-for-byte regardless of which codec ran."""
+    import io
+
+    from PIL import Image  # type: ignore
+
+    with Image.open(io.BytesIO(payload)) as im:
+        if im.mode == "P":
+            im = im.convert("RGB")
+        return np.asarray(im)
+
+
 def _decode_array(payload: bytes):
     """Decode one image payload to a uint8 (h, w, ch) array: PIL when
     installed (any format), else the from-spec pure-python PNG codec
@@ -96,24 +109,11 @@ def _decode_array(payload: bytes):
     NotImplementedError — the remaining (now much narrower) gate."""
     from vector_index_spark.multimodal import minipng
 
-    if minipng.is_png(payload):
-        try:
-            import io
-
-            from PIL import Image  # type: ignore
-
-            with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
-                return np.asarray(im)
-        except ImportError:
-            return minipng.decode(payload)
-    try:  # pragma: no cover - no PIL in this container
-        import io
-
-        from PIL import Image  # type: ignore
-
-        with Image.open(io.BytesIO(payload)) as im:
-            return np.asarray(im)
+    try:
+        return _pil_decode(payload)
     except ImportError as exc:
+        if minipng.is_png(payload):
+            return minipng.decode(payload)
         raise NotImplementedError(
             "non-PNG image decode requires PIL; PNG decodes everywhere "
             "via multimodal/minipng.py"

@@ -145,15 +145,16 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def encode(img: np.ndarray) -> bytes:
-    """Encode a uint8 array (h, w) or (h, w, {1,3,4}) as a PNG (filter 0,
-    single IDAT)."""
+    """Encode a uint8 array (h, w) or (h, w, {1,2,3,4}) as a PNG
+    (filter 0, single IDAT); 2 channels = gray+alpha (color type 4), so
+    every decodable color type round-trips."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
-        raise ValueError(f"encode expects (h, w, 1|3|4), got {arr.shape}")
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"encode expects (h, w, 1|2|3|4), got {arr.shape}")
     h, w, ch = arr.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     flat = arr.reshape(h, w * ch)
     scanlines = bytearray()
