@@ -150,6 +150,14 @@ class ServingIndex:
         (qid, rank, id, dist)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
 
+        # recycle the PREVIOUS call's query broadcasts here — not inside
+        # _query_batch, where a multi-chunk call would unpersist earlier
+        # chunks before the lazily-unioned result executes (re-shippable,
+        # so correct either way, but needlessly re-broadcast). By the next
+        # serving call the previous results are consumed.
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         return chunked_over_queries(
             t,
@@ -193,11 +201,6 @@ class ServingIndex:
             assign = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
         else:
             assign = None
-        # recycle the previous batch's query broadcasts (consumed by now
-        # in a serving loop; a re-collect of an old result re-ships them)
-        for b in self._live_bcs:
-            b.unpersist(blocking=False)
-        self._live_bcs = []
         bc = spark.sparkContext.broadcast((qids, Q, assign))
         self._live_bcs.append(bc)
         rm = relaxed_monotonicity
