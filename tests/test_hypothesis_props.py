@@ -239,3 +239,71 @@ def test_q139_float_equality_argmin_property(spark, rows):
     assert set(got) == set(want)  # every part recovered (no empty groups)
     for pk, (sk, u) in want.items():
         assert got[pk] == (sk, u)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_minipng_roundtrip_property(h, w, ch, seed):
+    """encode->decode is the identity for every supported shape."""
+    from vector_index_spark.multimodal import minipng
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = minipng.decode(minipng.encode(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.sampled_from([1, 2, 3]),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_miniwav_roundtrip_property(n, ch, depth, seed):
+    """encode->decode is the identity (PCM8 loses the low byte by
+    construction, so compare at its 8-bit precision)."""
+    from vector_index_spark.multimodal import miniwav
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    out, rate = miniwav.decode(miniwav.encode(x, 22_050, depth=depth))
+    assert rate == 22_050 and out.shape == x.shape
+    if depth == 16:
+        assert (out == x).all()
+    else:
+        assert (out == ((x >> 8) << 8)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0, max_value=199),
+    st.integers(min_value=0, max_value=255),
+)
+def test_codecs_fail_cleanly_on_corruption(cut, flip_at, flip_to):
+    """Truncated or byte-flipped payloads must raise ValueError /
+    NotImplementedError (never struct.error, zlib.error, IndexError,
+    numpy reshape crashes) — the executor-side contract: a bad payload
+    fails its row with a catchable, typed error."""
+    from vector_index_spark.multimodal import minipng, miniwav
+
+    png = minipng.encode(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    wav = miniwav.encode(np.arange(-16, 16, dtype=np.int16), 8_000)
+    for codec, good in ((minipng.decode, png), (miniwav.decode, wav)):
+        for bad in (
+            good[: min(cut, len(good))],
+            bytes(
+                b if i != flip_at % len(good) else flip_to
+                for i, b in enumerate(good)
+            ),
+        ):
+            try:
+                codec(bad)
+            except (ValueError, NotImplementedError):
+                pass

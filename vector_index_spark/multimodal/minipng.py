@@ -10,8 +10,9 @@ Supported on decode: 8-bit depth, color types 0 (grayscale), 2 (RGB),
 depths, and Adam7 interlacing raise NotImplementedError — a principled
 gate, matching minihdf5's treatment of unsupported HDF5 features.
 
-Encode writes 8-bit grayscale / RGB / RGBA, filter 0, one IDAT chunk —
-a byte-exact round-trip partner for the decoder (tests/test_multimodal).
+Encode writes 8-bit grayscale / gray+alpha / RGB / RGBA (every
+non-palette color type the decoder accepts), filter 0, one IDAT chunk —
+a byte-exact round-trip partner for the decoder (tests/test_minipng).
 
 This is a from-spec implementation: the reference repo contains no image
 code; the chunk layout, filter math (incl. the Paeth predictor), and CRC
@@ -40,7 +41,7 @@ def _chunks(data: bytes):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise ValueError("PNG: truncated chunk")
         # 4-byte CRC follows; verified lazily (crc32 over type+body)
         crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
@@ -73,10 +74,14 @@ def decode(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("PNG: truncated IHDR")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
+                struct.unpack(">IIBBBBB", body[:13])
             )
         elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PNG: PLTE length not a multiple of 3")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -89,7 +94,10 @@ def decode(data: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: unknown color type {color_type}")
     ch = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError(f"PNG: corrupt IDAT stream ({exc})") from exc
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG: IDAT size does not match dimensions")
@@ -131,6 +139,8 @@ def decode(data: bytes) -> np.ndarray:
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE chunk")
+        if img.size and int(img.max()) >= len(palette):
+            raise ValueError("PNG: palette index out of range")
         img = palette[img[:, :, 0]]
     return img
 

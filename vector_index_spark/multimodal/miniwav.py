@@ -40,6 +40,8 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
         if len(body) != length:
             raise ValueError(f"WAV: truncated {ctype!r} chunk")
         if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
             pcm = body
