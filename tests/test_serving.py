@@ -126,3 +126,28 @@ def test_facade_serving_matches_query(spark):
     )
     with pytest.raises(NotImplementedError, match="euclidean2"):
         cos.serving()
+
+
+def test_cell_serving_matches_ivf_knn(spark):
+    """CellServingIndex (resident IVF cells) parity with the batch
+    ivf_knn path, including a replicated layout where postings dedupe."""
+    from vector_index_spark.index.ivf import build_ivf, ivf_knn
+    from vector_index_spark.index.serving import CellServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    for replicas in (1, 2):
+        assigned, cents = build_ivf(train, n_centroids=8, replicas=replicas)
+        assigned = assigned.localCheckpoint(eager=True)
+        batch = sorted(
+            map(tuple, ivf_knn(test, assigned, cents, K, nprobe=3).collect())
+        )
+        sidx = CellServingIndex(assigned, cents).warm()
+        warm = sorted(map(tuple, sidx.query(test, K, nprobe=3).collect()))
+        assert warm == batch
+        sidx.unpersist()

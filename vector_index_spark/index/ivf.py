@@ -171,7 +171,13 @@ def ivf_knn(
     cell_hits = cell_topk_scan(qcell, assigned, "centroid_id", k)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
-        cell_hits.dropDuplicates(["qid", "id"])
+        # replicated postings: the same (qid, id) pair computed inside two
+        # different cell matrices can differ in the last ulp (BLAS
+        # blocking), so resolve duplicates with an explicit min — a
+        # deterministic reduction where dropDuplicates would keep an
+        # arbitrary replica's value (partition-order dependent)
+        cell_hits.groupBy("qid", "id")
+        .agg(F.min("dist").alias("dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "id", "dist")

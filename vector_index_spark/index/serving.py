@@ -237,3 +237,165 @@ class ServingIndex:
             # larger figure would add a no-op first merge level
             return tree_merge_topk(per_shard, k, self._n_serve, tree_merge_fanin)
         return _merge_topk(per_shard, k)
+
+
+CELL_BLOB_SCHEMA = "cell long, n_vectors long, blob binary"
+
+
+def _pack_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["cell", "n_vectors", "blob"])
+    pdf = pdf.sort_values("id")
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "cell": [int(key[0])],
+            "n_vectors": [len(ids)],
+            "blob": [pickle.dumps((ids, X), protocol=pickle.HIGHEST_PROTOCOL)],
+        }
+    )
+
+
+class CellServingIndex:
+    """Warm serving for cell-partitioned flat routes (IVF): the
+    ``assigned`` relation of :func:`~vector_index_spark.index.ivf.build_ivf`
+    packs into one resident (cell, ids, matrix) blob relation, and a
+    query batch costs routing + a GEMM map over probed cached cells + the
+    small merge — the :class:`ServingIndex` pattern with a brute-force
+    cell scan instead of a beam search. Answers are byte-identical to
+    :func:`~vector_index_spark.index.ivf.ivf_knn` (same float64 kernel,
+    same (dist, id) order; replicated postings dedupe in the merge —
+    asserted in tests/test_serving.py)."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: DataFrame,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        spark = assigned.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self.blobs = (
+            assigned.select(
+                F.col("centroid_id").alias("cell"), "id", "vec"
+            )
+            .groupBy("cell")
+            .applyInPandas(_pack_cell, CELL_BLOB_SCHEMA)
+            .repartition(self._n_serve)
+            .persist(storage_level)
+        )
+        # the centroid table is tiny (one row per cell) — checkpoint now
+        self._cents_kv = centroids.select(
+            F.col("centroid_id").alias("id"), "vec"
+        ).localCheckpoint(eager=True)
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "CellServingIndex":
+        self.n_cells = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+    ) -> DataFrame:
+        """IVF top-k for a (micro-)batch against the resident cells.
+        Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t, lambda chunk: self._query_batch(chunk, k, nprobe),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(self, t: DataFrame, k: int, nprobe: int) -> DataFrame:
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        probes = knn_join(t, self._cents_kv, nprobe).select(
+            "qid", F.col("id").alias("cell")
+        )
+        routed = t.join(
+            probes.groupBy("qid").agg(F.collect_list("cell").alias("__cells")),
+            "qid",
+        )
+        pdf = routed.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        acc: dict[int, list[int]] = {}
+        for qi, cells in enumerate(pdf["__cells"]):
+            for c in cells:
+                acc.setdefault(int(c), []).append(qi)
+        assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
+        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        self._live_bcs.append(bc)
+
+        def search(batches):
+            for pdf_b in batches:
+                q_ids, q_mat, asg = bc.value
+                frames = []
+                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                    ix = asg.get(int(cell))
+                    if ix is None or len(ix) == 0:
+                        continue
+                    ids, X = pickle.loads(blob)
+                    # identical float64 kernel + stable-argsort tie order
+                    # as cellscan.cell_topk_scan (corpus pre-sorted by id)
+                    csq = (X * X).sum(axis=1)
+                    Qb = q_mat[ix]
+                    qsq = (Qb * Qb).sum(axis=1)
+                    D = qsq[:, None] - 2.0 * Qb @ X.T + csq[None, :]
+                    kk = min(k, len(ids))
+                    top = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.repeat(q_ids[ix], kk),
+                                "id": ids[top].reshape(-1),
+                                "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
+                            }
+                        )
+                    )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame({"qid": [], "id": [], "dist": []})
+                )
+
+        probed = sorted(assign)
+        per_cell = (
+            self.blobs.filter(F.col("cell").isin(probed))
+            .mapInPandas(search, RESULT_SCHEMA)
+        )
+        # same deterministic replica resolution as ivf_knn: min-dist per
+        # (qid, id), then the (dist, id) ranking window
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            per_cell.groupBy("qid", "id")
+            .agg(F.min("dist").alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
+        )
