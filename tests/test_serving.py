@@ -124,8 +124,20 @@ def test_facade_serving_matches_query(spark):
             dimension=64, sub_index_bound=250, distance_type="cosine_similarity"
         ),
     )
-    with pytest.raises(NotImplementedError, match="euclidean2"):
-        cos.serving()
+    csidx = cos.serving().warm()
+    cwarm = sorted(map(tuple, csidx.query(test, K).collect()))
+    cbatch = sorted(map(tuple, cos.query(test, K).collect()))
+    assert cwarm == cbatch
+    csidx.unpersist()
+
+    ip = VectorIndex.build(
+        train,
+        IndexParameters(
+            dimension=64, sub_index_bound=250, distance_type="inner_product"
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="inner_product"):
+        ip.serving()
 
 
 def test_cell_serving_matches_ivf_knn(spark):

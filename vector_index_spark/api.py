@@ -60,6 +60,38 @@ def _auto_nprobe(n_shards: int) -> int:
     return max(8, int(round(n_shards ** 0.5)))
 
 
+class _CosineServing:
+    """Metric adapter over :class:`~vector_index_spark.index.serving.
+    ServingIndex` for cosine indexes: the stored vectors are unit-
+    normalized at build time, so serving applies the same query-side
+    normalize and l2sq -> cos_dist (dist / 2) transform as
+    :meth:`VectorIndex.query` — answers byte-identical to the facade."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def warm(self) -> "_CosineServing":
+        self._inner.warm()
+        return self
+
+    def unpersist(self) -> None:
+        self._inner.unpersist()
+
+    def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        from vector_index_spark.functions.distance import normalize
+
+        qid_col = kwargs.pop("qid_col", "qid")
+        vec_col = kwargs.pop("vec_col", "vec")
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            normalize(F.col(vec_col)).alias("vec"),
+        )
+        res = self._inner.query(t, k, **kwargs)
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
+
 class VectorIndex:
     def __init__(
         self,
@@ -304,17 +336,22 @@ class VectorIndex:
         persisted relation once and serve micro-batches from it with no
         per-batch index shuffle (index/serving.ServingIndex — the
         steady-state regime of stream_ann_query; SCALE.md serving
-        section). Answers are byte-identical to :meth:`query` on the
-        euclidean2 metric. Call ``.warm()`` on the result at startup."""
+        section). Answers are byte-identical to :meth:`query` for the
+        euclidean2 and cosine metrics (cosine serves over the build-time
+        normalized vectors with the same normalize + dist/2 transform as
+        query()). Call ``.warm()`` on the result at startup."""
         from vector_index_spark.index.serving import ServingIndex
 
-        if self.params.distance_type != "euclidean2":
-            raise NotImplementedError(
-                "serving() currently serves the euclidean2 metric; for "
-                "cosine/inner-product use query() (their output transforms "
-                "run outside the resident-shard path)"
-            )
-        return ServingIndex(self.vectors, self.edges)
+        metric = self.params.distance_type
+        if metric == "euclidean2":
+            return ServingIndex(self.vectors, self.edges)
+        if metric == "cosine_similarity":
+            return _CosineServing(ServingIndex(self.vectors, self.edges))
+        raise NotImplementedError(
+            "serving() serves euclidean2 and cosine_similarity; for "
+            "inner_product use query() (its augmentation undo joins back "
+            "through the stored vectors, outside the resident-shard path)"
+        )
 
     # -- persistence & maintenance ----------------------------------------
 
