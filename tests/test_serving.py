@@ -163,3 +163,18 @@ def test_cell_serving_matches_ivf_knn(spark):
         warm = sorted(map(tuple, sidx.query(test, K, nprobe=3).collect()))
         assert warm == batch
         sidx.unpersist()
+
+
+def test_serving_loop_example_end_to_end(spark):
+    """examples/serving_loop.py — build -> save -> streaming ingest ->
+    warm serving — runs in CI so the deployment-shaped example can't rot
+    (the script itself asserts recall >= 0.95)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    try:
+        from serving_loop import main
+    finally:
+        sys.path.pop(0)
+    assert main(SF_CORRECT, spark=spark) >= 0.95
