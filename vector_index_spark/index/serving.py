@@ -60,6 +60,12 @@ def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFr
     ids = vec_pdf["id"].to_numpy(dtype=np.int64)
     erows = edge_pdf[["layer", "src", "dst", "dist"]].to_numpy(dtype=np.float64)
     g = graph_from_rows(X, ids, erows)
+    # the query path reads layer 0 through the CSR cache only
+    # (query_shard, graph.py) and serving graphs never mutate: precompute
+    # the CSR into the blob and drop the dict form — numpy arrays pickle
+    # ~5x smaller and unpickle without rebuilding 10^4 dict entries
+    g.csr0()
+    g.adj[0] = {}
     return pd.DataFrame(
         {
             "shard": [int(key[0])],
