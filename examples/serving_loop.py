@@ -7,8 +7,9 @@ on Spark.
 Run:  PYTHONPATH=. python examples/serving_loop.py [sf_dir]
 
 Stages:
-  1. build + save a graph index over 90% of the corpus
-  2. stream the remaining 10% in as an availableNow ingest
+  1. build + save a graph index over 80% of the corpus
+  2. stream the next 10% in as an availableNow ingest (the last 10%
+     are the serving queries)
      (streaming/ingest.stream_index_ingest -> affected shards only)
   3. load the grown index, warm a ServingIndex, and serve query batches
      from the resident blobs; verify recall vs brute force
@@ -58,9 +59,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> float:
         f"{work}/arrivals"
     )
     t0 = time.perf_counter()
-    stream_index_ingest(
+    finished = stream_index_ingest(
         stream, idx_path, f"{work}/ckpt_ingest"
-    ).awaitTermination(120)
+    ).awaitTermination(300)
+    assert finished, "ingest stream did not drain within 300s"
     print(f"streaming ingest: {time.perf_counter() - t0:.2f}s")
 
     # 3. warm serving from the grown index

@@ -194,3 +194,38 @@ def test_csr0_cache_invalidated_by_mutation():
     _remove_edge(g, 0, 0, 1)
     indptr, indices = g.csr0()
     assert list(indices) == [2, 1]
+
+
+def test_stripped_blob_graph_fails_loudly_on_mutation():
+    """Serving blobs strip the layer-0 dict after caching the CSR; a
+    mutation (which clears the cache) must raise, never silently search
+    near-empty adjacency (review finding, round 5)."""
+    import pickle
+
+    import numpy as np
+    import pytest
+
+    from vector_index_spark.index.graph import ShardGraph, _add_edge
+
+    g = ShardGraph(
+        X=np.array([[0.0], [1.0], [2.0]]),
+        ids=np.array([0, 1, 2], dtype=np.int64),
+    )
+    g.layer_of = [0, 0, 0]
+    g.adj = [{0: {}, 1: {}, 2: {}}]
+    _add_edge(g, 0, 0, 1)
+    g.csr0()
+    g.adj[0] = {}  # what _pack_shard does
+    g.immutable = True
+    g2 = pickle.loads(pickle.dumps(g))
+    assert list(g2.csr0()[1]) == [1, 0]  # cache survives the round trip
+    with pytest.raises(ValueError, match="immutable"):
+        _add_edge(g2, 0, 1, 2)
+    with pytest.raises(ValueError, match="immutable"):
+        from vector_index_spark.index.graph import _remove_edge
+
+        _remove_edge(g2, 0, 0, 1)
+    # a directly-cleared cache on a stripped graph also fails loudly
+    g2._csr0_cache = None
+    with pytest.raises(ValueError, match="immutable"):
+        g2.csr0()

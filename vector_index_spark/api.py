@@ -336,17 +336,29 @@ class VectorIndex:
         persisted relation once and serve micro-batches from it with no
         per-batch index shuffle (index/serving.ServingIndex — the
         steady-state regime of stream_ann_query; SCALE.md serving
-        section). Answers are byte-identical to :meth:`query` for the
-        euclidean2 and cosine metrics (cosine serves over the build-time
-        normalized vectors with the same normalize + dist/2 transform as
-        query()). Call ``.warm()`` on the result at startup."""
+        section). Supported for the euclidean2 and cosine metrics (cosine
+        serves over the build-time normalized vectors with the same
+        normalize + dist/2 transform as query()).
+
+        Parity contract: answers are byte-identical to :meth:`query`
+        CALLED WITH THE SAME EXPLICIT KNOBS (same ``nprobe``, and
+        ``auto_scale=False`` for the all-shard default) — the serving
+        handle does NOT apply :meth:`resolved_query_params`' automatic
+        routing, so above ``AUTO_SCALE_SHARD_THRESHOLD`` cell shards,
+        ``query()``'s default routes while ``serving().query()``'s
+        default searches every shard; pass ``nprobe`` explicitly when you
+        want the routed regime. Call ``.warm()`` on the result at
+        startup."""
         from vector_index_spark.index.serving import ServingIndex
 
         metric = self.params.distance_type
+        dim = self.params.dimension
         if metric == "euclidean2":
-            return ServingIndex(self.vectors, self.edges)
+            return ServingIndex(self.vectors, self.edges, dimension=dim)
         if metric == "cosine_similarity":
-            return _CosineServing(ServingIndex(self.vectors, self.edges))
+            return _CosineServing(
+                ServingIndex(self.vectors, self.edges, dimension=dim)
+            )
         raise NotImplementedError(
             "serving() serves euclidean2 and cosine_similarity; for "
             "inner_product use query() (its augmentation undo joins back "

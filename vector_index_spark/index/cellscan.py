@@ -23,6 +23,39 @@ from pyspark.sql import DataFrame
 QSCAN_SCHEMA = "qid long, id long, dist double"
 
 
+def gemm_topk_frame(qids, Q, ids, X, k: int, query_block: int = 1024):
+    """The shared cell-scan kernel: exact-L2 top-k of queries ``(qids, Q)``
+    against corpus ``(ids, X)`` as one pandas frame (qid, id, dist),
+    blocked over query rows so memory stays O(query_block x corpus rows).
+    ``ids``/``X`` must already be sorted by id — with the stable argsort
+    that yields the engine's (dist, id) tie order. Both cell_topk_scan
+    and CellServingIndex call THIS function, so their float64 results are
+    bit-identical by construction, not by parallel maintenance."""
+    import pandas as pd
+
+    csq = (X * X).sum(axis=1)
+    qsq = (Q * Q).sum(axis=1)
+    kk = min(k, len(ids))
+    out = []
+    for lo in range(0, len(Q), query_block):
+        D = (
+            qsq[lo : lo + query_block, None]
+            - 2.0 * Q[lo : lo + query_block] @ X.T
+            + csq[None, :]
+        )
+        top = np.argsort(D, axis=1, kind="stable")[:, :kk]
+        out.append(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(qids[lo : lo + query_block], kk),
+                    "id": ids[top].reshape(-1),
+                    "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def cell_topk_scan(
     queries_with_cell: DataFrame,
     corpus_with_cell: DataFrame,
@@ -46,29 +79,9 @@ def cell_topk_scan(
         cpdf = cpdf.sort_values("id")
         ids = cpdf["id"].to_numpy(dtype=np.int64)
         C = np.stack(cpdf["vec"].to_numpy()).astype(np.float64)
-        csq = (C * C).sum(axis=1)
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         Q = np.stack(qpdf["vec"].to_numpy()).astype(np.float64)
-        qsq = (Q * Q).sum(axis=1)
-        kk = min(k, len(ids))
-        out = []
-        for lo in range(0, len(Q), query_block):
-            D = (
-                qsq[lo : lo + query_block, None]
-                - 2.0 * Q[lo : lo + query_block] @ C.T
-                + csq[None, :]
-            )
-            top = np.argsort(D, axis=1, kind="stable")[:, :kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "qid": np.repeat(qids[lo : lo + query_block], kk),
-                        "id": ids[top].reshape(-1),
-                        "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        return gemm_topk_frame(qids, Q, ids, C, k, query_block)
 
     return (
         queries_with_cell.groupBy(cell_col)

@@ -44,11 +44,26 @@ class ShardGraph:
     # never by push order — so the sorted CSR is value-identical to dict
     # iteration.
     _csr0_cache: tuple | None = None
+    # serving blobs (index/serving._pack_shard) strip the layer-0 dict
+    # after caching the CSR and mark the graph immutable: a mutation would
+    # silently repopulate a near-empty dict and search wrong adjacency
+    immutable: bool = False
 
     def csr0(self) -> tuple[np.ndarray, np.ndarray]:
         if self._csr0_cache is None:
             n = len(self.ids)
             adj0 = self.adj[0] if self.adj else {}
+            # serving blobs (index/serving._pack_shard) strip the layer-0
+            # dict after caching the CSR; if anything invalidates that
+            # cache (the graph is supposed to be immutable) a silent
+            # rebuild from the stripped dict would return near-empty
+            # wrong adjacency — fail loudly instead
+            if n > 0 and not adj0:
+                raise ValueError(
+                    "layer-0 adjacency was stripped (serving blob) and the "
+                    "CSR cache is gone — this graph is immutable; rebuild "
+                    "it from the edge relation to mutate"
+                )
             counts = np.zeros(n + 1, dtype=np.int64)
             for u, m in adj0.items():
                 counts[u + 1] = len(m)
@@ -69,7 +84,17 @@ class ShardGraph:
         return float(d @ d)
 
 
+def _check_mutable(g: ShardGraph) -> None:
+    if g.immutable:
+        raise ValueError(
+            "this graph is an immutable serving blob (layer-0 dict "
+            "stripped after CSR caching) — rebuild it from the edge "
+            "relation to mutate"
+        )
+
+
 def _add_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
+    _check_mutable(g)
     g.adj[layer].setdefault(u, {})[v] = g.adj[layer].setdefault(u, {}).get(v, 0) + 1
     g.adj[layer].setdefault(v, {})[u] = g.adj[layer].setdefault(v, {}).get(u, 0) + 1
     if layer == 0:
@@ -77,6 +102,7 @@ def _add_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
 
 
 def _remove_edge(g: ShardGraph, layer: int, u: int, v: int) -> None:
+    _check_mutable(g)
     for a, b in ((u, v), (v, u)):
         m = g.adj[layer].get(a)
         if m and b in m:

@@ -66,6 +66,7 @@ def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFr
     # ~5x smaller and unpickle without rebuilding 10^4 dict entries
     g.csr0()
     g.adj[0] = {}
+    g.immutable = True  # mutation would repopulate a near-empty dict
     return pd.DataFrame(
         {
             "shard": [int(key[0])],
@@ -88,7 +89,9 @@ class ServingIndex:
         edges: DataFrame,
         centroids: DataFrame | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        dimension: int | None = None,
     ):
+        self._dimension = dimension  # set -> ragged queries fail fast
         cg, _ = _shard_cogroup(vectors, edges)
         spark = vectors.sparkSession
         # pack with full cogroup parallelism, then compact the persisted
@@ -165,6 +168,10 @@ class ServingIndex:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        if self._dimension is not None:
+            from vector_index_spark.functions.distance import assert_dim
+
+            t = assert_dim(t, "vec", self._dimension)
         return chunked_over_queries(
             t,
             lambda chunk: self._query_batch(
@@ -355,6 +362,8 @@ class CellServingIndex:
         self._live_bcs.append(bc)
 
         def search(batches):
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+
             for pdf_b in batches:
                 q_ids, q_mat, asg = bc.value
                 frames = []
@@ -363,22 +372,11 @@ class CellServingIndex:
                     if ix is None or len(ix) == 0:
                         continue
                     ids, X = pickle.loads(blob)
-                    # identical float64 kernel + stable-argsort tie order
-                    # as cellscan.cell_topk_scan (corpus pre-sorted by id)
-                    csq = (X * X).sum(axis=1)
-                    Qb = q_mat[ix]
-                    qsq = (Qb * Qb).sum(axis=1)
-                    D = qsq[:, None] - 2.0 * Qb @ X.T + csq[None, :]
-                    kk = min(k, len(ids))
-                    top = np.argsort(D, axis=1, kind="stable")[:, :kk]
+                    # THE cell_topk_scan kernel (shared function — bit
+                    # parity by construction), incl. its query-block
+                    # memory bound; corpus pre-sorted by id at pack time
                     frames.append(
-                        pd.DataFrame(
-                            {
-                                "qid": np.repeat(q_ids[ix], kk),
-                                "id": ids[top].reshape(-1),
-                                "dist": np.take_along_axis(D, top, axis=1).reshape(-1),
-                            }
-                        )
+                        gemm_topk_frame(q_ids[ix], q_mat[ix], ids, X, k)
                     )
                 yield (
                     pd.concat(frames, ignore_index=True)
