@@ -666,6 +666,36 @@ def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q148_minhash_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the MinHash hot-bucket skew mitigation
+    (operators/dedup.minhash_near_dup(length_bucketed=True), SCALE.md):
+    the composite (band, band_hash, log-size-bucket) candidate key drops
+    only length-infeasible candidates — a pair with Jaccard >= t has size
+    ratio <= 1/t so buckets differ by <= 1 and the a-side probes ±1 —
+    therefore the VERIFIED output is identical to the plain path and this
+    query shares q13's oracle verbatim. A bucketing bug (wrong base, lost
+    boundary pair) breaks the hash."""
+    from vector_index_spark.operators.dedup import minhash_near_dup
+
+    res = minhash_near_dup(_t(spark, sf_dir, "documents"), length_bucketed=True)
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q149_simhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the SimHash hot-band skew mitigation
+    (operators/dedup.simhash_near_dup(collapse_identical=True), SCALE.md):
+    banding over DISTINCT hash values with member expansion at pair
+    emission is output-identical to the per-doc banding, so this query
+    shares q14's oracle verbatim; a collapse bug (lost within-group pair,
+    wrong cross-group hamming) breaks the hash."""
+    from vector_index_spark.operators.dedup import simhash_near_dup
+
+    res = simhash_near_dup(
+        _t(spark, sf_dir, "documents"), collapse_identical=True
+    )
+    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -2990,6 +3020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,
         "q147_wav_audio_stats": q147_wav_audio_stats,
+        "q148_minhash_pairs_bucketed": q148_minhash_pairs_bucketed,
+        "q149_simhash_pairs_collapsed": q149_simhash_pairs_collapsed,
         "q141_gapfill_forward": q141_gapfill_forward,
         "q143_gapfill_linear": q143_gapfill_linear,
         "q134_table_profile": q134_table_profile,
@@ -3810,6 +3842,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.5
         """,
+        # q148: the length-bucketed mitigation is output-identical -> same oracle
+        "q148_minhash_pairs_bucketed": f"""
+            WITH {_MINHASH_CTES_SQL}
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.5
+        """,
         "q86_zorder_keys": f"""
             WITH o AS (
               SELECT o_orderkey, o_custkey,
@@ -3849,6 +3887,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "q14_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_distinct({_TOKS_SQL.format(t="text")}) AS t
+              FROM documents
+            ), th AS (
+              SELECT id, ('0x'||substring(md5(token),1,12))::BIGINT AS h
+              FROM (SELECT id, unnest(t) AS token FROM toks WHERE len(t) > 0)
+            ), bits AS (
+              SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, range(0, 48) r(b)
+              GROUP BY id, b
+            ), sh AS (
+              SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+              FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        """,
+        # q149: the collapse-identical mitigation is output-identical -> same oracle
+        "q149_simhash_pairs_collapsed": f"""
             WITH toks AS (
               SELECT doc_id AS id,
                      list_distinct({_TOKS_SQL.format(t="text")}) AS t
