@@ -307,3 +307,60 @@ def test_codecs_fail_cleanly_on_corruption(cut, flip_at, flip_to):
                 codec(bad)
             except (ValueError, NotImplementedError):
                 pass
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=40),   # bucket index
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gap_fill_properties(spark, rows):
+    """gap_fill_forward invariants under hypothesis-generated sparse
+    series (incl. NULL values): complete per-key spine (hi-lo+1 buckets),
+    no NULL filled_mean whenever the key has >= 1 observed value,
+    observed buckets carry their exact NULL-excluded mean, and locf gap
+    rows equal the nearest preceding observed mean."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.operators.rollup import gap_fill_forward
+
+    df = spark.createDataFrame(
+        [(k, float(b * 3600), v) for k, b, v in rows],
+        "event_type string, sec double, value double",
+    ).selectExpr("event_type", "timestamp_seconds(sec) AS ts", "value")
+    out = gap_fill_forward(df).collect()
+
+    # python reference
+    per_key: dict[str, dict[int, list]] = {}
+    for k, b, v in rows:
+        per_key.setdefault(k, {}).setdefault(b, []).append(v)
+    got: dict[str, dict[int, tuple]] = {}
+    for r in out:
+        got.setdefault(r.event_type, {})[int(r.bucket_start.timestamp() // 3600)] = (
+            r.n_events, r.filled_mean
+        )
+    for k, buckets in per_key.items():
+        lo, hi = min(buckets), max(buckets)
+        assert set(got[k]) == set(range(lo, hi + 1))  # complete spine
+        has_any_value = any(v is not None for vs in buckets.values() for v in vs)
+        last = None
+        for b in range(lo, hi + 1):
+            n, m = got[k][b]
+            vs = [v for v in buckets.get(b, []) if v is not None]
+            assert n == len(buckets.get(b, []))
+            if vs:
+                want = sum(vs) / len(vs)
+                assert m is not None and abs(m - want) < 1e-6
+                last = m
+            else:
+                # gap or all-NULL bucket: locf from the last observed mean
+                assert m == last or (m is None and last is None)
+            if has_any_value and last is not None:
+                assert m is not None
