@@ -49,6 +49,14 @@ ENTRY_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_ENTRY_BUDGET", "40"))
 
 def main() -> None:
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    # In local mode the driver JVM IS the 32-thread executor; the 8g
+    # default heap left ~4.8g for storage+execution, and by the bench
+    # tail the cached fixtures evicted each other — rpt/pca entries then
+    # recomputed big_train's crossJoin per repeat (measured r6: rpt 3.9 s
+    # at 8g vs 1.7 s at 32g on the same quiet machine; BASELINE.md
+    # round-6 note). 24g ~= 0.75 GB/core, the low end of a real cluster's
+    # per-core memory — an explicit env var still overrides.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="vector-index-bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -285,6 +293,13 @@ def main() -> None:
 
     timed("sq_build_query_k100", sq_run)
 
+    # the small-fixture ANN section is done: release its cached state so
+    # the 62k section ahead gets the full storage pool (the tail entries
+    # were eviction-bound at the old 8g heap — see BASELINE.md round 6)
+    state["edges"].unpersist()
+    train.unpersist()
+    test.unpersist()
+
     # relational substrate: star join + agg at sf lineitem scale
     timed(
         "star_agg",
@@ -466,6 +481,38 @@ def main() -> None:
         time.perf_counter() - t0, 3
     )
     sidx.unpersist()
+
+    # warm IVF-PQ serving (round 6): the byte-efficient route a 100 TB
+    # deployment serves — resident per-cell code blobs + codebooks
+    # (index/serving.IvfPqServingIndex). Same protocol as the graph
+    # serving entries: one-time build+pack+warm outside the repeat, then
+    # a 10-query batch timed on its second run.
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    t0 = time.perf_counter()
+    pq_encoded, pq_cents, pq_books = build_ivfpq(
+        big_train, n_centroids=32, replicas=1
+    )
+    pq_encoded = pq_encoded.localCheckpoint(eager=True)
+    pq_sidx = IvfPqServingIndex(pq_encoded, pq_cents, pq_books, big_train).warm()
+    timings[f"ivfpq_serving_warmup_{n_big // 1000}k"] = round(
+        time.perf_counter() - t0, 3
+    )
+    pq_sidx.query(serving_batch, K, nprobe=8).count()  # JIT/first-batch pass
+    t0 = time.perf_counter()
+    pq_sidx.query(serving_batch, K, nprobe=8).count()
+    timings[f"ivfpq_serving_warm_10q_{n_big // 1000}k"] = round(
+        time.perf_counter() - t0, 3
+    )
+    pq_sidx.unpersist()
+
+    # cell-sharded relations and graph edges are done; the remaining
+    # entries (exact GEMM, RPT, PCA) need only big_train/big_test —
+    # release the rest so they never contend for the storage pool
+    for key in ("sharded", "edges"):
+        cell_state[key].unpersist()
+    big_state["edges"].unpersist()
     timed(f"knn_exact_k100_{n_big // 1000}k", lambda: knn_fast(big_test, big_train, K).count())
 
     # RP-tree route at the 62k corpus (fit + assign + multi-probe query)
