@@ -240,9 +240,15 @@ def _ivfpq_knn_batch(
                 {"qid": q_arr[keep], "id": cids[keep], "approx": approx[keep]}
             )
 
+    # replicated layouts post a vector to several cells with DIFFERENT
+    # residual codes: resolve duplicates to the min approx per (qid, id)
+    # — deterministic (dropDuplicates kept an arbitrary replica's approx,
+    # which made the shortlist window order physical-plan-dependent) and
+    # the tighter bound of the replicas
     cands = (
         cand_rows.mapInPandas(scan, "qid long, id long, approx double")
-        .dropDuplicates(["qid", "id"])
+        .groupBy("qid", "id")
+        .agg(F.min("approx").alias("approx"))
     )
     wa = Window.partitionBy("qid").orderBy(F.col("approx").asc(), F.col("id").asc())
     shortlist = (

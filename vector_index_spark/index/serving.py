@@ -92,6 +92,7 @@ class ServingIndex:
         dimension: int | None = None,
     ):
         self._dimension = dimension  # set -> ragged queries fail fast
+        self._storage_level = storage_level
         cg, _ = _shard_cogroup(vectors, edges)
         spark = vectors.sparkSession
         # pack with full cogroup parallelism, then compact the persisted
@@ -121,6 +122,63 @@ class ServingIndex:
         """Materialize the blob cache (one job); call once at startup so
         the first real query batch doesn't pay the build."""
         self.n_shards = self.blobs.count()
+        return self
+
+    def refresh(
+        self,
+        vectors: DataFrame,
+        edges: DataFrame,
+        shards: list[int],
+    ) -> "ServingIndex":
+        """Incremental blob refresh after ``builder.append_to_index``
+        (VERDICT r5 item 4): re-pack ONLY the given shards' blobs from the
+        post-append (vectors, edges) relations; every other shard's blob
+        row carries over from the live cache without recomputation — the
+        serving mirror of append's rebuild-affected-shards-only contract.
+
+        The pack job's cogroup reads ``shard IN shards`` filtered inputs
+        (pushed to the scan — asserted in tests/test_serving.py), so its
+        cost tracks the appended shards, not the corpus. The routing
+        table updates the same way: affected shards' centroids recompute
+        from their (small) new contents, the rest carry over. A
+        user-provided ``centroids`` table (ivf_cell layout) is kept
+        verbatim — the cell fit is never redone on append by contract
+        (builder.append_to_index).
+
+        Returns ``self`` with the new blob relation live and the old one
+        unpersisted. Parity: refresh after append is equivalent to a cold
+        ``ServingIndex(vectors, edges)`` rebuild (tests/test_serving.py).
+        """
+        shards = sorted({int(s) for s in shards})
+        cg, _ = _shard_cogroup(
+            vectors.filter(F.col("shard").isin(shards)),
+            edges.filter(F.col("shard").isin(shards)),
+        )
+        packed = cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
+        # kept for the touches-only-affected-shards plan assertion in tests
+        self._last_refresh_packed = packed
+        old_blobs = self.blobs
+        new_blobs = (
+            old_blobs.filter(~F.col("shard").isin(shards))
+            .unionByName(packed)
+            .repartition(self._n_serve)
+            .persist(self._storage_level)
+        )
+        self.n_shards = new_blobs.count()  # materialize before swapping
+        self.blobs = new_blobs
+        old_blobs.unpersist()
+        # routing table: carry over unaffected shards, recompute affected
+        if self._centroids is None and self._cents_kv is not None:
+            old_kv = self._cents_kv
+            fresh = shard_centroids(
+                vectors.filter(F.col("shard").isin(shards))
+            ).select(F.col("shard").alias("id"), F.col("centroid").alias("vec"))
+            self._cents_kv = (
+                old_kv.filter(~F.col("id").isin(shards))
+                .unionByName(fresh)
+                .localCheckpoint(eager=True)
+            )
+        self._vectors = vectors
         return self
 
     def unpersist(self) -> None:
@@ -402,4 +460,483 @@ class CellServingIndex:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "id", "dist")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Warm serving for the compressed routes (VERDICT r5 item 3): PQ, SQ, and
+# IVF-PQ pay a per-batch re-read/re-join of the code relation in a serving
+# loop. The blob pattern applies unchanged: codes pack into resident
+# binary rows ONCE, codebooks/bounds stay broadcast, and a query batch is
+# a map over cached blob rows (partition-pruned by cell for IVF-PQ) plus
+# the usual shortlist -> exact-re-rank tail. Raw vectors deliberately stay
+# COLD (the compressed routes exist so the resident set is codes, not
+# floats — SCALE.md byte math); the exact re-rank reads them with the same
+# id join as the batch paths, which is an id-bucket-pruned lookup of
+# O(Q * candidate_factor * k) rows at scale.
+# ---------------------------------------------------------------------------
+
+CODE_BLOB_SCHEMA = "part long, n_vectors long, blob binary"
+
+
+def _rerank_exact(cands: DataFrame, train: DataFrame, t: DataFrame, k: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Shared exact-re-rank tail: identical to the pq_knn/sq_knn batch
+    tails (same l2sq_arrow kernel, same (dist, id) window) so serving
+    results are equal whenever the candidate set covers the true top-k."""
+    from pyspark.sql import Window
+
+    from vector_index_spark.functions.distance import l2sq_arrow
+
+    rescored = (
+        cands.join(
+            train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")),
+            "id",
+        )
+        .join(F.broadcast(t.withColumnRenamed("vec", "__qv")), "qid")
+        .select(
+            "qid", "id", l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
+    )
+
+
+class PqServingIndex:
+    """Warm PQ serving: the (id, codes array<int>) relation packs into
+    ``n_serve`` resident (ids, code-matrix) blobs; a query batch broadcasts
+    its ADC lookup tables and scans every cached blob — no per-batch
+    re-read of the code relation. Candidates re-rank exactly against the
+    cold raw corpus (same tail as :func:`~vector_index_spark.index.pq.
+    pq_knn`; parity asserted in tests/test_serving.py)."""
+
+    def __init__(
+        self,
+        encoded: DataFrame,
+        train: DataFrame,
+        codebooks,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ):
+        spark = encoded.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._train, self._id_col, self._vec_col = train, id_col, vec_col
+        self._books = codebooks
+        n = self._n_serve
+
+        def pack(batches):
+            rows = []
+            for pdf in batches:
+                if len(pdf):
+                    rows.append(pdf)
+            if not rows:
+                return
+            pdf = pd.concat(rows, ignore_index=True).sort_values("id")
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "part": [int(ids[0]) % n],  # informational only
+                    "n_vectors": [len(ids)],
+                    "blob": [pickle.dumps((ids, codes),
+                                          protocol=pickle.HIGHEST_PROTOCOL)],
+                }
+            )
+
+        self.blobs = (
+            encoded.select("id", "codes")
+            .repartition(self._n_serve)
+            .mapInPandas(pack, CODE_BLOB_SCHEMA)
+            .persist(storage_level)
+        )
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "PqServingIndex":
+        self.n_blobs = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+    ) -> DataFrame:
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+        spark = self._spark
+        tp = t.toPandas()
+        if len(tp) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = tp["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
+        m, ncent, sub = self._books.shape
+        # identical LUT construction to pq._pq_knn_batch (bit parity)
+        tables = np.empty((len(Q), m, ncent))
+        for s in range(m):
+            seg = Q[:, s * sub : (s + 1) * sub]
+            tables[:, s, :] = (
+                (seg[:, None, :] - self._books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+        bc = spark.sparkContext.broadcast((qids, tables))
+        self._live_bcs.append(bc)
+        ncand = candidate_factor * k
+
+        def scan(batches):
+            b_qids, b_tables = bc.value
+            nq = len(b_qids)
+            bm = b_tables.shape[1]
+            for pdf_b in batches:
+                for blob in pdf_b["blob"]:
+                    ids, codes = pickle.loads(blob)
+                    codes = codes.astype(np.int64)
+                    approx = np.zeros((len(ids), nq))
+                    for s in range(bm):
+                        approx += b_tables[:, s, codes[:, s]].T
+                    kk = min(ncand, len(ids))
+                    # blob rows are id-sorted, so a stable argsort on
+                    # approx yields the engine's (approx, id) tie order
+                    part = np.argsort(approx, axis=0, kind="stable")[:kk]
+                    sel = part.T.reshape(-1)
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(b_qids, kk),
+                            "id": ids[sel],
+                            "approx": approx[sel, np.repeat(np.arange(nq), kk)],
+                        }
+                    )
+
+        cands = (
+            self.blobs.mapInPandas(scan, "qid long, id long, approx double")
+            .dropDuplicates(["qid", "id"])
+        )
+        return _rerank_exact(
+            cands.select("qid", "id"), self._train, t, k,
+            self._id_col, self._vec_col,
+        )
+
+
+class SqServingIndex:
+    """Warm SQ8 serving: uint8 code matrices resident per blob; a query
+    batch broadcasts its query matrix, each blob dequantizes transiently
+    and runs one GEMM + per-blob top-ncand, and candidates re-rank exactly
+    against the cold raw corpus (the :func:`~vector_index_spark.index.sq.
+    sq_knn` tail; parity asserted in tests/test_serving.py)."""
+
+    def __init__(
+        self,
+        encoded: DataFrame,
+        train: DataFrame,
+        mins,
+        maxs,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ):
+        spark = encoded.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._train, self._id_col, self._vec_col = train, id_col, vec_col
+        self._mins = np.asarray(mins, dtype=np.float64)
+        self._span = np.where(
+            np.asarray(maxs, dtype=np.float64) > self._mins,
+            np.asarray(maxs, dtype=np.float64) - self._mins, 1.0,
+        )
+        dim = len(self._mins)
+        n = self._n_serve
+
+        def pack(batches):
+            rows = []
+            for pdf in batches:
+                if len(pdf):
+                    rows.append(pdf)
+            if not rows:
+                return
+            pdf = pd.concat(rows, ignore_index=True).sort_values("id")
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            raw = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+            codes = raw.reshape(len(ids), dim).copy()
+            yield pd.DataFrame(
+                {
+                    "part": [int(ids[0]) % n],
+                    "n_vectors": [len(ids)],
+                    "blob": [pickle.dumps((ids, codes),
+                                          protocol=pickle.HIGHEST_PROTOCOL)],
+                }
+            )
+
+        self.blobs = (
+            encoded.select("id", "codes")
+            .repartition(self._n_serve)
+            .mapInPandas(pack, CODE_BLOB_SCHEMA)
+            .persist(storage_level)
+        )
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "SqServingIndex":
+        self.n_blobs = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        candidate_factor: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+    ) -> DataFrame:
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+        spark = self._spark
+        tp = t.toPandas()
+        if len(tp) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = tp["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
+        qsq = (Q * Q).sum(axis=1)
+        bc = spark.sparkContext.broadcast((qids, Q, qsq, self._mins, self._span))
+        self._live_bcs.append(bc)
+        ncand = candidate_factor * k
+
+        def scan(batches):
+            b_qids, b_Q, b_qsq, b_mins, b_span = bc.value
+            for pdf_b in batches:
+                for blob in pdf_b["blob"]:
+                    ids, codes = pickle.loads(blob)
+                    # identical dequantize + GEMM to sq._sq_knn_batch
+                    X = codes.astype(np.float64)
+                    X = X / 255.0 * b_span[None, :] + b_mins[None, :]
+                    xsq = (X * X).sum(axis=1)
+                    D = xsq[:, None] + b_qsq[None, :] - 2.0 * (X @ b_Q.T)
+                    kk = min(ncand, len(ids))
+                    # blob rows are id-sorted: stable argsort = (dist, id)
+                    part = np.argsort(D, axis=0, kind="stable")[:kk]
+                    sel = part.T.reshape(-1)
+                    yield pd.DataFrame(
+                        {"qid": np.repeat(b_qids, kk), "id": ids[sel]}
+                    )
+
+        cands = (
+            self.blobs.mapInPandas(scan, "qid long, id long")
+            .dropDuplicates(["qid", "id"])
+        )
+        return _rerank_exact(cands, self._train, t, k, self._id_col, self._vec_col)
+
+
+class IvfPqServingIndex:
+    """Warm IVF-PQ serving — the route a 100 TB deployment actually
+    serves (SCALE.md byte math: probes touch ~100-1000x fewer bytes than
+    raw scans). Per-cell (ids, code-matrix) blobs sit resident with the
+    centroid matrix and residual codebooks; a query batch costs routing
+    against the checkpointed centroid table, an ADC map over PROBED cached
+    cells only (batch-stat pruned — no exchange on the index side), the
+    global shortlist window, and the exact re-rank against the cold raw
+    corpus. Tail is identical to :func:`~vector_index_spark.index.ivfpq.
+    ivfpq_knn` (parity asserted in tests/test_serving.py)."""
+
+    def __init__(
+        self,
+        encoded: DataFrame,
+        centroids: DataFrame,
+        codebooks,
+        train: DataFrame,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ):
+        spark = encoded.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._train, self._id_col, self._vec_col = train, id_col, vec_col
+        self._books = codebooks
+
+        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame(columns=["cell", "n_vectors", "blob"])
+            pdf = pdf.sort_values("id")
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
+            return pd.DataFrame(
+                {
+                    "cell": [int(key[0])],
+                    "n_vectors": [len(ids)],
+                    "blob": [pickle.dumps((ids, codes),
+                                          protocol=pickle.HIGHEST_PROTOCOL)],
+                }
+            )
+
+        self.blobs = (
+            encoded.select(F.col("centroid_id").alias("cell"), "id", "codes")
+            .groupBy("cell")
+            .applyInPandas(pack, CELL_BLOB_SCHEMA)
+            .repartition(self._n_serve)
+            .persist(storage_level)
+        )
+        self._cents_kv = centroids.select(
+            F.col("centroid_id").alias("id"), "vec"
+        ).localCheckpoint(eager=True)
+        self._C = np.stack(
+            centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
+        ).astype(np.float64)
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "IvfPqServingIndex":
+        self.n_cells = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+    ) -> DataFrame:
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch(chunk, k, nprobe, candidate_factor),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(
+        self, t: DataFrame, k: int, nprobe: int, candidate_factor: int
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        probes = knn_join(t, self._cents_kv, nprobe).select(
+            "qid", F.col("id").alias("cell")
+        )
+        routed = t.join(
+            probes.groupBy("qid").agg(F.collect_list("cell").alias("__cells")),
+            "qid",
+        )
+        pdf = routed.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        acc: dict[int, list[int]] = {}
+        for qi, cells in enumerate(pdf["__cells"]):
+            for c in cells:
+                acc.setdefault(int(c), []).append(qi)
+        assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
+        bc = spark.sparkContext.broadcast((qids, Q, self._C, self._books, assign))
+        self._live_bcs.append(bc)
+        ncand = candidate_factor * k
+
+        def scan(batches):
+            b_qids, bQ, bC, books, asg = bc.value
+            m, ncent, sub = books.shape
+            for pdf_b in batches:
+                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                    ix = asg.get(int(cell))
+                    if ix is None or len(ix) == 0:
+                        continue
+                    ids, codes = pickle.loads(blob)
+                    codes = codes.astype(np.int64)
+                    # identical residual-LUT math to ivfpq scan: one
+                    # broadcasted subtraction per subspace over the probing
+                    # queries' residuals against THIS cell's centroid
+                    R = bQ[ix] - bC[int(cell)][None, :]  # (P, d)
+                    lut = np.empty((len(ix), m, ncent))
+                    for s in range(m):
+                        seg = R[:, s * sub : (s + 1) * sub]
+                        lut[:, s, :] = (
+                            (seg[:, None, :] - books[s][None, :, :]) ** 2
+                        ).sum(-1)
+                    # approx[i, p] = sum_s lut[p, s, codes[i, s]]
+                    approx = np.zeros((len(ids), len(ix)))
+                    for s in range(m):
+                        approx += lut[:, s, codes[:, s]].T
+                    kk = min(ncand, len(ids))
+                    # per-(query, cell) top-ncand in the batch path's
+                    # exact (approx, id) lexsort order — ties (identical
+                    # codes) must resolve to the same candidate set
+                    for p in range(len(ix)):
+                        sel = np.lexsort((ids, approx[:, p]))[:kk]
+                        yield pd.DataFrame(
+                            {
+                                "qid": np.full(kk, b_qids[ix[p]]),
+                                "id": ids[sel],
+                                "approx": approx[sel, p],
+                            }
+                        )
+
+        probed = sorted(assign)
+        # min approx per (qid, id) across replicas — same deterministic
+        # resolution as ivfpq_knn
+        cands = (
+            self.blobs.filter(F.col("cell").isin(probed))
+            .mapInPandas(scan, "qid long, id long, approx double")
+            .groupBy("qid", "id")
+            .agg(F.min("approx").alias("approx"))
+        )
+        wa = Window.partitionBy("qid").orderBy(
+            F.col("approx").asc(), F.col("id").asc()
+        )
+        shortlist = (
+            cands.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= ncand)
+            .select("qid", "id")
+        )
+        return _rerank_exact(
+            shortlist, self._train, t, k, self._id_col, self._vec_col
         )
