@@ -3005,17 +3005,106 @@ def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Registry order IS the correctness window: the driver oracle-checks the
-    # first 50 entries. Round-5 rotation (VERDICT r4 item 1 — staleness
-    # refresh on a green board): (a) q144, the new q32 companion gate, and
-    # the three entries whose CODE changed this round (q141/q143 NULL-aware
-    # mean + floor bucketing, q134 duplicate-name guard) lead; (b) the seven
-    # queries whose only green is round 1 (q51-q61); (c) every r2 hash-green
-    # (q14...q88) plus the rows-only refreshes (q32/q41/q49, r1-r2); (d) the
-    # window tail takes the oldest r3 greens (q01-q04; with the four new
-    # round-5 queries q144-q147 in front, q05-q07 land at positions 51-53
-    # just OUTSIDE the 50-entry window and keep their r3 green on record).
-    # After this window no registered query's latest check is older than
-    # round 3. Entries green in r3/r4 rotate behind the window, r3-first.
+    # first 50 entries. Round-6 rotation (VERDICT r5 item 2 — retire the
+    # r3-stale tail): (a) q108 leads because ivfpq_knn's shortlist dedup
+    # changed this round (min-approx per (qid,id), replacing the replica-
+    # nondeterministic dropDuplicates); (b) all 37 queries whose latest
+    # green was round 3 — the full r3 gate block q112-q127, the TPC-H-shape
+    # q126-q133, q89-q102, and the q03-q10 head; (c) the three rows-only
+    # estimate entries (q32/q41/q49) stay in-window for their weak check;
+    # (d) the window tail re-checks the remaining ANN route gates
+    # (q104-q111, q118, q22) in the same round that added warm serving for
+    # the compressed routes. After this window no registered query's latest
+    # check is older than round 4. Behind the window: r4 greens first
+    # (stalest next round), then r5.
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q03_knn_ids": q03_knn_ids,
+        "q04_knn_join": q04_knn_join,
+        "q05_shard_stats": q05_shard_stats,
+        "q06_two_phase_knn": q06_two_phase_knn,
+        "q07_recall": q07_recall,
+        "q120_classifier_margin_gate": q120_classifier_margin_gate,
+        "q121_kcenter_cover_gate": q121_kcenter_cover_gate,
+        "q117_compaction_roundtrip": q117_compaction_roundtrip,
+        "q112_lsh_join_gate": q112_lsh_join_gate,
+        "q115_semdedup_gate": q115_semdedup_gate,
+        "q113_hll_gate": q113_hll_gate,
+        "q114_quantile_gate": q114_quantile_gate,
+        "q89_salted_join": q89_salted_join,
+        "q90_maxsim_retrieval": q90_maxsim_retrieval,
+        "q91_distinct_users_daily": q91_distinct_users_daily,
+        "q92_props_map_stats": q92_props_map_stats,
+        "q93_tfidf_keywords": q93_tfidf_keywords,
+        "q94_incremental_dedup": q94_incremental_dedup,
+        "q95_bigram_lm_score": q95_bigram_lm_score,
+        "q98_bloom_semi_join": q98_bloom_semi_join,
+        "q100_heavy_hitters": q100_heavy_hitters,
+        "q102_fuzzy_part_names": q102_fuzzy_part_names,
+        "q65_event_rollup": q65_event_rollup,
+        "q122_rollup_incremental": q122_rollup_incremental,
+        "q123_funnel_steps": q123_funnel_steps,
+        "q124_retention_cohorts": q124_retention_cohorts,
+        "q125_volume_anomalies": q125_volume_anomalies,
+        "q126_sql_nation_volume": q126_sql_nation_volume,
+        "q128_custdist": q128_custdist,
+        "q129_promo_revenue": q129_promo_revenue,
+        "q130_returned_items": q130_returned_items,
+        "q131_disjunctive_revenue": q131_disjunctive_revenue,
+        "q132_merge_upsert": q132_merge_upsert,
+        "q133_scd2_history": q133_scd2_history,
+        "q08_index_roundtrip": q08_index_roundtrip,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_threshold_join": q10_threshold_join,
+        "q32_grid_search": q32_grid_search,
+        "q41_hll_users": q41_hll_users,
+        "q49_approx_quantiles": q49_approx_quantiles,
+        "q106_pq_recall_gate": q106_pq_recall_gate,
+        "q107_sq_recall_gate": q107_sq_recall_gate,
+        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
+        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q104_lsh_recall_gate": q104_lsh_recall_gate,
+        "q105_ivf_recall_gate": q105_ivf_recall_gate,
+        "q109_pca_recall_gate": q109_pca_recall_gate,
+        "q110_rpt_recall_gate": q110_rpt_recall_gate,
+        "q111_hamming_recall_gate": q111_hamming_recall_gate,
+        "q135_binary_format_ingest": q135_binary_format_ingest,
+        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
+        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
+        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
+        "q97_bpe_vocab": q97_bpe_vocab,
+        "q103_sketch_rollup": q103_sketch_rollup,
+        "q137_waiting_suppliers": q137_waiting_suppliers,
+        "q138_quiet_high_balance": q138_quiet_high_balance,
+        "q139_min_cost_supplier": q139_min_cost_supplier,
+        "q140_large_volume_orders": q140_large_volume_orders,
+        "q142_take_n_per_source": q142_take_n_per_source,
+        "q11_star_agg": q11_star_agg,
+        "q12_token_topn": q12_token_topn,
+        "q13_minhash_pairs": q13_minhash_pairs,
+        "q15_text_profile": q15_text_profile,
+        "q16_langid": q16_langid,
+        "q17_fingerprint_dedup": q17_fingerprint_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q24_events_hourly": q24_events_hourly,
+        "q25_event_sessions": q25_event_sessions,
+        "q26_payload_stats": q26_payload_stats,
+        "q28_cosine_knn": q28_cosine_knn,
+        "q29_set_ops": q29_set_ops,
+        "q30_top_orders": q30_top_orders,
+        "q31_token_counts": q31_token_counts,
+        "q33_event_props_json": q33_event_props_json,
+        "q34_orders_monthly": q34_orders_monthly,
+        "q35_pricing_summary": q35_pricing_summary,
+        "q36_shipping_priority": q36_shipping_priority,
+        "q37_vec_dedup": q37_vec_dedup,
+        "q38_clean_pipeline": q38_clean_pipeline,
+        "q40_distinct_users": q40_distinct_users,
+        "q42_value_percentiles": q42_value_percentiles,
+        "q44_label_centroids": q44_label_centroids,
+        "q45_rolling_hash": q45_rolling_hash,
+        "q46_semantic_search": q46_semantic_search,
+        "q48_rollup_revenue": q48_rollup_revenue,
+        "q50_semi_anti_join": q50_semi_anti_join,
         "q144_sweep_contract_gate": q144_sweep_contract_gate,
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,
@@ -3061,96 +3150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_dedup_clusters": q84_dedup_clusters,
         "q86_zorder_keys": q86_zorder_keys,
         "q88_small_qty_revenue": q88_small_qty_revenue,
-        "q32_grid_search": q32_grid_search,
-        "q41_hll_users": q41_hll_users,
-        "q49_approx_quantiles": q49_approx_quantiles,
         "q01_l2sq_pairs": q01_l2sq_pairs,
         "q02_ip_cos_pairs": q02_ip_cos_pairs,
-        "q03_knn_ids": q03_knn_ids,
-        "q04_knn_join": q04_knn_join,
-        "q05_shard_stats": q05_shard_stats,
-        "q06_two_phase_knn": q06_two_phase_knn,
-        "q07_recall": q07_recall,
-        "q135_binary_format_ingest": q135_binary_format_ingest,
-        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
-        "q22_graph_recall_gate": q22_graph_recall_gate,
-        "q104_lsh_recall_gate": q104_lsh_recall_gate,
-        "q105_ivf_recall_gate": q105_ivf_recall_gate,
-        "q106_pq_recall_gate": q106_pq_recall_gate,
-        "q107_sq_recall_gate": q107_sq_recall_gate,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
-        "q109_pca_recall_gate": q109_pca_recall_gate,
-        "q110_rpt_recall_gate": q110_rpt_recall_gate,
-        "q111_hamming_recall_gate": q111_hamming_recall_gate,
-        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
-        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
-        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
-        "q97_bpe_vocab": q97_bpe_vocab,
-        "q103_sketch_rollup": q103_sketch_rollup,
-        "q137_waiting_suppliers": q137_waiting_suppliers,
-        "q138_quiet_high_balance": q138_quiet_high_balance,
-        "q139_min_cost_supplier": q139_min_cost_supplier,
-        "q140_large_volume_orders": q140_large_volume_orders,
-        "q142_take_n_per_source": q142_take_n_per_source,
-        "q11_star_agg": q11_star_agg,
-        "q12_token_topn": q12_token_topn,
-        "q13_minhash_pairs": q13_minhash_pairs,
-        "q15_text_profile": q15_text_profile,
-        "q16_langid": q16_langid,
-        "q17_fingerprint_dedup": q17_fingerprint_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q24_events_hourly": q24_events_hourly,
-        "q25_event_sessions": q25_event_sessions,
-        "q26_payload_stats": q26_payload_stats,
-        "q28_cosine_knn": q28_cosine_knn,
-        "q29_set_ops": q29_set_ops,
-        "q30_top_orders": q30_top_orders,
-        "q31_token_counts": q31_token_counts,
-        "q33_event_props_json": q33_event_props_json,
-        "q34_orders_monthly": q34_orders_monthly,
-        "q35_pricing_summary": q35_pricing_summary,
-        "q36_shipping_priority": q36_shipping_priority,
-        "q37_vec_dedup": q37_vec_dedup,
-        "q38_clean_pipeline": q38_clean_pipeline,
-        "q40_distinct_users": q40_distinct_users,
-        "q42_value_percentiles": q42_value_percentiles,
-        "q44_label_centroids": q44_label_centroids,
-        "q45_rolling_hash": q45_rolling_hash,
-        "q46_semantic_search": q46_semantic_search,
-        "q48_rollup_revenue": q48_rollup_revenue,
-        "q50_semi_anti_join": q50_semi_anti_join,
-        "q120_classifier_margin_gate": q120_classifier_margin_gate,
-        "q121_kcenter_cover_gate": q121_kcenter_cover_gate,
-        "q117_compaction_roundtrip": q117_compaction_roundtrip,
-        "q112_lsh_join_gate": q112_lsh_join_gate,
-        "q115_semdedup_gate": q115_semdedup_gate,
-        "q113_hll_gate": q113_hll_gate,
-        "q114_quantile_gate": q114_quantile_gate,
-        "q89_salted_join": q89_salted_join,
-        "q90_maxsim_retrieval": q90_maxsim_retrieval,
-        "q91_distinct_users_daily": q91_distinct_users_daily,
-        "q92_props_map_stats": q92_props_map_stats,
-        "q93_tfidf_keywords": q93_tfidf_keywords,
-        "q94_incremental_dedup": q94_incremental_dedup,
-        "q95_bigram_lm_score": q95_bigram_lm_score,
-        "q98_bloom_semi_join": q98_bloom_semi_join,
-        "q100_heavy_hitters": q100_heavy_hitters,
-        "q102_fuzzy_part_names": q102_fuzzy_part_names,
-        "q65_event_rollup": q65_event_rollup,
-        "q122_rollup_incremental": q122_rollup_incremental,
-        "q123_funnel_steps": q123_funnel_steps,
-        "q124_retention_cohorts": q124_retention_cohorts,
-        "q125_volume_anomalies": q125_volume_anomalies,
-        "q126_sql_nation_volume": q126_sql_nation_volume,
-        "q128_custdist": q128_custdist,
-        "q129_promo_revenue": q129_promo_revenue,
-        "q130_returned_items": q130_returned_items,
-        "q131_disjunctive_revenue": q131_disjunctive_revenue,
-        "q132_merge_upsert": q132_merge_upsert,
-        "q133_scd2_history": q133_scd2_history,
-        "q08_index_roundtrip": q08_index_roundtrip,
-        "q09_dedup_exact": q09_dedup_exact,
-        "q10_threshold_join": q10_threshold_join,
     }
 
 
