@@ -1,0 +1,81 @@
+"""Driver-sample byte cap for the fit paths (VERDICT r5 item 5).
+
+Several fit routines (IVF/cell k-means, PCA, RP-tree thresholds, PQ
+codebooks, embedding-dedup cells) train on a bounded driver-side sample —
+the standard production pattern (centroid quality converges long before
+the sample exhausts the corpus). The bound was a ROW count, though, so at
+high dimension the byte volume grew silently: 262,144 rows at d=768
+float64 is ~1.6 GB on the driver.
+
+This module makes the bound a BYTE cap:
+
+- :func:`capped_rows` shrinks a requested sample row count so the driver
+  allocation stays under the cap (default 256 MiB, override with the
+  ``SPARK_GRAFT_FIT_SAMPLE_CAP`` env var or a ``cap`` argument), with a
+  quality floor of :data:`MIN_ROWS` rows — below that a k-means/median
+  fit is noise, and MIN_ROWS * d * 8 bytes is small at any d this engine
+  targets (d=4096 -> 32 MiB).
+- fit="auto" callers (``build_ivf``, ``train_pca``) use
+  :func:`over_cap` to decide between the driver-sample fit and a fully
+  distributed fit (MLlib KMeans / covariance-based PCA) instead of
+  shrinking: above the cap the distributed route is both bounded on the
+  driver AND sees the whole corpus.
+- every decision is recorded in :data:`last_fit` (site -> rows/dim/bytes/
+  route) so tests can assert the driver allocation without monkeypatching
+  internals.
+
+Scale shape: nothing here touches the data path — assignment/encoding
+passes stay the same Arrow-batched GEMM maps regardless of how the model
+was fit. The cap only governs the one driver allocation a fit makes.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_CAP_BYTES = 256 << 20  # 256 MiB
+MIN_ROWS = 1024  # quality floor: never fit on fewer rows than this
+_BYTES_PER_VAL = 8  # fits stack samples as float64
+
+#: site -> {"rows", "dim", "bytes", "route"} for the most recent fit
+#: decision per call site (introspection for tests and diagnostics).
+last_fit: dict[str, dict] = {}
+
+
+def cap_bytes(cap: int | None = None) -> int:
+    """Resolve the effective cap: explicit arg > env var > default."""
+    if cap is not None:
+        return int(cap)
+    return int(os.environ.get("SPARK_GRAFT_FIT_SAMPLE_CAP", DEFAULT_CAP_BYTES))
+
+
+def vector_dim(df, vec_col: str = "vec") -> int:
+    """Dimension of ``vec_col`` from one driver row (scalar collect)."""
+    from pyspark.sql import functions as F
+
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimension: {vec_col!r} has no rows")
+    return int(row["d"])
+
+
+def capped_rows(requested: int, dim: int, cap: int | None = None) -> int:
+    """Largest sample row count <= ``requested`` within the byte cap
+    (floored at MIN_ROWS — the floor may exceed a tiny cap by design)."""
+    c = cap_bytes(cap)
+    return min(int(requested), max(MIN_ROWS, c // (dim * _BYTES_PER_VAL)))
+
+
+def over_cap(requested: int, dim: int, cap: int | None = None) -> bool:
+    """True when the REQUESTED sample would blow the byte cap — the
+    fit="auto" signal to take a distributed fit instead of a sample."""
+    return int(requested) * dim * _BYTES_PER_VAL > cap_bytes(cap)
+
+
+def record(site: str, rows: int, dim: int, route: str) -> None:
+    last_fit[site] = {
+        "rows": int(rows),
+        "dim": int(dim),
+        "bytes": int(rows) * dim * _BYTES_PER_VAL if route != "distributed" else 0,
+        "route": route,
+    }

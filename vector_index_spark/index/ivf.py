@@ -70,7 +70,7 @@ def build_ivf(
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "vec",
-    fit: str = "sample",
+    fit: str = "auto",
     sample_size: int = 262_144,
     iters: int = 20,
     replicas: int = 1,
@@ -78,12 +78,24 @@ def build_ivf(
     """Fit centroids and post every corpus row to its ``replicas`` nearest
     cells.
 
+    ``fit="auto"`` (the default) takes the driver-sample Lloyd's fit when
+    sample_size x d x 8 bytes fits the fitcap byte cap (identical to the
+    old ``fit="sample"`` behavior at every in-repo fixture dimension) and
+    switches to the fully distributed MLlib KMeans fit above it — at
+    d=768 the old row-bounded sample was ~1.6 GB on the driver
+    (VERDICT r5 item 5).
+
     Returns (assigned, centroids): assigned = (centroid_id, id, vec) with
     ``replicas`` rows per corpus vector, centroids = (centroid_id, vec).
     Persist ``assigned`` partitioned by centroid_id for partition-pruned
     probing at scale.
     """
+    from vector_index_spark.index import fitcap
+
     spark = train.sparkSession
+    if fit == "auto":
+        dim = fitcap.vector_dim(train, vec_col)
+        fit = "mllib" if fitcap.over_cap(sample_size, dim) else "sample"
     if fit == "mllib":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -91,6 +103,7 @@ def build_ivf(
         feat = train.select(array_to_vector(F.col(vec_col)).alias("features"))
         model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
         centers = np.array(model.clusterCenters(), dtype=np.float64)
+        fitcap.record("ivf", 0, centers.shape[1], "distributed")
     elif fit == "sample":
         sample = (
             train.select(F.col(vec_col).alias("vec"))
@@ -99,8 +112,9 @@ def build_ivf(
         )
         X = np.stack(sample.to_numpy()).astype(np.float64)
         centers = _kmeans(X, n_centroids, iters, seed)
+        fitcap.record("ivf", len(X), X.shape[1], "sample")
     else:
-        raise ValueError(f"fit must be 'sample' or 'mllib', got {fit!r}")
+        raise ValueError(f"fit must be 'auto', 'sample' or 'mllib', got {fit!r}")
 
     if not 1 <= replicas <= len(centers):
         raise ValueError(f"replicas must be in [1, {len(centers)}], got {replicas}")

@@ -65,12 +65,17 @@ def build_ivfpq(
     ).astype(np.float64)
 
     # codebooks on a bounded residual sample (primary assignment only —
-    # replica rows are the same vectors with worse-fitting residuals)
+    # replica rows are the same vectors with worse-fitting residuals);
+    # byte-capped at high d like every fit sample (fitcap)
+    from vector_index_spark.index import fitcap
+
+    _dim = int(C.shape[1])
     sample = (
         assigned.select("centroid_id", F.col("vec"))
-        .limit(sample_size)
+        .limit(fitcap.capped_rows(sample_size, _dim))
         .toPandas()
     )
+    fitcap.record("ivfpq_codebooks", len(sample), _dim, "sample")
     R = (
         np.stack(sample["vec"].to_numpy()).astype(np.float64)
         - C[sample["centroid_id"].to_numpy(dtype=np.int64)]

@@ -41,22 +41,55 @@ def train_pca(
     sample_size: int = 262_144,
     seed: int = 42,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit an orthonormal top-``dim_out`` PCA basis on a bounded sample.
+    """Fit an orthonormal top-``dim_out`` PCA basis.
 
-    Returns (mean[d], components[dim_out, d]). Deterministic: fixed
-    sample, `eigh` (ascending eigenvalues), and a sign convention
-    (largest-|component| coordinate made positive per vector).
+    When sample_size x d x 8 bytes fits the fitcap byte cap, the fit is
+    the bounded driver-sample covariance eigendecomposition (bit-
+    identical to the pre-cap behavior). Above the cap (VERDICT r5 item
+    5: 262,144 rows at d=768 was ~1.6 GB on the driver) it switches to
+    the fully distributed fit: MLlib PCA (covariance accumulated
+    executor-side via treeAggregate, O(d^2) on the driver) plus a
+    Summarizer.mean pass — the fit then sees EVERY row instead of a
+    sample, with driver memory independent of corpus size.
+
+    Returns (mean[d], components[dim_out, d]). Deterministic either way:
+    fixed sample / exact moments, and a sign convention
+    (largest-|component| coordinate made positive per vector) applied to
+    whichever eigensolver produced the basis.
     """
-    sample = train.select(F.col(vec_col).alias("v")).limit(sample_size).toPandas()["v"]
-    X = np.stack(sample.to_numpy()).astype(np.float64)
-    if not 1 <= dim_out <= X.shape[1]:
-        raise ValueError(f"dim_out must be in [1, {X.shape[1]}], got {dim_out}")
-    mean = X.mean(axis=0)
-    C = np.cov(X - mean, rowvar=False)
-    w, V = np.linalg.eigh(C)
-    comp = V[:, np.argsort(w)[::-1][:dim_out]].T  # (dim_out, d), orthonormal
+    from vector_index_spark.index import fitcap
+
+    d = fitcap.vector_dim(train, vec_col)
+    if not 1 <= dim_out <= d:
+        raise ValueError(f"dim_out must be in [1, {d}], got {dim_out}")
+    if fitcap.over_cap(sample_size, d):
+        from pyspark.ml.feature import PCA as MlPCA
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Summarizer
+
+        feat = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+        mean = (
+            feat.select(Summarizer.mean(F.col("features")).alias("m"))
+            .first()["m"]
+            .toArray()
+            .astype(np.float64)
+        )
+        model = MlPCA(k=dim_out, inputCol="features", outputCol="p").fit(feat)
+        comp = model.pc.toArray().astype(np.float64).T  # (dim_out, d)
+        fitcap.record("pca", 0, d, "distributed")
+    else:
+        sample = (
+            train.select(F.col(vec_col).alias("v")).limit(sample_size).toPandas()["v"]
+        )
+        X = np.stack(sample.to_numpy()).astype(np.float64)
+        mean = X.mean(axis=0)
+        C = np.cov(X - mean, rowvar=False)
+        fitcap.record("pca", len(X), d, "sample")
+        w, V = np.linalg.eigh(C)
+        comp = V[:, np.argsort(w)[::-1][:dim_out]].T  # (dim_out, d), orthonormal
     # sign convention for cross-platform determinism
     flip = np.sign(comp[np.arange(dim_out), np.abs(comp).argmax(axis=1)])
+    flip[flip == 0.0] = 1.0
     comp = comp * flip[:, None]
     return mean, comp
 

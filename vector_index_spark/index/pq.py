@@ -50,12 +50,16 @@ def train_pq(
 
     Returns an array (n_subspaces, n_centroids, sub_dim) — kilobytes, safe
     to broadcast."""
+    from vector_index_spark.index import fitcap
+
+    _dim = fitcap.vector_dim(train, vec_col)
     sample = (
         train.select(F.col(vec_col).alias("vec"))
-        .limit(sample_size)
+        .limit(fitcap.capped_rows(sample_size, _dim))
         .toPandas()["vec"]
     )
     X = np.stack(sample.to_numpy()).astype(np.float64)
+    fitcap.record("pq", len(X), _dim, "sample")
     dim = X.shape[1]
     if dim % n_subspaces:
         raise ValueError(f"dimension {dim} not divisible by {n_subspaces} subspaces")

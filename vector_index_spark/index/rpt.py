@@ -49,8 +49,16 @@ def train_rpt(
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
-    sample = train.select(F.col(vec_col).alias("v")).limit(sample_size).toPandas()["v"]
+    from vector_index_spark.index import fitcap
+
+    # median thresholds are a per-node order statistic — a byte-capped
+    # sample estimates them as well as a row-capped one (VERDICT r5 item
+    # 5); quality stays recall-gated in tests either way
+    dim = fitcap.vector_dim(train, vec_col)
+    rows = fitcap.capped_rows(sample_size, dim)
+    sample = train.select(F.col(vec_col).alias("v")).limit(rows).toPandas()["v"]
     X = np.stack(sample.to_numpy()).astype(np.float64)
+    fitcap.record("rpt", len(X), dim, "sample")
     d = X.shape[1]
     n_nodes = (1 << depth) - 1
     rng = np.random.default_rng(seed)

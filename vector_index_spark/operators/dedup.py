@@ -502,9 +502,18 @@ def embedding_near_dup(
         "id",
     )
 
-    # fit cells on a bounded normalized sample (the ivf pattern)
-    sample = vin.select("vec").limit(sample_size).toPandas()["vec"]
+    # fit cells on a bounded normalized sample (the ivf pattern); the
+    # byte cap bounds the driver allocation at high d (VERDICT r5 item
+    # 5) — cell quality only affects pair-graph sparsity, never the
+    # output set, which is threshold-exact regardless
+    from vector_index_spark.index import fitcap
+
+    _dim = fitcap.vector_dim(vin, "vec")
+    sample = (
+        vin.select("vec").limit(fitcap.capped_rows(sample_size, _dim)).toPandas()["vec"]
+    )
     X = np.stack(sample.to_numpy()).astype(np.float64)
+    fitcap.record("embedding_near_dup", len(X), _dim, "sample")
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0.0] = 1.0
     centers = _kmeans(X / norms[:, None], min(n_cells, len(X)), 20, seed)
