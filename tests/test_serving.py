@@ -378,3 +378,78 @@ def test_serving_refresh_after_append(spark, tmp_path):
     assert refreshed == rebuilt  # pack is deterministic per shard
     idx.unpersist()
     cold.unpersist()
+
+
+def test_serving_survives_cache_eviction(served):
+    """Failure drill (VERDICT r5 item 6): executor loss drops cached blob
+    partitions; Spark recomputes them from lineage. Simulate the eviction
+    with a blocking unpersist of the live blob relation mid-serving and
+    assert both the recomputed blobs and the query answers are
+    byte-identical to the warm run."""
+    _, _, test, idx = served
+    queries = test.limit(10)
+
+    before_rows = sorted(tuple(r) for r in idx.query(queries, K).collect())
+    before_blobs = {r.shard: bytes(r.blob) for r in idx.blobs.collect()}
+
+    # evict every cached partition; the relation itself stays live
+    idx.blobs.unpersist(blocking=True)
+
+    after_rows = sorted(tuple(r) for r in idx.query(queries, K).collect())
+    after_blobs = {r.shard: bytes(r.blob) for r in idx.blobs.collect()}
+
+    assert after_rows == before_rows
+    assert after_blobs == before_blobs
+    # leave the fixture warm for any later test
+    idx.blobs.persist()
+    idx.warm()
+
+
+def test_stream_serving_replayed_batch_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a failure between a batch's write
+    and its checkpoint commit replays the batch on restart. The serving
+    sink writes OVERWRITE into batch_id partitions, so a replay must
+    leave the output byte-identical — drill it by wiping the checkpoint
+    (forcing a full replay of every batch) and re-running the stream over
+    the same source into the same output path."""
+    import shutil
+
+    from vector_index_spark.index.persistence import save_index
+    from vector_index_spark.streaming.ingest import stream_ann_query
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    edges = build_graph_index(train, PARAMS)
+    vectors = assign_shards(train, PARAMS.sub_index_bound)
+    idx_path = str(tmp_path / "index")
+    save_index(vectors, edges, PARAMS, idx_path)
+
+    src = str(tmp_path / "queries")
+    queries.write.parquet(src)
+    qstream = spark.readStream.schema("qid long, vec array<float>").parquet(src)
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    assert stream_ann_query(
+        qstream, idx_path, out, ckpt, K
+    ).awaitTermination(300), "first run did not drain"
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) > 0
+
+    # lost checkpoint -> every batch replays into the same partitions
+    shutil.rmtree(ckpt)
+    qstream2 = spark.readStream.schema("qid long, vec array<float>").parquet(src)
+    assert stream_ann_query(
+        qstream2, idx_path, out, ckpt, K
+    ).awaitTermination(300), "replay run did not drain"
+    replayed = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first
