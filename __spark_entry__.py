@@ -696,6 +696,44 @@ def q149_simhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q150_ivfpq_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for warm IVF-PQ serving (index/serving.
+    IvfPqServingIndex, round 6): the resident-blob path must answer
+    byte-identically to the per-batch ivfpq_knn path on the SAME built
+    index — same (qid, rank) -> (id, dist) assignment for every query.
+    The gate full-outer-joins the two result relations on (qid, rank)
+    and aggregates mismatches; the oracle pins n_queries/n_rows and
+    parity_ok=true. A serving divergence (ADC kernel drift, pruned-cell
+    bug, tie-order change) breaks the hash."""
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    enc, cents, books = build_ivfpq(
+        train, n_centroids=16, n_subspaces=8, n_pq_centroids=16, replicas=2
+    )
+    enc = enc.localCheckpoint(eager=True)  # one encode pass, both paths
+    batch = ivfpq_knn(test, enc, cents, books, train, K, nprobe=12,
+                      candidate_factor=32)
+    sidx = IvfPqServingIndex(enc, cents, books, train).warm()
+    warm = sidx.query(test, K, nprobe=12, candidate_factor=32)
+    j = warm.alias("w").join(
+        batch.alias("b"), ["qid", "rank"], "full_outer"
+    )
+    return j.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(
+            F.when(
+                F.col("w.id").eqNullSafe(F.col("b.id"))
+                & (F.round(F.col("w.dist"), 6).eqNullSafe(
+                    F.round(F.col("b.dist"), 6))),
+                0,
+            ).otherwise(1)
+        ) == 0).alias("parity_ok"),
+    )
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -3018,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check is older than round 4. Behind the window: r4 greens first
     # (stalest next round), then r5.
         "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q150_ivfpq_serving_parity_gate": q150_ivfpq_serving_parity_gate,
         "q03_knn_ids": q03_knn_ids,
         "q04_knn_join": q04_knn_join,
         "q05_shard_stats": q05_shard_stats,
@@ -3185,6 +3224,12 @@ def oracle_sql() -> dict[str, str]:
         "q106_pq_recall_gate": _recall_gate_oracle(0.9),
         "q107_sq_recall_gate": _recall_gate_oracle(0.98),
         "q108_ivfpq_recall_gate": _recall_gate_oracle(0.85),
+        "q150_ivfpq_serving_parity_gate": """
+            SELECT count(*) AS n_queries,
+                   count(*) * 10 AS n_rows,
+                   true AS parity_ok
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
         "q109_pca_recall_gate": _recall_gate_oracle(0.4),
         "q110_rpt_recall_gate": _recall_gate_oracle(0.12),
         "q111_hamming_recall_gate": _recall_gate_oracle(0.7),

@@ -130,6 +130,25 @@ def main() -> None:
         sidx.query(serving, K, nprobe=8).count()
         t_serve_warm = time.perf_counter() - t0
 
+        # sustained QPS (VERDICT r5 item 7): N distinct 10-query batches
+        # back-to-back through the same warm index — a per-batch leak
+        # (broadcast accumulation, cache growth, task-count creep) shows
+        # up as a positive latency slope; a healthy steady state is flat.
+        n_sustained = int(os.environ.get("SPARK_GRAFT_SUSTAINED", "50"))
+        lat = []
+        if n_sustained:
+            batches = [
+                test.filter(F.col("qid") % n_sustained == i)
+                .limit(10)
+                .localCheckpoint(eager=True)
+                for i in range(n_sustained)
+            ]
+            for b in batches:
+                t0 = time.perf_counter()
+                sidx.query(b, K, nprobe=8).count()
+                lat.append(time.perf_counter() - t0)
+        lat_sorted = sorted(lat)
+
         row = {
             "rows": n,
             "shards": -(-n // params.sub_index_bound),
@@ -145,6 +164,24 @@ def main() -> None:
             "serving_warmup_s": round(t_warmup, 2),
             "serving_warm_10q_s": round(t_serve_warm, 2),
         }
+        if lat:
+            half = len(lat) // 2
+            row.update(
+                {
+                    "sustained_batches": len(lat),
+                    "sustained_first_s": round(lat[0], 2),
+                    "sustained_median_s": round(lat_sorted[half], 2),
+                    "sustained_p90_s": round(lat_sorted[int(len(lat) * 0.9)], 2),
+                    "sustained_last_s": round(lat[-1], 2),
+                    # mean of second half minus mean of first half: a
+                    # per-batch leak shows as a clearly positive delta
+                    "sustained_drift_s": round(
+                        sum(lat[half:]) / (len(lat) - half)
+                        - sum(lat[:half]) / half,
+                        3,
+                    ),
+                }
+            )
         rows.append(row)
         print(json.dumps(row), flush=True)
         sidx.unpersist()
