@@ -453,3 +453,81 @@ def test_stream_serving_replayed_batch_idempotent(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(out).collect()
     )
     assert replayed == first
+
+
+def test_rpt_serving_matches_rpt_knn(spark, vecs):
+    """RptServingIndex byte parity with the batch rpt_knn path: same
+    `_probe_leaves` walk (driver numpy vs pandas UDF — identical float64
+    math), same `gemm_topk_frame` leaf kernel, same (dist, id) window.
+    Unlike the PQ/SQ classes there is no coverage granularity to differ
+    on — leaves partition the corpus — so parity is exact at every
+    probe count."""
+    from vector_index_spark.index.rpt import assign_rpt, rpt_knn, train_rpt
+    from vector_index_spark.index.serving import RptServingIndex
+
+    train, test = vecs
+    W, T = train_rpt(train, depth=3)
+    assigned = assign_rpt(train, W, T).localCheckpoint(eager=True)
+    sidx = RptServingIndex(assigned, W, T).warm()
+    for probes in (2, 4):
+        batch = sorted(
+            map(tuple, rpt_knn(test, assigned, W, T, K, probes=probes).collect())
+        )
+        warm = sorted(map(tuple, sidx.query(test, K, probes=probes).collect()))
+        assert warm == batch
+    sidx.unpersist()
+
+
+def test_rpt_serving_plan_prunes_unprobed_leaves(spark, vecs):
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import RptServingIndex
+
+    train, test = vecs
+    W, T = train_rpt(train, depth=3)
+    assigned = assign_rpt(train, W, T).localCheckpoint(eager=True)
+    sidx = RptServingIndex(assigned, W, T).warm()
+    plan = sidx.query(test.limit(3), K, probes=2)._jdf.queryExecution().executedPlan().toString()
+    assert "leaf" in plan and ("IN (" in plan or "isin" in plan.lower() or "leaf#" in plan)
+    sidx.unpersist()
+
+
+def test_pca_serving_matches_pca_knn(spark, vecs):
+    """PcaServingIndex parity with the batch pca_knn path at full
+    candidate coverage (both exact; pins the shared shortlist-refine
+    kernel and tie order), recall-floored at a normal factor — the PQ/SQ
+    serving contract. Distances compare to 1e-12 RELATIVE, not bytes:
+    the two paths feed the shared kernel different matrix SHAPES (per
+    Arrow batch vs per resident blob), and BLAS block-accumulation order
+    differs by the last ulp on the exact refine GEMM — (qid, rank, id)
+    must still agree exactly."""
+    from vector_index_spark.index.pca import pca_knn, project_pca, train_pca
+    from vector_index_spark.index.serving import PcaServingIndex
+    from vector_index_spark.operators.knn_fast import knn_fast
+
+    train, test = vecs
+    n = train.count()
+    mean, comp = train_pca(train, 16)
+    projected = project_pca(train, mean, comp).localCheckpoint(eager=True)
+    full = (n + K - 1) // K
+    batch = sorted(
+        map(
+            tuple,
+            pca_knn(
+                test, projected, mean, comp, K, candidate_factor=full
+            ).collect(),
+        )
+    )
+    sidx = PcaServingIndex(projected, mean, comp).warm()
+    warm = sorted(
+        map(tuple, sidx.query(test, K, candidate_factor=full).collect())
+    )
+    assert [r[:3] for r in warm] == [r[:3] for r in batch]
+    import math
+
+    assert all(
+        math.isclose(w[3], b[3], rel_tol=1e-12, abs_tol=1e-12)
+        for w, b in zip(warm, batch)
+    )
+    exact = knn_fast(test, train, K).collect()
+    assert _recall(sidx.query(test, K, candidate_factor=8).collect(), exact) >= 0.9
+    sidx.unpersist()

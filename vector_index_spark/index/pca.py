@@ -154,6 +154,53 @@ def pca_knn(
     )
 
 
+def pca_shortlist_refine(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    qsq: np.ndarray,
+    PQ_: np.ndarray,
+    pqsq: np.ndarray,
+    ids: np.ndarray,
+    P: np.ndarray,
+    stack_vecs,
+    k: int,
+    ncand: int,
+) -> pd.DataFrame:
+    """THE pca scan kernel — reduced-space GEMM shortlist, exact full-dim
+    refine on shortlisted rows only, per-query top-k by exact distance.
+    Shared by the batch route (`pca_knn`) and `PcaServingIndex` so their
+    float64 results are bit-identical by construction (same trick as
+    cellscan.gemm_topk_frame). ``stack_vecs(uniq)`` lazily materializes
+    the raw vectors for the shortlisted row positions — a column slice in
+    the batch path, a pre-unpickled matrix slice in the serving path."""
+    nq = len(qids)
+    qcols = np.arange(nq)
+    psq = (P * P).sum(axis=1)
+    # filter: reduced-space distances, (batch, Q) in one GEMM
+    D = psq[:, None] + pqsq[None, :] - 2.0 * (P @ PQ_.T)
+    kk = min(ncand, len(ids))
+    part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
+    # refine: exact full-dim distances on only the shortlisted rows
+    uniq = np.unique(part)
+    Xc = stack_vecs(uniq)
+    E = (Xc * Xc).sum(1)[:, None] + qsq[None, :] - 2.0 * (Xc @ Q.T)
+    np.maximum(E, 0.0, out=E)
+    pos = np.empty(len(ids), dtype=np.int64)
+    pos[uniq] = np.arange(len(uniq))
+    Ecand = E[pos[part], qcols[None, :]]  # (kk, Q) exact, per-query cands
+    kf = min(k, kk)
+    sel = np.argpartition(Ecand, kf - 1, axis=0)[:kf]  # (kf, Q)
+    rows = part[sel, qcols[None, :]]
+    dist = Ecand[sel, qcols[None, :]]
+    return pd.DataFrame(
+        {
+            "qid": np.repeat(qids, kf),
+            "id": ids[rows.T.reshape(-1)],
+            "dist": dist.T.reshape(-1),
+        }
+    )
+
+
 def _pca_knn_batch(
     test: DataFrame,
     projected: DataFrame,
@@ -178,36 +225,17 @@ def _pca_knn_batch(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qids, b_Q, b_qsq, b_PQ, b_pqsq = bc.value
-        nq = len(b_qids)
-        qcols = np.arange(nq)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             P = np.stack(pdf["pvec"].to_numpy())
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            psq = (P * P).sum(axis=1)
-            # filter: reduced-space distances, (batch, Q) in one GEMM
-            D = psq[:, None] + b_pqsq[None, :] - 2.0 * (P @ b_PQ.T)
-            kk = min(ncand, len(ids))
-            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, Q)
-            # refine: exact full-dim distances on only the shortlisted rows
-            uniq = np.unique(part)
-            Xc = np.stack(pdf["vec"].to_numpy()[uniq])
-            E = (Xc * Xc).sum(1)[:, None] + b_qsq[None, :] - 2.0 * (Xc @ b_Q.T)
-            np.maximum(E, 0.0, out=E)
-            pos = np.empty(len(ids), dtype=np.int64)
-            pos[uniq] = np.arange(len(uniq))
-            Ecand = E[pos[part], qcols[None, :]]  # (kk, Q) exact, per-query cands
-            kf = min(k, kk)
-            sel = np.argpartition(Ecand, kf - 1, axis=0)[:kf]  # (kf, Q)
-            rows = part[sel, qcols[None, :]]
-            dist = Ecand[sel, qcols[None, :]]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(b_qids, kf),
-                    "id": ids[rows.T.reshape(-1)],
-                    "dist": dist.T.reshape(-1),
-                }
+
+            def stack_vecs(uniq, pdf=pdf):
+                return np.stack(pdf["vec"].to_numpy()[uniq])
+
+            yield pca_shortlist_refine(
+                b_qids, b_Q, b_qsq, b_PQ, b_pqsq, ids, P, stack_vecs, k, ncand
             )
 
     partial = projected.mapInPandas(scan, "qid long, id long, dist double")

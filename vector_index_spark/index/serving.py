@@ -940,3 +940,267 @@ class IvfPqServingIndex:
         return _rerank_exact(
             shortlist, self._train, t, k, self._id_col, self._vec_col
         )
+
+
+LEAF_BLOB_SCHEMA = "leaf long, n_vectors long, blob binary"
+
+
+def _pack_leaf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["leaf", "n_vectors", "blob"])
+    pdf = pdf.sort_values("id")
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "leaf": [int(key[0])],
+            "n_vectors": [len(ids)],
+            "blob": [pickle.dumps((ids, X), protocol=pickle.HIGHEST_PROTOCOL)],
+        }
+    )
+
+
+class RptServingIndex:
+    """Warm serving for the RP-tree route: the ``assigned`` relation of
+    :func:`~vector_index_spark.index.rpt.assign_rpt` packs into resident
+    (leaf, ids, matrix) blobs; the tree itself (normals, thresholds —
+    kilobytes) stays resident on the driver, so a query batch costs a
+    driver-side best-first probe walk, a GEMM map over the probed cached
+    leaves (batch-stat pruned like every serving class), and the small
+    (dist, id) merge. Answers are byte-identical to
+    :func:`~vector_index_spark.index.rpt.rpt_knn` — the SAME
+    `_probe_leaves` walk picks the probe sets and the SAME
+    `gemm_topk_frame` kernel scores each leaf (asserted in
+    tests/test_serving.py). Leaves partition the corpus (no replicas),
+    so no dedup step is needed before the ranking window."""
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        normals,
+        thresholds,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        spark = assigned.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._W = np.asarray(normals, dtype=np.float64)
+        self._T = np.asarray(thresholds, dtype=np.float64)
+        self._depth = int(np.log2(len(self._W) + 1))
+        self.blobs = (
+            assigned.select("leaf", "id", "vec")
+            .groupBy("leaf")
+            .applyInPandas(_pack_leaf, LEAF_BLOB_SCHEMA)
+            .repartition(self._n_serve)
+            .persist(storage_level)
+        )
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "RptServingIndex":
+        self.n_leaves = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        probes: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+    ) -> DataFrame:
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t, lambda chunk: self._query_batch(chunk, k, probes),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(self, t: DataFrame, k: int, probes: int) -> DataFrame:
+        from vector_index_spark.index.rpt import _probe_leaves
+
+        spark = self._spark
+        pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        acc: dict[int, list[int]] = {}
+        for qi in range(len(Q)):
+            # sorted-set normalization matches rpt_knn's probe UDF
+            for leaf in sorted(set(_probe_leaves(
+                Q[qi], self._W, self._T, self._depth, probes
+            ))):
+                acc.setdefault(int(leaf), []).append(qi)
+        assign = {lf: np.asarray(ix, dtype=np.int64) for lf, ix in acc.items()}
+        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        self._live_bcs.append(bc)
+
+        def search(batches):
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+
+            for pdf_b in batches:
+                q_ids, q_mat, asg = bc.value
+                frames = []
+                for leaf, blob in zip(pdf_b["leaf"], pdf_b["blob"]):
+                    ix = asg.get(int(leaf))
+                    if ix is None or len(ix) == 0:
+                        continue
+                    ids, X = pickle.loads(blob)
+                    frames.append(
+                        gemm_topk_frame(q_ids[ix], q_mat[ix], ids, X, k)
+                    )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame({"qid": [], "id": [], "dist": []})
+                )
+
+        probed = sorted(assign)
+        per_leaf = (
+            self.blobs.filter(F.col("leaf").isin(probed))
+            .mapInPandas(search, RESULT_SCHEMA)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            per_leaf.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
+        )
+
+
+class PcaServingIndex:
+    """Warm serving for the PCA filter-and-refine route: the ``projected``
+    relation (id, vec, pvec — raw vector co-located with its reduction,
+    the route's DiskANN-style layout) packs into resident
+    (ids, reduced-matrix, raw-matrix) blobs; the basis (mean, components)
+    stays on the driver. A query batch broadcasts its projected query
+    matrix and runs THE shared `pca_shortlist_refine` kernel over every
+    cached blob — identical math to the batch route, so results are
+    byte-identical whenever the candidate coverage matches; at partial
+    coverage the candidate set is blob- vs Arrow-batch-granular (same
+    contract as the PQ/SQ serving classes; recall-floored in tests)."""
+
+    def __init__(
+        self,
+        projected: DataFrame,
+        mean,
+        components,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        spark = projected.sparkSession
+        self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._mean = np.asarray(mean, dtype=np.float64)
+        self._comp = np.asarray(components, dtype=np.float64)
+        n = self._n_serve
+
+        def pack(batches):
+            rows = []
+            for pdf in batches:
+                if len(pdf):
+                    rows.append(pdf)
+            if not rows:
+                return
+            pdf = pd.concat(rows, ignore_index=True).sort_values("id")
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            P = np.stack(pdf["pvec"].to_numpy()).astype(np.float64)
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "part": [int(ids[0]) % n],  # informational only
+                    "n_vectors": [len(ids)],
+                    "blob": [pickle.dumps((ids, P, X),
+                                          protocol=pickle.HIGHEST_PROTOCOL)],
+                }
+            )
+
+        self.blobs = (
+            projected.select("id", "vec", "pvec")
+            .repartition(self._n_serve)
+            .mapInPandas(pack, CODE_BLOB_SCHEMA)
+            .persist(storage_level)
+        )
+        self._spark = spark
+        self._live_bcs: list = []
+
+    def warm(self) -> "PcaServingIndex":
+        self.n_blobs = self.blobs.count()
+        return self
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+
+    def query(
+        self,
+        test: DataFrame,
+        k: int,
+        candidate_factor: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+    ) -> DataFrame:
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        return chunked_over_queries(
+            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            max_queries_per_batch,
+        )
+
+    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+        from vector_index_spark.index.pca import pca_shortlist_refine
+
+        spark = self._spark
+        tp = t.toPandas()
+        if len(tp) == 0:
+            return spark.createDataFrame([], "qid long, rank int, id long, dist double")
+        qids = tp["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
+        qsq = (Q * Q).sum(axis=1)
+        PQ_ = (Q - self._mean[None, :]) @ self._comp.T
+        pqsq = (PQ_ * PQ_).sum(axis=1)
+        bc = spark.sparkContext.broadcast((qids, Q, qsq, PQ_, pqsq))
+        self._live_bcs.append(bc)
+        ncand = candidate_factor * k
+
+        def scan(batches):
+            b_qids, b_Q, b_qsq, b_PQ, b_pqsq = bc.value
+            for pdf_b in batches:
+                for blob in pdf_b["blob"]:
+                    ids, P, X = pickle.loads(blob)
+                    yield pca_shortlist_refine(
+                        b_qids, b_Q, b_qsq, b_PQ, b_pqsq,
+                        ids, P, lambda uniq, X=X: X[uniq], k, ncand,
+                    )
+
+        partial = self.blobs.mapInPandas(scan, RESULT_SCHEMA)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
+        )
