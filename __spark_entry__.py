@@ -734,6 +734,38 @@ def q150_ivfpq_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q151_rpt_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for warm RP-tree serving (index/serving.
+    RptServingIndex, round 6): byte parity with the batch rpt_knn path
+    at every probe count — same `_probe_leaves` walk, same
+    `gemm_topk_frame` leaf kernel, same (dist, id) window; leaves
+    partition the corpus so parity is exact, not coverage-dependent.
+    (The reference's own sweep harness, example/example.py:37-63, prints
+    total_hit + MEAN us/query only — q32 mirrors that table; per-query
+    latency distributions belong to the serving regime and are measured
+    as sustained-batch percentiles in tools/stress_scale.py.)"""
+    from vector_index_spark.index.rpt import assign_rpt, rpt_knn, train_rpt
+    from vector_index_spark.index.serving import RptServingIndex
+
+    train, test = _train(spark, sf_dir), _test(spark, sf_dir)
+    W, T = train_rpt(train, depth=3)
+    assigned = assign_rpt(train, W, T).localCheckpoint(eager=True)
+    batch = rpt_knn(test, assigned, W, T, K, probes=3)
+    warm = RptServingIndex(assigned, W, T).warm().query(test, K, probes=3)
+    j = warm.alias("w").join(batch.alias("b"), ["qid", "rank"], "full_outer")
+    return j.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(
+            F.when(
+                F.col("w.id").eqNullSafe(F.col("b.id"))
+                & F.col("w.dist").eqNullSafe(F.col("b.dist")),
+                0,
+            ).otherwise(1)
+        ) == 0).alias("parity_ok"),
+    )
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -3057,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (stalest next round), then r5.
         "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
         "q150_ivfpq_serving_parity_gate": q150_ivfpq_serving_parity_gate,
+        "q151_rpt_serving_parity_gate": q151_rpt_serving_parity_gate,
         "q03_knn_ids": q03_knn_ids,
         "q04_knn_join": q04_knn_join,
         "q05_shard_stats": q05_shard_stats,
@@ -3225,6 +3258,12 @@ def oracle_sql() -> dict[str, str]:
         "q107_sq_recall_gate": _recall_gate_oracle(0.98),
         "q108_ivfpq_recall_gate": _recall_gate_oracle(0.85),
         "q150_ivfpq_serving_parity_gate": """
+            SELECT count(*) AS n_queries,
+                   count(*) * 10 AS n_rows,
+                   true AS parity_ok
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        "q151_rpt_serving_parity_gate": """
             SELECT count(*) AS n_queries,
                    count(*) * 10 AS n_rows,
                    true AS parity_ok
