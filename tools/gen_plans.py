@@ -173,6 +173,40 @@ def main() -> None:
         ),
     ]
 
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex, ServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train, params)
+    vectors = assign_shards(train, params.sub_index_bound)
+    g_sidx = ServingIndex(vectors, edges).warm()
+    enc, cents, books = build_ivfpq(train, n_centroids=8, replicas=1)
+    enc = enc.localCheckpoint(eager=True)
+    pq_sidx = IvfPqServingIndex(enc, cents, books, train).warm()
+    sections += [
+        (
+            "Warm graph serving (ServingIndex.query, routed): index side is "
+            "an InMemoryTableScan of resident blob rows with a probed-shard "
+            "filter — NO exchange touches index data per batch",
+            plan(g_sidx.query(test.limit(10), 10, nprobe=4)),
+        ),
+        (
+            "Warm IVF-PQ serving (IvfPqServingIndex.query): cached code-blob "
+            "scan filtered to probed cells, global (approx, id) shortlist "
+            "window, exact re-rank joins only O(Q*ncand) id rows against "
+            "the cold corpus",
+            plan(pq_sidx.query(test.limit(10), 10, nprobe=3)),
+        ),
+    ]
+    g_sidx.unpersist()
+    pq_sidx.unpersist()
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
