@@ -480,14 +480,29 @@ CODE_BLOB_SCHEMA = "part long, n_vectors long, blob binary"
 
 
 def _rerank_exact(cands: DataFrame, train: DataFrame, t: DataFrame, k: int,
-                  id_col: str, vec_col: str) -> DataFrame:
+                  id_col: str, vec_col: str,
+                  broadcast_cands: bool = False) -> DataFrame:
     """Shared exact-re-rank tail: identical to the pq_knn/sq_knn batch
     tails (same l2sq_arrow kernel, same (dist, id) window) so serving
-    results are equal whenever the candidate set covers the true top-k."""
+    results are equal whenever the candidate set covers the true top-k.
+
+    ``broadcast_cands``: the candidate relation comes out of a
+    mapInPandas scan, so AQE has NO stats for it and plans a sort-merge
+    join — shuffling the CORPUS side every serving batch. Callers that
+    know the batch is small (Q * ncand bounded) pass True, turning the
+    corpus side into an in-place broadcast-hash probe: no corpus
+    shuffle, identical rows. At the 62k bench corpus this is
+    measured-neutral (the 34 MB corpus shuffle is noise next to the
+    batch's fixed stage overheads; A/B medians 1.44-1.74 s both ways);
+    its case is asymptotic — at real corpus sizes the per-batch
+    sort-merge would re-shuffle the whole corpus, which is the one cost
+    a serving loop must never pay."""
     from pyspark.sql import Window
 
     from vector_index_spark.functions.distance import l2sq_arrow
 
+    if broadcast_cands:
+        cands = F.broadcast(cands)
     rescored = (
         cands.join(
             train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__tv")),
@@ -634,9 +649,12 @@ class PqServingIndex:
             self.blobs.mapInPandas(scan, "qid long, id long, approx double")
             .dropDuplicates(["qid", "id"])
         )
+        # candidate volume is bounded by Q * ncand * n_blobs (known here);
+        # broadcast small batches so the corpus never shuffles per batch
+        small = len(qids) * ncand * self._n_serve <= 2_000_000
         return _rerank_exact(
             cands.select("qid", "id"), self._train, t, k,
-            self._id_col, self._vec_col,
+            self._id_col, self._vec_col, broadcast_cands=small,
         )
 
 
@@ -761,7 +779,9 @@ class SqServingIndex:
             self.blobs.mapInPandas(scan, "qid long, id long")
             .dropDuplicates(["qid", "id"])
         )
-        return _rerank_exact(cands, self._train, t, k, self._id_col, self._vec_col)
+        small = len(qids) * ncand * self._n_serve <= 2_000_000
+        return _rerank_exact(cands, self._train, t, k, self._id_col,
+                             self._vec_col, broadcast_cands=small)
 
 
 class IvfPqServingIndex:
@@ -938,7 +958,8 @@ class IvfPqServingIndex:
             .select("qid", "id")
         )
         return _rerank_exact(
-            shortlist, self._train, t, k, self._id_col, self._vec_col
+            shortlist, self._train, t, k, self._id_col, self._vec_col,
+            broadcast_cands=len(qids) * ncand <= 2_000_000,
         )
 
 
