@@ -531,3 +531,66 @@ def test_pca_serving_matches_pca_knn(spark, vecs):
     exact = knn_fast(test, train, K).collect()
     assert _recall(sidx.query(test, K, candidate_factor=8).collect(), exact) >= 0.9
     sidx.unpersist()
+
+
+def test_ivfpq_lifecycle_save_load_stream(spark, vecs, tmp_path):
+    """The full IVF-PQ deployment loop (round 6): build -> save_ivfpq
+    (cell-partitioned codes + codebooks JSON) -> load -> warm streaming
+    serving via stream_ivfpq_query. Loaded-index answers must equal the
+    pre-save batch answers; the streamed output must match the warm
+    serving path and survive a checkpoint-wipe replay byte-identically."""
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+    from vector_index_spark.index.persistence import load_ivfpq, save_ivfpq
+    from vector_index_spark.streaming.ingest import stream_ivfpq_query
+
+    train, test = vecs
+    enc, cents, books = build_ivfpq(train, n_centroids=8, replicas=2)
+    enc = enc.localCheckpoint(eager=True)
+    before = sorted(
+        map(tuple, ivfpq_knn(test, enc, cents, books, train, K, nprobe=3).collect())
+    )
+
+    idx_path = str(tmp_path / "ivfpq")
+    save_ivfpq(enc, cents, books, idx_path)
+    enc2, cents2, books2 = load_ivfpq(spark, idx_path)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
+    after = sorted(
+        map(
+            tuple,
+            ivfpq_knn(test, enc2, cents2, books2, train, K, nprobe=3).collect(),
+        )
+    )
+    assert after == before
+
+    src = str(tmp_path / "queries")
+    test.write.parquet(src)
+    qstream = spark.readStream.schema("qid long, vec array<float>").parquet(src)
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream_ivfpq_query(
+        qstream, idx_path, train, out, ckpt, K, nprobe=3
+    ).awaitTermination(300), "stream did not drain"
+    streamed = sorted(
+        tuple(r)[:4]
+        for r in spark.read.parquet(out)
+        .select("qid", "rank", "id", "dist")
+        .collect()
+    )
+    assert streamed == before
+
+    import shutil
+
+    shutil.rmtree(ckpt)
+    qstream2 = spark.readStream.schema("qid long, vec array<float>").parquet(src)
+    assert stream_ivfpq_query(
+        qstream2, idx_path, train, out, ckpt, K, nprobe=3
+    ).awaitTermination(300), "replay did not drain"
+    replayed = sorted(
+        tuple(r)[:4]
+        for r in spark.read.parquet(out)
+        .select("qid", "rank", "id", "dist")
+        .collect()
+    )
+    assert replayed == streamed

@@ -88,3 +88,51 @@ def load_index(
     edges_path = f"{path}/edges"
     edges = spark.read.parquet(edges_path) if os.path.isdir(edges_path) else None
     return vectors, edges, params
+
+
+def save_ivfpq(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ index (the byte-efficient serving route):
+
+        <path>/encoded/    partitioned by centroid_id — (centroid_id, id, codes)
+        <path>/centroids/  — (centroid_id, vec)
+        <path>/codebooks.json — (m, n_pq_centroids, sub_dim) nested lists
+
+    The cell partitioning makes probe scans partition-prunable on disk
+    exactly as the in-memory route prunes cells; codebooks are kilobytes
+    and round-trip exactly through JSON (Python float repr). The RAW
+    corpus is deliberately NOT part of the index — compressed routes
+    exist so the resident/persisted set is codes, and the exact re-rank
+    reads the cold corpus wherever it already lives."""
+    import numpy as np
+
+    encoded.write.mode(mode).partitionBy("centroid_id").parquet(f"{path}/encoded")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+    os.makedirs(path, exist_ok=True)
+    books = np.asarray(codebooks, dtype=np.float64)
+    with open(f"{path}/codebooks.json", "w") as fh:
+        json.dump({"shape": list(books.shape), "data": books.ravel().tolist()}, fh)
+
+
+def load_ivfpq(spark: SparkSession, path: str):
+    """Inverse of :func:`save_ivfpq` — returns (encoded, centroids,
+    codebooks ndarray)."""
+    import numpy as np
+
+    books_path = f"{path}/codebooks.json"
+    if not os.path.exists(books_path):
+        raise FileNotFoundError(
+            f"no IVF-PQ index at {path!r}: missing {books_path} "
+            "(expected a layout written by save_ivfpq)"
+        )
+    with open(books_path) as fh:
+        d = json.load(fh)
+    books = np.asarray(d["data"], dtype=np.float64).reshape(d["shape"])
+    encoded = spark.read.parquet(f"{path}/encoded")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return encoded, centroids, books

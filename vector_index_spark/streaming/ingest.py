@@ -120,3 +120,53 @@ def stream_ann_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivfpq_query(
+    queries: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    k: int,
+    nprobe: int = 4,
+    candidate_factor: int = 8,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming serving for the IVF-PQ route — the byte-efficient route
+    a 100 TB deployment actually serves (SCALE.md byte math). The saved
+    index at ``index_path`` (see persistence.save_ivfpq) loads ONCE into
+    a resident :class:`~vector_index_spark.index.serving.IvfPqServingIndex`
+    (per-cell code blobs + codebooks); each micro-batch pays routing, an
+    ADC map over probed cached cells, and the exact re-rank against
+    ``corpus`` (the COLD raw vectors, read wherever they already live —
+    compression means raw floats never become resident).
+
+    Same exactly-once recipe as :func:`stream_ann_query`: foreachBatch is
+    at-least-once, so each batch OVERWRITES its own ``batch_id=<n>``
+    partition and replays rewrite identical rows."""
+    from vector_index_spark.index.persistence import load_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    spark = queries.sparkSession
+    encoded, centroids, books = load_ivfpq(spark, index_path)
+    serving = IvfPqServingIndex(encoded, centroids, books, corpus).warm()
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = serving.query(
+            batch_df, k, nprobe=nprobe, candidate_factor=candidate_factor,
+            qid_col=qid_col, vec_col=vec_col,
+        )
+        res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+
+    writer = (
+        queries.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
