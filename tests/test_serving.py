@@ -594,3 +594,49 @@ def test_ivfpq_lifecycle_save_load_stream(spark, vecs, tmp_path):
         .collect()
     )
     assert replayed == streamed
+
+
+def test_new_serving_classes_empty_batch(spark, vecs):
+    """Every serving class must answer an empty micro-batch with an
+    empty (qid, rank, id, dist) frame — the idle-stream steady state."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        IvfPqServingIndex,
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+    )
+
+    train, _ = vecs
+    empty = spark.createDataFrame([], "qid long, vec array<double>")
+
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    pq = PqServingIndex(
+        encode_pq(train, books).localCheckpoint(eager=True), train, books
+    ).warm()
+    assert pq.query(empty, K).count() == 0
+    pq.unpersist()
+
+    enc, cents, bks = build_ivfpq(train, n_centroids=8)
+    ipq = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, bks, train
+    ).warm()
+    assert ipq.query(empty, K).count() == 0
+    ipq.unpersist()
+
+    W, T = train_rpt(train, depth=3)
+    rpt = RptServingIndex(
+        assign_rpt(train, W, T).localCheckpoint(eager=True), W, T
+    ).warm()
+    assert rpt.query(empty, K).count() == 0
+    rpt.unpersist()
+
+    mean, comp = train_pca(train, 8)
+    pca = PcaServingIndex(
+        project_pca(train, mean, comp).localCheckpoint(eager=True), mean, comp
+    ).warm()
+    assert pca.query(empty, K).count() == 0
+    pca.unpersist()
