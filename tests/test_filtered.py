@@ -1,0 +1,149 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+from vector_index_spark.operators.filtered import (
+    attribute_knn,
+    choose_filtered_strategy,
+    filtered_knn,
+    ivf_filtered_knn,
+)
+from vector_index_spark.operators.knn import knn_join
+from vector_index_spark.operators.recall import recall_total
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def lsplit(emb):
+    """Train/test split keeping the label attribute on both sides."""
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label"
+    )
+    return train, test
+
+
+@pytest.fixture(scope="module")
+def ivf_index(lsplit):
+    from vector_index_spark.index.ivf import build_ivf
+
+    train, _ = lsplit
+    assigned, centroids = build_ivf(train, n_centroids=16, carry_cols=("label",))
+    assigned = assigned.localCheckpoint()
+    return assigned, centroids
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9)) for r in df.collect()
+    )
+
+
+def test_filtered_knn_equals_prefiltered_exact(lsplit):
+    train, test = lsplit
+    pred = F.col("label") % 3 == 0
+    got = filtered_knn(test, train, K, pred)
+    want = knn_join(test, train.filter(pred), K)
+    assert _rows(got) == _rows(want)
+    # every neighbor satisfies the predicate
+    bad = (
+        got.join(train.select("id", "label"), "id")
+        .filter(F.col("label") % 3 != 0)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_attribute_knn_matches_per_label_brute_force(lsplit):
+    train, test = lsplit
+    got = attribute_knn(test, train, K, "label")
+    # brute force: for each distinct query label, run plain knn_join on
+    # that label's corpus slice and that label's queries
+    labels = [r["label"] for r in test.select("label").distinct().collect()]
+    want = []
+    for lb in labels:
+        sub = knn_join(
+            test.filter(F.col("label") == lb),
+            train.filter(F.col("label") == lb),
+            K,
+        )
+        want.extend(_rows(sub))
+    assert _rows(got) == sorted(want)
+
+
+def test_attribute_knn_no_cartesian(lsplit):
+    train, test = lsplit
+    plan = attribute_knn(test, train, K, "label")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_choose_strategy_rule():
+    # tiny matching subset -> exact
+    assert choose_filtered_strategy(1000, 50, 10, 4, 16) == ("exact", 0)
+    # zero matches -> exact (empty result, no probing)
+    assert choose_filtered_strategy(1000, 0, 10, 4, 16) == ("exact", 0)
+    # broad filter: boost by ceil(1/selectivity), capped at n_centroids
+    mode, np_ = choose_filtered_strategy(1000, 400, 10, 4, 16)
+    assert mode == "prefilter" and np_ == 12  # ceil(1/0.4)=3 -> 4*3
+    mode, np_ = choose_filtered_strategy(10_000, 2000, 10, 4, 16)
+    assert mode == "prefilter" and np_ == 16  # 4*5=20 capped at 16
+    # max_boost cap engages before the cell cap when cells abound
+    mode, np_ = choose_filtered_strategy(100_000, 2000, 10, 4, 1024, max_boost=8)
+    assert mode == "prefilter" and np_ == 32  # boost 50 -> capped 8; 4*8
+    with pytest.raises(ValueError):
+        choose_filtered_strategy(0, 0, 10, 4, 16)
+    with pytest.raises(ValueError):
+        choose_filtered_strategy(100, 200, 10, 4, 16)
+
+
+def test_ivf_filtered_auto_fallback_is_exact(lsplit, ivf_index):
+    """A selective predicate (one label, ~45 rows < 8*K) must route to the
+    brute-force branch and equal filtered_knn exactly."""
+    train, test = lsplit
+    assigned, centroids = ivf_index
+    pred = F.col("label") == 3
+    got = ivf_filtered_knn(test, assigned, centroids, K, pred, nprobe=4)
+    want = filtered_knn(test, train, K, pred)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivf_filtered_prefilter_recall(lsplit, ivf_index):
+    """A broad predicate (4 of 10 labels) routes to the boosted probed
+    path; recall vs the exact filtered ground truth stays high."""
+    train, test = lsplit
+    assigned, centroids = ivf_index
+    pred = F.col("label") % 3 == 0
+    got = ivf_filtered_knn(
+        test, assigned, centroids, K, pred, nprobe=6, mode="prefilter"
+    )
+    # only matching ids ever surface
+    bad = (
+        got.join(train.select("id", "label"), "id")
+        .filter(F.col("label") % 3 != 0)
+        .count()
+    )
+    assert bad == 0
+    truth = filtered_knn(test, train, K, pred).select(
+        "qid", (F.col("rank") - 1).alias("pos"),
+        F.col("id").alias("neighbor_id"), "dist",
+    )
+    rec = recall_total(got, truth).collect()[0]["recall"]
+    assert rec >= 0.9, rec
+
+
+def test_ivf_filtered_empty_predicate(lsplit, ivf_index):
+    train, test = lsplit
+    assigned, centroids = ivf_index
+    got = ivf_filtered_knn(test, assigned, centroids, K, F.col("label") > 99)
+    assert got.count() == 0

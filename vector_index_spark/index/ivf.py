@@ -74,9 +74,15 @@ def build_ivf(
     sample_size: int = 262_144,
     iters: int = 20,
     replicas: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Fit centroids and post every corpus row to its ``replicas`` nearest
     cells.
+
+    ``carry_cols`` names extra attribute columns of ``train`` to carry on
+    each posting row (e.g. the filter attributes for
+    operators/filtered.ivf_filtered_knn) — filtered probing then needs no
+    join back to the corpus: the predicate rides the posting scan.
 
     ``fit="auto"`` (the default) takes the driver-sample Lloyd's fit when
     sample_size x d x 8 bytes fits the fitcap byte cap (identical to the
@@ -142,6 +148,7 @@ def build_ivf(
         F.explode(_assign(F.col(vec_col))).alias("centroid_id"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        *[F.col(c) for c in carry_cols],
     )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
