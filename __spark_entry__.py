@@ -3427,7 +3427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (stalest next round), then r5.
     # NEW this round (never checked -> window head): the filtered-ANN
     # family (q152-q154) and the TPC-H Q6/Q8/Q9/Q11/Q12/Q15/Q16/Q20
-    # shapes (q155-q162).
+    # shapes (q155-q162). Window arithmetic: 13 never-checked (11 new +
+    # q150/q151) + q108 (ivfpq code changed this round) + 36 r3-stale
+    # fills all 50 slots; q10_threshold_join is the single deliberate
+    # r3 carry-over at position 51 (its threshold-join path is exercised
+    # in-window by q112's LSH-join gate and in pytest by test_neardup) —
+    # it leads round 7's window.
         "q152_label_knn": q152_label_knn,
         "q153_filtered_knn": q153_filtered_knn,
         "q154_filtered_ivf_gate": q154_filtered_ivf_gate,
