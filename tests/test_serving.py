@@ -640,3 +640,95 @@ def test_new_serving_classes_empty_batch(spark, vecs):
     ).warm()
     assert pca.query(empty, K).count() == 0
     pca.unpersist()
+
+
+def test_cell_serving_filtered_parity_and_strategy(spark):
+    """Filtered warm serving (CellServingIndex attr_col/allowed): the
+    in-kernel attribute mask must be byte-identical to batch
+    ivf_filtered_knn over pre-filtered postings at the same probe count
+    (masking preserves id sort order -> same GEMM matrices), and the
+    auto strategy must probe every cell under a selective filter
+    (serving's exact branch)."""
+    from vector_index_spark.index.ivf import build_ivf, ivf_knn
+    from vector_index_spark.index.serving import CellServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    assigned, cents = build_ivf(
+        train, n_centroids=8, replicas=2, carry_cols=("label",)
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    sidx = CellServingIndex(assigned, cents, attr_col="label").warm()
+
+    # fixed-probe parity vs the batch path over pre-filtered postings
+    allowed = [0, 3, 6, 9]
+    batch = sorted(map(tuple, ivf_knn(
+        test,
+        assigned.filter(F.col("label").isin(allowed))
+        .select("centroid_id", "id", "vec"),
+        cents, K, nprobe=3,
+    ).collect()))
+    warm = sorted(map(tuple, sidx.query(
+        test, K, nprobe=3, allowed=allowed, auto_boost=False
+    ).collect()))
+    assert warm == batch
+
+    # every returned id satisfies the filter
+    lab = {r["id"]: r["label"] for r in train.select("id", "label").collect()}
+    assert all(lab[r[2]] in allowed for r in warm)
+
+    # auto strategy: a one-label filter (~45 ids < 8*K) probes ALL cells
+    # -> result equals the exact filtered kNN
+    from vector_index_spark.operators.knn import knn_join
+
+    exact = sorted(map(tuple, knn_join(
+        test, train.filter(F.col("label") == 3), K
+    ).collect()))
+    warm_sel = sorted(map(tuple, sidx.query(test, K, nprobe=1, allowed=[3]).collect()))
+    # exact-branch distances come from the GEMM kernel vs knn_join's
+    # Catalyst expression: same values to ~1e-15; compare rounded
+    def rnd(rows):
+        return [(q, rk, i, round(d, 9)) for (q, rk, i, d) in rows]
+
+    assert rnd(warm_sel) == rnd(exact)
+
+    # unfiltered queries on an attr-packed index still work (payload
+    # carries attrs; no mask applied)
+    plain = sorted(map(tuple, sidx.query(test, K, nprobe=3).collect()))
+    ref = sorted(map(tuple, ivf_knn(
+        test, assigned.select("centroid_id", "id", "vec"), cents, K, nprobe=3
+    ).collect()))
+    assert plain == ref
+
+    # filtered query without attr_col raises
+    import pytest as _pytest
+
+    bare = CellServingIndex(assigned, cents).warm()
+    with _pytest.raises(ValueError):
+        bare.query(test, K, allowed=[1])
+    bare.unpersist()
+    sidx.unpersist()
+
+
+def test_cell_serving_filtered_empty_allowed_value(spark):
+    """An allowed set matching nothing returns zero rows (cells whose
+    mask empties are skipped; no NaN/empty-GEMM crash)."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    assigned, cents = build_ivf(train, n_centroids=4, carry_cols=("label",))
+    sidx = CellServingIndex(assigned, cents, attr_col="label").warm()
+    assert sidx.query(test, K, nprobe=2, allowed=[999]).count() == 0
+    sidx.unpersist()

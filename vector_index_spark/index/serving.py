@@ -319,11 +319,14 @@ def _pack_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("id")
     ids = pdf["id"].to_numpy(dtype=np.int64)
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    payload: tuple = (ids, X)
+    if "__attr" in pdf.columns:
+        payload = (ids, X, pdf["__attr"].to_numpy(dtype=np.int64))
     return pd.DataFrame(
         {
             "cell": [int(key[0])],
             "n_vectors": [len(ids)],
-            "blob": [pickle.dumps((ids, X), protocol=pickle.HIGHEST_PROTOCOL)],
+            "blob": [pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)],
         }
     )
 
@@ -337,25 +340,40 @@ class CellServingIndex:
     cell scan instead of a beam search. Answers are byte-identical to
     :func:`~vector_index_spark.index.ivf.ivf_knn` (same float64 kernel,
     same (dist, id) order; replicated postings dedupe in the merge —
-    asserted in tests/test_serving.py)."""
+    asserted in tests/test_serving.py).
+
+    ``attr_col`` (optional) names an INTEGRAL attribute column of
+    ``assigned`` (a label / category / dictionary code — encode strings
+    upstream) to pack into each cell blob alongside the vectors; filtered
+    queries (``query(allowed=...)``) then mask candidates in-kernel
+    before the GEMM — the serving analog of
+    operators/filtered.ivf_filtered_knn, with the predicate evaluated on
+    resident arrays instead of a posting scan."""
 
     def __init__(
         self,
         assigned: DataFrame,
         centroids: DataFrame,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        attr_col: str | None = None,
     ):
         spark = assigned.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        self._attr_col = attr_col
+        cols = [F.col("centroid_id").alias("cell"), F.col("id"), F.col("vec")]
+        if attr_col is not None:
+            cols.append(F.col(attr_col).cast("long").alias("__attr"))
         self.blobs = (
-            assigned.select(
-                F.col("centroid_id").alias("cell"), "id", "vec"
-            )
+            assigned.select(*cols)
             .groupBy("cell")
             .applyInPandas(_pack_cell, CELL_BLOB_SCHEMA)
             .repartition(self._n_serve)
             .persist(storage_level)
         )
+        # lazily-built (attr value -> distinct-id count) histogram for the
+        # filtered-query strategy rule; one small aggregate job, once
+        self._attr_hist: dict[int, int] | None = None
+        self._assigned = assigned if attr_col is not None else None
         # the centroid table is tiny (one row per cell) — checkpoint now
         self._cents_kv = centroids.select(
             F.col("centroid_id").alias("id"), "vec"
@@ -381,21 +399,70 @@ class CellServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 100_000,
+        allowed: "list[int] | None" = None,
+        auto_boost: bool = True,
     ) -> DataFrame:
         """IVF top-k for a (micro-)batch against the resident cells.
-        Returns (qid, rank, id, dist)."""
+        Returns (qid, rank, id, dist).
+
+        ``allowed`` (requires ``attr_col`` at construction) restricts
+        neighbors to rows whose attribute is in the given value set —
+        filtered search at serving time. With ``auto_boost`` the
+        operators/filtered strategy rule runs against a resident
+        attribute histogram: a selective filter probes EVERY cell (the
+        serving analog of the brute-force-exact branch — still one map
+        over cached blobs), a broad one boosts nprobe by the inverse
+        match rate. Pass ``auto_boost=False`` to probe exactly
+        ``nprobe`` cells (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
 
+        if allowed is not None and self._attr_col is None:
+            raise ValueError(
+                "filtered query needs attr_col= at CellServingIndex construction"
+            )
+        eff_nprobe = nprobe
+        if allowed is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            n_cells = getattr(self, "n_cells", None) or self.blobs.count()
+            mode, boosted = choose_filtered_strategy(
+                n_corpus, n_match, k, nprobe, n_cells
+            )
+            eff_nprobe = n_cells if mode == "exact" else boosted
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        allowed_set = (
+            frozenset(int(v) for v in allowed) if allowed is not None else None
+        )
         return chunked_over_queries(
-            t, lambda chunk: self._query_batch(chunk, k, nprobe),
+            t,
+            lambda chunk: self._query_batch(chunk, k, eff_nprobe, allowed_set),
             max_queries_per_batch,
         )
 
-    def _query_batch(self, t: DataFrame, k: int, nprobe: int) -> DataFrame:
+    def _attribute_histogram(self) -> dict[int, int]:
+        if self._attr_hist is None:
+            rows = (
+                self._assigned.groupBy(
+                    F.col(self._attr_col).cast("long").alias("__attr")
+                )
+                .agg(F.count_distinct("id").alias("__n"))
+                .collect()
+            )
+            self._attr_hist = {int(r["__attr"]): int(r["__n"]) for r in rows}
+        return self._attr_hist
+
+    def _query_batch(
+        self, t: DataFrame, k: int, nprobe: int,
+        allowed: "frozenset[int] | None" = None,
+    ) -> DataFrame:
         from vector_index_spark.operators.knn import knn_join
 
         spark = self._spark
@@ -416,20 +483,33 @@ class CellServingIndex:
             for c in cells:
                 acc.setdefault(int(c), []).append(qi)
         assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
-        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        bc = spark.sparkContext.broadcast((qids, Q, assign, allowed))
         self._live_bcs.append(bc)
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
 
             for pdf_b in batches:
-                q_ids, q_mat, asg = bc.value
+                q_ids, q_mat, asg, allow = bc.value
                 frames = []
                 for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
                     ix = asg.get(int(cell))
                     if ix is None or len(ix) == 0:
                         continue
-                    ids, X = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, X = payload[0], payload[1]
+                    if allow is not None:
+                        # in-kernel predicate: mask the resident arrays
+                        # before the GEMM (mask preserves id sort order,
+                        # so results stay bit-identical to scanning the
+                        # pre-filtered postings)
+                        attrs = payload[2]
+                        mask = np.isin(
+                            attrs, np.fromiter(allow, dtype=np.int64)
+                        )
+                        if not mask.any():
+                            continue
+                        ids, X = ids[mask], X[mask]
                     # THE cell_topk_scan kernel (shared function — bit
                     # parity by construction), incl. its query-block
                     # memory bound; corpus pre-sorted by id at pack time
