@@ -1104,6 +1104,31 @@ def q162_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_filtered_graph_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched recall + shape gate for FILTERED beam search over the
+    graph route (index/searcher.graph_filtered_ann_query): filtered-HNSW
+    semantics — non-matching nodes navigate but never score
+    (index/graph.query_shard allowed mask), patience boosted by the
+    inverse match rate, and the auto strategy falls back to brute-force
+    exact under selective filters. Ground truth is the exact FILTERED
+    kNN. Measured recall 1.0 at sf0.01 (4-of-10-label filter, beam
+    mode); floor 0.9."""
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    vectors, edges = _graph_index_parts(spark, sf_dir)
+    train, test = _lsplit(spark, sf_dir)
+    allowed = [0, 3, 6, 9]
+    vec_attr = vectors.join(F.broadcast(train.select("id", "label")), "id")
+    route = graph_filtered_ann_query(
+        vec_attr, edges, test.select("qid", "vec"), K, allowed,
+        attr_col="label", mode="beam",
+    )
+    return _recall_gate_vs(
+        route, train.filter(F.col("label").isin(allowed)).select("id", "vec"),
+        test.select("qid", "vec"), 0.9,
+    )
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -3426,16 +3451,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check is older than round 4. Behind the window: r4 greens first
     # (stalest next round), then r5.
     # NEW this round (never checked -> window head): the filtered-ANN
-    # family (q152-q154) and the TPC-H Q6/Q8/Q9/Q11/Q12/Q15/Q16/Q20
-    # shapes (q155-q162). Window arithmetic: 13 never-checked (11 new +
-    # q150/q151) + q108 (ivfpq code changed this round) + 36 r3-stale
-    # fills all 50 slots; q10_threshold_join is the single deliberate
-    # r3 carry-over at position 51 (its threshold-join path is exercised
-    # in-window by q112's LSH-join gate and in pytest by test_neardup) —
-    # it leads round 7's window.
+    # family (q152-q154, q163) and the TPC-H Q6/Q8/Q9/Q11/Q12/Q15/Q16/
+    # Q20 shapes (q155-q162). Window arithmetic: 14 never-checked (12 new
+    # + q150/q151) + 36 r3-stale fills all 50 slots. Deliberate
+    # carry-overs at positions 51/52: q10 (r3; its threshold-join path is
+    # exercised in-window by q112's LSH-join gate and in pytest by
+    # test_neardup) and q108 (r5-green; its round-6 ivfpq change is
+    # exercised in-window by q150's warm==batch parity gate, which runs
+    # ivfpq_knn directly, and by test_ann_routes' recall floor). Both
+    # lead round 7's window.
         "q152_label_knn": q152_label_knn,
         "q153_filtered_knn": q153_filtered_knn,
         "q154_filtered_ivf_gate": q154_filtered_ivf_gate,
+        "q163_filtered_graph_gate": q163_filtered_graph_gate,
         "q155_filtered_revenue": q155_filtered_revenue,
         "q156_market_share": q156_market_share,
         "q157_profit_by_nation_year": q157_profit_by_nation_year,
@@ -3444,7 +3472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_top_supplier": q160_top_supplier,
         "q161_supplier_part_counts": q161_supplier_part_counts,
         "q162_excess_shippers": q162_excess_shippers,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
         "q150_ivfpq_serving_parity_gate": q150_ivfpq_serving_parity_gate,
         "q151_rpt_serving_parity_gate": q151_rpt_serving_parity_gate,
         "q03_knn_ids": q03_knn_ids,
@@ -3484,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_index_roundtrip": q08_index_roundtrip,
         "q09_dedup_exact": q09_dedup_exact,
         "q10_threshold_join": q10_threshold_join,
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
         "q32_grid_search": q32_grid_search,
         "q41_hll_users": q41_hll_users,
         "q49_approx_quantiles": q49_approx_quantiles,
@@ -3667,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {K}
         """,
         "q154_filtered_ivf_gate": _recall_gate_oracle(0.65),
+        "q163_filtered_graph_gate": _recall_gate_oracle(0.9),
         "q155_filtered_revenue": """
             SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
                                        AS DECIMAL(38,12))) AS DOUBLE), 4)

@@ -147,3 +147,108 @@ def test_ivf_filtered_empty_predicate(lsplit, ivf_index):
     assigned, centroids = ivf_index
     got = ivf_filtered_knn(test, assigned, centroids, K, F.col("label") > 99)
     assert got.count() == 0
+
+
+@pytest.fixture(scope="module")
+def graph_index(lsplit):
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, _ = lsplit
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    return vectors, edges
+
+
+def test_graph_filtered_only_matching_ids(lsplit, graph_index):
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    train, test = lsplit
+    vectors, edges = graph_index
+    allowed = [0, 3, 6, 9]
+    res = graph_filtered_ann_query(
+        vectors, edges, test.select("qid", "vec"), K, allowed,
+        attr_col="label", mode="beam",
+    )
+    bad = (
+        res.join(train.select("id", "label"), "id")
+        .filter(~F.col("label").isin(allowed))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_graph_filtered_beam_recall(lsplit, graph_index):
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    train, test = lsplit
+    vectors, edges = graph_index
+    allowed = [0, 3, 6, 9]
+    res = graph_filtered_ann_query(
+        vectors, edges, test.select("qid", "vec"), K, allowed,
+        attr_col="label", mode="beam",
+    )
+    truth = filtered_knn(
+        test, train, K, F.col("label").isin(allowed)
+    ).select(
+        "qid", (F.col("rank") - 1).alias("pos"),
+        F.col("id").alias("neighbor_id"), "dist",
+    )
+    rec = recall_total(res, truth).collect()[0]["recall"]
+    assert rec >= 0.9, rec
+
+
+def test_graph_filtered_auto_selective_is_exact(lsplit, graph_index):
+    """One label (~45 rows < 8*K): auto mode must take the brute-force
+    branch and equal exact filtered kNN (rounded — GEMM vs Catalyst
+    kernels differ in the last ulp)."""
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    train, test = lsplit
+    vectors, edges = graph_index
+    res = graph_filtered_ann_query(
+        vectors, edges, test.select("qid", "vec"), K, [3],
+        attr_col="label", mode="auto",
+    )
+    want = filtered_knn(test, train, K, F.col("label") == 3)
+    assert _rows(res) == _rows(want)
+
+
+def test_graph_filtered_mode_validation(lsplit, graph_index):
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    _, test = lsplit
+    vectors, edges = graph_index
+    with pytest.raises(ValueError):
+        graph_filtered_ann_query(
+            vectors, edges, test, K, [1], attr_col="label", mode="bogus"
+        )
+
+
+def test_query_shard_allowed_mask_unit():
+    """Kernel-level: the allowed mask keeps non-matching nodes out of the
+    result but still navigates through them (a chain graph where the only
+    path to the matching tail runs through masked nodes)."""
+    import numpy as np
+
+    from vector_index_spark.index.graph import build_shard_graph, query_shard
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8)).astype(np.float64)
+    ids = np.arange(60, dtype=np.int64)
+    g = build_shard_graph(X, ids, connect=4, patience=32, step=2)
+    q = rng.normal(size=8).astype(np.float64)
+    mask = np.zeros(60, dtype=bool)
+    mask[::3] = True  # every third offset allowed
+    res = query_shard(g, q, 5, 32, allowed=mask)
+    assert 0 < len(res) <= 5
+    assert all(mask[off] for _, off in res)
+    # unfiltered still returns the full k
+    assert len(query_shard(g, q, 5, 32)) == 5

@@ -344,10 +344,19 @@ def query_shard(
     q: np.ndarray,
     k: int,
     patience: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Full ANN query against one shard (reference nearest_neighbors_query,
     dehnsw.h:241-323): greedy descent L..1 carrying the candidate heap, then
-    best-first beam at layer 0 with top-k max-heap + patience."""
+    best-first beam at layer 0 with top-k max-heap + patience.
+
+    ``allowed`` (optional) is a bool mask over shard OFFSETS: the
+    filter-during-search rule of filtered HNSW — every node still
+    NAVIGATES (the beam traverses non-matching nodes so the graph stays
+    connected through them), but only matching nodes enter the result
+    heap, and only matching pops advance the patience counter
+    (non-matching pops are pure navigation, not evidence of
+    convergence)."""
     if g.entry < 0:
         return []
     top = g.layer_of[g.entry]
@@ -383,17 +392,18 @@ def query_shard(
     indptr, indices = g.csr0()
     while candidates:
         d, u = heapq.heappop(candidates)
-        if len(result) >= k:
-            if (d, u) < (-result[0][0], -result[0][1]):
-                heapq.heapreplace(result, (-d, -u))
-                stall = 0
+        if allowed is None or allowed[u]:
+            if len(result) >= k:
+                if (d, u) < (-result[0][0], -result[0][1]):
+                    heapq.heapreplace(result, (-d, -u))
+                    stall = 0
+                else:
+                    stall += 1
+                    if patience and stall >= patience:
+                        break
             else:
-                stall += 1
-                if patience and stall >= patience:
-                    break
-        else:
-            heapq.heappush(result, (-d, -u))
-            stall = 0
+                heapq.heappush(result, (-d, -u))
+                stall = 0
         nbrs = indices[indptr[u] : indptr[u + 1]]
         fresh = nbrs[~visited[nbrs]]
         if fresh.size:

@@ -25,7 +25,8 @@ from vector_index_spark.index.graph import graph_from_rows, query_shard
 RESULT_SCHEMA = "qid long, id long, dist double"
 
 
-def _shard_cogroup(vectors: DataFrame, edges: DataFrame):
+def _shard_cogroup(vectors: DataFrame, edges: DataFrame,
+                   extra_cols: tuple[str, ...] = ()):
     """Cogroup (vectors, edges) by shard with an EXPLICIT partition count.
 
     The search stage is compute-bound but byte-light, so AQE's
@@ -41,7 +42,7 @@ def _shard_cogroup(vectors: DataFrame, edges: DataFrame):
     spark = vectors.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 8, 64)
     cg = (
-        vectors.select("shard", "id", "vec")
+        vectors.select("shard", "id", "vec", *extra_cols)
         .repartition(n_parts, "shard")
         .groupBy("shard")
         .cogroup(
@@ -408,6 +409,129 @@ def graph_ann_query(
         ),
         max_queries_per_batch,
     )
+
+
+def graph_filtered_ann_query(
+    vectors: DataFrame,
+    edges: DataFrame,
+    test: DataFrame,
+    k: int,
+    allowed: "list[int]",
+    attr_col: str = "attr",
+    relaxed_monotonicity: int = 64,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+    max_queries_per_batch: int = 100_000,
+    mode: str = "auto",
+    fallback_factor: int = 8,
+    max_boost: int = 8,
+) -> DataFrame:
+    """Filtered approximate top-k over the graph route: neighbors must
+    have ``attr_col`` (an integral attribute carried on ``vectors``) in
+    the ``allowed`` value set — filtered HNSW semantics (operators/
+    filtered's strategy rule applied to the beam-search route).
+
+    The filter evaluates INSIDE the beam (index/graph.query_shard
+    ``allowed`` mask): non-matching nodes still navigate, so the graph
+    stays connected through them, but only matching nodes score. Auto
+    strategy: a selective filter routes to brute-force exact kNN over
+    the matching rows (the graph is pointless there and exactness is
+    free); a broad one runs the masked beam with patience boosted by the
+    inverse match rate, so the beam surveys enough matching nodes to
+    fill k before stalling. Returns (qid, rank, id, dist)."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+    from vector_index_spark.operators.filtered import choose_filtered_strategy
+    from vector_index_spark.operators.knn import knn_join
+
+    if mode not in ("auto", "exact", "beam"):
+        raise ValueError(f"mode must be auto|beam|exact, got {mode!r}")
+    allow_vals = sorted({int(v) for v in allowed})
+    match_pred = F.col(attr_col).isin(allow_vals)
+    patience = relaxed_monotonicity
+    if mode == "auto":
+        counts = vectors.agg(
+            F.approx_count_distinct("id").alias("__total"),
+            F.approx_count_distinct(
+                F.when(match_pred, F.col("id"))
+            ).alias("__match"),
+        ).collect()[0]
+        strategy, _ = choose_filtered_strategy(
+            max(int(counts["__total"]), 1), int(counts["__match"]), k,
+            1, 1, fallback_factor=fallback_factor, max_boost=max_boost,
+        )
+        if strategy == "exact":
+            mode = "exact"
+        else:
+            mode = "beam"
+            sel = max(int(counts["__match"]), 1) / max(int(counts["__total"]), 1)
+            import math as _math
+
+            patience = relaxed_monotonicity * min(
+                max_boost, _math.ceil(1.0 / sel)
+            )
+    elif mode == "beam":
+        patience = relaxed_monotonicity * max_boost
+    if mode == "exact":
+        return knn_join(
+            test, vectors.filter(match_pred).select("id", "vec"), k,
+            qid_col=qid_col, test_vec=vec_col,
+        )
+    t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+    return chunked_over_queries(
+        t,
+        lambda chunk: _graph_filtered_query_batch(
+            vectors, edges, chunk, k, patience, attr_col, allow_vals
+        ),
+        max_queries_per_batch,
+    )
+
+
+def _graph_filtered_query_batch(
+    vectors: DataFrame,
+    edges: DataFrame,
+    t: DataFrame,
+    k: int,
+    patience: int,
+    attr_col: str,
+    allow_vals: list[int],
+) -> DataFrame:
+    spark = vectors.sparkSession
+    test_pdf = t.toPandas()
+    if len(test_pdf) == 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, id long, dist double"
+        )
+    qids = test_pdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(test_pdf["vec"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast(
+        (qids, Q, np.asarray(allow_vals, dtype=np.int64))
+    )
+
+    def search(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vec_pdf) == 0:
+            return pd.DataFrame(columns=["qid", "id", "dist"])
+        vec_pdf = vec_pdf.sort_values("id")
+        X = np.stack(vec_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = vec_pdf["id"].to_numpy(dtype=np.int64)
+        erows = edge_pdf[["layer", "src", "dst", "dist"]].to_numpy(dtype=np.float64)
+        g = graph_from_rows(X, ids, erows)
+        q_ids, q_mat, allow_arr = bc.value
+        mask = np.isin(vec_pdf[attr_col].to_numpy(dtype=np.int64), allow_arr)
+        if not mask.any():
+            return pd.DataFrame(columns=["qid", "id", "dist"])
+        out_qid: list[int] = []
+        out_id: list[int] = []
+        out_dist: list[float] = []
+        for qi in range(len(q_ids)):
+            for d, off in query_shard(g, q_mat[qi], k, patience, allowed=mask):
+                out_qid.append(int(q_ids[qi]))
+                out_id.append(int(g.ids[off]))
+                out_dist.append(d)
+        return pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
+
+    cg, _ = _shard_cogroup(vectors, edges, extra_cols=(attr_col,))
+    per_shard = cg.applyInPandas(search, RESULT_SCHEMA)
+    return _merge_topk(per_shard, k)
 
 
 def routed_tree_graph_ann_query(
