@@ -732,3 +732,72 @@ def test_cell_serving_filtered_empty_allowed_value(spark):
     sidx = CellServingIndex(assigned, cents, attr_col="label").warm()
     assert sidx.query(test, K, nprobe=2, allowed=[999]).count() == 0
     sidx.unpersist()
+
+
+def test_graph_serving_filtered_parity_and_exact(spark):
+    """Filtered warm GRAPH serving (ServingIndex attr_col/allowed):
+    masked-beam byte parity with graph_filtered_ann_query at the same
+    patience, and the auto strategy's masked-GEMM exact branch under a
+    selective filter."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    allowed = [0, 3, 6, 9]
+    sidx = ServingIndex(vectors, edges, attr_col="label").warm()
+
+    batch = sorted(map(tuple, graph_filtered_ann_query(
+        vectors, edges, test, K, allowed, attr_col="label",
+        mode="beam", max_boost=1, relaxed_monotonicity=64,
+    ).collect()))
+    warm = sorted(map(tuple, sidx.query(
+        test, K, allowed=allowed, auto_boost=False, relaxed_monotonicity=64
+    ).collect()))
+    assert warm == batch
+
+    # selective filter -> masked exact GEMM == exact filtered kNN
+    exact = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in knn_join(test, train.filter(F.col("label") == 3), K).collect()
+    )
+    warm_sel = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in sidx.query(test, K, allowed=[3]).collect()
+    )
+    assert warm_sel == exact
+
+    # unfiltered query on an attr-packed index unchanged
+    from vector_index_spark.index.searcher import graph_ann_query
+
+    plain = sorted(map(tuple, sidx.query(test, K).collect()))
+    ref = sorted(map(tuple, graph_ann_query(
+        vectors.select("shard", "id", "vec"), edges, test, K, 64
+    ).collect()))
+    assert plain == ref
+
+    # filtered query without attr_col raises
+    import pytest as _pytest
+
+    bare = ServingIndex(vectors.select("shard", "id", "vec"), edges).warm()
+    with _pytest.raises(ValueError):
+        bare.query(test, K, allowed=[1])
+    bare.unpersist()
+    sidx.unpersist()

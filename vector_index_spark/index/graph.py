@@ -48,6 +48,9 @@ class ShardGraph:
     # after caching the CSR and mark the graph immutable: a mutation would
     # silently repopulate a near-empty dict and search wrong adjacency
     immutable: bool = False
+    # offset-aligned integral attributes for filtered serving
+    # (index/serving.ServingIndex(attr_col=...)); None when not packed
+    attrs: np.ndarray | None = None
 
     def csr0(self) -> tuple[np.ndarray, np.ndarray]:
         if self._csr0_cache is None:

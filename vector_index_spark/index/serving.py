@@ -67,6 +67,10 @@ def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFr
     g.csr0()
     g.adj[0] = {}
     g.immutable = True  # mutation would repopulate a near-empty dict
+    if "__attr" in vec_pdf.columns:
+        # offset-aligned attribute array for filtered serving (the mask
+        # rides the blob; see ServingIndex(attr_col=...))
+        g.attrs = vec_pdf["__attr"].to_numpy(dtype=np.int64)
     return pd.DataFrame(
         {
             "shard": [int(key[0])],
@@ -81,7 +85,13 @@ class ServingIndex:
     into one persisted relation, centroid routing table checkpointed.
 
     ``ServingIndex(vectors, edges).warm()`` pays the one-time cogroup +
-    graph-build + persist; every subsequent :meth:`query` reuses it."""
+    graph-build + persist; every subsequent :meth:`query` reuses it.
+
+    ``attr_col`` (optional) names an INTEGRAL attribute column of
+    ``vectors`` to pack into each shard blob (offset-aligned with the
+    graph); :meth:`query`'s ``allowed`` value set then serves filtered
+    searches — filtered-HNSW beam under broad filters, masked exact GEMM
+    over the resident matrices under selective ones."""
 
     def __init__(
         self,
@@ -90,10 +100,20 @@ class ServingIndex:
         centroids: DataFrame | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         dimension: int | None = None,
+        attr_col: str | None = None,
     ):
         self._dimension = dimension  # set -> ragged queries fail fast
         self._storage_level = storage_level
-        cg, _ = _shard_cogroup(vectors, edges)
+        self._attr_col = attr_col
+        self._attr_hist: dict[int, int] | None = None
+        if attr_col is not None:
+            vectors = vectors.withColumn(
+                "__attr", F.col(attr_col).cast("long")
+            )
+        cg, _ = _shard_cogroup(
+            vectors, edges,
+            extra_cols=("__attr",) if attr_col is not None else (),
+        )
         spark = vectors.sparkSession
         # pack with full cogroup parallelism, then compact the persisted
         # relation to one partition per core: blob rows are self-contained,
@@ -150,9 +170,16 @@ class ServingIndex:
         ``ServingIndex(vectors, edges)`` rebuild (tests/test_serving.py).
         """
         shards = sorted({int(s) for s in shards})
+        refreshed = vectors
+        if self._attr_col is not None:
+            refreshed = refreshed.withColumn(
+                "__attr", F.col(self._attr_col).cast("long")
+            )
+            self._attr_hist = None  # contents changed; histogram is stale
         cg, _ = _shard_cogroup(
-            vectors.filter(F.col("shard").isin(shards)),
+            refreshed.filter(F.col("shard").isin(shards)),
             edges.filter(F.col("shard").isin(shards)),
+            extra_cols=("__attr",) if self._attr_col is not None else (),
         )
         packed = cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
         # kept for the touches-only-affected-shards plan assertion in tests
@@ -209,14 +236,48 @@ class ServingIndex:
         vec_col: str = "vec",
         max_queries_per_batch: int = 100_000,
         tree_merge_fanin: int | None = None,
+        allowed: "list[int] | None" = None,
+        auto_boost: bool = True,
     ) -> DataFrame:
         """Top-k for a (micro-)batch of queries against the resident
         index. ``nprobe=None`` searches every shard (identical to
         searcher.graph_ann_query); an integer routes by centroid
         (identical to routed_graph_ann_query). Returns
-        (qid, rank, id, dist)."""
+        (qid, rank, id, dist).
+
+        ``allowed`` (requires ``attr_col`` at construction) restricts
+        neighbors to rows whose attribute is in the value set. With
+        ``auto_boost`` the operators/filtered strategy rule runs against
+        a resident attribute histogram: a selective filter switches to a
+        masked exact GEMM over the resident shard matrices (the raw
+        vectors are already in the blobs — exactness is free), a broad
+        one runs the filtered-HNSW beam with patience boosted by the
+        inverse match rate. ``auto_boost=False`` runs the masked beam at
+        exactly ``relaxed_monotonicity`` (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
 
+        if allowed is not None and self._attr_col is None:
+            raise ValueError(
+                "filtered query needs attr_col= at ServingIndex construction"
+            )
+        exact_scan = False
+        patience = relaxed_monotonicity
+        if allowed is not None and auto_boost:
+            import math as _math
+
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            strategy, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            if strategy == "exact":
+                exact_scan = True
+            else:
+                sel = max(n_match, 1) / n_corpus
+                patience = relaxed_monotonicity * min(8, _math.ceil(1.0 / sel))
         # recycle the PREVIOUS call's query broadcasts here — not inside
         # _query_batch, where a multi-chunk call would unpersist earlier
         # chunks before the lazily-unioned result executes (re-shippable,
@@ -230,13 +291,29 @@ class ServingIndex:
             from vector_index_spark.functions.distance import assert_dim
 
             t = assert_dim(t, "vec", self._dimension)
+        allowed_set = (
+            frozenset(int(v) for v in allowed) if allowed is not None else None
+        )
         return chunked_over_queries(
             t,
             lambda chunk: self._query_batch(
-                chunk, k, nprobe, relaxed_monotonicity, tree_merge_fanin
+                chunk, k, nprobe, patience, tree_merge_fanin,
+                allowed_set, exact_scan,
             ),
             max_queries_per_batch,
         )
+
+    def _attribute_histogram(self) -> dict[int, int]:
+        if self._attr_hist is None:
+            rows = (
+                self._vectors.groupBy(
+                    F.col(self._attr_col).cast("long").alias("__a")
+                )
+                .agg(F.count_distinct("id").alias("__n"))
+                .collect()
+            )
+            self._attr_hist = {int(r["__a"]): int(r["__n"]) for r in rows}
+        return self._attr_hist
 
     def _query_batch(
         self,
@@ -245,6 +322,8 @@ class ServingIndex:
         nprobe: int | None,
         relaxed_monotonicity: int,
         tree_merge_fanin: int | None,
+        allowed: "frozenset[int] | None" = None,
+        exact_scan: bool = False,
     ) -> DataFrame:
         from vector_index_spark.operators.knn import knn_join
 
@@ -272,14 +351,22 @@ class ServingIndex:
             assign = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
         else:
             assign = None
-        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        allow_arr = (
+            np.fromiter(sorted(allowed), dtype=np.int64)
+            if allowed is not None
+            else None
+        )
+        bc = spark.sparkContext.broadcast((qids, Q, assign, allow_arr, exact_scan))
         self._live_bcs.append(bc)
         rm = relaxed_monotonicity
 
         def search(batches):
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+
             for pdf_b in batches:
-                q_ids, q_mat, asg = bc.value
+                q_ids, q_mat, asg, allow, exact = bc.value
                 out_qid, out_id, out_dist = [], [], []
+                frames = []
                 for shard, blob in zip(pdf_b["shard"], pdf_b["blob"]):
                     if asg is None:
                         idx = range(len(q_ids))
@@ -289,12 +376,40 @@ class ServingIndex:
                             continue
                         idx = ix
                     g = pickle.loads(blob)
+                    mask = None
+                    if allow is not None:
+                        mask = np.isin(g.attrs, allow)
+                        if not mask.any():
+                            continue
+                        if exact:
+                            # selective filter: exact GEMM over the masked
+                            # resident matrix (ids stay sorted under the
+                            # mask -> the engine's (dist, id) tie order)
+                            sub_ids = g.ids[mask]
+                            sub_X = g.X[mask]
+                            qi_arr = np.asarray(list(idx), dtype=np.int64)
+                            frames.append(
+                                gemm_topk_frame(
+                                    q_ids[qi_arr], q_mat[qi_arr],
+                                    sub_ids, sub_X, k,
+                                )
+                            )
+                            continue
                     for qi in idx:
-                        for d, off in query_shard(g, q_mat[qi], k, rm):
+                        for d, off in query_shard(
+                            g, q_mat[qi], k, rm, allowed=mask
+                        ):
                             out_qid.append(int(q_ids[qi]))
                             out_id.append(int(g.ids[off]))
                             out_dist.append(d)
-                yield pd.DataFrame({"qid": out_qid, "id": out_id, "dist": out_dist})
+                beam = pd.DataFrame(
+                    {"qid": out_qid, "id": out_id, "dist": out_dist}
+                )
+                yield (
+                    pd.concat([beam, *frames], ignore_index=True)
+                    if frames
+                    else beam
+                )
 
         blobs = self.blobs
         if assign is not None:
