@@ -256,3 +256,54 @@ def test_auto_scale_inert_below_threshold(spark, data):
     idx = VectorIndex.build(train, PARAMS)
     assert idx.n_shards() <= 64
     assert idx.resolved_query_params() == (None, None)
+
+
+def test_filtered_query_facade(spark, data):
+    """VectorIndex.filtered_query: only allowed-attribute ids surface,
+    recall vs the exact filtered ground truth, auto-exact under a
+    selective filter, cosine dist mapping, and the MIPS gate."""
+    from dataclasses import replace
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    attrs = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("label").alias("attr")
+    )
+    train, test = data
+    idx = VectorIndex.build(train, PARAMS)
+    allowed = [0, 3, 6, 9]
+    res = idx.filtered_query(test, K, attrs, allowed)
+    lab = {r["id"]: r["attr"] for r in attrs.collect()}
+    rows = res.collect()
+    assert rows and all(lab[r.id] in allowed for r in rows)
+    from vector_index_spark.operators.knn import knn_join
+
+    filt_train = train.join(
+        attrs.filter(F.col("attr").isin(allowed)), "id", "left_semi"
+    )
+    exact_rows = knn_join(test, filt_train, K).collect()
+    assert _recall(rows, exact_rows) >= 0.9
+    # selective filter -> exact branch parity (rounded)
+    sel = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in idx.filtered_query(test, K, attrs, [3]).collect()
+    )
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(
+            test, train.join(attrs.filter(F.col("attr") == 3), "id", "left_semi"),
+            K,
+        ).collect()
+    )
+    assert sel == want
+    # cosine metric: dist column is cos_dist
+    cos_idx = VectorIndex.build(
+        train, replace(PARAMS, distance_type="cosine_similarity")
+    )
+    cres = cos_idx.filtered_query(test, K, attrs, allowed).collect()
+    assert cres and all(-1e-9 <= r.dist <= 2.0 + 1e-9 for r in cres)
+    # MIPS gate
+    ip_idx = VectorIndex.build(
+        train, replace(PARAMS, distance_type="inner_product")
+    )
+    with pytest.raises(ValueError):
+        ip_idx.filtered_query(test, K, attrs, allowed)

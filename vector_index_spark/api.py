@@ -307,6 +307,55 @@ class VectorIndex:
             )
         return res
 
+    def filtered_query(
+        self,
+        test: DataFrame,
+        k: int,
+        attrs: DataFrame,
+        allowed: "list[int]",
+        attr_col: str = "attr",
+        relaxed_monotonicity: int = 64,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Filtered approximate top-k: neighbors restricted to ids whose
+        attribute (an integral column ``attr_col`` of ``attrs``, keyed by
+        ``id``) is in ``allowed`` — the facade form of
+        searcher.graph_filtered_ann_query (filtered-HNSW beam; auto
+        exact fallback under selective filters). Supported for the
+        euclidean2 and cosine metrics; the inner-product augmentation's
+        re-rank tail is not wired here (use exact_query over a filtered
+        corpus for MIPS)."""
+        from vector_index_spark.functions.distance import assert_dim, normalize
+        from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+        metric = self.params.distance_type
+        if metric == "inner_product":
+            raise ValueError(
+                "filtered_query supports euclidean2/cosine_similarity; for "
+                "inner_product run exact_query over a pre-filtered corpus"
+            )
+        t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        t = assert_dim(t, "vec", self.params.dimension)
+        if metric == "cosine_similarity":
+            t = t.select("qid", normalize(F.col("vec")).alias("vec"))
+        vec_attr = self.vectors.join(
+            F.broadcast(
+                attrs.select(F.col("id"), F.col(attr_col).alias("__fattr"))
+            ),
+            "id",
+        )
+        res = graph_filtered_ann_query(
+            vec_attr, self.edges, t, k, allowed, attr_col="__fattr",
+            relaxed_monotonicity=relaxed_monotonicity, mode=mode,
+        )
+        if metric == "cosine_similarity":
+            return res.select(
+                "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+            )
+        return res
+
     def exact_query(
         self, test: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
     ) -> DataFrame:
