@@ -207,6 +207,36 @@ def main() -> None:
     g_sidx.unpersist()
     pq_sidx.unpersist()
 
+    from vector_index_spark.operators.filtered import attribute_knn
+
+    train_l = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test_l = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label"
+    )
+    vec_attr = vectors.join(
+        F.broadcast(train_l.select("id", "label")), "id"
+    )
+    f_sidx = ServingIndex(vec_attr, edges, attr_col="label").warm()
+    sections += [
+        (
+            "Attribute-constrained kNN (attribute_knn): query batch "
+            "broadcast hash-joins on the attribute — the corpus never "
+            "shuffles; WindowGroupLimit partial top-k bounds the exchange",
+            plan(attribute_knn(test_l, train_l, 10, "label")),
+        ),
+        (
+            "Filtered warm graph serving (ServingIndex attr_col/allowed): "
+            "same resident-blob scan as unfiltered serving — the attribute "
+            "mask is applied in-kernel on resident arrays, so the filter "
+            "adds NO plan nodes on the index side",
+            plan(f_sidx.query(test.limit(10), 10, allowed=[0, 3, 6, 9],
+                              auto_boost=False)),
+        ),
+    ]
+    f_sidx.unpersist()
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
