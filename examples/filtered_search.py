@@ -1,0 +1,118 @@
+"""Filtered (predicate-constrained) vector search, end-to-end: every
+form the engine serves, over one corpus with an integral attribute
+(label) — the "nearest docs WHERE lang = 'en'" workload the reference
+index (source/dehnsw.h, whole-corpus search only) cannot express.
+
+Run:  PYTHONPATH=. python examples/filtered_search.py [sf_dir]
+
+Stages:
+  1. exact:  shared-predicate kNN (filter pushed to the corpus scan)
+             and per-query attribute-constrained kNN (equi-join form)
+  2. IVF:    predicate rides the posting scan (build_ivf carry_cols);
+             auto strategy picks brute-force-exact vs boosted probing
+  3. graph:  filtered-HNSW beam via the VectorIndex facade
+             (non-matching nodes navigate but never score)
+  4. warm:   the same filters served from resident blobs
+             (ServingIndex attr_col / allowed — in-kernel masks)
+Each stage verifies its results only contain allowed labels, and the
+approximate stages report recall vs the exact filtered ground truth.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from vector_index_spark import IndexParameters, VectorIndex, get_spark
+
+K = 10
+ALLOWED = [0, 3, 6, 9]
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    truth: dict = {}
+    for r in exact_rows:
+        truth.setdefault(r.qid, set()).add(r.id)
+    hits = sum(1 for r in approx_rows if r.id in truth.get(r.qid, ()))
+    return hits / max(sum(len(v) for v in truth.values()), 1)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark(app_name="filtered-search-example")
+        spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label"
+    )
+    labels = {r["id"]: r["label"] for r in train.select("id", "label").collect()}
+    pred = F.col("label").isin(ALLOWED)
+    recalls: dict[str, float] = {}
+
+    # 1. exact forms
+    from vector_index_spark.operators.filtered import (
+        attribute_knn,
+        filtered_knn,
+        ivf_filtered_knn,
+    )
+
+    exact_rows = filtered_knn(test, train, K, pred).collect()
+    assert all(labels[r.id] in ALLOWED for r in exact_rows)
+    per_query = attribute_knn(test, train, K, "label").collect()
+    assert all(labels[r.id] is not None for r in per_query)
+    recalls["exact"] = 1.0
+
+    # 2. filtered IVF (auto strategy)
+    from vector_index_spark.index.ivf import build_ivf
+
+    assigned, cents = build_ivf(train, n_centroids=16, carry_cols=("label",))
+    ivf_rows = ivf_filtered_knn(test, assigned, cents, K, pred, nprobe=4).collect()
+    assert all(labels[r.id] in ALLOWED for r in ivf_rows)
+    recalls["ivf"] = _recall(ivf_rows, exact_rows)
+
+    # 3. filtered graph via the facade
+    idx = VectorIndex.build(
+        train.select("id", "vec"),
+        IndexParameters(
+            dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+            step=2, sub_index_bound=250,
+        ),
+    )
+    attrs = train.select("id", F.col("label").alias("attr"))
+    graph_rows = idx.filtered_query(test, K, attrs, ALLOWED).collect()
+    assert all(labels[r.id] in ALLOWED for r in graph_rows)
+    recalls["graph"] = _recall(graph_rows, exact_rows)
+
+    # 4. warm serving, graph + IVF cells
+    from vector_index_spark.index.serving import CellServingIndex, ServingIndex
+
+    g_serving = ServingIndex(
+        idx.vectors.join(F.broadcast(train.select("id", "label")), "id"),
+        idx.edges, attr_col="label",
+    ).warm()
+    warm_rows = g_serving.query(test, K, allowed=ALLOWED).collect()
+    assert all(labels[r.id] in ALLOWED for r in warm_rows)
+    recalls["warm_graph"] = _recall(warm_rows, exact_rows)
+    g_serving.unpersist()
+
+    c_serving = CellServingIndex(assigned, cents, attr_col="label").warm()
+    cell_rows = c_serving.query(test, K, nprobe=4, allowed=ALLOWED).collect()
+    assert all(labels[r.id] in ALLOWED for r in cell_rows)
+    recalls["warm_ivf"] = _recall(cell_rows, exact_rows)
+    c_serving.unpersist()
+
+    for name, r in recalls.items():
+        print(f"{name}: recall {r:.3f}")
+    assert min(recalls.values()) >= 0.6, recalls
+    if own_spark:
+        spark.stop()
+    return recalls
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
