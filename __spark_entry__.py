@@ -1129,6 +1129,46 @@ def q163_filtered_graph_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_filtered_ivfpq_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched recall + shape gate for FILTERED warm IVF-PQ serving
+    (index/serving.IvfPqServingIndex attr_col/allowed, round 6): the
+    route a 100 TB deployment actually serves, under a predicate — the
+    per-cell blobs carry resident attribute arrays, candidates mask
+    BEFORE ADC scoring (every shortlist slot is a matching row), and the
+    auto strategy boosts nprobe by the inverse match rate (match rate
+    ~0.41 at sf0.01 -> 3x boost, 12 of 16 cells). Ground truth is the
+    exact FILTERED kNN. candidate_factor=16: the filtered corpus is
+    small (~185 rows), so the ADC shortlist must cover most of it or
+    truncation, not probing, caps recall (0.794 at cf=8 -> 0.928 at
+    cf=16, plateau). Measured 0.928 at sf0.01 on the position-wise
+    metric; floor 0.85 (the unfiltered IVF-PQ gate q108's band). Byte
+    parity with the batch path over pre-filtered relations and the
+    selective->exact fallback are asserted in tests/test_serving.py."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    train, test = _lsplit(spark, sf_dir)
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=16, replicas=2
+    )
+    sidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).warm()
+    allowed = [0, 3, 6, 9]
+    route = sidx.query(
+        test.select("qid", "vec"), K, nprobe=4, candidate_factor=16,
+        allowed=allowed,
+    )
+    gate = _recall_gate_vs(
+        route, train.filter(F.col("label").isin(allowed)).select("id", "vec"),
+        test.select("qid", "vec"), 0.85,
+    )
+    gate = gate.localCheckpoint(eager=True)
+    sidx.unpersist()
+    return gate
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -3464,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_filtered_knn": q153_filtered_knn,
         "q154_filtered_ivf_gate": q154_filtered_ivf_gate,
         "q163_filtered_graph_gate": q163_filtered_graph_gate,
+        "q164_filtered_ivfpq_serving_gate": q164_filtered_ivfpq_serving_gate,
         "q155_filtered_revenue": q155_filtered_revenue,
         "q156_market_share": q156_market_share,
         "q157_profit_by_nation_year": q157_profit_by_nation_year,
@@ -3696,6 +3737,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q154_filtered_ivf_gate": _recall_gate_oracle(0.65),
         "q163_filtered_graph_gate": _recall_gate_oracle(0.9),
+        "q164_filtered_ivfpq_serving_gate": _recall_gate_oracle(0.85),
         "q155_filtered_revenue": """
             SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
                                        AS DECIMAL(38,12))) AS DOUBLE), 4)

@@ -565,6 +565,49 @@ def main() -> None:
 
     timed("ivf_filtered_query_k100", ivf_filtered_run)
 
+    # filtered warm IVF-PQ serving (index/serving.IvfPqServingIndex
+    # attr_col/allowed): the byte-efficient serving route under a
+    # predicate — resident attribute arrays mask candidates before the
+    # ADC scoring, nprobe boosted by the inverse match rate. Warm/build
+    # is untimed (startup cost, same as the other serving entries); the
+    # entry times one filtered query batch on the warm index. Appended
+    # at the tail per the ordering contract (BASELINE.md round-6 note).
+    def ivfpq_filtered_state():
+        from vector_index_spark.index.ivfpq import build_ivfpq
+        from vector_index_spark.index.serving import IvfPqServingIndex
+
+        e2 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        tl = e2.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+            "label",
+        ).localCheckpoint(eager=True)
+        t2 = e2.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        enc, cents, books = build_ivfpq(
+            tl.select("id", "vec"), n_centroids=16, replicas=2
+        )
+        sidx = IvfPqServingIndex(
+            enc.localCheckpoint(eager=True), cents, books, tl,
+            attr_col="label",
+        ).warm()
+        return sidx, t2
+
+    fsidx, ftest = ivfpq_filtered_state()
+    # 8 of 10 labels: broad enough (~1440 of 1800 matching > 8*k) that the
+    # auto strategy takes the masked-ADC probed branch, which is what this
+    # entry measures (the selective exact branch is q164/test territory)
+    fallowed = list(range(8))
+    fsidx.query(ftest, K, nprobe=4, candidate_factor=16,
+                allowed=fallowed).count()  # JIT/first-batch pass
+    timed(
+        "ivfpq_filtered_serving_query_k100",
+        lambda: fsidx.query(
+            ftest, K, nprobe=4, candidate_factor=16, allowed=fallowed
+        ).count(),
+    )
+    fsidx.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

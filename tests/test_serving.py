@@ -801,3 +801,76 @@ def test_graph_serving_filtered_parity_and_exact(spark):
         bare.query(test, K, allowed=[1])
     bare.unpersist()
     sidx.unpersist()
+
+
+def test_ivfpq_serving_filtered_parity_and_strategy(spark, vecs):
+    """Filtered warm IVF-PQ serving (IvfPqServingIndex attr_col/allowed):
+    the in-kernel attribute mask must be byte-identical to the batch
+    ivfpq_knn path over pre-filtered (encoded, train) at the same probe
+    count (masking preserves id sort order -> same ADC lexsort order and
+    shortlist), and the auto strategy must switch to exact brute force
+    over the cold matching subset under a selective filter."""
+    from vector_index_spark.index.ivfpq import build_ivfpq, ivfpq_knn
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    ).localCheckpoint(eager=True)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    encoded, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=2
+    )
+    encoded = encoded.localCheckpoint(eager=True)
+    sidx = IvfPqServingIndex(
+        encoded, cents, books, train, attr_col="label"
+    ).warm()
+
+    # fixed-probe parity vs the batch path over pre-filtered relations
+    allowed = [0, 3, 6, 9]
+    match_train = train.filter(F.col("label").isin(allowed)).select("id", "vec")
+    enc_f = encoded.join(match_train.select("id"), "id").select(
+        "centroid_id", "id", "codes"
+    )
+    batch = sorted(map(tuple, ivfpq_knn(
+        test, enc_f, cents, books, match_train, K, nprobe=3
+    ).collect()))
+    warm = sorted(map(tuple, sidx.query(
+        test, K, nprobe=3, allowed=allowed, auto_boost=False
+    ).collect()))
+    assert warm == batch
+
+    # every returned id satisfies the filter
+    lab = {r["id"]: r["label"] for r in train.select("id", "label").collect()}
+    assert all(lab[r[2]] in allowed for r in warm)
+
+    # auto strategy: a one-label filter is below the exact threshold ->
+    # the result IS the exact filtered kNN (delegates to filtered_knn)
+    from vector_index_spark.operators.knn import knn_join
+
+    exact = sorted(map(tuple, knn_join(
+        test, train.filter(F.col("label") == 3).select("id", "vec"), K
+    ).collect()))
+    warm_sel = sorted(map(tuple, sidx.query(test, K, allowed=[3]).collect()))
+    assert warm_sel == exact
+
+    # an allowed set matching nothing returns zero rows
+    assert sidx.query(test, K, allowed=[999]).count() == 0
+
+    # unfiltered query on an attr-packed index unchanged (3-tuple blobs)
+    plain = sorted(map(tuple, sidx.query(test, K, nprobe=3).collect()))
+    ref = sorted(map(tuple, ivfpq_knn(
+        test, encoded, cents, books, train.select("id", "vec"), K, nprobe=3
+    ).collect()))
+    assert plain == ref
+
+    # filtered query without attr_col raises
+    bare = IvfPqServingIndex(
+        encoded, cents, books, train.select("id", "vec")
+    ).warm()
+    with pytest.raises(ValueError):
+        bare.query(test, K, allowed=[1])
+    bare.unpersist()
+    sidx.unpersist()

@@ -988,7 +988,19 @@ class IvfPqServingIndex:
     cells only (batch-stat pruned — no exchange on the index side), the
     global shortlist window, and the exact re-rank against the cold raw
     corpus. Tail is identical to :func:`~vector_index_spark.index.ivfpq.
-    ivfpq_knn` (parity asserted in tests/test_serving.py)."""
+    ivfpq_knn` (parity asserted in tests/test_serving.py).
+
+    ``attr_col`` (optional) names an INTEGRAL attribute column of
+    ``train`` (a label / category / dictionary code — encode strings
+    upstream); the per-cell blobs then carry the code rows' attributes
+    offset-aligned with the ids, and :meth:`query`'s ``allowed`` value
+    set serves FILTERED searches: candidates are masked on the resident
+    attribute arrays BEFORE the ADC scoring (so every shortlist slot is
+    a matching row — filtered recall does not decay with selectivity),
+    nprobe is boosted by the inverse match rate under broad filters,
+    and a selective filter falls back to exact brute force over the
+    (small, by definition) matching subset of the cold corpus — the
+    operators/filtered strategy rule on a resident histogram."""
 
     def __init__(
         self,
@@ -999,11 +1011,14 @@ class IvfPqServingIndex:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         id_col: str = "id",
         vec_col: str = "vec",
+        attr_col: str | None = None,
     ):
         spark = encoded.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._train, self._id_col, self._vec_col = train, id_col, vec_col
         self._books = codebooks
+        self._attr_col = attr_col
+        self._attr_hist: dict[int, int] | None = None
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
@@ -1011,17 +1026,34 @@ class IvfPqServingIndex:
             pdf = pdf.sort_values("id")
             ids = pdf["id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
+            payload: tuple = (ids, codes)
+            if "__attr" in pdf.columns:
+                payload = (ids, codes, pdf["__attr"].to_numpy(dtype=np.int64))
             return pd.DataFrame(
                 {
                     "cell": [int(key[0])],
                     "n_vectors": [len(ids)],
-                    "blob": [pickle.dumps((ids, codes),
+                    "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
                 }
             )
 
+        code_rel = encoded.select(
+            F.col("centroid_id").alias("cell"), "id", "codes"
+        )
+        if attr_col is not None:
+            # one-time build-side equi-join on id to ride the attribute
+            # into the blobs (encoded carries only codes); at 100 TB both
+            # sides shuffle once on id — a build cost, never paid per batch
+            code_rel = code_rel.join(
+                train.select(
+                    F.col(id_col).alias("id"),
+                    F.col(attr_col).cast("long").alias("__attr"),
+                ),
+                "id",
+            )
         self.blobs = (
-            encoded.select(F.col("centroid_id").alias("cell"), "id", "codes")
+            code_rel
             .groupBy("cell")
             .applyInPandas(pack, CELL_BLOB_SCHEMA)
             .repartition(self._n_serve)
@@ -1055,21 +1087,88 @@ class IvfPqServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
+        allowed: "list[int] | None" = None,
+        auto_boost: bool = True,
     ) -> DataFrame:
+        """Top-k for a (micro-)batch against the resident code blobs.
+        Returns (qid, rank, id, dist).
+
+        ``allowed`` (requires ``attr_col`` at construction) restricts
+        neighbors to rows whose attribute is in the value set. With
+        ``auto_boost`` the operators/filtered strategy rule runs against
+        a resident attribute histogram: a selective filter switches to
+        exact brute force over the matching subset of the COLD corpus
+        (the predicate pushes into that scan; the subset is small by the
+        rule), a broad one masks candidates on the resident attribute
+        arrays before ADC scoring with nprobe boosted by the inverse
+        match rate. ``auto_boost=False`` runs the masked probe at
+        exactly ``nprobe`` (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
 
+        if allowed is not None and self._attr_col is None:
+            raise ValueError(
+                "filtered query needs attr_col= at IvfPqServingIndex "
+                "construction"
+            )
+        eff_nprobe = nprobe
+        if allowed is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            n_cells = int(self._C.shape[0])
+            mode, boosted = choose_filtered_strategy(
+                n_corpus, n_match, k, nprobe, n_cells
+            )
+            if mode == "exact":
+                from vector_index_spark.operators.filtered import filtered_knn
+
+                return filtered_knn(
+                    test,
+                    self._train,
+                    k,
+                    F.col(self._attr_col)
+                    .cast("long")
+                    .isin([int(v) for v in set(allowed)]),
+                    qid_col=qid_col,
+                    id_col=self._id_col,
+                    test_vec=vec_col,
+                    train_vec=self._vec_col,
+                )
+            eff_nprobe = boosted
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        allowed_set = (
+            frozenset(int(v) for v in allowed) if allowed is not None else None
+        )
         return chunked_over_queries(
             t,
-            lambda chunk: self._query_batch(chunk, k, nprobe, candidate_factor),
+            lambda chunk: self._query_batch(
+                chunk, k, eff_nprobe, candidate_factor, allowed_set
+            ),
             max_queries_per_batch,
         )
 
+    def _attribute_histogram(self) -> dict[int, int]:
+        if self._attr_hist is None:
+            rows = (
+                self._train.groupBy(
+                    F.col(self._attr_col).cast("long").alias("__attr")
+                )
+                .agg(F.count_distinct(self._id_col).alias("__n"))
+                .collect()
+            )
+            self._attr_hist = {int(r["__attr"]): int(r["__n"]) for r in rows}
+        return self._attr_hist
+
     def _query_batch(
-        self, t: DataFrame, k: int, nprobe: int, candidate_factor: int
+        self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
+        allowed: "frozenset[int] | None" = None,
     ) -> DataFrame:
         from pyspark.sql import Window
 
@@ -1093,19 +1192,35 @@ class IvfPqServingIndex:
             for c in cells:
                 acc.setdefault(int(c), []).append(qi)
         assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
-        bc = spark.sparkContext.broadcast((qids, Q, self._C, self._books, assign))
+        allow_arr = (
+            np.fromiter(allowed, dtype=np.int64) if allowed is not None else None
+        )
+        bc = spark.sparkContext.broadcast(
+            (qids, Q, self._C, self._books, assign, allow_arr)
+        )
         self._live_bcs.append(bc)
         ncand = candidate_factor * k
 
         def scan(batches):
-            b_qids, bQ, bC, books, asg = bc.value
+            b_qids, bQ, bC, books, asg, allow = bc.value
             m, ncent, sub = books.shape
             for pdf_b in batches:
                 for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
                     ix = asg.get(int(cell))
                     if ix is None or len(ix) == 0:
                         continue
-                    ids, codes = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, codes = payload[0], payload[1]
+                    if allow is not None:
+                        # in-kernel predicate: mask the resident arrays
+                        # before ADC scoring (mask preserves id sort
+                        # order, so the per-cell lexsort top-ncand equals
+                        # scanning pre-filtered postings — every
+                        # shortlist slot is a matching row)
+                        mask = np.isin(payload[2], allow)
+                        if not mask.any():
+                            continue
+                        ids, codes = ids[mask], codes[mask]
                     codes = codes.astype(np.int64)
                     # identical residual-LUT math to ivfpq scan: one
                     # broadcasted subtraction per subspace over the probing
