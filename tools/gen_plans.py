@@ -237,6 +237,26 @@ def main() -> None:
     ]
     f_sidx.unpersist()
 
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    fenc, fcents, fbooks = build_ivfpq(train, n_centroids=8, replicas=2)
+    fpq_sidx = IvfPqServingIndex(
+        fenc.localCheckpoint(eager=True), fcents, fbooks, train_l,
+        attr_col="label",
+    ).warm()
+    sections += [
+        (
+            "Filtered warm IVF-PQ serving (IvfPqServingIndex attr_col/"
+            "allowed, probed branch): identical plan shape to unfiltered "
+            "IVF-PQ serving — the attribute mask runs in-kernel on the "
+            "resident arrays BEFORE ADC scoring (no plan nodes added on "
+            "the index side); only nprobe changes under the auto boost",
+            plan(fpq_sidx.query(test.limit(10), 10, nprobe=3,
+                                allowed=[0, 3, 6, 9], auto_boost=False)),
+        ),
+    ]
+    fpq_sidx.unpersist()
+
     out = [
         "# PLANS — physical plans of the core operators (auto-generated)",
         "",
