@@ -14,6 +14,10 @@ Stages:
              (non-matching nodes navigate but never score)
   4. warm:   the same filters served from resident blobs
              (ServingIndex attr_col / allowed — in-kernel masks)
+  5. pq:     filtered warm IVF-PQ serving (IvfPqServingIndex), the
+             byte-efficient route a 100 TB deployment serves — the
+             mask applies to resident attribute arrays BEFORE the ADC
+             scoring, so every shortlist slot is a matching row
 Each stage verifies its results only contain allowed labels, and the
 approximate stages report recall vs the exact filtered ground truth.
 """
@@ -105,6 +109,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
     assert all(labels[r.id] in ALLOWED for r in cell_rows)
     recalls["warm_ivf"] = _recall(cell_rows, exact_rows)
     c_serving.unpersist()
+
+    # 5. filtered warm IVF-PQ serving (compressed route)
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    enc, pq_cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=16, replicas=2
+    )
+    pq_serving = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), pq_cents, books, train,
+        attr_col="label",
+    ).warm()
+    pq_rows = pq_serving.query(
+        test.select("qid", "vec"), K, nprobe=4, candidate_factor=16,
+        allowed=ALLOWED,
+    ).collect()
+    assert all(labels[r.id] in ALLOWED for r in pq_rows)
+    recalls["warm_ivfpq"] = _recall(pq_rows, exact_rows)
+    pq_serving.unpersist()
 
     for name, r in recalls.items():
         print(f"{name}: recall {r:.3f}")

@@ -874,3 +874,23 @@ def test_ivfpq_serving_filtered_parity_and_strategy(spark, vecs):
         bare.query(test, K, allowed=[1])
     bare.unpersist()
     sidx.unpersist()
+
+
+def test_filtered_search_example_end_to_end(spark):
+    """examples/filtered_search.py — every filtered-search form (exact,
+    IVF, graph facade, warm graph/IVF-cell/IVF-PQ serving) — runs in CI
+    so the workload-shaped example can't rot (the script asserts all
+    results match the predicate and recall >= 0.6 per stage)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    try:
+        from filtered_search import main
+    finally:
+        sys.path.pop(0)
+    recalls = main(SF_CORRECT, spark=spark)
+    assert set(recalls) == {
+        "exact", "ivf", "graph", "warm_graph", "warm_ivf", "warm_ivfpq"
+    }
+    assert min(recalls.values()) >= 0.6, recalls
