@@ -221,6 +221,32 @@ def test_graph_filtered_auto_selective_is_exact(lsplit, graph_index):
     assert _rows(res) == _rows(want)
 
 
+def test_filtered_auto_universal_predicate_does_not_crash(
+    lsplit, ivf_index, graph_index
+):
+    """Regression (ADVICE r6 low): auto mode feeds TWO independent
+    approx_count_distinct sketches into the strategy rule; on a
+    near-universal predicate the match estimate can exceed the total
+    estimate by sketch error, which (unclamped) trips the rule's domain
+    check on a perfectly valid query. Every-label-allowed must run and
+    return k rows per query on both the IVF and graph auto paths."""
+    from vector_index_spark.index.searcher import graph_filtered_ann_query
+
+    train, test = lsplit
+    assigned, centroids = ivf_index
+    n_q = test.count()
+    got_ivf = ivf_filtered_knn(
+        test, assigned, centroids, K, F.col("label") >= 0, nprobe=16
+    )
+    assert got_ivf.count() == n_q * K
+    vectors, edges = graph_index
+    got_g = graph_filtered_ann_query(
+        vectors, edges, test.select("qid", "vec"), K,
+        list(range(10)), attr_col="label", mode="auto",
+    )
+    assert got_g.count() == n_q * K
+
+
 def test_graph_filtered_mode_validation(lsplit, graph_index):
     from vector_index_spark.index.searcher import graph_filtered_ann_query
 

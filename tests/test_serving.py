@@ -803,6 +803,50 @@ def test_graph_serving_filtered_parity_and_exact(spark):
     sidx.unpersist()
 
 
+def test_graph_serving_filtered_exact_branch_ignores_nprobe(spark):
+    """Regression (ADVICE r6 high): when the auto strategy picks the
+    selective-filter exact branch, an integer ``nprobe`` must NOT route
+    the masked exact GEMM — routing is a beam recall knob and would
+    silently drop matching rows living in unprobed shards. The routed
+    filtered query must equal the exact filtered kNN over the WHOLE
+    corpus, not just the probed shards."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        exact = sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in knn_join(
+                test, train.filter(F.col("label") == 3), K
+            ).collect()
+        )
+        # nprobe=2 of many shards: pre-fix this scanned only 2 shards'
+        # masked matrices and lost most of the exact answer
+        routed = sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in sidx.query(test, K, nprobe=2, allowed=[3]).collect()
+        )
+        assert routed == exact
+    finally:
+        sidx.unpersist()
+
+
 def test_ivfpq_serving_filtered_parity_and_strategy(spark, vecs):
     """Filtered warm IVF-PQ serving (IvfPqServingIndex attr_col/allowed):
     the in-kernel attribute mask must be byte-identical to the batch

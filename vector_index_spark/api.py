@@ -326,7 +326,13 @@ class VectorIndex:
         exact fallback under selective filters). Supported for the
         euclidean2 and cosine metrics; the inner-product augmentation's
         re-rank tail is not wired here (use exact_query over a filtered
-        corpus for MIPS)."""
+        corpus for MIPS).
+
+        ``attrs`` has one row per corpus id, so it scales WITH the
+        corpus — the join below is deliberately left unhinted so AQE
+        picks the strategy (an equi-join co-shuffled on id at scale;
+        broadcast only if Spark's size estimate says the table is
+        small). Never force-broadcast a corpus-cardinality relation."""
         from vector_index_spark.functions.distance import assert_dim, normalize
         from vector_index_spark.index.searcher import graph_filtered_ann_query
 
@@ -341,9 +347,7 @@ class VectorIndex:
         if metric == "cosine_similarity":
             t = t.select("qid", normalize(F.col("vec")).alias("vec"))
         vec_attr = self.vectors.join(
-            F.broadcast(
-                attrs.select(F.col("id"), F.col(attr_col).alias("__fattr"))
-            ),
+            attrs.select(F.col("id"), F.col(attr_col).alias("__fattr")),
             "id",
         )
         res = graph_filtered_ann_query(

@@ -455,15 +455,20 @@ def graph_filtered_ann_query(
                 F.when(match_pred, F.col("id"))
             ).alias("__match"),
         ).collect()[0]
+        # clamp: independent HLL sketches can invert on near-universal
+        # predicates (match estimate > total estimate), which would trip
+        # the strategy rule's domain check on a valid query
+        n_total = max(int(counts["__total"]), 1)
+        n_match = min(int(counts["__match"]), n_total)
         strategy, _ = choose_filtered_strategy(
-            max(int(counts["__total"]), 1), int(counts["__match"]), k,
+            n_total, n_match, k,
             1, 1, fallback_factor=fallback_factor, max_boost=max_boost,
         )
         if strategy == "exact":
             mode = "exact"
         else:
             mode = "beam"
-            sel = max(int(counts["__match"]), 1) / max(int(counts["__total"]), 1)
+            sel = max(n_match, 1) / n_total
             import math as _math
 
             patience = relaxed_monotonicity * min(

@@ -275,6 +275,11 @@ class ServingIndex:
             strategy, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
             if strategy == "exact":
                 exact_scan = True
+                # exactness contract: the masked GEMM must see EVERY
+                # shard's resident matrix — centroid routing (nprobe) is
+                # a beam-search recall knob and would silently drop
+                # matching rows living in unprobed shards
+                nprobe = None
             else:
                 sel = max(n_match, 1) / n_corpus
                 patience = relaxed_monotonicity * min(8, _math.ceil(1.0 / sel))

@@ -207,9 +207,14 @@ def ivf_filtered_knn(
             ).alias("__match"),
         ).collect()[0]
         n_cells = centroids.count()
+        # the two HLL estimates are independent sketches: for
+        # near-universal predicates the match estimate can exceed the
+        # total by sketch error — clamp so the strategy rule's domain
+        # check never rejects a valid query
+        n_total = max(int(counts["__total"]), 1)
         mode, eff_nprobe = choose_filtered_strategy(
-            max(int(counts["__total"]), 1),
-            int(counts["__match"]),
+            n_total,
+            min(int(counts["__match"]), n_total),
             k,
             nprobe,
             n_cells,
