@@ -3477,29 +3477,119 @@ def q103_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Registry order IS the correctness window: the driver oracle-checks the
-    # first 50 entries. Round-6 rotation (VERDICT r5 item 2 — retire the
-    # r3-stale tail): (a) q108 leads because ivfpq_knn's shortlist dedup
-    # changed this round (min-approx per (qid,id), replacing the replica-
-    # nondeterministic dropDuplicates); (b) all 37 queries whose latest
-    # green was round 3 — the full r3 gate block q112-q127, the TPC-H-shape
-    # q126-q133, q89-q102, and the q03-q10 head; (c) the three rows-only
-    # estimate entries (q32/q41/q49) stay in-window for their weak check;
-    # (d) the window tail re-checks the remaining ANN route gates
-    # (q104-q111, q118, q22) in the same round that added warm serving for
-    # the compressed routes. After this window no registered query's latest
-    # check is older than round 4. Behind the window: r4 greens first
-    # (stalest next round), then r5.
-    # NEW this round (never checked -> window head): the filtered-ANN
-    # family (q152-q154, q163) and the TPC-H Q6/Q8/Q9/Q11/Q12/Q15/Q16/
-    # Q20 shapes (q155-q162). Window arithmetic: 14 never-checked (12 new
-    # + q150/q151) + 36 r3-stale fills all 50 slots. Deliberate
-    # carry-overs at positions 51/52: q10 (r3; its threshold-join path is
-    # exercised in-window by q112's LSH-join gate and in pytest by
-    # test_neardup) and q108 (r5-green; its round-6 ivfpq change is
-    # exercised in-window by q150's warm==batch parity gate, which runs
-    # ivfpq_knn directly, and by test_ann_routes' recall floor). Both
-    # lead round 7's window.
+    # Registry order IS the correctness window: the driver oracle-checks
+    # the first 50 entries. From round 7 on this order is GENERATED by
+    # tools/rotate_window.py (staleness-sorted: never-checked or
+    # latest-check-failed entries first, then ascending latest-green
+    # round, ties by prior position) — regenerate with
+    #   PYTHONPATH=. python tools/rotate_window.py --emit dict
+    # after adding queries or after a driver round. The round-6 overflow
+    # (q09/q10 left r3-stale, 52 candidates for 50 slots) is structurally
+    # impossible now: with N<=150 and a 50-slot window the tool proves a
+    # <=3-round re-check interval and the test suite pins that the first
+    # 50 registry entries ARE the rotation's top 50. Round-7 window:
+    # q09/q10 lead (the r3-stale pair), then the r4 ANN-route gates,
+    # then the r4 block; new never-checked queries join the head.
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_threshold_join": q10_threshold_join,
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q106_pq_recall_gate": q106_pq_recall_gate,
+        "q107_sq_recall_gate": q107_sq_recall_gate,
+        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
+        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q104_lsh_recall_gate": q104_lsh_recall_gate,
+        "q105_ivf_recall_gate": q105_ivf_recall_gate,
+        "q109_pca_recall_gate": q109_pca_recall_gate,
+        "q110_rpt_recall_gate": q110_rpt_recall_gate,
+        "q111_hamming_recall_gate": q111_hamming_recall_gate,
+        "q135_binary_format_ingest": q135_binary_format_ingest,
+        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
+        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
+        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
+        "q97_bpe_vocab": q97_bpe_vocab,
+        "q103_sketch_rollup": q103_sketch_rollup,
+        "q137_waiting_suppliers": q137_waiting_suppliers,
+        "q138_quiet_high_balance": q138_quiet_high_balance,
+        "q139_min_cost_supplier": q139_min_cost_supplier,
+        "q140_large_volume_orders": q140_large_volume_orders,
+        "q142_take_n_per_source": q142_take_n_per_source,
+        "q11_star_agg": q11_star_agg,
+        "q12_token_topn": q12_token_topn,
+        "q13_minhash_pairs": q13_minhash_pairs,
+        "q15_text_profile": q15_text_profile,
+        "q16_langid": q16_langid,
+        "q17_fingerprint_dedup": q17_fingerprint_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q24_events_hourly": q24_events_hourly,
+        "q25_event_sessions": q25_event_sessions,
+        "q26_payload_stats": q26_payload_stats,
+        "q28_cosine_knn": q28_cosine_knn,
+        "q29_set_ops": q29_set_ops,
+        "q30_top_orders": q30_top_orders,
+        "q31_token_counts": q31_token_counts,
+        "q33_event_props_json": q33_event_props_json,
+        "q34_orders_monthly": q34_orders_monthly,
+        "q35_pricing_summary": q35_pricing_summary,
+        "q36_shipping_priority": q36_shipping_priority,
+        "q37_vec_dedup": q37_vec_dedup,
+        "q38_clean_pipeline": q38_clean_pipeline,
+        "q40_distinct_users": q40_distinct_users,
+        "q42_value_percentiles": q42_value_percentiles,
+        "q44_label_centroids": q44_label_centroids,
+        "q45_rolling_hash": q45_rolling_hash,
+        "q46_semantic_search": q46_semantic_search,
+        "q48_rollup_revenue": q48_rollup_revenue,
+        "q50_semi_anti_join": q50_semi_anti_join,
+        "q32_grid_search": q32_grid_search,
+        "q41_hll_users": q41_hll_users,
+        "q49_approx_quantiles": q49_approx_quantiles,
+        "q144_sweep_contract_gate": q144_sweep_contract_gate,
+        "q145_png_pixel_stats": q145_png_pixel_stats,
+        "q146_png_resize_stats": q146_png_resize_stats,
+        "q147_wav_audio_stats": q147_wav_audio_stats,
+        "q148_minhash_pairs_bucketed": q148_minhash_pairs_bucketed,
+        "q149_simhash_pairs_collapsed": q149_simhash_pairs_collapsed,
+        "q141_gapfill_forward": q141_gapfill_forward,
+        "q143_gapfill_linear": q143_gapfill_linear,
+        "q134_table_profile": q134_table_profile,
+        "q51_top_events_per_user": q51_top_events_per_user,
+        "q52_asof_purchase_click": q52_asof_purchase_click,
+        "q53_clicks_before_purchase": q53_clicks_before_purchase,
+        "q54_pivot_daily_events": q54_pivot_daily_events,
+        "q59_pii_redaction": q59_pii_redaction,
+        "q60_gopher_quality": q60_gopher_quality,
+        "q61_repetition_profile": q61_repetition_profile,
+        "q14_simhash_pairs": q14_simhash_pairs,
+        "q18_embedding_neardup": q18_embedding_neardup,
+        "q27_byte_histogram": q27_byte_histogram,
+        "q47_filtered_search": q47_filtered_search,
+        "q55_cube_revenue": q55_cube_revenue,
+        "q56_order_running_totals": q56_order_running_totals,
+        "q57_late_ship_priority": q57_late_ship_priority,
+        "q58_local_supplier_volume": q58_local_supplier_volume,
+        "q63_tree_merge_knn": q63_tree_merge_knn,
+        "q64_dedup_first_event": q64_dedup_first_event,
+        "q66_click_purchase_pairs": q66_click_purchase_pairs,
+        "q67_span_dedup": q67_span_dedup,
+        "q68_stratified_sample": q68_stratified_sample,
+        "q69_train_split": q69_train_split,
+        "q70_weighted_mix": q70_weighted_mix,
+        "q71_doc_chunks": q71_doc_chunks,
+        "q72_pack_sequences": q72_pack_sequences,
+        "q73_contamination": q73_contamination,
+        "q75_hamming_knn": q75_hamming_knn,
+        "q76_c4_clean": q76_c4_clean,
+        "q77_unpivot_lineitem": q77_unpivot_lineitem,
+        "q78_grouping_sets": q78_grouping_sets,
+        "q79_windowed_revenue": q79_windowed_revenue,
+        "q80_full_outer_coverage": q80_full_outer_coverage,
+        "q82_bm25_search": q82_bm25_search,
+        "q83_hybrid_search": q83_hybrid_search,
+        "q84_dedup_clusters": q84_dedup_clusters,
+        "q86_zorder_keys": q86_zorder_keys,
+        "q88_small_qty_revenue": q88_small_qty_revenue,
+        "q01_l2sq_pairs": q01_l2sq_pairs,
+        "q02_ip_cos_pairs": q02_ip_cos_pairs,
         "q152_label_knn": q152_label_knn,
         "q153_filtered_knn": q153_filtered_knn,
         "q154_filtered_ivf_gate": q154_filtered_ivf_gate,
@@ -3550,106 +3640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_merge_upsert": q132_merge_upsert,
         "q133_scd2_history": q133_scd2_history,
         "q08_index_roundtrip": q08_index_roundtrip,
-        "q09_dedup_exact": q09_dedup_exact,
-        "q10_threshold_join": q10_threshold_join,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
-        "q32_grid_search": q32_grid_search,
-        "q41_hll_users": q41_hll_users,
-        "q49_approx_quantiles": q49_approx_quantiles,
-        "q106_pq_recall_gate": q106_pq_recall_gate,
-        "q107_sq_recall_gate": q107_sq_recall_gate,
-        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
-        "q22_graph_recall_gate": q22_graph_recall_gate,
-        "q104_lsh_recall_gate": q104_lsh_recall_gate,
-        "q105_ivf_recall_gate": q105_ivf_recall_gate,
-        "q109_pca_recall_gate": q109_pca_recall_gate,
-        "q110_rpt_recall_gate": q110_rpt_recall_gate,
-        "q111_hamming_recall_gate": q111_hamming_recall_gate,
-        "q135_binary_format_ingest": q135_binary_format_ingest,
-        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
-        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
-        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
-        "q97_bpe_vocab": q97_bpe_vocab,
-        "q103_sketch_rollup": q103_sketch_rollup,
-        "q137_waiting_suppliers": q137_waiting_suppliers,
-        "q138_quiet_high_balance": q138_quiet_high_balance,
-        "q139_min_cost_supplier": q139_min_cost_supplier,
-        "q140_large_volume_orders": q140_large_volume_orders,
-        "q142_take_n_per_source": q142_take_n_per_source,
-        "q11_star_agg": q11_star_agg,
-        "q12_token_topn": q12_token_topn,
-        "q13_minhash_pairs": q13_minhash_pairs,
-        "q15_text_profile": q15_text_profile,
-        "q16_langid": q16_langid,
-        "q17_fingerprint_dedup": q17_fingerprint_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q24_events_hourly": q24_events_hourly,
-        "q25_event_sessions": q25_event_sessions,
-        "q26_payload_stats": q26_payload_stats,
-        "q28_cosine_knn": q28_cosine_knn,
-        "q29_set_ops": q29_set_ops,
-        "q30_top_orders": q30_top_orders,
-        "q31_token_counts": q31_token_counts,
-        "q33_event_props_json": q33_event_props_json,
-        "q34_orders_monthly": q34_orders_monthly,
-        "q35_pricing_summary": q35_pricing_summary,
-        "q36_shipping_priority": q36_shipping_priority,
-        "q37_vec_dedup": q37_vec_dedup,
-        "q38_clean_pipeline": q38_clean_pipeline,
-        "q40_distinct_users": q40_distinct_users,
-        "q42_value_percentiles": q42_value_percentiles,
-        "q44_label_centroids": q44_label_centroids,
-        "q45_rolling_hash": q45_rolling_hash,
-        "q46_semantic_search": q46_semantic_search,
-        "q48_rollup_revenue": q48_rollup_revenue,
-        "q50_semi_anti_join": q50_semi_anti_join,
-        "q144_sweep_contract_gate": q144_sweep_contract_gate,
-        "q145_png_pixel_stats": q145_png_pixel_stats,
-        "q146_png_resize_stats": q146_png_resize_stats,
-        "q147_wav_audio_stats": q147_wav_audio_stats,
-        "q148_minhash_pairs_bucketed": q148_minhash_pairs_bucketed,
-        "q149_simhash_pairs_collapsed": q149_simhash_pairs_collapsed,
-        "q141_gapfill_forward": q141_gapfill_forward,
-        "q143_gapfill_linear": q143_gapfill_linear,
-        "q134_table_profile": q134_table_profile,
-        "q51_top_events_per_user": q51_top_events_per_user,
-        "q52_asof_purchase_click": q52_asof_purchase_click,
-        "q53_clicks_before_purchase": q53_clicks_before_purchase,
-        "q54_pivot_daily_events": q54_pivot_daily_events,
-        "q59_pii_redaction": q59_pii_redaction,
-        "q60_gopher_quality": q60_gopher_quality,
-        "q61_repetition_profile": q61_repetition_profile,
-        "q14_simhash_pairs": q14_simhash_pairs,
-        "q18_embedding_neardup": q18_embedding_neardup,
-        "q27_byte_histogram": q27_byte_histogram,
-        "q47_filtered_search": q47_filtered_search,
-        "q55_cube_revenue": q55_cube_revenue,
-        "q56_order_running_totals": q56_order_running_totals,
-        "q57_late_ship_priority": q57_late_ship_priority,
-        "q58_local_supplier_volume": q58_local_supplier_volume,
-        "q63_tree_merge_knn": q63_tree_merge_knn,
-        "q64_dedup_first_event": q64_dedup_first_event,
-        "q66_click_purchase_pairs": q66_click_purchase_pairs,
-        "q67_span_dedup": q67_span_dedup,
-        "q68_stratified_sample": q68_stratified_sample,
-        "q69_train_split": q69_train_split,
-        "q70_weighted_mix": q70_weighted_mix,
-        "q71_doc_chunks": q71_doc_chunks,
-        "q72_pack_sequences": q72_pack_sequences,
-        "q73_contamination": q73_contamination,
-        "q75_hamming_knn": q75_hamming_knn,
-        "q76_c4_clean": q76_c4_clean,
-        "q77_unpivot_lineitem": q77_unpivot_lineitem,
-        "q78_grouping_sets": q78_grouping_sets,
-        "q79_windowed_revenue": q79_windowed_revenue,
-        "q80_full_outer_coverage": q80_full_outer_coverage,
-        "q82_bm25_search": q82_bm25_search,
-        "q83_hybrid_search": q83_hybrid_search,
-        "q84_dedup_clusters": q84_dedup_clusters,
-        "q86_zorder_keys": q86_zorder_keys,
-        "q88_small_qty_revenue": q88_small_qty_revenue,
-        "q01_l2sq_pairs": q01_l2sq_pairs,
-        "q02_ip_cos_pairs": q02_ip_cos_pairs,
     }
 
 

@@ -1,0 +1,90 @@
+"""tools/rotate_window.py — staleness-driven correctness-window
+rotation (VERDICT r6 item 6). Pure-function tests: no Spark."""
+
+from __future__ import annotations
+
+import json
+
+from tools.rotate_window import (
+    coverage_bound,
+    load_latest_green,
+    max_staleness_after,
+    rotation_order,
+)
+
+
+def test_never_checked_lead_then_stalest():
+    registry = ["a", "b", "c", "d", "e"]
+    latest = {"a": 6, "b": 3, "d": 5}  # c, e never checked
+    order = rotation_order(registry, latest)
+    assert order == ["c", "e", "b", "d", "a"]
+
+
+def test_ties_broken_by_registry_position_stably():
+    registry = ["x", "y", "z"]
+    latest = {"x": 4, "y": 4, "z": 4}
+    assert rotation_order(registry, latest) == ["x", "y", "z"]
+
+
+def test_coverage_bound():
+    assert coverage_bound(50, 50) == 1
+    assert coverage_bound(150, 50) == 3
+    assert coverage_bound(151, 50) == 4
+    assert coverage_bound(1, 50) == 1
+
+
+def test_max_staleness_after_window():
+    # 4 entries, window 2: the two stalest rotate in; the freshest two
+    # stay behind. Oldest behind = r5 at round 7 => 2 rounds stale.
+    registry = ["a", "b", "c", "d"]
+    latest = {"a": 3, "b": 4, "c": 5, "d": 6}
+    order = rotation_order(registry, latest)
+    assert order == ["a", "b", "c", "d"]
+    assert max_staleness_after(order, latest, 2, 7) == 2
+    # everything fits in the window -> nothing left behind
+    assert max_staleness_after(order, latest, 4, 7) == 0
+
+
+def test_load_latest_green_semantics(tmp_path):
+    # r5: q1 hash-green, q2 rows-only green, q3 hard failure
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "q1": {"rows_match": True, "schema_match": True, "hash_match": True,
+               "spark_rows": 10, "oracle_rows": 10, "err": None},
+        "q2": {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"},
+        "q3": {"rows_match": False, "schema_match": True, "hash_match": False,
+               "spark_rows": 9, "oracle_rows": 10, "err": None},
+    }))
+    # r6: q1 FAILS (later failure must not erase the r5 green), q3 green
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps({
+        "q1": {"rows_match": True, "schema_match": True, "hash_match": False,
+               "spark_rows": 10, "oracle_rows": 10, "err": None},
+        "q3": {"rows_match": True, "schema_match": True, "hash_match": True,
+               "spark_rows": 10, "oracle_rows": 10, "err": None},
+    }))
+    latest = load_latest_green(str(tmp_path))
+    assert latest == {"q1": 5, "q2": 5, "q3": 6}
+    # q1's latest check failed -> its green is stale -> it outranks q3
+    order = rotation_order(["q3", "q1", "q2"], latest)
+    assert order == ["q1", "q2", "q3"]
+
+
+def test_real_registry_rotation_leads_with_q09_q10():
+    """The round-7 acceptance criterion (VERDICT r6 item 1): on the real
+    correctness history, q09_dedup_exact and q10_threshold_join are the
+    only r3-stale entries, so (absent never-checked newcomers) they sort
+    ahead of every r4+ green; and the registry still fits the 3-round
+    re-check guarantee."""
+    import __spark_entry__ as entry
+
+    registry = list(entry.queries().keys())
+    latest = load_latest_green("/root/repo")
+    order = rotation_order(registry, latest)
+    checked = [n for n in order if n in latest]
+    assert checked[0] == "q09_dedup_exact"
+    assert checked[1] == "q10_threshold_join"
+    assert coverage_bound(len(registry), 50) <= 3
+    # the registry's CURRENT order must already be window-consistent:
+    # the driver checks the first 50, which must include every entry
+    # the rotation ranks in its top 50 (no overflow regression)
+    assert set(registry[:50]) == set(order[:50])

@@ -1,0 +1,162 @@
+"""Staleness-driven correctness-window rotation.
+
+The driver oracle-checks the FIRST ``window`` (50) entries of
+``__spark_entry__.queries()`` each round, so registry order IS the
+correctness window. Through round 6 that order was hand-maintained,
+which is how the round-6 overflow happened (52 rotation candidates for
+50 slots left q09/q10 r3-stale — VERDICT r6 item 1/6). This tool makes
+overflows structurally impossible:
+
+  * reads every ``CORRECTNESS_r*.json`` and derives, per registered
+    query, the latest round with a green driver check (hash-matched, or
+    the documented rows-only weak check for estimate-valued entries);
+  * emits the staleness-sorted rotation: never-checked / last-check-
+    failed entries first, then ascending latest-green round, ties broken
+    by current registry position (stable);
+  * asserts the coverage invariant: with N registered queries and a
+    ``window``-entry driver gate, staleness-sorted rotation guarantees
+    every entry is re-checked at least every ceil(N / window) rounds —
+    the tool fails if that bound exceeds ``--max-age`` (default 3).
+
+Usage:
+    PYTHONPATH=. python tools/rotate_window.py            # report
+    PYTHONPATH=. python tools/rotate_window.py --emit dict  # paste-ready
+                                                # queries() body lines
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+WINDOW = 50
+ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
+def load_latest_green(repo_root: str) -> dict[str, int]:
+    """Map query name -> latest round with a green driver check.
+
+    Green = hash-matched (rows/schema/hash all true, no error), or the
+    rows-only weak check (err == 'no_oracle' with a recorded row count)
+    that the driver applies to estimate-valued queries. A query whose
+    latest appearance FAILED is treated as if that appearance never
+    happened (it must lead the next window).
+    """
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = ROUND_RE.search(path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            results = json.load(f)
+        for name, rec in results.items():
+            if _is_green(rec) and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _is_green(rec: dict) -> bool:
+    if rec.get("hash_match"):
+        return bool(rec.get("rows_match")) and bool(rec.get("schema_match"))
+    return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+
+
+def rotation_order(
+    registry: list[str], latest_green: dict[str, int]
+) -> list[str]:
+    """Staleness-sorted rotation: never-checked (or latest-check-failed)
+    entries first in registry order, then ascending latest-green round,
+    ties broken by current registry position (a stable sort — entries a
+    past rotation already ordered within a round keep that order)."""
+    pos = {name: i for i, name in enumerate(registry)}
+    return sorted(
+        registry, key=lambda n: (latest_green.get(n, -1), pos[n])
+    )
+
+
+def coverage_bound(n_queries: int, window: int) -> int:
+    """Worst-case rounds between driver checks of any one query under
+    staleness-sorted rotation: each round retires the ``window`` stalest
+    entries, so an entry waits at most ceil(N / window) rounds."""
+    return max(1, math.ceil(n_queries / window))
+
+
+def max_staleness_after(
+    order: list[str], latest_green: dict[str, int], window: int,
+    this_round: int,
+) -> int:
+    """Rounds-stale of the OLDEST green entry left outside this round's
+    window, after the window runs (entries inside it become fresh)."""
+    behind = order[window:]
+    if not behind:
+        return 0
+    oldest = min(latest_green.get(n, -1) for n in behind)
+    return this_round - oldest if oldest >= 0 else this_round + 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--window", type=int, default=WINDOW)
+    ap.add_argument(
+        "--max-age", type=int, default=3,
+        help="fail if the guaranteed re-check interval exceeds this",
+    )
+    ap.add_argument(
+        "--emit", choices=("report", "dict"), default="report",
+        help="'dict' prints paste-ready queries() body lines",
+    )
+    ap.add_argument("--repo-root", default=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.repo_root)
+    import __spark_entry__ as entry  # noqa: E402
+
+    registry = list(entry.queries().keys())
+    latest = load_latest_green(args.repo_root)
+    rounds_seen = [
+        int(ROUND_RE.search(p).group(1))
+        for p in glob.glob(os.path.join(args.repo_root, "CORRECTNESS_r*.json"))
+    ]
+    this_round = (max(rounds_seen) + 1) if rounds_seen else 1
+    order = rotation_order(registry, latest)
+
+    bound = coverage_bound(len(registry), args.window)
+    if bound > args.max_age:
+        print(
+            f"FAIL: {len(registry)} queries / {args.window}-entry window "
+            f"=> worst-case re-check every {bound} rounds > {args.max_age}. "
+            "Shrink the registry or raise the window.",
+            file=sys.stderr,
+        )
+        return 1
+
+    if args.emit == "dict":
+        for name in order:
+            print(f'        "{name}": {name},')
+        return 0
+
+    print(f"registry: {len(registry)} queries; window: {args.window}; "
+          f"rotating for round {this_round}")
+    print(f"guaranteed re-check interval: every {bound} round(s) "
+          f"(max allowed {args.max_age})")
+    never = [n for n in order if n not in latest]
+    if never:
+        print(f"never-checked (lead the window): {never}")
+    print("window head (first 10):")
+    for name in order[:10]:
+        print(f"  {name}  latest_green=r{latest.get(name, '-')}")
+    stale_after = max_staleness_after(order, latest, args.window, this_round)
+    print(f"oldest entry left behind the window after this round: "
+          f"{stale_after} round(s) stale")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
