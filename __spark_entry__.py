@@ -1169,6 +1169,157 @@ def q164_filtered_ivfpq_serving_gate(spark: SparkSession, sf_dir: str) -> DataFr
     return gate
 
 
+def q165_dict_encode_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode code tables (operators/filtered.dict_encode,
+    round 7): string attribute columns (lang, source) map to dense
+    0-based codes in sorted value order — the deterministic,
+    engine-independent contract (the oracle reproduces it as DuckDB
+    dense_rank() - 1). The table build is one distinct per column
+    (dictionary cardinality, not corpus cardinality); the encode itself
+    is a broadcast join back onto the corpus. These code tables are what
+    the filtered warm-serving classes consume for string predicates
+    ("lang = 'en' AND source IN (...)") via integral conjunction masks."""
+    from vector_index_spark.operators.filtered import dict_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    _, tables = dict_encode(docs, ["lang", "source"])
+    parts = []
+    for attr in ("lang", "source"):
+        counts = docs.groupBy(F.col(attr).alias("value")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        parts.append(
+            tables[attr]
+            .join(counts, "value")
+            .select(
+                F.lit(attr).alias("attr"), "value",
+                F.col("code").cast("long").alias("code"), "n_rows",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q166_string_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate filtered exact kNN through the dictionary-encode
+    path (VERDICT r6 item 3's headline predicate): neighbors restricted
+    to documents with lang = 'en' AND source IN ('src1','src12','src18'),
+    evaluated in Spark ENTIRELY over dict_encode's integral codes
+    (codes_for drives the driver-side value->code lookup; the
+    conjunction_predicate lands on the corpus relation before the
+    kernel), while the oracle filters the raw strings — a hash match
+    proves the encode+filter path is value-faithful end to end."""
+    from vector_index_spark.operators.filtered import (
+        codes_for,
+        conjunction_predicate,
+        dict_encode,
+        filtered_knn,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc, tables = dict_encode(docs, ["lang", "source"])
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = (
+        emb.filter(F.col("vec_id") % 10 != 0)
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .join(
+            enc.select(F.col("doc_id").alias("id"), "lang_code", "source_code"),
+            "id",
+        )
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    allows = (
+        codes_for(tables["lang"], "en"),
+        codes_for(tables["source"], ["src1", "src12", "src18"]),
+    )
+    pred = conjunction_predicate(("lang_code", "source_code"), allows)
+    res = filtered_knn(test, corpus, K, pred)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q167_conjunction_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for MULTI-ATTRIBUTE conjunction filtering on the
+    warm serving classes (VERDICT r6 items 3+4): graph ServingIndex and
+    IvfPqServingIndex built with attr_col=["label","label2"], queried
+    under AND-of-IN value sets at two selectivities. Selective
+    (~13% of corpus, under fallback_factor*k) -> the auto strategy's
+    exact branch must EQUAL brute-force conjunction-filtered kNN on both
+    classes; broad (~47%) -> the masked beam returns only matching rows
+    with recall >= 0.9 vs exact and the full Q*k shape. Booleans + the
+    oracle-pinned row count make the gate hash-checkable."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import (
+        IvfPqServingIndex,
+        ServingIndex,
+    )
+
+    train, test = _lsplit(spark, sf_dir)
+    train = train.withColumn("label2", F.col("id") % 3)
+    test = test.select("qid", "vec")
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label", "label2")), "id"
+    )
+    gidx = ServingIndex(vectors, edges, attr_col=["label", "label2"]).warm()
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    pidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col=["label", "label2"],
+    ).warm()
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in df.collect()
+        )
+
+    sel_allowed = [[3, 5], [0, 1]]
+    sel_pred = F.col("label").isin(3, 5) & F.col("label2").isin(0, 1)
+    sel_exact = rows(knn_join(test, train.filter(sel_pred), K))
+    g_sel_ok = rows(gidx.query(test, K, allowed=sel_allowed)) == sel_exact
+    p_sel_ok = rows(pidx.query(test, K, nprobe=3, allowed=sel_allowed)) \
+        == sel_exact
+
+    broad_allowed = [[0, 1, 2, 3, 4, 5, 6], [0, 1]]
+    broad_pred = (
+        F.col("label").isin(*broad_allowed[0])
+        & F.col("label2").isin(*broad_allowed[1])
+    )
+    got = gidx.query(test, K, allowed=broad_allowed).localCheckpoint(
+        eager=True
+    )
+    bad = got.join(train.select("id", "label", "label2"), "id").filter(
+        ~broad_pred
+    ).count()
+    truth = set(rows(knn_join(test, train.filter(broad_pred), K)))
+    hits = len(set(rows(got)) & truth)
+    recall_ok = hits / len(truth) >= 0.9
+    n_broad = got.count()
+    gidx.unpersist()
+    pidx.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(g_sel_ok), bool(p_sel_ok), bool(bad == 0),
+            bool(recall_ok), int(n_broad),
+        )],
+        "graph_sel_parity_ok boolean, ivfpq_sel_parity_ok boolean, "
+        "broad_only_matching boolean, broad_recall_ok boolean, "
+        "n_broad_rows long",
+    )
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -1730,8 +1881,11 @@ def q31_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's parameter sweep (performence_test,
     example/dehnsw_example.cpp:96-130): connect x step x query-RM grid with
-    recall + latency per config. Rows-only (timings are nondeterministic;
-    recall values are asserted in tests)."""
+    recall + latency per config. Timings are nondeterministic, so this
+    relation is NOT driver-registered (retired from the rows-only window
+    in round 7 to keep the 3-round re-check guarantee at a 150-entry
+    registry); its deterministic contract is hash-gated by
+    q144_sweep_contract_gate, which runs this exact sweep."""
     from vector_index_spark.config import IndexParameters
     from vector_index_spark.operators.sweep import grid_search
 
@@ -1855,8 +2009,10 @@ def q40_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation — HyperLogLog approximate distinct users per
     event type (approx_count_distinct, rsd=2%). Rows-only: sketch
-    estimates are engine-specific; accuracy vs q40 is asserted in
-    tests/test_sketches.py."""
+    estimates are engine-specific, so this relation is NOT
+    driver-registered (retired round 7 for the 3-round window
+    guarantee); q113_hll_gate hash-pins the <=5% accuracy contract and
+    tests/test_sketches.py gates this exact relation."""
     from vector_index_spark.sources.loaders import read_events
 
     ev = read_events(spark, sf_dir)
@@ -1881,8 +2037,10 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation — approximate percentiles (percentile_approx,
     the Greenwald-Khanna sketch). Rows-only: sketch values are
-    engine-specific; accuracy vs the exact q42 is gated in
-    tests/test_sketches.py."""
+    engine-specific, so this relation is NOT driver-registered
+    (retired round 7 for the 3-round window guarantee); q114_quantile_gate
+    hash-pins the ±1%-rank contract and tests/test_sketches.py gates
+    this exact relation."""
     from vector_index_spark.sources.loaders import read_events
 
     ev = read_events(spark, sf_dir)
@@ -3483,13 +3641,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # latest-check-failed entries first, then ascending latest-green
     # round, ties by prior position) — regenerate with
     #   PYTHONPATH=. python tools/rotate_window.py --emit dict
-    # after adding queries or after a driver round. The round-6 overflow
-    # (q09/q10 left r3-stale, 52 candidates for 50 slots) is structurally
-    # impossible now: with N<=150 and a 50-slot window the tool proves a
-    # <=3-round re-check interval and the test suite pins that the first
-    # 50 registry entries ARE the rotation's top 50. Round-7 window:
-    # q09/q10 lead (the r3-stale pair), then the r4 ANN-route gates,
-    # then the r4 block; new never-checked queries join the head.
+    # after adding queries or after a driver round. With N<=150 and the
+    # 50-slot window the tool proves a <=3-round re-check interval (the
+    # round-6 overflow is structurally impossible), and the test suite
+    # pins that the first 50 registry entries ARE the rotation's top 50.
+    # Round-7 window: the three never-checked round-7 entries (q165-q167,
+    # string/multi-attribute filtered search) lead, then q09/q10 (the
+    # r3-stale pair), then the r4 ANN-route gates and the r4 block. The
+    # three rows-only estimate entries (q32/q41/q49) were RETIRED from
+    # the registry this round — their contracts are hash-gated by
+    # q144/q113/q114 and the raw relations stay pytest-gated
+    # (test_sketches) — bringing the registry to 150 all-hash-matched
+    # entries within the window guarantee.
+        "q165_dict_encode_tables": q165_dict_encode_tables,
+        "q166_string_filtered_knn": q166_string_filtered_knn,
+        "q167_conjunction_serving_gate": q167_conjunction_serving_gate,
         "q09_dedup_exact": q09_dedup_exact,
         "q10_threshold_join": q10_threshold_join,
         "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
@@ -3540,9 +3706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_semantic_search": q46_semantic_search,
         "q48_rollup_revenue": q48_rollup_revenue,
         "q50_semi_anti_join": q50_semi_anti_join,
-        "q32_grid_search": q32_grid_search,
-        "q41_hll_users": q41_hll_users,
-        "q49_approx_quantiles": q49_approx_quantiles,
         "q144_sweep_contract_gate": q144_sweep_contract_gate,
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,
@@ -3728,6 +3891,60 @@ def oracle_sql() -> dict[str, str]:
         "q154_filtered_ivf_gate": _recall_gate_oracle(0.65),
         "q163_filtered_graph_gate": _recall_gate_oracle(0.9),
         "q164_filtered_ivfpq_serving_gate": _recall_gate_oracle(0.85),
+        # dict_encode's contract: dense 0-based codes in sorted value
+        # order == dense_rank() - 1 per attribute
+        "q165_dict_encode_tables": """
+            WITH l AS (
+              SELECT lang AS value, count(*) AS n_rows
+              FROM documents GROUP BY lang
+            ), s AS (
+              SELECT source AS value, count(*) AS n_rows
+              FROM documents GROUP BY source
+            )
+            SELECT 'lang' AS attr, value,
+                   CAST(dense_rank() OVER (ORDER BY value) - 1 AS BIGINT)
+                       AS code,
+                   n_rows
+            FROM l
+            UNION ALL
+            SELECT 'source' AS attr, value,
+                   CAST(dense_rank() OVER (ORDER BY value) - 1 AS BIGINT)
+                       AS code,
+                   n_rows
+            FROM s
+        """,
+        # the Spark side filters on dictionary CODES; the oracle filters
+        # the raw strings — a hash match proves the encode is faithful
+        "q166_string_filtered_knn": f"""
+            WITH train AS (
+              SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec
+              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+              WHERE e.vec_id % 10 <> 0 AND d.lang = 'en'
+                AND d.source IN ('src1', 'src12', 'src18')
+            ), test AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), d AS (
+              SELECT t.qid, c.id,
+                     {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM test t CROSS JOIN train c
+            ), ranked AS (
+              SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist, id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, id, round(dist, 6) AS dist
+            FROM ranked WHERE rank <= {K}
+        """,
+        "q167_conjunction_serving_gate": f"""
+            SELECT true AS graph_sel_parity_ok,
+                   true AS ivfpq_sel_parity_ok,
+                   true AS broad_only_matching,
+                   true AS broad_recall_ok,
+                   count(*) * {K} AS n_broad_rows
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
         "q155_filtered_revenue": """
             SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
                                        AS DECIMAL(38,12))) AS DOUBLE), 4)

@@ -258,6 +258,98 @@ def test_graph_filtered_mode_validation(lsplit, graph_index):
         )
 
 
+def test_normalize_allowed_and_conjunction_mask_unit():
+    """Pure helpers behind string/multi-attribute filtering (VERDICT r6
+    item 3): allowed-form normalization and the in-kernel AND-of-IN
+    mask."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        conjunction_mask,
+        normalize_allowed,
+        normalize_attr_cols,
+    )
+
+    assert normalize_attr_cols(None) is None
+    assert normalize_attr_cols("lang") == ("lang",)
+    assert normalize_attr_cols(["lang", "source"]) == ("lang", "source")
+    with pytest.raises(ValueError):
+        normalize_attr_cols([])
+
+    # single attribute: flat list, nested singleton, empty
+    assert normalize_allowed([1, 2], 1) == (frozenset({1, 2}),)
+    assert normalize_allowed([[1, 2]], 1) == (frozenset({1, 2}),)
+    assert normalize_allowed([], 1) == (frozenset(),)
+    # conjunction: one collection per attribute, positional dict too
+    assert normalize_allowed([[1], [2, 3]], 2) == (
+        frozenset({1}), frozenset({2, 3}),
+    )
+    assert normalize_allowed({0: [1], 1: [2]}, 2) == (
+        frozenset({1}), frozenset({2}),
+    )
+    with pytest.raises(ValueError):
+        normalize_allowed([1, 2], 2)  # flat list for two attributes
+    with pytest.raises(ValueError):
+        normalize_allowed([[1]], 2)  # wrong arity
+
+    attrs = np.array([[0, 5], [1, 5], [1, 6], [2, 7]], dtype=np.int64)
+    allows = (
+        np.array([1, 2], dtype=np.int64), np.array([5, 7], dtype=np.int64),
+    )
+    assert conjunction_mask(attrs, allows).tolist() == [
+        False, True, False, True,
+    ]
+    # 1-D array == (n, 1) column
+    one = np.array([3, 4, 3], dtype=np.int64)
+    assert conjunction_mask(one, (np.array([3]),)).tolist() == [
+        True, False, True,
+    ]
+
+
+def test_dict_encode_tables_and_predicate_equivalence(spark):
+    """dict_encode (VERDICT r6 item 3): dense deterministic 0-based
+    codes in sorted value order (the DuckDB-reproducible contract), a
+    lossless broadcast encode, and code-predicate == string-predicate on
+    a real filtered kNN."""
+    from vector_index_spark.operators.filtered import codes_for, dict_encode
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    enc, tables = dict_encode(docs, ["lang", "source"])
+    langs = sorted(map(tuple, tables["lang"].collect()))
+    # dense 0-based codes in sorted value order
+    assert [c for _, c in langs] == list(range(len(langs)))
+    assert [v for v, _ in langs] == sorted(v for v, _ in langs)
+    assert enc.count() == docs.count()
+    assert enc.filter(F.col("lang_code").isNull()).count() == 0
+    # decode round-trip: joining the table back reproduces the value
+    back = (
+        enc.select("doc_id", "lang", "lang_code")
+        .join(
+            tables["lang"].select(
+                F.col("code").alias("lang_code"), F.col("value").alias("v")
+            ),
+            "lang_code",
+        )
+        .filter(F.col("lang") != F.col("v"))
+        .count()
+    )
+    assert back == 0
+    assert codes_for(tables["lang"], "en") == [1]  # de=0, en=1 (sorted)
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).join(
+        enc.select(F.col("doc_id").alias("id"), "lang", "lang_code"), "id"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    en = codes_for(tables["lang"], "en")[0]
+    assert _rows(filtered_knn(test, corpus, K, F.col("lang_code") == en)) == \
+        _rows(filtered_knn(test, corpus, K, F.col("lang") == "en"))
+
+
 def test_query_shard_allowed_mask_unit():
     """Kernel-level: the allowed mask keeps non-matching nodes out of the
     result but still navigates through them (a chain graph where the only

@@ -938,3 +938,268 @@ def test_filtered_search_example_end_to_end(spark):
         "exact", "ivf", "graph", "warm_graph", "warm_ivf", "warm_ivfpq"
     }
     assert min(recalls.values()) >= 0.6, recalls
+
+
+# --------------------------------------------------------------------------
+# String / multi-attribute filtered serving (VERDICT r6 items 3+4) and
+# serving-memory accounting (item 7)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ltrain(spark):
+    """Train split carrying TWO integral attributes (label, plus a
+    derived label2) for conjunction tests."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        "label", (F.col("vec_id") % 3).alias("label2"),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return train.localCheckpoint(eager=True), test.localCheckpoint(eager=True)
+
+
+def _round_rows(df):
+    return sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+
+
+def test_graph_serving_conjunction_filter(spark, ltrain):
+    """Multi-attribute conjunction on graph ServingIndex: the selective
+    branch equals exact conjunction-filtered kNN; the broad (beam)
+    branch returns only matching rows with recall >= 0.9 vs exact."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label", "label2")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col=["label", "label2"]).warm()
+    try:
+        # selective conjunction (~10% of corpus < 8k) -> masked exact GEMM
+        pred = F.col("label").isin(3, 5) & F.col("label2").isin(0, 1)
+        exact = _round_rows(knn_join(test, train.filter(pred), K))
+        assert _round_rows(sidx.query(test, K, allowed=[[3, 5], [0, 1]])) \
+            == exact
+        # broad conjunction -> boosted masked beam: only matching rows,
+        # recall floor vs the exact conjunction answer
+        broad_allowed = [[0, 1, 2, 3, 4, 5, 6], [0, 1]]
+        bpred = (
+            F.col("label").isin(*broad_allowed[0])
+            & F.col("label2").isin(*broad_allowed[1])
+        )
+        got = sidx.query(test, K, allowed=broad_allowed)
+        bad = got.join(
+            train.select("id", "label", "label2"), "id"
+        ).filter(~bpred).count()
+        assert bad == 0
+        truth = _round_rows(knn_join(test, train.filter(bpred), K))
+        hits = len(set(_round_rows(got)) & set(truth))
+        assert hits / len(truth) >= 0.9
+        # arity errors fail fast
+        with pytest.raises(ValueError):
+            sidx.query(test, K, allowed=[3])  # flat list, two attrs
+    finally:
+        sidx.unpersist()
+
+
+def test_ivfpq_serving_conjunction_filter(spark, ltrain):
+    """Multi-attribute conjunction on warm IVF-PQ serving: selective ->
+    exact brute-force fallback over the conjunction subset; broad ->
+    masked ADC probe returns only matching rows."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test = ltrain
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    sidx = IvfPqServingIndex(
+        enc, cents, books, train, attr_col=["label", "label2"]
+    ).warm()
+    try:
+        pred = F.col("label").isin(3, 5) & F.col("label2").isin(0, 1)
+        exact = _round_rows(knn_join(test, train.filter(pred), K))
+        assert _round_rows(
+            sidx.query(test, K, nprobe=3, allowed=[[3, 5], [0, 1]])
+        ) == exact
+        broad_allowed = [[0, 1, 2, 3, 4, 5, 6], [0, 1]]
+        got = sidx.query(test, K, nprobe=3, allowed=broad_allowed)
+        bad = got.join(
+            train.select("id", "label", "label2"), "id"
+        ).filter(
+            ~(
+                F.col("label").isin(*broad_allowed[0])
+                & F.col("label2").isin(*broad_allowed[1])
+            )
+        ).count()
+        assert bad == 0
+        assert got.count() == test.count() * K
+    finally:
+        sidx.unpersist()
+
+
+def test_pq_sq_serving_filtered(spark, ltrain):
+    """Filtered warm PQ and SQ serving (VERDICT r6 item 4): selective ->
+    exact fallback parity; broad with full candidate coverage
+    (candidate_factor*k >= matching rows) -> equals exact filtered kNN
+    (these routes scan every blob, so the masked scan's coverage matches
+    the unfiltered route's — no probe boost exists or is needed)."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex, SqServingIndex
+    from vector_index_spark.index.sq import encode_sq, train_sq
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test = ltrain
+    exact3 = _round_rows(knn_join(test, train.filter(F.col("label") == 3), K))
+    exact_b = _round_rows(knn_join(test, train.filter(F.col("label") < 8), K))
+
+    books = train_pq(train.select("id", "vec"), n_subspaces=8, n_centroids=16)
+    pqe = encode_pq(train.select("id", "vec"), books)
+    pqs = PqServingIndex(pqe, train, books, attr_col="label").warm()
+    try:
+        assert _round_rows(pqs.query(test, K, allowed=[3])) == exact3
+        assert _round_rows(
+            pqs.query(test, K, allowed=list(range(8)), candidate_factor=64)
+        ) == exact_b
+        with pytest.raises(ValueError):
+            PqServingIndex(pqe, train, books).warm().query(
+                test, K, allowed=[1]
+            )
+    finally:
+        pqs.unpersist()
+
+    mins, maxs = train_sq(train.select("id", "vec"))
+    sqe = encode_sq(train.select("id", "vec"), mins, maxs)
+    sqs = SqServingIndex(sqe, train, mins, maxs, attr_col="label").warm()
+    try:
+        assert _round_rows(sqs.query(test, K, allowed=[3])) == exact3
+        assert _round_rows(
+            sqs.query(test, K, allowed=list(range(8)), candidate_factor=64)
+        ) == exact_b
+    finally:
+        sqs.unpersist()
+
+
+def test_rpt_pca_serving_filtered(spark, ltrain):
+    """Filtered warm RPT and PCA serving (VERDICT r6 item 4): selective
+    -> masked exact GEMM over the resident raw matrices (RPT probes
+    every leaf, PCA scans every blob — full coverage makes it exact);
+    broad -> only matching rows (RPT probes boosted by inverse match
+    rate), PCA at full candidate coverage equals exact."""
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        PcaServingIndex,
+        RptServingIndex,
+    )
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test = ltrain
+    exact3 = _round_rows(knn_join(test, train.filter(F.col("label") == 3), K))
+    exact_b = _round_rows(knn_join(test, train.filter(F.col("label") < 8), K))
+
+    W, T = train_rpt(train.select("id", "vec"), depth=3, seed=7)
+    assigned = assign_rpt(train.select("id", "vec"), W, T).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    rpts = RptServingIndex(assigned, W, T, attr_col="label").warm()
+    try:
+        assert _round_rows(rpts.query(test, K, allowed=[3])) == exact3
+        got = rpts.query(test, K, probes=4, allowed=list(range(8)))
+        bad = got.join(train.select("id", "label"), "id").filter(
+            F.col("label") >= 8
+        ).count()
+        assert bad == 0
+        hits = len(set(_round_rows(got)) & set(exact_b))
+        assert hits / len(exact_b) >= 0.9
+    finally:
+        rpts.unpersist()
+
+    mean, comp = train_pca(train.select("id", "vec"), 16)
+    proj = project_pca(train.select("id", "vec"), mean, comp).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    pcas = PcaServingIndex(proj, mean, comp, attr_col="label").warm()
+    try:
+        assert _round_rows(pcas.query(test, K, allowed=[3])) == exact3
+        assert _round_rows(
+            pcas.query(test, K, allowed=list(range(8)), candidate_factor=64)
+        ) == exact_b
+    finally:
+        pcas.unpersist()
+
+
+def test_bytes_resident_accounting(spark, ltrain):
+    """bytes_resident (VERDICT r6 item 7): every serving class reports
+    its executor-resident blob bytes + driver-held arrays, n_vectors
+    matches the packed corpus, and the compressed routes show their
+    compression: PQ (8 int32 codes/row) and SQ (64 uint8 codes/row)
+    resident bytes per vector sit far below the raw-float64 classes
+    (graph/cell/RPT pack 64 float64 = 512 B/vec + ids + overhead)."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        PqServingIndex,
+        ServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    n = train.count()
+
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    g = ServingIndex(
+        assign_shards(train.select("id", "vec"), 250), edges
+    ).warm()
+    gb = g.bytes_resident()
+    g.unpersist()
+
+    assigned, cents = build_ivf(train.select("id", "vec"), n_centroids=8)
+    c = CellServingIndex(assigned, cents).warm()
+    cb = c.bytes_resident()
+    c.unpersist()
+
+    books = train_pq(train.select("id", "vec"), n_subspaces=8, n_centroids=16)
+    p = PqServingIndex(
+        encode_pq(train.select("id", "vec"), books), train, books
+    ).warm()
+    pb = p.bytes_resident()
+    p.unpersist()
+
+    mins, maxs = train_sq(train.select("id", "vec"))
+    s = SqServingIndex(
+        encode_sq(train.select("id", "vec"), mins, maxs), train, mins, maxs
+    ).warm()
+    sb = s.bytes_resident()
+    s.unpersist()
+
+    for b in (gb, cb, pb, sb):
+        assert b["n_vectors"] == n
+        assert b["blob_bytes"] > 0
+        assert b["blob_bytes_per_vector"] == b["blob_bytes"] / n
+    # compression ordering: codes beat raw float64 residency
+    raw_floor = 64 * 8  # dim x float64
+    assert cb["blob_bytes_per_vector"] > raw_floor
+    assert gb["blob_bytes_per_vector"] > raw_floor
+    assert pb["blob_bytes_per_vector"] < raw_floor / 4
+    assert sb["blob_bytes_per_vector"] < raw_floor / 4
+    # driver side: PQ holds its codebooks
+    assert pb["driver_bytes"] > 0

@@ -52,6 +52,99 @@ from vector_index_spark.index.searcher import (
 BLOB_SCHEMA = "shard long, n_vectors long, blob binary"
 
 
+def _attr_pack_names(attr_cols: "tuple[str, ...]") -> "list[str]":
+    """Internal packed-attribute column names (__attr0..__attr{m-1}) —
+    positional, so the blob layout is independent of user column names."""
+    return [f"__attr{i}" for i in range(len(attr_cols))]
+
+
+def _with_attr_cols(df: DataFrame, attr_cols: "tuple[str, ...]") -> DataFrame:
+    for i, c in enumerate(attr_cols):
+        df = df.withColumn(f"__attr{i}", F.col(c).cast("long"))
+    return df
+
+
+def _stack_attrs(pdf: pd.DataFrame):
+    """Gather the packed __attr{i} columns of a pandas frame into one
+    ``(n, m)`` int64 array (None when the frame carries no attributes)."""
+    names = sorted(
+        (c for c in pdf.columns if c.startswith("__attr") and c[6:].isdigit()),
+        key=lambda c: int(c[6:]),
+    )
+    if not names:
+        return None
+    return np.column_stack(
+        [pdf[c].to_numpy(dtype=np.int64) for c in names]
+    )
+
+
+def _tuple_histogram(df: DataFrame, attr_cols, id_col: str = "id"):
+    """(attribute-tuple -> distinct-id count) histogram for the filtered
+    strategy rule. One aggregate job over the build relation; the result
+    has ATTRIBUTE-COMBINATION cardinality (categorical-small — at 100 TB
+    these counts would come from table statistics instead)."""
+    exprs = [
+        F.col(c).cast("long").alias(f"__h{i}") for i, c in enumerate(attr_cols)
+    ]
+    rows = (
+        df.groupBy(*exprs)
+        .agg(F.count_distinct(id_col).alias("__n"))
+        .collect()
+    )
+    m = len(attr_cols)
+    return {
+        tuple(int(r[f"__h{i}"]) for i in range(m)): int(r["__n"]) for r in rows
+    }
+
+
+def _match_count(hist, allows) -> int:
+    """Rows matching the conjunction, from the tuple histogram."""
+    return sum(
+        n
+        for key, n in hist.items()
+        if all(key[j] in allows[j] for j in range(len(allows)))
+    )
+
+
+def _allow_arrays(allows):
+    """Broadcast-friendly form of normalized allowed sets: one sorted
+    int64 array per attribute."""
+    return tuple(
+        np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
+        for vs in allows
+    )
+
+
+def _bytes_resident(blobs: DataFrame, driver_arrays=()) -> dict:
+    """Serving-memory accounting (VERDICT r6 item 7): what this index
+    pins per executor fleet (the persisted blob relation) and per driver
+    (codebooks / centroids / tree params held as numpy arrays). One
+    aggregate job over the cached blob rows — at 100 TB this is the
+    capacity-planning number: executors_needed ~= blob_bytes /
+    per-executor storage memory.
+
+    Returns ``{"blob_bytes", "driver_bytes", "n_vectors",
+    "blob_bytes_per_vector"}``. ``blob_bytes`` measures the pickled
+    payloads as persisted (for compressed routes this shows the
+    compression ratio vs rows x dim x 8 raw float64 bytes — SCALE.md
+    tabulates it per route)."""
+    row = blobs.agg(
+        F.sum(F.length("blob")).alias("__b"),
+        F.sum("n_vectors").alias("__n"),
+    ).collect()[0]
+    blob_bytes = int(row["__b"] or 0)
+    n_vectors = int(row["__n"] or 0)
+    driver_bytes = int(sum(int(a.nbytes) for a in driver_arrays))
+    return {
+        "blob_bytes": blob_bytes,
+        "driver_bytes": driver_bytes,
+        "n_vectors": n_vectors,
+        "blob_bytes_per_vector": (
+            blob_bytes / n_vectors if n_vectors else 0.0
+        ),
+    }
+
+
 def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
     if len(vec_pdf) == 0:
         return pd.DataFrame(columns=["shard", "n_vectors", "blob"])
@@ -67,10 +160,12 @@ def _pack_shard(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFr
     g.csr0()
     g.adj[0] = {}
     g.immutable = True  # mutation would repopulate a near-empty dict
-    if "__attr" in vec_pdf.columns:
-        # offset-aligned attribute array for filtered serving (the mask
-        # rides the blob; see ServingIndex(attr_col=...))
-        g.attrs = vec_pdf["__attr"].to_numpy(dtype=np.int64)
+    attrs = _stack_attrs(vec_pdf)
+    if attrs is not None:
+        # offset-aligned (n, m) attribute array for filtered serving —
+        # one column per attr_col, conjunction-masked at query time (the
+        # mask rides the blob; see ServingIndex(attr_col=...))
+        g.attrs = attrs
     return pd.DataFrame(
         {
             "shard": [int(key[0])],
@@ -87,11 +182,14 @@ class ServingIndex:
     ``ServingIndex(vectors, edges).warm()`` pays the one-time cogroup +
     graph-build + persist; every subsequent :meth:`query` reuses it.
 
-    ``attr_col`` (optional) names an INTEGRAL attribute column of
-    ``vectors`` to pack into each shard blob (offset-aligned with the
-    graph); :meth:`query`'s ``allowed`` value set then serves filtered
-    searches — filtered-HNSW beam under broad filters, masked exact GEMM
-    over the resident matrices under selective ones."""
+    ``attr_col`` (optional) names one INTEGRAL attribute column of
+    ``vectors`` — or a SEQUENCE of them for conjunction filtering
+    ("lang = 'en' AND source IN (...)"; dictionary-encode string columns
+    first with operators/filtered.dict_encode) — to pack into each shard
+    blob offset-aligned with the graph. :meth:`query`'s ``allowed``
+    value set(s) then serve filtered searches: filtered-HNSW beam under
+    broad filters, masked exact GEMM over the resident matrices under
+    selective ones."""
 
     def __init__(
         self,
@@ -100,19 +198,20 @@ class ServingIndex:
         centroids: DataFrame | None = None,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         dimension: int | None = None,
-        attr_col: str | None = None,
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         self._dimension = dimension  # set -> ragged queries fail fast
         self._storage_level = storage_level
-        self._attr_col = attr_col
-        self._attr_hist: dict[int, int] | None = None
-        if attr_col is not None:
-            vectors = vectors.withColumn(
-                "__attr", F.col(attr_col).cast("long")
-            )
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
+        if self._attr_cols is not None:
+            vectors = _with_attr_cols(vectors, self._attr_cols)
         cg, _ = _shard_cogroup(
             vectors, edges,
-            extra_cols=("__attr",) if attr_col is not None else (),
+            extra_cols=tuple(_attr_pack_names(self._attr_cols))
+            if self._attr_cols is not None else (),
         )
         spark = vectors.sparkSession
         # pack with full cogroup parallelism, then compact the persisted
@@ -144,6 +243,11 @@ class ServingIndex:
         self.n_shards = self.blobs.count()
         return self
 
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (pickled shard graphs incl. raw
+        vectors, CSR edges and any attrs) — see _bytes_resident."""
+        return _bytes_resident(self.blobs)
+
     def refresh(
         self,
         vectors: DataFrame,
@@ -171,15 +275,14 @@ class ServingIndex:
         """
         shards = sorted({int(s) for s in shards})
         refreshed = vectors
-        if self._attr_col is not None:
-            refreshed = refreshed.withColumn(
-                "__attr", F.col(self._attr_col).cast("long")
-            )
+        if self._attr_cols is not None:
+            refreshed = _with_attr_cols(refreshed, self._attr_cols)
             self._attr_hist = None  # contents changed; histogram is stale
         cg, _ = _shard_cogroup(
             refreshed.filter(F.col("shard").isin(shards)),
             edges.filter(F.col("shard").isin(shards)),
-            extra_cols=("__attr",) if self._attr_col is not None else (),
+            extra_cols=tuple(_attr_pack_names(self._attr_cols))
+            if self._attr_cols is not None else (),
         )
         packed = cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
         # kept for the touches-only-affected-shards plan assertion in tests
@@ -246,23 +349,31 @@ class ServingIndex:
         (qid, rank, id, dist).
 
         ``allowed`` (requires ``attr_col`` at construction) restricts
-        neighbors to rows whose attribute is in the value set. With
-        ``auto_boost`` the operators/filtered strategy rule runs against
-        a resident attribute histogram: a selective filter switches to a
-        masked exact GEMM over the resident shard matrices (the raw
-        vectors are already in the blobs — exactness is free), a broad
-        one runs the filtered-HNSW beam with patience boosted by the
-        inverse match rate. ``auto_boost=False`` runs the masked beam at
-        exactly ``relaxed_monotonicity`` (parity testing)."""
+        neighbors to matching rows: a flat value set for one attribute,
+        or one value set PER attribute for a conjunction (AND-of-IN —
+        see operators/filtered.normalize_allowed). With ``auto_boost``
+        the operators/filtered strategy rule runs against a resident
+        attribute histogram: a selective filter switches to a masked
+        exact GEMM over the resident shard matrices (the raw vectors are
+        already in the blobs — exactness is free), a broad one runs the
+        filtered-HNSW beam with patience boosted by the inverse match
+        rate. ``auto_boost=False`` runs the masked beam at exactly
+        ``relaxed_monotonicity`` (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
-        if allowed is not None and self._attr_col is None:
+        if allowed is not None and self._attr_cols is None:
             raise ValueError(
                 "filtered query needs attr_col= at ServingIndex construction"
             )
         exact_scan = False
         patience = relaxed_monotonicity
-        if allowed is not None and auto_boost:
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        if allows is not None and auto_boost:
             import math as _math
 
             from vector_index_spark.operators.filtered import (
@@ -271,7 +382,7 @@ class ServingIndex:
 
             hist = self._attribute_histogram()
             n_corpus = max(sum(hist.values()), 1)
-            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            n_match = _match_count(hist, allows)
             strategy, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
             if strategy == "exact":
                 exact_scan = True
@@ -296,28 +407,21 @@ class ServingIndex:
             from vector_index_spark.functions.distance import assert_dim
 
             t = assert_dim(t, "vec", self._dimension)
-        allowed_set = (
-            frozenset(int(v) for v in allowed) if allowed is not None else None
-        )
         return chunked_over_queries(
             t,
             lambda chunk: self._query_batch(
                 chunk, k, nprobe, patience, tree_merge_fanin,
-                allowed_set, exact_scan,
+                allows, exact_scan,
             ),
             max_queries_per_batch,
         )
 
-    def _attribute_histogram(self) -> dict[int, int]:
+    def _attribute_histogram(self):
         if self._attr_hist is None:
-            rows = (
-                self._vectors.groupBy(
-                    F.col(self._attr_col).cast("long").alias("__a")
-                )
-                .agg(F.count_distinct("id").alias("__n"))
-                .collect()
+            # _vectors already carries the casted __attr{i} pack columns
+            self._attr_hist = _tuple_histogram(
+                self._vectors, _attr_pack_names(self._attr_cols)
             )
-            self._attr_hist = {int(r["__a"]): int(r["__n"]) for r in rows}
         return self._attr_hist
 
     def _query_batch(
@@ -327,7 +431,7 @@ class ServingIndex:
         nprobe: int | None,
         relaxed_monotonicity: int,
         tree_merge_fanin: int | None,
-        allowed: "frozenset[int] | None" = None,
+        allows=None,
         exact_scan: bool = False,
     ) -> DataFrame:
         from vector_index_spark.operators.knn import knn_join
@@ -356,17 +460,14 @@ class ServingIndex:
             assign = {s: np.asarray(ix, dtype=np.int64) for s, ix in acc.items()}
         else:
             assign = None
-        allow_arr = (
-            np.fromiter(sorted(allowed), dtype=np.int64)
-            if allowed is not None
-            else None
-        )
-        bc = spark.sparkContext.broadcast((qids, Q, assign, allow_arr, exact_scan))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast((qids, Q, assign, allow_arrs, exact_scan))
         self._live_bcs.append(bc)
         rm = relaxed_monotonicity
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.operators.filtered import conjunction_mask
 
             for pdf_b in batches:
                 q_ids, q_mat, asg, allow, exact = bc.value
@@ -383,7 +484,7 @@ class ServingIndex:
                     g = pickle.loads(blob)
                     mask = None
                     if allow is not None:
-                        mask = np.isin(g.attrs, allow)
+                        mask = conjunction_mask(g.attrs, allow)
                         if not mask.any():
                             continue
                         if exact:
@@ -440,8 +541,9 @@ def _pack_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
     ids = pdf["id"].to_numpy(dtype=np.int64)
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     payload: tuple = (ids, X)
-    if "__attr" in pdf.columns:
-        payload = (ids, X, pdf["__attr"].to_numpy(dtype=np.int64))
+    attrs = _stack_attrs(pdf)
+    if attrs is not None:
+        payload = (ids, X, attrs)
     return pd.DataFrame(
         {
             "cell": [int(key[0])],
@@ -462,27 +564,33 @@ class CellServingIndex:
     same (dist, id) order; replicated postings dedupe in the merge —
     asserted in tests/test_serving.py).
 
-    ``attr_col`` (optional) names an INTEGRAL attribute column of
-    ``assigned`` (a label / category / dictionary code — encode strings
-    upstream) to pack into each cell blob alongside the vectors; filtered
-    queries (``query(allowed=...)``) then mask candidates in-kernel
-    before the GEMM — the serving analog of
-    operators/filtered.ivf_filtered_knn, with the predicate evaluated on
-    resident arrays instead of a posting scan."""
+    ``attr_col`` (optional) names one INTEGRAL attribute column of
+    ``assigned`` — or a sequence of them for conjunction filtering
+    (dictionary-encode strings upstream with
+    operators/filtered.dict_encode) — to pack into each cell blob
+    alongside the vectors; filtered queries (``query(allowed=...)``)
+    then mask candidates in-kernel before the GEMM — the serving analog
+    of operators/filtered.ivf_filtered_knn, with the predicate evaluated
+    on resident arrays instead of a posting scan."""
 
     def __init__(
         self,
         assigned: DataFrame,
         centroids: DataFrame,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-        attr_col: str | None = None,
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = assigned.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
-        self._attr_col = attr_col
+        self._attr_cols = normalize_attr_cols(attr_col)
         cols = [F.col("centroid_id").alias("cell"), F.col("id"), F.col("vec")]
-        if attr_col is not None:
-            cols.append(F.col(attr_col).cast("long").alias("__attr"))
+        if self._attr_cols is not None:
+            cols.extend(
+                F.col(c).cast("long").alias(f"__attr{i}")
+                for i, c in enumerate(self._attr_cols)
+            )
         self.blobs = (
             assigned.select(*cols)
             .groupBy("cell")
@@ -490,10 +598,10 @@ class CellServingIndex:
             .repartition(self._n_serve)
             .persist(storage_level)
         )
-        # lazily-built (attr value -> distinct-id count) histogram for the
+        # lazily-built (attr tuple -> distinct-id count) histogram for the
         # filtered-query strategy rule; one small aggregate job, once
-        self._attr_hist: dict[int, int] | None = None
-        self._assigned = assigned if attr_col is not None else None
+        self._attr_hist = None
+        self._assigned = assigned if self._attr_cols is not None else None
         # the centroid table is tiny (one row per cell) — checkpoint now
         self._cents_kv = centroids.select(
             F.col("centroid_id").alias("id"), "vec"
@@ -504,6 +612,11 @@ class CellServingIndex:
     def warm(self) -> "CellServingIndex":
         self.n_cells = self.blobs.count()
         return self
+
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (raw float64 cell matrices + ids +
+        attrs; replicas>1 count each copy) — see _bytes_resident."""
+        return _bytes_resident(self.blobs)
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -526,29 +639,35 @@ class CellServingIndex:
         Returns (qid, rank, id, dist).
 
         ``allowed`` (requires ``attr_col`` at construction) restricts
-        neighbors to rows whose attribute is in the given value set —
-        filtered search at serving time. With ``auto_boost`` the
-        operators/filtered strategy rule runs against a resident
-        attribute histogram: a selective filter probes EVERY cell (the
-        serving analog of the brute-force-exact branch — still one map
-        over cached blobs), a broad one boosts nprobe by the inverse
-        match rate. Pass ``auto_boost=False`` to probe exactly
+        neighbors to matching rows — a flat value set for one attribute,
+        one value set per attribute for a conjunction. With
+        ``auto_boost`` the operators/filtered strategy rule runs against
+        a resident attribute histogram: a selective filter probes EVERY
+        cell (the serving analog of the brute-force-exact branch — still
+        one map over cached blobs), a broad one boosts nprobe by the
+        inverse match rate. Pass ``auto_boost=False`` to probe exactly
         ``nprobe`` cells (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
-        if allowed is not None and self._attr_col is None:
+        if allowed is not None and self._attr_cols is None:
             raise ValueError(
                 "filtered query needs attr_col= at CellServingIndex construction"
             )
         eff_nprobe = nprobe
-        if allowed is not None and auto_boost:
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
                 choose_filtered_strategy,
             )
 
             hist = self._attribute_histogram()
             n_corpus = max(sum(hist.values()), 1)
-            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            n_match = _match_count(hist, allows)
             n_cells = getattr(self, "n_cells", None) or self.blobs.count()
             mode, boosted = choose_filtered_strategy(
                 n_corpus, n_match, k, nprobe, n_cells
@@ -558,30 +677,21 @@ class CellServingIndex:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-        allowed_set = (
-            frozenset(int(v) for v in allowed) if allowed is not None else None
-        )
         return chunked_over_queries(
             t,
-            lambda chunk: self._query_batch(chunk, k, eff_nprobe, allowed_set),
+            lambda chunk: self._query_batch(chunk, k, eff_nprobe, allows),
             max_queries_per_batch,
         )
 
-    def _attribute_histogram(self) -> dict[int, int]:
+    def _attribute_histogram(self):
         if self._attr_hist is None:
-            rows = (
-                self._assigned.groupBy(
-                    F.col(self._attr_col).cast("long").alias("__attr")
-                )
-                .agg(F.count_distinct("id").alias("__n"))
-                .collect()
+            self._attr_hist = _tuple_histogram(
+                self._assigned, self._attr_cols
             )
-            self._attr_hist = {int(r["__attr"]): int(r["__n"]) for r in rows}
         return self._attr_hist
 
     def _query_batch(
-        self, t: DataFrame, k: int, nprobe: int,
-        allowed: "frozenset[int] | None" = None,
+        self, t: DataFrame, k: int, nprobe: int, allows=None,
     ) -> DataFrame:
         from vector_index_spark.operators.knn import knn_join
 
@@ -603,11 +713,13 @@ class CellServingIndex:
             for c in cells:
                 acc.setdefault(int(c), []).append(qi)
         assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
-        bc = spark.sparkContext.broadcast((qids, Q, assign, allowed))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast((qids, Q, assign, allow_arrs))
         self._live_bcs.append(bc)
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.operators.filtered import conjunction_mask
 
             for pdf_b in batches:
                 q_ids, q_mat, asg, allow = bc.value
@@ -623,10 +735,7 @@ class CellServingIndex:
                         # before the GEMM (mask preserves id sort order,
                         # so results stay bit-identical to scanning the
                         # pre-filtered postings)
-                        attrs = payload[2]
-                        mask = np.isin(
-                            attrs, np.fromiter(allow, dtype=np.int64)
-                        )
+                        mask = conjunction_mask(payload[2], allow)
                         if not mask.any():
                             continue
                         ids, X = ids[mask], X[mask]
@@ -727,7 +836,18 @@ class PqServingIndex:
     its ADC lookup tables and scans every cached blob — no per-batch
     re-read of the code relation. Candidates re-rank exactly against the
     cold raw corpus (same tail as :func:`~vector_index_spark.index.pq.
-    pq_knn`; parity asserted in tests/test_serving.py)."""
+    pq_knn`; parity asserted in tests/test_serving.py).
+
+    ``attr_col`` (optional) names one INTEGRAL attribute column of
+    ``train`` — or a sequence for conjunction filtering — packed
+    offset-aligned into the code blobs (one build-side id equi-join);
+    ``query(allowed=...)`` then masks the resident code arrays BEFORE
+    the ADC scan, so every shortlist slot is a matching row. Because
+    this route scans EVERY blob (no cell pruning), the masked scan's
+    candidate coverage equals the unfiltered route's — filtered recall
+    does not decay with selectivity and no probe boost is needed; a
+    selective filter still switches to exact brute force over the
+    matching cold-corpus subset (operators/filtered strategy rule)."""
 
     def __init__(
         self,
@@ -737,11 +857,16 @@ class PqServingIndex:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         id_col: str = "id",
         vec_col: str = "vec",
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = encoded.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._train, self._id_col, self._vec_col = train, id_col, vec_col
         self._books = codebooks
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
         n = self._n_serve
 
         def pack(batches):
@@ -754,17 +879,35 @@ class PqServingIndex:
             pdf = pd.concat(rows, ignore_index=True).sort_values("id")
             ids = pdf["id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
+            payload: tuple = (ids, codes)
+            attrs = _stack_attrs(pdf)
+            if attrs is not None:
+                payload = (ids, codes, attrs)
             yield pd.DataFrame(
                 {
                     "part": [int(ids[0]) % n],  # informational only
                     "n_vectors": [len(ids)],
-                    "blob": [pickle.dumps((ids, codes),
+                    "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
                 }
             )
 
+        code_rel = encoded.select("id", "codes")
+        if self._attr_cols is not None:
+            # build-side join rides the attributes into the blobs — a
+            # one-time cost, mirroring IvfPqServingIndex
+            code_rel = code_rel.join(
+                train.select(
+                    F.col(id_col).alias("id"),
+                    *(
+                        F.col(c).cast("long").alias(f"__attr{i}")
+                        for i, c in enumerate(self._attr_cols)
+                    ),
+                ),
+                "id",
+            )
         self.blobs = (
-            encoded.select("id", "codes")
+            code_rel
             .repartition(self._n_serve)
             .mapInPandas(pack, CODE_BLOB_SCHEMA)
             .persist(storage_level)
@@ -772,9 +915,22 @@ class PqServingIndex:
         self._spark = spark
         self._live_bcs: list = []
 
+    def _attribute_histogram(self):
+        if self._attr_hist is None:
+            self._attr_hist = _tuple_histogram(
+                self._train, self._attr_cols, id_col=self._id_col
+            )
+        return self._attr_hist
+
     def warm(self) -> "PqServingIndex":
         self.n_blobs = self.blobs.count()
         return self
+
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (int32 code matrices — the PQ
+        compression ratio vs raw shows up here) plus the driver-held
+        codebooks — see _bytes_resident."""
+        return _bytes_resident(self.blobs, (self._books,))
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -790,19 +946,52 @@ class PqServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
+        allowed=None,
+        auto_boost: bool = True,
     ) -> DataFrame:
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
+        if allowed is not None and self._attr_cols is None:
+            raise ValueError(
+                "filtered query needs attr_col= at PqServingIndex construction"
+            )
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        if allows is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+                conjunction_predicate,
+                filtered_knn,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = _match_count(hist, allows)
+            mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            if mode == "exact":
+                return filtered_knn(
+                    test, self._train, k,
+                    conjunction_predicate(self._attr_cols, allows),
+                    qid_col=qid_col, id_col=self._id_col,
+                    test_vec=vec_col, train_vec=self._vec_col,
+                )
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         return chunked_over_queries(
-            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            t,
+            lambda chunk: self._query_batch(chunk, k, candidate_factor, allows),
             max_queries_per_batch,
         )
 
-    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+    def _query_batch(
+        self, t: DataFrame, k: int, candidate_factor: int, allows=None,
+    ) -> DataFrame:
         spark = self._spark
         tp = t.toPandas()
         if len(tp) == 0:
@@ -817,17 +1006,29 @@ class PqServingIndex:
             tables[:, s, :] = (
                 (seg[:, None, :] - self._books[s][None, :, :]) ** 2
             ).sum(axis=2)
-        bc = spark.sparkContext.broadcast((qids, tables))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast((qids, tables, allow_arrs))
         self._live_bcs.append(bc)
         ncand = candidate_factor * k
 
         def scan(batches):
-            b_qids, b_tables = bc.value
+            from vector_index_spark.operators.filtered import conjunction_mask
+
+            b_qids, b_tables, allow = bc.value
             nq = len(b_qids)
             bm = b_tables.shape[1]
             for pdf_b in batches:
                 for blob in pdf_b["blob"]:
-                    ids, codes = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, codes = payload[0], payload[1]
+                    if allow is not None:
+                        # in-kernel mask BEFORE the ADC scan: every
+                        # shortlist slot is a matching row (id sort order
+                        # survives the mask)
+                        mask = conjunction_mask(payload[2], allow)
+                        if not mask.any():
+                            continue
+                        ids, codes = ids[mask], codes[mask]
                     codes = codes.astype(np.int64)
                     approx = np.zeros((len(ids), nq))
                     for s in range(bm):
@@ -863,7 +1064,14 @@ class SqServingIndex:
     batch broadcasts its query matrix, each blob dequantizes transiently
     and runs one GEMM + per-blob top-ncand, and candidates re-rank exactly
     against the cold raw corpus (the :func:`~vector_index_spark.index.sq.
-    sq_knn` tail; parity asserted in tests/test_serving.py)."""
+    sq_knn` tail; parity asserted in tests/test_serving.py).
+
+    ``attr_col`` / ``query(allowed=...)``: same filtered-serving contract
+    as :class:`PqServingIndex` — attributes ride a build-side id join
+    into the blobs, the resident mask applies BEFORE the dequantized
+    GEMM (full-blob coverage, so no probe boost is needed), and a
+    selective filter switches to exact brute force over the matching
+    cold-corpus subset."""
 
     def __init__(
         self,
@@ -874,7 +1082,10 @@ class SqServingIndex:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         id_col: str = "id",
         vec_col: str = "vec",
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = encoded.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._train, self._id_col, self._vec_col = train, id_col, vec_col
@@ -883,6 +1094,8 @@ class SqServingIndex:
             np.asarray(maxs, dtype=np.float64) > self._mins,
             np.asarray(maxs, dtype=np.float64) - self._mins, 1.0,
         )
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
         dim = len(self._mins)
         n = self._n_serve
 
@@ -897,17 +1110,33 @@ class SqServingIndex:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             raw = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
             codes = raw.reshape(len(ids), dim).copy()
+            payload: tuple = (ids, codes)
+            attrs = _stack_attrs(pdf)
+            if attrs is not None:
+                payload = (ids, codes, attrs)
             yield pd.DataFrame(
                 {
                     "part": [int(ids[0]) % n],
                     "n_vectors": [len(ids)],
-                    "blob": [pickle.dumps((ids, codes),
+                    "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
                 }
             )
 
+        code_rel = encoded.select("id", "codes")
+        if self._attr_cols is not None:
+            code_rel = code_rel.join(
+                train.select(
+                    F.col(id_col).alias("id"),
+                    *(
+                        F.col(c).cast("long").alias(f"__attr{i}")
+                        for i, c in enumerate(self._attr_cols)
+                    ),
+                ),
+                "id",
+            )
         self.blobs = (
-            encoded.select("id", "codes")
+            code_rel
             .repartition(self._n_serve)
             .mapInPandas(pack, CODE_BLOB_SCHEMA)
             .persist(storage_level)
@@ -915,9 +1144,21 @@ class SqServingIndex:
         self._spark = spark
         self._live_bcs: list = []
 
+    def _attribute_histogram(self):
+        if self._attr_hist is None:
+            self._attr_hist = _tuple_histogram(
+                self._train, self._attr_cols, id_col=self._id_col
+            )
+        return self._attr_hist
+
     def warm(self) -> "SqServingIndex":
         self.n_blobs = self.blobs.count()
         return self
+
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (uint8 code matrices — ~8x below raw
+        float64) plus the driver-held bounds — see _bytes_resident."""
+        return _bytes_resident(self.blobs, (self._mins, self._span))
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -933,19 +1174,52 @@ class SqServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
+        allowed=None,
+        auto_boost: bool = True,
     ) -> DataFrame:
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
+        if allowed is not None and self._attr_cols is None:
+            raise ValueError(
+                "filtered query needs attr_col= at SqServingIndex construction"
+            )
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        if allows is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+                conjunction_predicate,
+                filtered_knn,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = _match_count(hist, allows)
+            mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            if mode == "exact":
+                return filtered_knn(
+                    test, self._train, k,
+                    conjunction_predicate(self._attr_cols, allows),
+                    qid_col=qid_col, id_col=self._id_col,
+                    test_vec=vec_col, train_vec=self._vec_col,
+                )
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         return chunked_over_queries(
-            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            t,
+            lambda chunk: self._query_batch(chunk, k, candidate_factor, allows),
             max_queries_per_batch,
         )
 
-    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+    def _query_batch(
+        self, t: DataFrame, k: int, candidate_factor: int, allows=None,
+    ) -> DataFrame:
         spark = self._spark
         tp = t.toPandas()
         if len(tp) == 0:
@@ -953,15 +1227,27 @@ class SqServingIndex:
         qids = tp["qid"].to_numpy(dtype=np.int64)
         Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
         qsq = (Q * Q).sum(axis=1)
-        bc = spark.sparkContext.broadcast((qids, Q, qsq, self._mins, self._span))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast(
+            (qids, Q, qsq, self._mins, self._span, allow_arrs)
+        )
         self._live_bcs.append(bc)
         ncand = candidate_factor * k
 
         def scan(batches):
-            b_qids, b_Q, b_qsq, b_mins, b_span = bc.value
+            from vector_index_spark.operators.filtered import conjunction_mask
+
+            b_qids, b_Q, b_qsq, b_mins, b_span, allow = bc.value
             for pdf_b in batches:
                 for blob in pdf_b["blob"]:
-                    ids, codes = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, codes = payload[0], payload[1]
+                    if allow is not None:
+                        # in-kernel mask BEFORE dequantize+GEMM
+                        mask = conjunction_mask(payload[2], allow)
+                        if not mask.any():
+                            continue
+                        ids, codes = ids[mask], codes[mask]
                     # identical dequantize + GEMM to sq._sq_knn_batch
                     X = codes.astype(np.float64)
                     X = X / 255.0 * b_span[None, :] + b_mins[None, :]
@@ -1016,14 +1302,16 @@ class IvfPqServingIndex:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         id_col: str = "id",
         vec_col: str = "vec",
-        attr_col: str | None = None,
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = encoded.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._train, self._id_col, self._vec_col = train, id_col, vec_col
         self._books = codebooks
-        self._attr_col = attr_col
-        self._attr_hist: dict[int, int] | None = None
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
@@ -1032,8 +1320,9 @@ class IvfPqServingIndex:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
             payload: tuple = (ids, codes)
-            if "__attr" in pdf.columns:
-                payload = (ids, codes, pdf["__attr"].to_numpy(dtype=np.int64))
+            attrs = _stack_attrs(pdf)
+            if attrs is not None:
+                payload = (ids, codes, attrs)
             return pd.DataFrame(
                 {
                     "cell": [int(key[0])],
@@ -1046,14 +1335,17 @@ class IvfPqServingIndex:
         code_rel = encoded.select(
             F.col("centroid_id").alias("cell"), "id", "codes"
         )
-        if attr_col is not None:
-            # one-time build-side equi-join on id to ride the attribute
+        if self._attr_cols is not None:
+            # one-time build-side equi-join on id to ride the attributes
             # into the blobs (encoded carries only codes); at 100 TB both
             # sides shuffle once on id — a build cost, never paid per batch
             code_rel = code_rel.join(
                 train.select(
                     F.col(id_col).alias("id"),
-                    F.col(attr_col).cast("long").alias("__attr"),
+                    *(
+                        F.col(c).cast("long").alias(f"__attr{i}")
+                        for i, c in enumerate(self._attr_cols)
+                    ),
                 ),
                 "id",
             )
@@ -1077,6 +1369,11 @@ class IvfPqServingIndex:
         self.n_cells = self.blobs.count()
         return self
 
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (per-cell int32 code blobs) plus the
+        driver-held centroids + codebooks — see _bytes_resident."""
+        return _bytes_resident(self.blobs, (self._C, self._books))
+
     def unpersist(self) -> None:
         self.blobs.unpersist()
         for b in self._live_bcs:
@@ -1099,7 +1396,8 @@ class IvfPqServingIndex:
         Returns (qid, rank, id, dist).
 
         ``allowed`` (requires ``attr_col`` at construction) restricts
-        neighbors to rows whose attribute is in the value set. With
+        neighbors to matching rows — a flat value set for one attribute,
+        one value set per attribute for a conjunction. With
         ``auto_boost`` the operators/filtered strategy rule runs against
         a resident attribute histogram: a selective filter switches to
         exact brute force over the matching subset of the COLD corpus
@@ -1109,35 +1407,42 @@ class IvfPqServingIndex:
         match rate. ``auto_boost=False`` runs the masked probe at
         exactly ``nprobe`` (parity testing)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
-        if allowed is not None and self._attr_col is None:
+        if allowed is not None and self._attr_cols is None:
             raise ValueError(
                 "filtered query needs attr_col= at IvfPqServingIndex "
                 "construction"
             )
         eff_nprobe = nprobe
-        if allowed is not None and auto_boost:
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
                 choose_filtered_strategy,
             )
 
             hist = self._attribute_histogram()
             n_corpus = max(sum(hist.values()), 1)
-            n_match = sum(hist.get(int(v), 0) for v in set(allowed))
+            n_match = _match_count(hist, allows)
             n_cells = int(self._C.shape[0])
             mode, boosted = choose_filtered_strategy(
                 n_corpus, n_match, k, nprobe, n_cells
             )
             if mode == "exact":
-                from vector_index_spark.operators.filtered import filtered_knn
+                from vector_index_spark.operators.filtered import (
+                    conjunction_predicate,
+                    filtered_knn,
+                )
 
                 return filtered_knn(
                     test,
                     self._train,
                     k,
-                    F.col(self._attr_col)
-                    .cast("long")
-                    .isin([int(v) for v in set(allowed)]),
+                    conjunction_predicate(self._attr_cols, allows),
                     qid_col=qid_col,
                     id_col=self._id_col,
                     test_vec=vec_col,
@@ -1148,32 +1453,24 @@ class IvfPqServingIndex:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-        allowed_set = (
-            frozenset(int(v) for v in allowed) if allowed is not None else None
-        )
         return chunked_over_queries(
             t,
             lambda chunk: self._query_batch(
-                chunk, k, eff_nprobe, candidate_factor, allowed_set
+                chunk, k, eff_nprobe, candidate_factor, allows
             ),
             max_queries_per_batch,
         )
 
-    def _attribute_histogram(self) -> dict[int, int]:
+    def _attribute_histogram(self):
         if self._attr_hist is None:
-            rows = (
-                self._train.groupBy(
-                    F.col(self._attr_col).cast("long").alias("__attr")
-                )
-                .agg(F.count_distinct(self._id_col).alias("__n"))
-                .collect()
+            self._attr_hist = _tuple_histogram(
+                self._train, self._attr_cols, id_col=self._id_col
             )
-            self._attr_hist = {int(r["__attr"]): int(r["__n"]) for r in rows}
         return self._attr_hist
 
     def _query_batch(
         self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
-        allowed: "frozenset[int] | None" = None,
+        allows=None,
     ) -> DataFrame:
         from pyspark.sql import Window
 
@@ -1197,16 +1494,16 @@ class IvfPqServingIndex:
             for c in cells:
                 acc.setdefault(int(c), []).append(qi)
         assign = {c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()}
-        allow_arr = (
-            np.fromiter(allowed, dtype=np.int64) if allowed is not None else None
-        )
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
         bc = spark.sparkContext.broadcast(
-            (qids, Q, self._C, self._books, assign, allow_arr)
+            (qids, Q, self._C, self._books, assign, allow_arrs)
         )
         self._live_bcs.append(bc)
         ncand = candidate_factor * k
 
         def scan(batches):
+            from vector_index_spark.operators.filtered import conjunction_mask
+
             b_qids, bQ, bC, books, asg, allow = bc.value
             m, ncent, sub = books.shape
             for pdf_b in batches:
@@ -1222,7 +1519,7 @@ class IvfPqServingIndex:
                         # order, so the per-cell lexsort top-ncand equals
                         # scanning pre-filtered postings — every
                         # shortlist slot is a matching row)
-                        mask = np.isin(payload[2], allow)
+                        mask = conjunction_mask(payload[2], allow)
                         if not mask.any():
                             continue
                         ids, codes = ids[mask], codes[mask]
@@ -1287,11 +1584,15 @@ def _pack_leaf(key, pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("id")
     ids = pdf["id"].to_numpy(dtype=np.int64)
     X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    payload: tuple = (ids, X)
+    attrs = _stack_attrs(pdf)
+    if attrs is not None:
+        payload = (ids, X, attrs)
     return pd.DataFrame(
         {
             "leaf": [int(key[0])],
             "n_vectors": [len(ids)],
-            "blob": [pickle.dumps((ids, X), protocol=pickle.HIGHEST_PROTOCOL)],
+            "blob": [pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)],
         }
     )
 
@@ -1316,14 +1617,28 @@ class RptServingIndex:
         normals,
         thresholds,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = assigned.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._W = np.asarray(normals, dtype=np.float64)
         self._T = np.asarray(thresholds, dtype=np.float64)
         self._depth = int(np.log2(len(self._W) + 1))
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
+        self._assigned = assigned if self._attr_cols is not None else None
+        cols = [F.col("leaf"), F.col("id"), F.col("vec")]
+        if self._attr_cols is not None:
+            # attr columns live on the assigned relation (attach them
+            # upstream; leaves partition the corpus so no join is needed)
+            cols.extend(
+                F.col(c).cast("long").alias(f"__attr{i}")
+                for i, c in enumerate(self._attr_cols)
+            )
         self.blobs = (
-            assigned.select("leaf", "id", "vec")
+            assigned.select(*cols)
             .groupBy("leaf")
             .applyInPandas(_pack_leaf, LEAF_BLOB_SCHEMA)
             .repartition(self._n_serve)
@@ -1332,9 +1647,21 @@ class RptServingIndex:
         self._spark = spark
         self._live_bcs: list = []
 
+    def _attribute_histogram(self):
+        if self._attr_hist is None:
+            self._attr_hist = _tuple_histogram(
+                self._assigned, self._attr_cols
+            )
+        return self._attr_hist
+
     def warm(self) -> "RptServingIndex":
         self.n_leaves = self.blobs.count()
         return self
+
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (raw float64 leaf matrices) plus the
+        driver-held tree (normals, thresholds) — see _bytes_resident."""
+        return _bytes_resident(self.blobs, (self._W, self._T))
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -1350,19 +1677,54 @@ class RptServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 100_000,
+        allowed=None,
+        auto_boost: bool = True,
     ) -> DataFrame:
+        """``allowed`` (requires ``attr_col`` at construction) restricts
+        neighbors to matching rows (flat value set, or one set per
+        attribute for a conjunction). Leaves PRUNE the corpus, so a
+        broad filter boosts the probe count by the inverse match rate
+        (filtered recall holds as selectivity falls); a selective filter
+        probes EVERY leaf — with the raw vectors resident and full leaf
+        coverage the masked GEMM is exact."""
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
+        if allowed is not None and self._attr_cols is None:
+            raise ValueError(
+                "filtered query needs attr_col= at RptServingIndex construction"
+            )
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        eff_probes = probes
+        if allows is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = _match_count(hist, allows)
+            n_leaves = 2 ** self._depth
+            mode, boosted = choose_filtered_strategy(
+                n_corpus, n_match, k, probes, n_leaves
+            )
+            eff_probes = n_leaves if mode == "exact" else boosted
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         return chunked_over_queries(
-            t, lambda chunk: self._query_batch(chunk, k, probes),
+            t, lambda chunk: self._query_batch(chunk, k, eff_probes, allows),
             max_queries_per_batch,
         )
 
-    def _query_batch(self, t: DataFrame, k: int, probes: int) -> DataFrame:
+    def _query_batch(
+        self, t: DataFrame, k: int, probes: int, allows=None,
+    ) -> DataFrame:
         from vector_index_spark.index.rpt import _probe_leaves
 
         spark = self._spark
@@ -1379,20 +1741,29 @@ class RptServingIndex:
             ))):
                 acc.setdefault(int(leaf), []).append(qi)
         assign = {lf: np.asarray(ix, dtype=np.int64) for lf, ix in acc.items()}
-        bc = spark.sparkContext.broadcast((qids, Q, assign))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast((qids, Q, assign, allow_arrs))
         self._live_bcs.append(bc)
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.operators.filtered import conjunction_mask
 
             for pdf_b in batches:
-                q_ids, q_mat, asg = bc.value
+                q_ids, q_mat, asg, allow = bc.value
                 frames = []
                 for leaf, blob in zip(pdf_b["leaf"], pdf_b["blob"]):
                     ix = asg.get(int(leaf))
                     if ix is None or len(ix) == 0:
                         continue
-                    ids, X = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, X = payload[0], payload[1]
+                    if allow is not None:
+                        # in-kernel mask before the leaf GEMM
+                        mask = conjunction_mask(payload[2], allow)
+                        if not mask.any():
+                            continue
+                        ids, X = ids[mask], X[mask]
                     frames.append(
                         gemm_topk_frame(q_ids[ix], q_mat[ix], ids, X, k)
                     )
@@ -1437,11 +1808,17 @@ class PcaServingIndex:
         mean,
         components,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        attr_col: "str | list[str] | None" = None,
     ):
+        from vector_index_spark.operators.filtered import normalize_attr_cols
+
         spark = projected.sparkSession
         self._n_serve = max(spark.sparkContext.defaultParallelism, 1)
         self._mean = np.asarray(mean, dtype=np.float64)
         self._comp = np.asarray(components, dtype=np.float64)
+        self._attr_cols = normalize_attr_cols(attr_col)
+        self._attr_hist = None
+        self._projected = projected if self._attr_cols is not None else None
         n = self._n_serve
 
         def pack(batches):
@@ -1455,17 +1832,29 @@ class PcaServingIndex:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             P = np.stack(pdf["pvec"].to_numpy()).astype(np.float64)
             X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            payload: tuple = (ids, P, X)
+            attrs = _stack_attrs(pdf)
+            if attrs is not None:
+                payload = (ids, P, X, attrs)
             yield pd.DataFrame(
                 {
                     "part": [int(ids[0]) % n],  # informational only
                     "n_vectors": [len(ids)],
-                    "blob": [pickle.dumps((ids, P, X),
+                    "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
                 }
             )
 
+        cols = [F.col("id"), F.col("vec"), F.col("pvec")]
+        if self._attr_cols is not None:
+            # attr columns live on the projected relation (attach them
+            # upstream — it already co-locates vec with pvec)
+            cols.extend(
+                F.col(c).cast("long").alias(f"__attr{i}")
+                for i, c in enumerate(self._attr_cols)
+            )
         self.blobs = (
-            projected.select("id", "vec", "pvec")
+            projected.select(*cols)
             .repartition(self._n_serve)
             .mapInPandas(pack, CODE_BLOB_SCHEMA)
             .persist(storage_level)
@@ -1473,9 +1862,22 @@ class PcaServingIndex:
         self._spark = spark
         self._live_bcs: list = []
 
+    def _attribute_histogram(self):
+        if self._attr_hist is None:
+            self._attr_hist = _tuple_histogram(
+                self._projected, self._attr_cols
+            )
+        return self._attr_hist
+
     def warm(self) -> "PcaServingIndex":
         self.n_blobs = self.blobs.count()
         return self
+
+    def bytes_resident(self) -> dict:
+        """Executor-resident bytes (reduced + RAW float64 matrices —
+        this route trades memory for its exact in-blob refine) plus the
+        driver-held basis — see _bytes_resident."""
+        return _bytes_resident(self.blobs, (self._mean, self._comp))
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -1491,19 +1893,55 @@ class PcaServingIndex:
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
+        allowed=None,
+        auto_boost: bool = True,
     ) -> DataFrame:
+        """``allowed`` (requires ``attr_col`` at construction) restricts
+        neighbors to matching rows (flat value set, or one set per
+        attribute for a conjunction). The mask applies to the resident
+        reduced matrix BEFORE the shortlist, so every shortlist slot is
+        a matching row (this route scans every blob — no probe boost
+        needed); a selective filter switches to a masked exact GEMM over
+        the resident RAW matrices (full coverage -> exact)."""
         from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import normalize_allowed
 
+        if allowed is not None and self._attr_cols is None:
+            raise ValueError(
+                "filtered query needs attr_col= at PcaServingIndex construction"
+            )
+        allows = (
+            normalize_allowed(allowed, len(self._attr_cols))
+            if allowed is not None
+            else None
+        )
+        exact_scan = False
+        if allows is not None and auto_boost:
+            from vector_index_spark.operators.filtered import (
+                choose_filtered_strategy,
+            )
+
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            n_match = _match_count(hist, allows)
+            mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            exact_scan = mode == "exact"
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
         t = test.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         return chunked_over_queries(
-            t, lambda chunk: self._query_batch(chunk, k, candidate_factor),
+            t,
+            lambda chunk: self._query_batch(
+                chunk, k, candidate_factor, allows, exact_scan
+            ),
             max_queries_per_batch,
         )
 
-    def _query_batch(self, t: DataFrame, k: int, candidate_factor: int) -> DataFrame:
+    def _query_batch(
+        self, t: DataFrame, k: int, candidate_factor: int,
+        allows=None, exact_scan: bool = False,
+    ) -> DataFrame:
         from vector_index_spark.index.pca import pca_shortlist_refine
 
         spark = self._spark
@@ -1515,15 +1953,34 @@ class PcaServingIndex:
         qsq = (Q * Q).sum(axis=1)
         PQ_ = (Q - self._mean[None, :]) @ self._comp.T
         pqsq = (PQ_ * PQ_).sum(axis=1)
-        bc = spark.sparkContext.broadcast((qids, Q, qsq, PQ_, pqsq))
+        allow_arrs = _allow_arrays(allows) if allows is not None else None
+        bc = spark.sparkContext.broadcast(
+            (qids, Q, qsq, PQ_, pqsq, allow_arrs, exact_scan)
+        )
         self._live_bcs.append(bc)
         ncand = candidate_factor * k
 
         def scan(batches):
-            b_qids, b_Q, b_qsq, b_PQ, b_pqsq = bc.value
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.operators.filtered import conjunction_mask
+
+            b_qids, b_Q, b_qsq, b_PQ, b_pqsq, allow, exact = bc.value
             for pdf_b in batches:
                 for blob in pdf_b["blob"]:
-                    ids, P, X = pickle.loads(blob)
+                    payload = pickle.loads(blob)
+                    ids, P, X = payload[0], payload[1], payload[2]
+                    if allow is not None:
+                        # in-kernel mask before the reduced-space scan
+                        mask = conjunction_mask(payload[3], allow)
+                        if not mask.any():
+                            continue
+                        ids, P, X = ids[mask], P[mask], X[mask]
+                        if exact:
+                            # selective filter: masked exact GEMM over
+                            # the resident raw matrix (every blob is
+                            # scanned -> full coverage -> exact)
+                            yield gemm_topk_frame(b_qids, b_Q, ids, X, k)
+                            continue
                     yield pca_shortlist_refine(
                         b_qids, b_Q, b_qsq, b_PQ, b_pqsq,
                         ids, P, lambda uniq, X=X: X[uniq], k, ncand,

@@ -57,7 +57,160 @@ __all__ = [
     "attribute_knn",
     "ivf_filtered_knn",
     "choose_filtered_strategy",
+    "dict_encode",
+    "normalize_attr_cols",
+    "normalize_allowed",
+    "conjunction_mask",
 ]
+
+
+# --------------------------------------------------------------------------
+# string / multi-attribute predicate support (VERDICT r6 item 3)
+#
+# A real curation predicate is "lang = 'en' AND source IN (...)" over
+# STRING columns. The serving classes' resident masks work on integral
+# attribute arrays, so strings are dictionary-encoded once at build time
+# (dict_encode — the code table is itself a checkable relation), and the
+# mask generalizes to a conjunction over >= 2 encoded attributes.
+# --------------------------------------------------------------------------
+
+
+def dict_encode(
+    df: DataFrame, cols: "str | list[str]", keep_original: bool = True
+) -> "tuple[DataFrame, dict[str, DataFrame]]":
+    """Dictionary-encode categorical (string) columns to dense 0-based
+    integer codes; returns ``(encoded_df, {col: code_table})``.
+
+    Each code table is ``(value, code)`` with ``code = position of the
+    value in sorted order`` — deterministic and engine-independent (the
+    DuckDB oracle reproduces it as ``dense_rank() OVER (ORDER BY value)
+    - 1``), so the table is a hash-checkable relation in its own right.
+    NULL values are not coded (the encoded column stays NULL — a NULL
+    attribute never matches a filter, same as SQL semantics).
+
+    Plan shape: the table build is one distinct over the column — the
+    result has DICTIONARY cardinality (a lang/source column is a few
+    hundred values at 100 TB), so the rank window's single-partition
+    sort is bounded by the dictionary, never the corpus. The encode is a
+    broadcast hash join of that small table back onto the corpus; the
+    corpus never shuffles.
+    """
+    from pyspark.sql import Window
+
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+    tables: dict[str, DataFrame] = {}
+    out = df
+    for c in col_list:
+        w = Window.orderBy(F.col("value").asc())
+        table = (
+            df.select(F.col(c).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+            .select(
+                "value",
+                (F.row_number().over(w) - F.lit(1)).cast("long").alias("code"),
+            )
+        )
+        # the dictionary is small and reused (encode + driver lookups of
+        # allowed-value codes): checkpoint once so the distinct+rank job
+        # doesn't rerun per downstream action
+        table = table.localCheckpoint(eager=True)
+        tables[c] = table
+        out = out.join(
+            F.broadcast(
+                table.select(
+                    F.col("value").alias(c), F.col("code").alias(f"{c}_code")
+                )
+            ),
+            c,
+            "left",
+        )
+    if not keep_original:
+        out = out.drop(*col_list)
+    return out, tables
+
+
+def codes_for(table: DataFrame, values) -> list[int]:
+    """Driver-side lookup of the codes for a set of raw values (the
+    filter side of a dictionary-encoded predicate). One collect over the
+    (small) code table; unknown values simply have no code — they can
+    never match, matching SQL semantics."""
+    vals = {values} if isinstance(values, str) else set(values)
+    return sorted(
+        int(r["code"]) for r in table.collect() if r["value"] in vals
+    )
+
+
+def normalize_attr_cols(attr_col) -> "tuple[str, ...] | None":
+    """``attr_col`` as accepted by the serving classes: None, a single
+    column name, or a sequence of names (conjunction filtering)."""
+    if attr_col is None:
+        return None
+    if isinstance(attr_col, str):
+        return (attr_col,)
+    cols = tuple(attr_col)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError(f"attr_col must be a name or names, got {attr_col!r}")
+    return cols
+
+
+def normalize_allowed(allowed, n_attrs: int) -> "tuple[frozenset[int], ...]":
+    """``allowed`` as accepted by serving queries: for one attribute, a
+    flat collection of integral values; for ``n_attrs >= 2``, one value
+    collection PER attribute (matched positionally against ``attr_col``
+    order) — a row matches when EVERY attribute's value is in its set
+    (conjunction). A dict keyed by position also works."""
+    if isinstance(allowed, dict):
+        allowed = [allowed[i] for i in range(n_attrs)]
+    items = list(allowed)
+    if n_attrs == 1:
+        # flat value list (the single-attribute form used since round 6)
+        if not items:
+            return (frozenset(),)
+        if not any(_is_value_collection(v) for v in items):
+            return (frozenset(int(v) for v in items),)
+        if len(items) == 1 and _is_value_collection(items[0]):
+            return (frozenset(int(v) for v in items[0]),)
+        raise ValueError(
+            f"allowed for one attribute must be a flat value list, got "
+            f"{allowed!r}"
+        )
+    if len(items) != n_attrs or not all(
+        _is_value_collection(v) for v in items
+    ):
+        raise ValueError(
+            f"allowed must give one value collection per attribute "
+            f"({n_attrs}), got {allowed!r}"
+        )
+    return tuple(frozenset(int(v) for v in vs) for vs in items)
+
+
+def _is_value_collection(v) -> bool:
+    return isinstance(v, (list, tuple, set, frozenset))
+
+
+def conjunction_mask(attrs, allows) -> "object":
+    """Boolean row mask over a resident ``(n, m)`` int64 attribute array:
+    row i matches iff ``attrs[i, j] in allows[j]`` for every j. The
+    in-kernel form of an AND-of-IN predicate — adds no plan nodes."""
+    import numpy as np
+
+    a = np.asarray(attrs)
+    if a.ndim == 1:
+        a = a[:, None]
+    mask = np.isin(a[:, 0], allows[0])
+    for j in range(1, len(allows)):
+        mask &= np.isin(a[:, j], allows[j])
+    return mask
+
+
+def conjunction_predicate(attr_cols, allows) -> Column:
+    """The same conjunction as a Catalyst predicate (for exact fallbacks
+    and scan pushdown): AND of ``col IN values`` over the attributes."""
+    pred = F.col(attr_cols[0]).cast("long").isin([int(v) for v in allows[0]])
+    for c, vs in zip(attr_cols[1:], allows[1:]):
+        pred = pred & F.col(c).cast("long").isin([int(v) for v in vs])
+    return pred
 
 
 def filtered_knn(
