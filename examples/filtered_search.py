@@ -18,6 +18,9 @@ Stages:
              byte-efficient route a 100 TB deployment serves — the
              mask applies to resident attribute arrays BEFORE the ADC
              scoring, so every shortlist slot is a matching row
+  6. string: "lang = 'en' AND source IN (...)" over STRING columns —
+             dict_encode code tables + a multi-attribute conjunction
+             mask on warm graph serving (round 7)
 Each stage verifies its results only contain allowed labels, and the
 approximate stages report recall vs the exact filtered ground truth.
 """
@@ -128,6 +131,40 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
     assert all(labels[r.id] in ALLOWED for r in pq_rows)
     recalls["warm_ivfpq"] = _recall(pq_rows, exact_rows)
     pq_serving.unpersist()
+
+    # 6. the REAL curation predicate: "lang = 'en' AND source IN (...)"
+    #    over STRING columns — dictionary-encode once, then serve the
+    #    conjunction from resident integral masks (round 7)
+    from vector_index_spark.operators.filtered import (
+        codes_for,
+        conjunction_predicate,
+        dict_encode,
+        filtered_knn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc_docs, tables = dict_encode(docs, ["lang", "source"])
+    attrs = enc_docs.select(
+        F.col("doc_id").alias("id"), "lang_code", "source_code"
+    )
+    allows = (
+        codes_for(tables["lang"], "en"),
+        codes_for(tables["source"], ["src1", "src12", "src18", "src5"]),
+    )
+    str_exact = filtered_knn(
+        test.select("qid", "vec"),
+        train.select("id", "vec").join(attrs, "id"),
+        K, conjunction_predicate(("lang_code", "source_code"), allows),
+    ).collect()
+    s_serving = ServingIndex(
+        idx.vectors.join(attrs, "id"), idx.edges,
+        attr_col=["lang_code", "source_code"],
+    ).warm()
+    s_rows = s_serving.query(
+        test.select("qid", "vec"), K, allowed=list(allows)
+    ).collect()
+    recalls["warm_string_conjunction"] = _recall(s_rows, str_exact)
+    s_serving.unpersist()
 
     for name, r in recalls.items():
         print(f"{name}: recall {r:.3f}")

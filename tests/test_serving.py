@@ -935,7 +935,8 @@ def test_filtered_search_example_end_to_end(spark):
         sys.path.pop(0)
     recalls = main(SF_CORRECT, spark=spark)
     assert set(recalls) == {
-        "exact", "ivf", "graph", "warm_graph", "warm_ivf", "warm_ivfpq"
+        "exact", "ivf", "graph", "warm_graph", "warm_ivf", "warm_ivfpq",
+        "warm_string_conjunction",
     }
     assert min(recalls.values()) >= 0.6, recalls
 
@@ -1203,3 +1204,55 @@ def test_bytes_resident_accounting(spark, ltrain):
     assert sb["blob_bytes_per_vector"] < raw_floor / 4
     # driver side: PQ holds its codebooks
     assert pb["driver_bytes"] > 0
+
+
+def test_filtered_strategy_boundary(spark, ltrain):
+    """The auto strategy must switch exact <-> beam/probed exactly at the
+    documented boundary (n_match <= fallback_factor*k = 8k): pick label
+    sets just under and just over it and assert the branch each class
+    reports via last_filter_strategy (VERDICT r6 item 8's boundary
+    assertion)."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    counts = {
+        int(r["label"]): int(r["n"])
+        for r in train.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    boundary = 8 * K  # fallback_factor * k
+    # greedily grow a label set until it first EXCEEDS the boundary;
+    # the set one step earlier is the largest under-boundary set
+    under, total = [], 0
+    for lbl in sorted(counts):
+        if total + counts[lbl] > boundary:
+            break
+        under.append(lbl)
+        total += counts[lbl]
+    over = list(under)
+    for lbl in sorted(set(counts) - set(under)):
+        over.append(lbl)
+        if sum(counts[x] for x in over) > boundary:
+            break
+    assert sum(counts[x] for x in under) <= boundary
+    assert sum(counts[x] for x in over) > boundary
+
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        sidx.query(test, K, allowed=under).count()
+        assert sidx.last_filter_strategy == "exact"
+        sidx.query(test, K, allowed=over).count()
+        assert sidx.last_filter_strategy == "beam"
+        sidx.query(test, K).count()
+        assert sidx.last_filter_strategy is None
+    finally:
+        sidx.unpersist()

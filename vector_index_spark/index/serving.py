@@ -394,6 +394,10 @@ class ServingIndex:
             else:
                 sel = max(n_match, 1) / n_corpus
                 patience = relaxed_monotonicity * min(8, _math.ceil(1.0 / sel))
+        # observability for tests/ops: which branch served this call
+        self.last_filter_strategy = (
+            None if allows is None else ("exact" if exact_scan else "beam")
+        )
         # recycle the PREVIOUS call's query broadcasts here — not inside
         # _query_batch, where a multi-chunk call would unpersist earlier
         # chunks before the lazily-unioned result executes (re-shippable,
@@ -673,6 +677,9 @@ class CellServingIndex:
                 n_corpus, n_match, k, nprobe, n_cells
             )
             eff_nprobe = n_cells if mode == "exact" else boosted
+            self.last_filter_strategy = mode
+        else:
+            self.last_filter_strategy = None if allows is None else "prefilter"
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -961,6 +968,9 @@ class PqServingIndex:
             if allowed is not None
             else None
         )
+        self.last_filter_strategy = (
+            None if allows is None else "masked_scan"
+        )
         if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
                 choose_filtered_strategy,
@@ -972,6 +982,7 @@ class PqServingIndex:
             n_corpus = max(sum(hist.values()), 1)
             n_match = _match_count(hist, allows)
             mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            self.last_filter_strategy = mode if mode == "exact" else "masked_scan"
             if mode == "exact":
                 return filtered_knn(
                     test, self._train, k,
@@ -1189,6 +1200,9 @@ class SqServingIndex:
             if allowed is not None
             else None
         )
+        self.last_filter_strategy = (
+            None if allows is None else "masked_scan"
+        )
         if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
                 choose_filtered_strategy,
@@ -1200,6 +1214,7 @@ class SqServingIndex:
             n_corpus = max(sum(hist.values()), 1)
             n_match = _match_count(hist, allows)
             mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
+            self.last_filter_strategy = mode if mode == "exact" else "masked_scan"
             if mode == "exact":
                 return filtered_knn(
                     test, self._train, k,
@@ -1420,6 +1435,7 @@ class IvfPqServingIndex:
             if allowed is not None
             else None
         )
+        self.last_filter_strategy = None if allows is None else "prefilter"
         if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
                 choose_filtered_strategy,
@@ -1432,6 +1448,7 @@ class IvfPqServingIndex:
             mode, boosted = choose_filtered_strategy(
                 n_corpus, n_match, k, nprobe, n_cells
             )
+            self.last_filter_strategy = mode
             if mode == "exact":
                 from vector_index_spark.operators.filtered import (
                     conjunction_predicate,
@@ -1713,6 +1730,9 @@ class RptServingIndex:
                 n_corpus, n_match, k, probes, n_leaves
             )
             eff_probes = n_leaves if mode == "exact" else boosted
+            self.last_filter_strategy = mode
+        else:
+            self.last_filter_strategy = None if allows is None else "prefilter"
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -1926,6 +1946,9 @@ class PcaServingIndex:
             n_match = _match_count(hist, allows)
             mode, _ = choose_filtered_strategy(n_corpus, n_match, k, 1, 1)
             exact_scan = mode == "exact"
+        self.last_filter_strategy = (
+            None if allows is None else ("exact" if exact_scan else "masked_scan")
+        )
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
