@@ -1256,3 +1256,88 @@ def test_filtered_strategy_boundary(spark, ltrain):
         assert sidx.last_filter_strategy is None
     finally:
         sidx.unpersist()
+
+
+def test_sweep_latency_percentiles(spark, vecs):
+    """grid_search(latency_sample=N) — the reference sweep's per-query
+    latency percentiles (example/example.py:37-63), measured the
+    Spark-faithful way: single-query batches against a warm
+    ServingIndex. Percentile columns populate positive with p50 <= p95
+    when sampled, and stay NULL on the default path."""
+    from vector_index_spark.operators.sweep import grid_search
+
+    train, test = vecs
+    res = grid_search(
+        spark, train, test.limit(50), PARAMS, k=K,
+        connects=(8,), steps=(2,), query_rms=(64,), latency_sample=3,
+    ).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["lat_p50_sec"] is not None and r["lat_p50_sec"] > 0
+    assert r["lat_p95_sec"] >= r["lat_p50_sec"]
+    plain = grid_search(
+        spark, train, test.limit(50), PARAMS, k=K,
+        connects=(8,), steps=(2,), query_rms=(64,),
+    ).collect()[0]
+    assert plain["lat_p50_sec"] is None and plain["lat_p95_sec"] is None
+
+
+def test_routed_filtered_nprobe_boost(spark):
+    """Routed + filtered graph serving boosts the PROBE COUNT by the
+    inverse match rate (the graph analog of ivf_filtered_knn's nprobe
+    boost): under a filter the k-th matching neighbor is farther, so a
+    fixed nprobe silently inherits routing-recall decay on top of the
+    filter. On the clustered fixture (where routing is the design
+    point), the boosted auto path must clear the recall floor vs exact
+    filtered kNN, and last_eff_nprobe must show the boost."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import ivf_cell_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    clustered = emb.select(
+        F.col("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when((F.col("vec_id") % 8) == (i % 8), F.lit(25.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("vec"),
+        (F.col("vec_id") % 10).alias("attr"),
+    )
+    train = clustered.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), "vec", "attr"
+    )
+    test = clustered.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), "vec"
+    )
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    sharded = ivf_cell_shards(train.select("id", "vec"), 8, 250, seed=11)
+    edges = build_graph_index(
+        sharded, params, shard_col="shard"
+    ).localCheckpoint()
+    vectors = sharded.join(F.broadcast(train.select("id", "attr")), "id")
+    sidx = ServingIndex(vectors, edges, attr_col="attr").warm()
+    try:
+        allowed = list(range(1, 8))  # ~70% match -> beam, boost 2
+        got = sidx.query(test, K, nprobe=2, allowed=allowed).collect()
+        assert sidx.last_filter_strategy == "beam"
+        assert sidx.last_eff_nprobe == 4  # 2 * ceil(1/0.7) = 4
+        truth: dict = {}
+        for r in knn_join(
+            test, train.filter(F.col("attr").isin(allowed)), K
+        ).collect():
+            truth.setdefault(r.qid, set()).add(r.id)
+        hits = sum(1 for r in got if r.id in truth.get(r.qid, ()))
+        denom = max(sum(len(v) for v in truth.values()), 1)
+        assert hits / denom >= 0.9, hits / denom
+        # boost never exceeds the shard count
+        got2 = sidx.query(test, K, nprobe=6, allowed=allowed)
+        got2.count()
+        assert sidx.last_eff_nprobe <= sidx.n_shards
+    finally:
+        sidx.unpersist()

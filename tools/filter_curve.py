@@ -15,6 +15,14 @@ below-boundary point uses a second attribute ``id % 40000`` (~0.004%,
 m defaults to 32 (~62k rows); the SCALE.md round-7 curve uses m=1024
 (~2M rows / ~976 shards), where the exact branch's masked GEMM scans the
 full resident corpus and the beam branch's cost tracks patience boost.
+
+Queries run UNROUTED (nprobe=None, all-shard masked beam) so the curve
+measures the FILTER's effect in isolation: on this near-uniform derived
+fixture centroid routing itself collapses (unfiltered routed recall 0.12
+at nprobe=8/244 shards at 500k — the documented routing worst case), so
+a routed curve would measure the fixture, not the filter. Routed +
+filtered recall is covered by the nprobe-boost rule
+(ServingIndex.query) and its clustered-fixture test.
 """
 
 from __future__ import annotations
@@ -87,16 +95,31 @@ def main() -> None:
         # the TEST split), so allowed sets start at 1
         allowed = list(range(1, n_vals + 1))
         # warm pass (blob pack + JIT), then the measured batch
-        sidx.query(test, K, nprobe=8, allowed=allowed).count()
+        sidx.query(test, K, allowed=allowed).count()
         t0 = time.perf_counter()
-        got = sidx.query(test, K, nprobe=8, allowed=allowed)
+        got = sidx.query(test, K, allowed=allowed)
         n_rows = got.count()
         dt = time.perf_counter() - t0
         strategy = sidx.last_filter_strategy
         # unfiltered reference batch on the same warm index
         t0 = time.perf_counter()
-        sidx.query(test, K, nprobe=8).count()
+        sidx.query(test, K).count()
         dt_plain = time.perf_counter() - t0
+        # filtered recall vs exact filtered kNN (id-set recall@k): the
+        # quality side of the curve — the boost schedule must hold
+        # recall as selectivity falls, not just bound latency
+        from vector_index_spark.operators.knn_fast import knn_fast
+
+        truth: dict = {}
+        for r in knn_fast(
+            test,
+            train.filter(F.col(attr_col).isin(allowed)).select("id", "vec"),
+            K,
+        ).collect():
+            truth.setdefault(r.qid, set()).add(r.id)
+        got_rows = got.collect()
+        hits = sum(1 for r in got_rows if r.id in truth.get(r.qid, ()))
+        denom = max(sum(len(v) for v in truth.values()), 1)
         rows.append(
             {
                 "match_rate": label,
@@ -104,6 +127,7 @@ def main() -> None:
                 "batch_s": round(dt, 2),
                 "unfiltered_batch_s": round(dt_plain, 2),
                 "rows": n_rows,
+                "recall": round(hits / denom, 3),
             }
         )
         print(json.dumps({"n": n, "build_s": round(t_build, 1), **rows[-1]}))

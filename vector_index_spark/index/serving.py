@@ -393,11 +393,27 @@ class ServingIndex:
                 nprobe = None
             else:
                 sel = max(n_match, 1) / n_corpus
-                patience = relaxed_monotonicity * min(8, _math.ceil(1.0 / sel))
-        # observability for tests/ops: which branch served this call
+                boost = min(8, _math.ceil(1.0 / sel))
+                patience = relaxed_monotonicity * boost
+                if nprobe is not None:
+                    # routed + filtered: the k-th MATCHING neighbor is
+                    # farther than the k-th unfiltered one, so probe
+                    # proportionally more shards — the graph analog of
+                    # ivf_filtered_knn's nprobe boost (measured: without
+                    # it, routed filtered recall decays by ~the match
+                    # rate on top of the routing baseline)
+                    cap = getattr(self, "n_shards", None)
+                    nprobe = (
+                        nprobe * boost
+                        if cap is None
+                        else min(int(cap), nprobe * boost)
+                    )
+        # observability for tests/ops: which branch served this call and
+        # the effective (possibly boosted) probe count
         self.last_filter_strategy = (
             None if allows is None else ("exact" if exact_scan else "beam")
         )
+        self.last_eff_nprobe = nprobe
         # recycle the PREVIOUS call's query broadcasts here — not inside
         # _query_batch, where a multi-chunk call would unpersist earlier
         # chunks before the lazily-unioned result executes (re-shippable,
