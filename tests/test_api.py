@@ -307,3 +307,65 @@ def test_filtered_query_facade(spark, data):
     )
     with pytest.raises(ValueError):
         ip_idx.filtered_query(test, K, attrs, allowed)
+
+
+def test_facade_conjunction_filtered_query_and_serving(spark):
+    """Facade multi-attribute conjunction (round 7): filtered_query with
+    attr_col=[...] composite-encodes the AND-of-IN into one attribute
+    (cross-product allowed set — exact semantics, guarded above 10k
+    combinations), and serving(attrs=, attr_col=[...]) passes the
+    conjunction through to the resident masks. Both must equal exact
+    conjunction-filtered kNN on a selective filter."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        "label", (F.col("vec_id") % 3).alias("label2"),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    idx = VectorIndex.build(
+        train.select("id", "vec"),
+        IndexParameters(
+            dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+            step=2, sub_index_bound=250,
+        ),
+    )
+    attrs = train.select("id", "label", "label2")
+    pred = F.col("label").isin(3, 5) & F.col("label2").isin(0, 1)
+    exact = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in knn_join(test, train.filter(pred), 10).collect()
+    )
+    got = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in idx.filtered_query(
+            test, 10, attrs, [[3, 5], [0, 1]], attr_col=["label", "label2"]
+        ).collect()
+    )
+    assert got == exact
+
+    sidx = idx.serving(attrs=attrs, attr_col=["label", "label2"]).warm()
+    try:
+        warm = sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in sidx.query(test, 10, allowed=[[3, 5], [0, 1]]).collect()
+        )
+        assert warm == exact
+    finally:
+        sidx.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cross product"):
+        idx.filtered_query(
+            test, 10, attrs,
+            [list(range(150)), list(range(150))],
+            attr_col=["label", "label2"],
+        )

@@ -427,3 +427,69 @@ def test_stream_ann_query_routed_drain_equals_batch(spark, tmp_path):
         for r in routed_graph_ann_query(vectors, edges, test, 5, nprobe=4).collect()
     )
     assert got == want
+
+
+def test_stream_ann_query_filtered_drain_equals_batch(spark, tmp_path):
+    """Filtered streaming ANN serving (round 7): draining a query stream
+    with attrs/attr_col/allowed must equal the batch exact
+    conjunction-filtered kNN (the selective filter routes the serving
+    auto strategy to its exact branch)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.persistence import save_index
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import stream_ann_query
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label",
+        (F.col("vec_id") % 3).alias("label2"),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params)
+    vectors = assign_shards(train.select("id", "vec"), 250)
+    idx_path = str(tmp_path / "idx")
+    save_index(vectors, edges, params, idx_path)
+
+    qdir = str(tmp_path / "queries")
+    test.write.parquet(qdir)
+    stream = spark.readStream.schema(
+        "qid long, vec array<float>"
+    ).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = stream_ann_query(
+        stream, idx_path, out, str(tmp_path / "ckpt"), k=5,
+        attrs=train.select("id", "label", "label2"),
+        attr_col=["label", "label2"], allowed=[[3, 5], [0, 1]],
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    pred = F.col("label").isin(3, 5) & F.col("label2").isin(0, 1)
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(test, train.filter(pred), 5).collect()
+    )
+    assert got == want
+
+    # allowed without attrs fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="attrs"):
+        stream_ann_query(
+            stream, idx_path, out, str(tmp_path / "ckpt2"), k=5,
+            allowed=[1],
+        )

@@ -312,8 +312,8 @@ class VectorIndex:
         test: DataFrame,
         k: int,
         attrs: DataFrame,
-        allowed: "list[int]",
-        attr_col: str = "attr",
+        allowed,
+        attr_col="attr",
         relaxed_monotonicity: int = 64,
         qid_col: str = "qid",
         vec_col: str = "vec",
@@ -327,6 +327,17 @@ class VectorIndex:
         euclidean2 and cosine metrics; the inner-product augmentation's
         re-rank tail is not wired here (use exact_query over a filtered
         corpus for MIPS).
+
+        ``attr_col`` may be a SEQUENCE of integral columns with one
+        ``allowed`` value collection per column — an AND-of-IN
+        conjunction ("lang = 'en' AND source IN (...)" after
+        operators/filtered.dict_encode). The conjunction is served by
+        composite-encoding the attribute tuple into one integer
+        (attr0 * card1 + attr1, ...) whose allowed set is the CROSS
+        PRODUCT of the per-column sets — exact AND semantics; the
+        product size is bounded (ValueError above 10,000 combinations —
+        for bigger value sets use serving(attrs=..., attr_col=[...])
+        whose resident masks evaluate the conjunction directly).
 
         ``attrs`` has one row per corpus id, so it scales WITH the
         corpus — the join below is deliberately left unhinted so AQE
@@ -346,8 +357,13 @@ class VectorIndex:
         t = assert_dim(t, "vec", self.params.dimension)
         if metric == "cosine_similarity":
             t = t.select("qid", normalize(F.col("vec")).alias("vec"))
+        if not isinstance(attr_col, str):
+            attr_expr, allowed = self._composite_attr(attrs, attr_col, allowed)
+        else:
+            attr_expr = F.col(attr_col)
+            allowed = [int(v) for v in allowed]
         vec_attr = self.vectors.join(
-            attrs.select(F.col("id"), F.col(attr_col).alias("__fattr")),
+            attrs.select(F.col("id"), attr_expr.alias("__fattr")),
             "id",
         )
         res = graph_filtered_ann_query(
@@ -359,6 +375,43 @@ class VectorIndex:
                 "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
             )
         return res
+
+    @staticmethod
+    def _composite_attr(attrs: DataFrame, attr_cols, allowed):
+        """Composite-encode a multi-attribute conjunction into one
+        integral attribute + flat allowed set (cross product of the
+        per-column value sets — exact AND-of-IN semantics). Column
+        cardinalities come from one scalar max() aggregate over the
+        attrs relation; at warehouse scale these are table statistics."""
+        import itertools
+
+        from vector_index_spark.operators.filtered import normalize_allowed
+
+        cols = list(attr_cols)
+        allows = normalize_allowed(allowed, len(cols))
+        sizes = attrs.agg(
+            *[(F.max(F.col(c).cast("long")) + 1).alias(c) for c in cols]
+        ).collect()[0]
+        cards = [max(int(sizes[c] or 1), 1) for c in cols]
+        n_combo = 1
+        for vs in allows:
+            n_combo *= max(len(vs), 1)
+        if n_combo > 10_000:
+            raise ValueError(
+                f"conjunction cross product too large ({n_combo} > 10000); "
+                "use serving(attrs=..., attr_col=[...]) — resident masks "
+                "evaluate the conjunction without enumeration"
+            )
+        expr = F.col(cols[0]).cast("long")
+        for c, card in zip(cols[1:], cards[1:]):
+            expr = expr * F.lit(card) + F.col(c).cast("long")
+        combo_allowed = []
+        for combo in itertools.product(*[sorted(vs) for vs in allows]):
+            code = combo[0]
+            for v, card in zip(combo[1:], cards[1:]):
+                code = code * card + v
+            combo_allowed.append(int(code))
+        return expr, combo_allowed
 
     def exact_query(
         self, test: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
@@ -384,7 +437,7 @@ class VectorIndex:
     def routing_table(self) -> DataFrame:
         return shard_centroids(self.vectors)
 
-    def serving(self):
+    def serving(self, attrs: "DataFrame | None" = None, attr_col=None):
         """Warm serving handle: pack every shard's graph into a resident
         persisted relation once and serve micro-batches from it with no
         per-batch index shuffle (index/serving.ServingIndex — the
@@ -392,6 +445,14 @@ class VectorIndex:
         section). Supported for the euclidean2 and cosine metrics (cosine
         serves over the build-time normalized vectors with the same
         normalize + dist/2 transform as query()).
+
+        ``attrs`` (optional) is an attribute relation keyed by ``id``;
+        ``attr_col`` names one of its INTEGRAL columns — or a sequence
+        of them for conjunction filtering (dictionary-encode strings
+        first: operators/filtered.dict_encode) — packed into the
+        resident blobs so ``.query(allowed=...)`` serves filtered
+        searches. The join rides the one-time blob pack; it is never
+        paid per batch.
 
         Parity contract: answers are byte-identical to :meth:`query`
         CALLED WITH THE SAME EXPLICIT KNOBS (same ``nprobe``, and
@@ -404,13 +465,26 @@ class VectorIndex:
         startup."""
         from vector_index_spark.index.serving import ServingIndex
 
+        vectors = self.vectors
+        if attrs is not None:
+            if attr_col is None:
+                raise ValueError("serving(attrs=...) needs attr_col=")
+            cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+            vectors = vectors.join(attrs.select("id", *cols), "id")
+        elif attr_col is not None:
+            # attribute columns already live on self.vectors
+            pass
         metric = self.params.distance_type
         dim = self.params.dimension
         if metric == "euclidean2":
-            return ServingIndex(self.vectors, self.edges, dimension=dim)
+            return ServingIndex(
+                vectors, self.edges, dimension=dim, attr_col=attr_col
+            )
         if metric == "cosine_similarity":
             return _CosineServing(
-                ServingIndex(self.vectors, self.edges, dimension=dim)
+                ServingIndex(
+                    vectors, self.edges, dimension=dim, attr_col=attr_col
+                )
             )
         raise NotImplementedError(
             "serving() serves euclidean2 and cosine_similarity; for "

@@ -73,10 +73,22 @@ def stream_ann_query(
     vec_col: str = "vec",
     available_now: bool = True,
     nprobe: int | None = None,
+    attrs: DataFrame | None = None,
+    attr_col=None,
+    allowed=None,
 ) -> StreamingQuery:
     """Streaming ANN serving twin: queries arrive on a stream, each
     micro-batch searches the persisted graph index at ``index_path``, and
     (qid, rank, id, dist) rows append to ``output_path`` (parquet).
+
+    ``attrs``/``attr_col``/``allowed`` (optional, round 7) serve
+    FILTERED streams: the attribute relation (keyed by id; ``attr_col``
+    one integral column or a sequence for conjunctions) joins onto the
+    loaded index vectors once at start and packs into the resident
+    blobs, and every micro-batch evaluates the ``allowed`` value set(s)
+    through the serving classes' in-kernel masks + auto strategy — the
+    streaming twin of ServingIndex filtered serving, at the same
+    per-batch cost contract.
 
     The index loads ONCE on start into a resident
     :class:`~vector_index_spark.index.serving.ServingIndex` — per-shard
@@ -101,7 +113,12 @@ def stream_ann_query(
     vectors, edges, params = load_index(spark, index_path)
     if edges is None:
         raise ValueError(f"index at {index_path!r} has no graph edges")
-    serving = ServingIndex(vectors, edges).warm()
+    if allowed is not None and (attrs is None or attr_col is None):
+        raise ValueError("allowed= needs attrs= and attr_col=")
+    if attrs is not None:
+        cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+        vectors = vectors.join(attrs.select("id", *cols), "id")
+    serving = ServingIndex(vectors, edges, attr_col=attr_col).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -109,7 +126,7 @@ def stream_ann_query(
         res = serving.query(
             batch_df, k, nprobe=nprobe,
             relaxed_monotonicity=relaxed_monotonicity,
-            qid_col=qid_col, vec_col=vec_col,
+            qid_col=qid_col, vec_col=vec_col, allowed=allowed,
         )
         res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
