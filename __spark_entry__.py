@@ -175,6 +175,30 @@ _KNN_BASE_SQL = f"""
 # entry
 # --------------------------------------------------------------------------
 
+# per-query attribute-equality kNN (q152 attribute_knn; q168 serves the
+# same relation from the warm multi-tenant path — one oracle text)
+_ATTR_KNN_SQL = f"""
+    WITH train AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ), test AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS vec, label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), d AS (
+      SELECT t.qid, c.id,
+             {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+      FROM test t JOIN train c ON t.label = c.label
+    ), ranked AS (
+      SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist, id) AS rank
+      FROM d
+    )
+    SELECT qid, rank, id, round(dist, 6) AS dist
+    FROM ranked WHERE rank <= {K}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact kNN (k=10) of the held-out embeddings against the
     corpus at sf0.001 — the reference's core query (top-k ANN search,
@@ -1320,6 +1344,37 @@ def q167_conjunction_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q168_multi_tenant_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant warm serving (round 7): every query row carries its
+    own attribute value and its neighbors must share it —
+    ServingIndex.query_by_attribute, the per-query-equality warm form of
+    q152's attribute_knn (the isolation pattern a multi-tenant vector
+    service runs). The mixed batch groups by tenant; at sf0.01 every
+    label group (~45 rows) sits under the exact boundary, so each group
+    serves from the masked exact GEMM over the resident shard matrices —
+    the oracle (q152's per-label join SQL) must hash-match."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+
+    train, test = _lsplit(spark, sf_dir)
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col="label").warm()
+    res = sidx.query_by_attribute(test, K, qattr_col="label").select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    ).localCheckpoint(eager=True)
+    sidx.unpersist()
+    return res
+
+
 def q15_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star — per-document quality profile (token/char counts,
     punctuation & stopword ratios, quality score)."""
@@ -2123,24 +2178,6 @@ def q46_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
         )
-    )
-
-
-def q47_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered vector search — metadata predicate (lang = 'en') applied
-    BEFORE the top-k, the classic filtered-ANN problem. Exact form:
-    predicate pushes into the corpus scan, then top-k as usual (for the
-    graph path you either over-fetch-and-post-filter or partition the
-    index by the predicate column — SCALE.md)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    train = _train(spark, sf_dir)
-    corpus = train.join(
-        docs.filter(F.col("lang") == "en"), train.id == docs.doc_id
-    ).select("id", "vec")
-    res = knn_join(_test(spark, sf_dir), corpus, 5)
-    return res.select(
-        "qid", F.col("rank").cast("long").alias("rank"), "id",
-        F.round("dist", 6).alias("dist"),
     )
 
 
@@ -3653,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q144/q113/q114 and the raw relations stay pytest-gated
     # (test_sketches) — bringing the registry to 150 all-hash-matched
     # entries within the window guarantee.
+        "q168_multi_tenant_serving": q168_multi_tenant_serving,
         "q165_dict_encode_tables": q165_dict_encode_tables,
         "q166_string_filtered_knn": q166_string_filtered_knn,
         "q167_conjunction_serving_gate": q167_conjunction_serving_gate,
@@ -3725,7 +3763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_simhash_pairs": q14_simhash_pairs,
         "q18_embedding_neardup": q18_embedding_neardup,
         "q27_byte_histogram": q27_byte_histogram,
-        "q47_filtered_search": q47_filtered_search,
         "q55_cube_revenue": q55_cube_revenue,
         "q56_order_running_totals": q56_order_running_totals,
         "q57_late_ship_priority": q57_late_ship_priority,
@@ -3848,26 +3885,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS parity_ok
             FROM embeddings WHERE vec_id % 10 = 0
         """,
-        "q152_label_knn": f"""
-            WITH train AS (
-              SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label
-              FROM embeddings WHERE vec_id % 10 <> 0
-            ), test AS (
-              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec, label
-              FROM embeddings WHERE vec_id % 10 = 0
-            ), d AS (
-              SELECT t.qid, c.id,
-                     {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
-              FROM test t JOIN train c ON t.label = c.label
-            ), ranked AS (
-              SELECT qid, id, dist,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY dist, id) AS rank
-              FROM d
-            )
-            SELECT qid, rank, id, round(dist, 6) AS dist
-            FROM ranked WHERE rank <= {K}
-        """,
+        "q152_label_knn": _ATTR_KNN_SQL,
         "q153_filtered_knn": f"""
             WITH train AS (
               SELECT vec_id AS id, embedding::DOUBLE[] AS vec
@@ -3937,6 +3955,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, rank, id, round(dist, 6) AS dist
             FROM ranked WHERE rank <= {K}
         """,
+        # q168 serves the SAME relation as q152 from the warm
+        # multi-tenant path — identical oracle text by construction
+        "q168_multi_tenant_serving": _ATTR_KNN_SQL,
         "q167_conjunction_serving_gate": f"""
             SELECT true AS graph_sel_parity_ok,
                    true AS ivfpq_sel_parity_ok,
@@ -5182,24 +5203,6 @@ def oracle_sql() -> dict[str, str]:
                    doc.lang, doc.source
             FROM ranked r JOIN documents doc ON r.id = doc.doc_id
             WHERE r.rank <= 5
-        """,
-        "q47_filtered_search": f"""
-            WITH train AS (
-              SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec
-              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-              WHERE e.vec_id % 10 <> 0 AND d.lang = 'en'
-            ), test AS (
-              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 10 = 0
-            ), d AS (
-              SELECT t.qid, c.id, {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
-              FROM test t CROSS JOIN train c
-            ), ranked AS (
-              SELECT qid, id, dist,
-                     row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-              FROM d
-            )
-            SELECT qid, rank, id, round(dist, 6) AS dist
-            FROM ranked WHERE rank <= 5
         """,
         "q45_rolling_hash": """
             SELECT doc_id,

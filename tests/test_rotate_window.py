@@ -88,3 +88,29 @@ def test_real_registry_rotation_leads_with_q09_q10():
     # the driver checks the first 50, which must include every entry
     # the rotation ranks in its top 50 (no overflow regression)
     assert set(registry[:50]) == set(order[:50])
+
+
+def test_apply_rotation_round_trips(tmp_path):
+    """--apply rewrites the queries() dict body in rotation order,
+    preserving the comment block and losing nothing."""
+    from tools.rotate_window import apply_rotation
+
+    entry = tmp_path / "entry.py"
+    entry.write_text(
+        "def a(s, d):\n    return None\n\n"
+        "def b(s, d):\n    return None\n\n"
+        "def queries():\n"
+        "    return {\n"
+        "    # order comment line 1\n"
+        "    # order comment line 2\n"
+        '        "b": b,\n'
+        '        "a": a,\n'
+        "    }\n"
+    )
+    apply_rotation(str(entry), ["a", "b"])
+    text = entry.read_text()
+    assert '"a": a,\n        "b": b,' in text
+    assert "# order comment line 1" in text
+    ns: dict = {}
+    exec(text, ns)
+    assert list(ns["queries"]().keys()) == ["a", "b"]

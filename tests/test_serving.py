@@ -1341,3 +1341,65 @@ def test_routed_filtered_nprobe_boost(spark):
         assert sidx.last_eff_nprobe <= sidx.n_shards
     finally:
         sidx.unpersist()
+
+
+def test_multi_tenant_query_by_attribute(spark, ltrain):
+    """query_by_attribute — per-query attribute-EQUALITY serving (the
+    warm multi-tenant form of attribute_knn): a mixed-tenant batch
+    grouped by attribute tuple must equal the exact per-label answer
+    (every label here is under the exact boundary -> masked GEMM), for
+    both the single-attribute and conjunction forms; arity and missing
+    attr_col fail fast."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.filtered import attribute_knn
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, _ = ltrain
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"),
+        "label", (F.col("vec_id") % 3).alias("label2"),
+    )
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label", "label2")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        got = _round_rows(sidx.query_by_attribute(test, K, qattr_col="label"))
+        want = _round_rows(attribute_knn(
+            test.select("qid", "vec", "label"), train.select("id", "vec", "label"),
+            K, "label",
+        ))
+        assert got == want
+        with pytest.raises(ValueError):
+            sidx.query_by_attribute(test, K, qattr_col=["label", "label2"])
+    finally:
+        sidx.unpersist()
+
+    midx = ServingIndex(vectors, edges, attr_col=["label", "label2"]).warm()
+    try:
+        got = _round_rows(
+            midx.query_by_attribute(test, K, qattr_col=["label", "label2"])
+        )
+        # exact reference: per-query equality on BOTH attributes — a
+        # composite attribute makes attribute_knn compute it exactly
+        comp_t = test.select(
+            "qid", "vec", (F.col("label") * 3 + F.col("label2")).alias("ck")
+        )
+        comp_c = train.select(
+            "id", "vec", (F.col("label") * 3 + F.col("label2")).alias("ck")
+        )
+        want = _round_rows(attribute_knn(comp_t, comp_c, K, "ck"))
+        assert got == want
+    finally:
+        midx.unpersist()
+
+    bare = ServingIndex(vectors.select("shard", "id", "vec"), edges).warm()
+    try:
+        with pytest.raises(ValueError):
+            bare.query_by_attribute(test, K, qattr_col="label")
+    finally:
+        bare.unpersist()

@@ -100,6 +100,29 @@ def max_staleness_after(
     return this_round - oldest if oldest >= 0 else this_round + 1
 
 
+def apply_rotation(entry_path: str, order: "list[str]") -> None:
+    """Rewrite the ``queries()`` dict body of ``entry_path`` in the given
+    order. The leading comment block (lines starting with ``#`` right
+    after ``return {``) is preserved verbatim; only the entry lines are
+    replaced."""
+    src = open(entry_path).read()
+    start = src.index("    return {\n", src.index("def queries()"))
+    end = src.index("    }\n", start) + len("    }\n")
+    body_lines = src[start + len("    return {\n"):end - len("    }\n")]
+    comment = "".join(
+        line
+        for line in body_lines.splitlines(keepends=True)
+        if line.lstrip().startswith("#")
+    )
+    entries = "".join(f'        "{name}": {name},\n' for name in order)
+    new = (
+        src[:start] + "    return {\n" + comment + entries + "    }\n"
+        + src[end:]
+    )
+    with open(entry_path, "w") as f:
+        f.write(new)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--window", type=int, default=WINDOW)
@@ -110,6 +133,12 @@ def main() -> int:
     ap.add_argument(
         "--emit", choices=("report", "dict"), default="report",
         help="'dict' prints paste-ready queries() body lines",
+    )
+    ap.add_argument(
+        "--apply", action="store_true",
+        help="rewrite __spark_entry__.py's queries() dict body in the "
+        "rotation order (comment block preserved); verifies the registry "
+        "round-trips identically",
     )
     ap.add_argument("--repo-root", default=os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -140,6 +169,19 @@ def main() -> int:
     if args.emit == "dict":
         for name in order:
             print(f'        "{name}": {name},')
+        return 0
+
+    if args.apply:
+        path = os.path.join(args.repo_root, "__spark_entry__.py")
+        apply_rotation(path, order)
+        # round-trip check: reload and confirm the registry is the
+        # rotation order with nothing lost
+        import importlib
+
+        importlib.reload(entry)
+        new_keys = list(entry.queries().keys())
+        assert new_keys == order, "apply round-trip mismatch"
+        print(f"applied: {len(order)} entries rewritten in rotation order")
         return 0
 
     print(f"registry: {len(registry)} queries; window: {args.window}; "

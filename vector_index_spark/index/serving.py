@@ -444,6 +444,170 @@ class ServingIndex:
             )
         return self._attr_hist
 
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        relaxed_monotonicity: int = 64,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query attribute-EQUALITY filtered serving — the warm form
+        of operators/filtered.attribute_knn and the multi-tenant serving
+        pattern: each query row carries its own attribute value(s)
+        (``qattr_col``: one column of ``test``, or a sequence aligned
+        positionally with this index's ``attr_col``) and its neighbors
+        must match them ALL exactly.
+
+        One micro-batch may mix tenants: queries group by attribute
+        tuple, each group gets its own strategy from the resident
+        histogram (a small tenant runs a masked exact GEMM over the
+        resident shard matrices — exact, and cheap because the mask is
+        tiny; a large one runs the masked beam with the inverse-match-
+        rate patience boost), and ALL groups ride the same single
+        mapInPandas pass over the cached blobs. Unrouted by design: a
+        tenant's rows are scattered across shards unless the shard
+        layout was built per-tenant. Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        if self._attr_cols is None:
+            raise ValueError(
+                "query_by_attribute needs attr_col= at ServingIndex "
+                "construction"
+            )
+        qcols = [qattr_col] if isinstance(qattr_col, str) else list(qattr_col)
+        if len(qcols) != len(self._attr_cols):
+            raise ValueError(
+                f"qattr_col must name {len(self._attr_cols)} column(s) "
+                f"(one per attr_col), got {qattr_col!r}"
+            )
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            *(
+                F.col(c).cast("long").alias(f"__qa{i}")
+                for i, c in enumerate(qcols)
+            ),
+        )
+        if self._dimension is not None:
+            from vector_index_spark.functions.distance import assert_dim
+
+            t = assert_dim(t, "vec", self._dimension)
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch_by_attr(
+                chunk, k, relaxed_monotonicity, auto_boost
+            ),
+            max_queries_per_batch,
+        )
+
+    def _query_batch_by_attr(
+        self, t: DataFrame, k: int, relaxed_monotonicity: int,
+        auto_boost: bool,
+    ) -> DataFrame:
+        import math as _math
+
+        from vector_index_spark.operators.filtered import (
+            choose_filtered_strategy,
+        )
+
+        spark = self._spark
+        m = len(self._attr_cols)
+        pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        qattrs = np.column_stack(
+            [pdf[f"__qa{i}"].to_numpy(dtype=np.int64) for i in range(m)]
+        )
+        # group queries by tenant tuple; per-group strategy from the
+        # resident histogram (each group is one value per attribute —
+        # equality is the selectivity-sharpest conjunction)
+        hist = self._attribute_histogram()
+        n_corpus = max(sum(hist.values()), 1)
+        acc: dict[tuple, list[int]] = {}
+        for qi in range(len(qids)):
+            acc.setdefault(tuple(int(v) for v in qattrs[qi]), []).append(qi)
+        groups = []
+        for key, ix in acc.items():
+            n_match = hist.get(key, 0)
+            exact = True
+            patience = relaxed_monotonicity
+            if auto_boost and n_match > 0:
+                strategy, _ = choose_filtered_strategy(
+                    n_corpus, min(n_match, n_corpus), k, 1, 1
+                )
+                exact = strategy == "exact"
+                if not exact:
+                    sel = n_match / n_corpus
+                    patience = relaxed_monotonicity * min(
+                        8, _math.ceil(1.0 / sel)
+                    )
+            groups.append(
+                (
+                    np.asarray(key, dtype=np.int64),
+                    np.asarray(ix, dtype=np.int64),
+                    exact,
+                    patience,
+                )
+            )
+        bc = spark.sparkContext.broadcast((qids, Q, groups))
+        self._live_bcs.append(bc)
+
+        def search(batches):
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+
+            for pdf_b in batches:
+                q_ids, q_mat, b_groups = bc.value
+                out_qid, out_id, out_dist = [], [], []
+                frames = []
+                for _, blob in zip(pdf_b["shard"], pdf_b["blob"]):
+                    g = pickle.loads(blob)
+                    attrs = g.attrs
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
+                    for key, ix, exact, patience in b_groups:
+                        mask = attrs[:, 0] == key[0]
+                        for j in range(1, len(key)):
+                            mask &= attrs[:, j] == key[j]
+                        if not mask.any():
+                            continue
+                        if exact:
+                            frames.append(
+                                gemm_topk_frame(
+                                    q_ids[ix], q_mat[ix],
+                                    g.ids[mask], g.X[mask], k,
+                                )
+                            )
+                            continue
+                        for qi in ix:
+                            for d, off in query_shard(
+                                g, q_mat[qi], k, patience, allowed=mask
+                            ):
+                                out_qid.append(int(q_ids[qi]))
+                                out_id.append(int(g.ids[off]))
+                                out_dist.append(d)
+                beam = pd.DataFrame(
+                    {"qid": out_qid, "id": out_id, "dist": out_dist}
+                )
+                yield (
+                    pd.concat([beam, *frames], ignore_index=True)
+                    if frames
+                    else beam
+                )
+
+        per_shard = self.blobs.mapInPandas(search, RESULT_SCHEMA)
+        return _merge_topk(per_shard, k)
+
     def _query_batch(
         self,
         t: DataFrame,
