@@ -608,6 +608,36 @@ def main() -> None:
     )
     fsidx.unpersist()
 
+    # multi-tenant warm serving (ServingIndex.query_by_attribute, round
+    # 7): a mixed-tenant 10-query batch against the 62k corpus — every
+    # query carries its own attribute (id % 100 -> ~624 rows/tenant, under
+    # the exact boundary at k=100, so each tenant group serves from the
+    # masked exact GEMM). Warm/build untimed (startup, like the other
+    # serving entries); appended at the tail per the ordering contract.
+    def tenant_state():
+        from vector_index_spark.index.serving import ServingIndex
+
+        tl = big_train.withColumn("attr", F.col("id") % 100)
+        t_edges = build_graph_index(tl.select("id", "vec"), big_params)
+        t_vecs = assign_shards(tl.select("id", "vec"), 2000).join(
+            tl.select("id", "attr"), "id"
+        )
+        sidx = ServingIndex(t_vecs, t_edges, attr_col="attr").warm()
+        batch = (
+            big_test.limit(10)
+            .withColumn("attr", F.col("qid") % 100)
+            .localCheckpoint(eager=True)
+        )
+        return sidx, batch
+
+    tsidx, tbatch = tenant_state()
+    tsidx.query_by_attribute(tbatch, K, qattr_col="attr").count()  # JIT pass
+    timed(
+        "multi_tenant_serving_query_k100_62k",
+        lambda: tsidx.query_by_attribute(tbatch, K, qattr_col="attr").count(),
+    )
+    tsidx.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -1403,3 +1403,42 @@ def test_multi_tenant_query_by_attribute(spark, ltrain):
             bare.query_by_attribute(test, K, qattr_col="label")
     finally:
         bare.unpersist()
+
+
+def test_stream_ivfpq_filtered_drain_equals_exact(spark, ltrain, tmp_path):
+    """Filtered streaming IVF-PQ serving (round 7): a drained query
+    stream with attr_col/allowed on the saved index must equal the exact
+    filtered kNN (the selective label filter routes the warm auto
+    strategy to its exact brute-force fallback)."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.persistence import save_ivfpq
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.streaming.ingest import stream_ivfpq_query
+
+    train, test = ltrain
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    idx_path = str(tmp_path / "ivfpq")
+    save_ivfpq(enc.localCheckpoint(eager=True), cents, books, idx_path)
+
+    qdir = str(tmp_path / "queries")
+    test.write.parquet(qdir)
+    stream = spark.readStream.schema(
+        "qid long, vec array<float>"
+    ).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = stream_ivfpq_query(
+        stream, idx_path, train, out, str(tmp_path / "ckpt"), K,
+        nprobe=3, attr_col="label", allowed=[3],
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(test, train.filter(F.col("label") == 3), K).collect()
+    )
+    assert got == want

@@ -151,6 +151,8 @@ def stream_ivfpq_query(
     qid_col: str = "qid",
     vec_col: str = "vec",
     available_now: bool = True,
+    attr_col=None,
+    allowed=None,
 ) -> StreamingQuery:
     """Streaming serving for the IVF-PQ route — the byte-efficient route
     a 100 TB deployment actually serves (SCALE.md byte math). The saved
@@ -163,20 +165,31 @@ def stream_ivfpq_query(
 
     Same exactly-once recipe as :func:`stream_ann_query`: foreachBatch is
     at-least-once, so each batch OVERWRITES its own ``batch_id=<n>``
-    partition and replays rewrite identical rows."""
+    partition and replays rewrite identical rows.
+
+    ``attr_col``/``allowed`` (optional, round 7): ``attr_col`` names
+    integral column(s) of ``corpus`` (one, or a sequence for
+    conjunctions); the attributes ride the one-time build-side id join
+    into the resident code blobs and every micro-batch evaluates the
+    ``allowed`` value set(s) in-kernel BEFORE ADC scoring — filtered
+    compressed serving on a stream."""
     from vector_index_spark.index.persistence import load_ivfpq
     from vector_index_spark.index.serving import IvfPqServingIndex
 
     spark = queries.sparkSession
+    if allowed is not None and attr_col is None:
+        raise ValueError("allowed= needs attr_col=")
     encoded, centroids, books = load_ivfpq(spark, index_path)
-    serving = IvfPqServingIndex(encoded, centroids, books, corpus).warm()
+    serving = IvfPqServingIndex(
+        encoded, centroids, books, corpus, attr_col=attr_col
+    ).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         res = serving.query(
             batch_df, k, nprobe=nprobe, candidate_factor=candidate_factor,
-            qid_col=qid_col, vec_col=vec_col,
+            qid_col=qid_col, vec_col=vec_col, allowed=allowed,
         )
         res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
