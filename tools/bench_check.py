@@ -19,6 +19,13 @@ Exit code 1 iff suspects is non-empty, so it is CI-runnable:
 
     python tools/bench_check.py BENCH_r05.json
 
+Passing SEVERAL run files switches to union adjudication (the round-7
+protocol): an entry is a suspect only if it exceeds its band in EVERY
+run — single-run flags on adjacent quiet runs are the documented
+alternating-flap variance, not regressions:
+
+    python tools/bench_check.py run1.json run2.json run3.json
+
 The baseline file records, per entry, the best quiet-machine median
 observed so far (see BASELINE.md round-6 note for provenance). Refresh
 it deliberately — after a quiet-machine run that BEATS an entry — with:
@@ -85,16 +92,70 @@ def check(run: dict[str, float], baseline: dict[str, float]):
     return suspects, ok, new, missing
 
 
+def check_union(runs: "list[dict[str, float]]", baseline: dict):
+    """Multi-run adjudication (the round-7 protocol, codified): an entry
+    is a suspect only if it exceeds its band in EVERY given run —
+    single-run flags on adjacent quiet runs are the documented
+    alternating-flap variance, not regressions. Returns the same tuple
+    shape as :func:`check`, with each suspect's per-run readings."""
+    per_run = [check(r, baseline) for r in runs]
+    always = set.intersection(
+        *[{s["entry"] for s in sus} for sus, _, _, _ in per_run]
+    )
+    suspects = []
+    for name in sorted(always):
+        floor = baseline[name]
+        vals = [r.get(name) for r in runs]
+        suspects.append(
+            {
+                "entry": name,
+                "sec": vals,
+                "floor": floor,
+                "limit": round(
+                    floor * (1.0 + BAND_OVERRIDES.get(name, DEFAULT_BAND))
+                    + (ABS_SLACK_S if floor < 1.0 else 0.0), 3
+                ),
+                "ratio": round(min(v for v in vals if v is not None) / floor, 2),
+            }
+        )
+    new = sorted(set().union(*[set(n) for _, _, n, _ in per_run]))
+    missing = sorted(set.intersection(*[set(m) for _, _, _, m in per_run]))
+    ok = len(set(baseline) - always - set(missing))
+    return suspects, ok, new, missing
+
+
 def main(argv: list[str]) -> int:
     update = "--update" in argv
     paths = [a for a in argv if not a.startswith("--")]
     if not paths:
         print(__doc__)
         return 2
-    run = load_run(paths[0])
     baseline: dict[str, float] = {}
     if os.path.exists(BASELINE_PATH):
         baseline = json.load(open(BASELINE_PATH))
+
+    if len(paths) > 1 and not update:
+        # union adjudication over N quiet runs: suspect = above band in ALL
+        runs = [load_run(p) for p in paths]
+        suspects, n_ok, new, missing = check_union(runs, baseline)
+        for s in suspects:
+            print(f"SUSPECT {s['entry']}: {s['sec']} vs floor {s['floor']}s "
+                  f"(limit {s['limit']}s, best {s['ratio']}x) — above band "
+                  f"in ALL {len(runs)} runs")
+        for n in new:
+            print(f"NEW     {n} (no baseline floor yet)")
+        for m in missing:
+            print(f"MISSING {m}: in baseline but in none of the runs")
+        print(f"OK      {n_ok} entries within band in at least one run")
+        print(json.dumps({
+            "suspects": [s["entry"] for s in suspects],
+            "new": new,
+            "missing": missing,
+            "ok": n_ok,
+        }))
+        return 1 if suspects else 0
+
+    run = load_run(paths[0])
 
     if update:
         changed = 0
