@@ -1442,3 +1442,54 @@ def test_stream_ivfpq_filtered_drain_equals_exact(spark, ltrain, tmp_path):
         for r in knn_join(test, train.filter(F.col("label") == 3), K).collect()
     )
     assert got == want
+
+
+def test_ivfpq_multi_tenant_query_by_attribute(spark, ltrain):
+    """IvfPqServingIndex.query_by_attribute — multi-tenant serving on the
+    compressed route: small tenants resolve through ONE equality-join
+    exact kNN (== attribute_knn, the per-tenant ground truth); the
+    forced probe path (auto_boost=False) masks resident attrs per tenant
+    before ADC and must return only same-tenant rows at full shape with
+    recall >= 0.9 vs exact."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.operators.filtered import attribute_knn
+
+    train, _ = ltrain
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label"
+    )
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    sidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).warm()
+    try:
+        want = _round_rows(attribute_knn(
+            test, train.select("id", "vec", "label"), K, "label"
+        ))
+        # every sf0.01 tenant is under the exact boundary -> one
+        # equality-join exact job for the whole batch
+        got = _round_rows(sidx.query_by_attribute(test, K, qattr_col="label"))
+        assert got == want
+        # forced probe path: per-tenant masks before ADC
+        got2 = sidx.query_by_attribute(
+            test, K, qattr_col="label", auto_boost=False,
+            nprobe=8, candidate_factor=32,
+        ).localCheckpoint(eager=True)
+        bad = (
+            got2.join(train.select("id", F.col("label").alias("tl")), "id")
+            .join(test.select("qid", F.col("label").alias("ql")), "qid")
+            .filter(F.col("tl") != F.col("ql"))
+            .count()
+        )
+        assert bad == 0
+        hits = len(set(_round_rows(got2)) & set(want))
+        assert hits / len(want) >= 0.9
+        with pytest.raises(ValueError):
+            sidx.query_by_attribute(test, K, qattr_col=["label", "label"])
+    finally:
+        sidx.unpersist()

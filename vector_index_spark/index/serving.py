@@ -1665,6 +1665,259 @@ class IvfPqServingIndex:
             )
         return self._attr_hist
 
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        nprobe: int = 4,
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant warm serving on the COMPRESSED route: each query
+        row carries its own attribute value(s) (``qattr_col``, aligned
+        with ``attr_col``) and its neighbors must match them exactly —
+        ServingIndex.query_by_attribute's contract over resident code
+        blobs instead of raw matrices.
+
+        A mixed batch splits by per-tenant strategy from the resident
+        histogram: SMALL tenants (under fallback_factor*k matching rows)
+        all go through ONE equality-join exact kNN against the cold
+        corpus (the attribute_knn plan — the tiny query side broadcasts,
+        the corpus never shuffles); the rest probe their routed cells
+        with per-tenant equality masks applied to the resident attribute
+        arrays BEFORE ADC scoring (tenants sharing a probed cell share
+        its blob visit), nprobe boosted by the LARGEST inverse match
+        rate among probing tenants (capped at the cell count), then the
+        usual shortlist + exact re-rank. Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        if self._attr_cols is None:
+            raise ValueError(
+                "query_by_attribute needs attr_col= at IvfPqServingIndex "
+                "construction"
+            )
+        qcols = [qattr_col] if isinstance(qattr_col, str) else list(qattr_col)
+        if len(qcols) != len(self._attr_cols):
+            raise ValueError(
+                f"qattr_col must name {len(self._attr_cols)} column(s) "
+                f"(one per attr_col), got {qattr_col!r}"
+            )
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            *(
+                F.col(c).cast("long").alias(f"__qa{i}")
+                for i, c in enumerate(qcols)
+            ),
+        )
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch_by_attr(
+                chunk, k, nprobe, candidate_factor, auto_boost
+            ),
+            max_queries_per_batch,
+        )
+
+    def _query_batch_by_attr(
+        self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
+        auto_boost: bool,
+    ) -> DataFrame:
+        import math as _math
+
+        from pyspark.sql import Window
+
+        from vector_index_spark.operators.filtered import (
+            choose_filtered_strategy,
+        )
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        m = len(self._attr_cols)
+        pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        qattrs = np.column_stack(
+            [pdf[f"__qa{i}"].to_numpy(dtype=np.int64) for i in range(m)]
+        )
+        hist = self._attribute_histogram()
+        n_corpus = max(sum(hist.values()), 1)
+        n_cells = int(self._C.shape[0])
+        exact_qi: list[int] = []
+        probe_qi: list[int] = []
+        boost = 1
+        for qi in range(len(qids)):
+            key = tuple(int(v) for v in qattrs[qi])
+            n_match = hist.get(key, 0)
+            strategy = "exact"
+            if auto_boost and n_match > 0:
+                strategy, _ = choose_filtered_strategy(
+                    n_corpus, min(n_match, n_corpus), k, 1, 1
+                )
+            elif not auto_boost:
+                strategy = "probe"
+            if strategy == "exact":
+                exact_qi.append(qi)
+            else:
+                probe_qi.append(qi)
+                sel = max(n_match, 1) / n_corpus
+                boost = max(boost, min(8, _math.ceil(1.0 / sel)))
+        parts = []
+
+        if exact_qi:
+            # ONE equality-join exact kNN over the cold corpus for every
+            # small tenant's queries (the attribute_knn plan: tiny query
+            # side broadcasts on the attribute keys, corpus never
+            # shuffles; WindowGroupLimit bounds the exchange)
+            sub = pdf.iloc[exact_qi].copy()
+            sub["vec"] = sub["vec"].map(list)  # ndarray cells -> plain lists
+            tq = spark.createDataFrame(
+                sub.rename(columns={f"__qa{i}": f"__k{i}" for i in range(m)})
+            )
+            c = self._train.select(
+                F.col(self._id_col).alias("id"),
+                F.col(self._vec_col).alias("__cv"),
+                *(
+                    F.col(a).cast("long").alias(f"__k{i}")
+                    for i, a in enumerate(self._attr_cols)
+                ),
+            )
+            from vector_index_spark.functions.distance import l2sq_arrow
+
+            joined = c.join(
+                F.broadcast(tq), [f"__k{i}" for i in range(m)]
+            ).select(
+                "qid", "id",
+                l2sq_arrow()(F.col("vec"), F.col("__cv")).alias("dist"),
+            )
+            w = Window.partitionBy("qid").orderBy(
+                F.col("dist").asc(), F.col("id").asc()
+            )
+            parts.append(
+                joined.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "rank", "id", "dist")
+            )
+
+        if probe_qi:
+            sub_ix = np.asarray(probe_qi, dtype=np.int64)
+            eff_nprobe = min(n_cells, nprobe * boost)
+            psub = pdf.iloc[probe_qi][["qid", "vec"]].copy()
+            psub["vec"] = psub["vec"].map(list)
+            tq = spark.createDataFrame(psub)
+            probes = knn_join(tq, self._cents_kv, eff_nprobe).select(
+                "qid", F.col("id").alias("cell")
+            )
+            cell_rows = probes.groupBy("qid").agg(
+                F.collect_list("cell").alias("__cells")
+            ).collect()
+            cells_by_qid = {int(r["qid"]): r["__cells"] for r in cell_rows}
+            acc: dict[int, list[int]] = {}
+            pos = {int(qids[qi]): qi for qi in probe_qi}
+            for qid_v, cells in cells_by_qid.items():
+                for c in cells:
+                    acc.setdefault(int(c), []).append(pos[qid_v])
+            assign = {
+                c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()
+            }
+            ncand = candidate_factor * k
+            bc = spark.sparkContext.broadcast(
+                (qids, Q, qattrs, self._C, self._books, assign)
+            )
+            self._live_bcs.append(bc)
+
+            def scan(batches):
+                b_qids, bQ, b_qattrs, bC, books, asg = bc.value
+                bm, ncent, sub_d = books.shape
+                for pdf_b in batches:
+                    for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                        ix = asg.get(int(cell))
+                        if ix is None or len(ix) == 0:
+                            continue
+                        payload = pickle.loads(blob)
+                        ids, codes, attrs = payload[0], payload[1], payload[2]
+                        if attrs.ndim == 1:
+                            attrs = attrs[:, None]
+                        # group this cell's probing queries by tenant so
+                        # tenants sharing the cell share one mask+LUT pass
+                        groups: dict[tuple, list[int]] = {}
+                        for qi in ix:
+                            groups.setdefault(
+                                tuple(int(v) for v in b_qattrs[qi]), []
+                            ).append(int(qi))
+                        for key, qlist in groups.items():
+                            mask = attrs[:, 0] == key[0]
+                            for j in range(1, len(key)):
+                                mask &= attrs[:, j] == key[j]
+                            if not mask.any():
+                                continue
+                            g_ids = ids[mask]
+                            g_codes = codes[mask].astype(np.int64)
+                            gq = np.asarray(qlist, dtype=np.int64)
+                            R = bQ[gq] - bC[int(cell)][None, :]
+                            lut = np.empty((len(gq), bm, ncent))
+                            for s in range(bm):
+                                seg = R[:, s * sub_d : (s + 1) * sub_d]
+                                lut[:, s, :] = (
+                                    (seg[:, None, :] - books[s][None, :, :])
+                                    ** 2
+                                ).sum(-1)
+                            approx = np.zeros((len(g_ids), len(gq)))
+                            for s in range(bm):
+                                approx += lut[:, s, g_codes[:, s]].T
+                            kk = min(ncand, len(g_ids))
+                            for p in range(len(gq)):
+                                sel = np.lexsort((g_ids, approx[:, p]))[:kk]
+                                yield pd.DataFrame(
+                                    {
+                                        "qid": np.full(kk, b_qids[gq[p]]),
+                                        "id": g_ids[sel],
+                                        "approx": approx[sel, p],
+                                    }
+                                )
+
+            probed = sorted(assign)
+            cands = (
+                self.blobs.filter(F.col("cell").isin(probed))
+                .mapInPandas(scan, "qid long, id long, approx double")
+                .groupBy("qid", "id")
+                .agg(F.min("approx").alias("approx"))
+            )
+            wa = Window.partitionBy("qid").orderBy(
+                F.col("approx").asc(), F.col("id").asc()
+            )
+            shortlist = (
+                cands.withColumn("arank", F.row_number().over(wa))
+                .filter(F.col("arank") <= ncand)
+                .select("qid", "id")
+            )
+            parts.append(
+                _rerank_exact(
+                    shortlist, self._train, tq, k, self._id_col,
+                    self._vec_col,
+                    broadcast_cands=len(sub_ix) * ncand <= 2_000_000,
+                )
+            )
+
+        if not parts:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _query_batch(
         self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
         allows=None,
