@@ -1394,6 +1394,24 @@ def test_multi_tenant_query_by_attribute(spark, ltrain):
         )
         want = _round_rows(attribute_knn(comp_t, comp_c, K, "ck"))
         assert got == want
+        # auto_boost=False forces the masked BEAM at fixed patience
+        # (parity-testing semantics, consistent with query()): only
+        # same-tenant rows, recall floor vs exact
+        got_b = midx.query_by_attribute(
+            test, K, qattr_col=["label", "label2"], auto_boost=False,
+        ).localCheckpoint(eager=True)
+        bad = (
+            got_b.join(
+                train.select("id", F.col("label").alias("tl"),
+                             F.col("label2").alias("tl2")), "id")
+            .join(test.select("qid", F.col("label").alias("ql"),
+                              F.col("label2").alias("ql2")), "qid")
+            .filter((F.col("tl") != F.col("ql")) | (F.col("tl2") != F.col("ql2")))
+            .count()
+        )
+        assert bad == 0
+        hits = len(set(_round_rows(got_b)) & set(want))
+        assert hits / len(want) >= 0.9
     finally:
         midx.unpersist()
 

@@ -542,7 +542,11 @@ class ServingIndex:
             n_match = hist.get(key, 0)
             exact = True
             patience = relaxed_monotonicity
-            if auto_boost and n_match > 0:
+            if not auto_boost:
+                # parity-testing semantics, consistent with query():
+                # force the masked beam at exactly relaxed_monotonicity
+                exact = False
+            elif n_match > 0:
                 strategy, _ = choose_filtered_strategy(
                     n_corpus, min(n_match, n_corpus), k, 1, 1
                 )
