@@ -369,3 +369,59 @@ def test_facade_conjunction_filtered_query_and_serving(spark):
             [list(range(150)), list(range(150))],
             attr_col=["label", "label2"],
         )
+
+
+def test_cosine_serving_query_by_attribute(spark):
+    """_CosineServing wraps query_by_attribute: multi-tenant serving on
+    a cosine index must equal exact per-label cosine kNN (cos_dist =
+    l2sq/2 over build-normalized vectors; every sf0.01 tenant is under
+    the exact boundary)."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.functions.distance import cos_dist
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label"
+    )
+    idx = VectorIndex.build(
+        train.select("id", "vec"),
+        IndexParameters(
+            dimension=64, sub_index_bound=250,
+            distance_type="cosine_similarity",
+        ),
+    )
+    sidx = idx.serving(
+        attrs=train.select("id", "label"), attr_col="label"
+    ).warm()
+    try:
+        got = sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in sidx.query_by_attribute(
+                test, 10, qattr_col="label"
+            ).collect()
+        )
+        # exact per-label cosine kNN
+        t = test.select("qid", F.col("vec").alias("__qv"), "label")
+        c = train.select("id", F.col("vec").alias("__cv"), "label")
+        d = c.join(F.broadcast(t), "label").select(
+            "qid", "id", cos_dist(F.col("__qv"), F.col("__cv")).alias("dist")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        want = sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .collect()
+        )
+        assert got == want
+    finally:
+        sidx.unpersist()

@@ -78,17 +78,35 @@ class _CosineServing:
         self._inner.unpersist()
 
     def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        res = self._inner.query(
+            self._normed(test, kwargs), k, **kwargs
+        )
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
+    def query_by_attribute(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        """Multi-tenant serving with the cosine transform: qattr columns
+        pass through untouched; distances map l2sq-on-normalized -> cos
+        via dist/2, same as query()."""
+        qcols = kwargs.get("qattr_col", "attr")
+        qcols = [qcols] if isinstance(qcols, str) else list(qcols)
+        res = self._inner.query_by_attribute(
+            self._normed(test, kwargs, extra=qcols), k, **kwargs
+        )
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
+    def _normed(self, test: DataFrame, kwargs: dict, extra=()):
         from vector_index_spark.functions.distance import normalize
 
         qid_col = kwargs.pop("qid_col", "qid")
         vec_col = kwargs.pop("vec_col", "vec")
-        t = test.select(
+        return test.select(
             F.col(qid_col).alias("qid"),
             normalize(F.col(vec_col)).alias("vec"),
-        )
-        res = self._inner.query(t, k, **kwargs)
-        return res.select(
-            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+            *(F.col(c) for c in extra),
         )
 
 
