@@ -363,12 +363,26 @@ def test_facade_conjunction_filtered_query_and_serving(spark):
 
     import pytest as _pytest
 
+    # the 10k enumeration guard fires on the EFFECTIVE (in-domain) combo
+    # count — out-of-domain values are dropped first (ADVICE r7), so the
+    # guard needs genuinely high-cardinality attributes to trip
+    wide = train.select(
+        "id", (F.col("id") % 150).alias("w1"), (F.col("id") % 149).alias("w2")
+    )
     with _pytest.raises(ValueError, match="cross product"):
         idx.filtered_query(
-            test, 10, attrs,
-            [list(range(150)), list(range(150))],
-            attr_col=["label", "label2"],
+            test, 10, wide,
+            [list(range(150)), list(range(149))],
+            attr_col=["w1", "w2"],
         )
+    # the same request on LOW-cardinality attributes no longer raises:
+    # only 10x3 of the 150x149 requested combos are in-domain
+    ok = idx.filtered_query(
+        test, 10, attrs,
+        [list(range(150)), list(range(150))],
+        attr_col=["label", "label2"],
+    )
+    assert ok.count() > 0
 
 
 def test_cosine_serving_query_by_attribute(spark):
@@ -425,3 +439,55 @@ def test_cosine_serving_query_by_attribute(spark):
         assert got == want
     finally:
         sidx.unpersist()
+
+
+def test_composite_attr_domain_validation(spark):
+    """ADVICE r7: _composite_attr's mixed-radix encoding is only
+    injective over codes in [0, card_j). (a) An allowed value >= card_j
+    on a non-first column previously ALIASED a different real tuple —
+    it must now match nothing; (b) negative attribute codes in the data
+    are refused (they would alias); (c) in-domain conjunctions are
+    unaffected."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        "label", (F.col("vec_id") % 3).alias("label2"),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    idx = VectorIndex.build(train.select("id", "vec"), PARAMS)
+    attrs = train.select("id", "label", "label2")
+    # (a) label2 has domain {0,1,2} (card 3): asking for label2=5 must
+    # return NOTHING — the old encoding aliased (label, 5) onto
+    # (label+1, 2), silently returning rows violating the conjunction
+    res = idx.filtered_query(
+        test, K, attrs, [[3], [5]], attr_col=["label", "label2"]
+    )
+    assert res.count() == 0
+    # (c) an in-domain conjunction still equals exact filtered kNN
+    pred = (F.col("label") == 3) & (F.col("label2") == 1)
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(test, train.filter(pred), K).collect()
+    )
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in idx.filtered_query(
+            test, K, attrs, [[3], [1]], attr_col=["label", "label2"]
+        ).collect()
+    )
+    assert got == want
+    # (b) negative codes in the attribute DATA are refused
+    neg = attrs.withColumn(
+        "label2", F.when(F.col("id") % 11 == 0, F.lit(-1)).otherwise(
+            F.col("label2")
+        )
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        idx.filtered_query(
+            test, K, neg, [[3], [1]], attr_col=["label", "label2"]
+        )

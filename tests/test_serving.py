@@ -1511,3 +1511,115 @@ def test_ivfpq_multi_tenant_query_by_attribute(spark, ltrain):
             sidx.query_by_attribute(test, K, qattr_col=["label", "label"])
     finally:
         sidx.unpersist()
+
+
+def test_serving_null_and_missing_attrs(spark):
+    """ADVICE r7 trio: (a) serving(attrs=...) LEFT-joins, so corpus ids
+    missing from the attribute relation stay resident — unfiltered
+    queries keep full parity with query() (no silent recall loss);
+    (b) NULL attribute values build (sentinel-encoded) instead of
+    crashing the pack/histogram, and never match any filter — the
+    documented dict_encode -> serving semantics; (c) the sentinel code
+    itself is rejected as an allowed value."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.operators.filtered import NULL_ATTR_CODE
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    # ids % 7 == 1 are MISSING from attrs; ids % 7 == 2 carry NULL labels
+    attrs = train.filter(F.col("id") % 7 != 1).select(
+        "id",
+        F.when(F.col("id") % 7 == 2, F.lit(None).cast("long"))
+        .otherwise(F.col("label").cast("long")).alias("label"),
+    )
+    idx = VectorIndex.build(train.select("id", "vec"), PARAMS)
+    sidx = idx.serving(attrs=attrs, attr_col="label").warm()
+    try:
+        # (a): unfiltered parity — the missing/NULL ids are still served
+        warm = sorted(map(tuple, sidx.query(test, K).collect()))
+        batch = sorted(map(tuple, idx.query(test, K).collect()))
+        assert warm == batch
+        # (b): filtered — only rows whose attrs row EXISTS with label 3
+        eligible = train.join(
+            attrs.filter(F.col("label") == 3).select("id"), "id", "left_semi"
+        )
+        exact = _round_rows(knn_join(test, eligible.select("id", "vec"), K))
+        got = _round_rows(sidx.query(test, K, allowed=[3]))
+        assert got == exact
+        # (c): the sentinel can never be requested
+        with pytest.raises(ValueError, match="sentinel"):
+            sidx.query(test, K, allowed=[NULL_ATTR_CODE])
+    finally:
+        sidx.unpersist()
+
+
+def test_ivfpq_multi_tenant_duplicate_qids(spark, ltrain):
+    """ADVICE r7: duplicate qids inside one query_by_attribute batch
+    must each keep their own probe/tenant candidates (positional probe
+    keying, matching _query_batch's positional assign). Two rows share
+    one qid but carry DIFFERENT tenants; the batch answer must equal
+    running the rows separately and min-merging per (qid, id) — under
+    the old by-value keying the first row's tenant vanished."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    train, _ = ltrain
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 100).select(
+        F.lit(999).alias("qid"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    dup = qrow.select("qid", "vec", F.lit(3).alias("label")).unionByName(
+        qrow.select("qid", "vec", F.lit(5).alias("label"))
+    )
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    sidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).warm()
+    try:
+        kw = dict(
+            qattr_col="label", auto_boost=False, nprobe=8,
+            candidate_factor=64,
+        )
+        # forced probe path for every row (auto_boost=False)
+        got = _round_rows(sidx.query_by_attribute(dup, K, **kw))
+        # expectation: each dup row answered independently, then the
+        # per-(qid, id) min-merge + re-rank the batch's contract implies
+        singles = []
+        for lab in (3, 5):
+            one = qrow.select("qid", "vec", F.lit(lab).alias("label"))
+            singles += [
+                (r["qid"], r["id"], r["dist"])
+                for r in sidx.query_by_attribute(one, K, **kw).collect()
+            ]
+        best: dict = {}
+        for qid, id_, dist in singles:
+            if (qid, id_) not in best or dist < best[(qid, id_)]:
+                best[(qid, id_)] = dist
+        merged = sorted(best.items(), key=lambda kv: (kv[1], kv[0][1]))[:K]
+        want = sorted(
+            (qid, rank, id_, round(dist, 9))
+            for rank, ((qid, id_), dist) in enumerate(merged, start=1)
+        )
+        assert got == want
+        # both tenants' rows survive into the merged top-k
+        labs = {
+            r["label"]
+            for r in train.join(
+                spark.createDataFrame(
+                    [(i,) for (_, _, i, _) in got], "id long"
+                ),
+                "id", "left_semi",
+            ).select("label").collect()
+        }
+        assert labs == {3, 5}
+    finally:
+        sidx.unpersist()

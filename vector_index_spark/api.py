@@ -408,9 +408,33 @@ class VectorIndex:
         cols = list(attr_cols)
         allows = normalize_allowed(allowed, len(cols))
         sizes = attrs.agg(
-            *[(F.max(F.col(c).cast("long")) + 1).alias(c) for c in cols]
+            *[(F.max(F.col(c).cast("long")) + 1).alias(c) for c in cols],
+            *[
+                F.min(F.col(c).cast("long")).alias(f"__min_{c}")
+                for c in cols
+            ],
         ).collect()[0]
         cards = [max(int(sizes[c] or 1), 1) for c in cols]
+        # mixed-radix encoding is only injective over codes in
+        # [0, card_j) (ADVICE r7): negative attribute codes in the DATA
+        # would alias other tuples — refuse them (dict_encode codes are
+        # 0-based, so real pipelines never hit this)...
+        for c in cols:
+            mn = sizes[f"__min_{c}"]
+            if mn is not None and int(mn) < 0:
+                raise ValueError(
+                    f"composite conjunction encoding needs non-negative "
+                    f"attribute codes; column {c!r} has min {int(mn)} "
+                    f"(dictionary-encode with operators/filtered."
+                    f"dict_encode first)"
+                )
+        # ...and out-of-domain ALLOWED values (v < 0 or v >= card_j)
+        # can never match a row but would alias a different real tuple
+        # inside the encoding — drop them before enumeration
+        allows = tuple(
+            frozenset(v for v in vs if 0 <= v < card)
+            for vs, card in zip(allows, cards)
+        )
         n_combo = 1
         for vs in allows:
             n_combo *= max(len(vs), 1)
@@ -488,7 +512,12 @@ class VectorIndex:
             if attr_col is None:
                 raise ValueError("serving(attrs=...) needs attr_col=")
             cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
-            vectors = vectors.join(attrs.select("id", *cols), "id")
+            # LEFT join (ADVICE r7): a corpus id missing from attrs must
+            # stay in the resident blobs — its attributes come through
+            # NULL and sentinel-encode to a never-matching code, so
+            # unfiltered queries still see the row (no silent recall
+            # loss) while no filter can ever select it (SQL semantics)
+            vectors = vectors.join(attrs.select("id", *cols), "id", "left")
         elif attr_col is not None:
             # attribute columns already live on self.vectors
             pass

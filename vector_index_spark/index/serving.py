@@ -59,9 +59,22 @@ def _attr_pack_names(attr_cols: "tuple[str, ...]") -> "list[str]":
 
 
 def _with_attr_cols(df: DataFrame, attr_cols: "tuple[str, ...]") -> DataFrame:
+    from vector_index_spark.operators.filtered import null_safe_attr_code
+
     for i, c in enumerate(attr_cols):
-        df = df.withColumn(f"__attr{i}", F.col(c).cast("long"))
+        # NULL attrs sentinel-encode (ADVICE r7): the row stays in the
+        # blob (visible unfiltered) but can never match a filter —
+        # dict_encode's documented SQL semantics for NULL
+        df = df.withColumn(f"__attr{i}", null_safe_attr_code(c))
     return df
+
+
+def _attr_code(col_name: str):
+    """Build-side attribute-code expression (NULL -> sentinel); see
+    operators/filtered.null_safe_attr_code."""
+    from vector_index_spark.operators.filtered import null_safe_attr_code
+
+    return null_safe_attr_code(col_name)
 
 
 def _stack_attrs(pdf: pd.DataFrame):
@@ -82,9 +95,13 @@ def _tuple_histogram(df: DataFrame, attr_cols, id_col: str = "id"):
     """(attribute-tuple -> distinct-id count) histogram for the filtered
     strategy rule. One aggregate job over the build relation; the result
     has ATTRIBUTE-COMBINATION cardinality (categorical-small — at 100 TB
-    these counts would come from table statistics instead)."""
+    these counts would come from table statistics instead). NULL
+    attribute values group under the never-matching sentinel code, same
+    as the blob pack."""
+    from vector_index_spark.operators.filtered import null_safe_attr_code
+
     exprs = [
-        F.col(c).cast("long").alias(f"__h{i}") for i, c in enumerate(attr_cols)
+        null_safe_attr_code(c).alias(f"__h{i}") for i, c in enumerate(attr_cols)
     ]
     rows = (
         df.groupBy(*exprs)
@@ -776,7 +793,7 @@ class CellServingIndex:
         cols = [F.col("centroid_id").alias("cell"), F.col("id"), F.col("vec")]
         if self._attr_cols is not None:
             cols.extend(
-                F.col(c).cast("long").alias(f"__attr{i}")
+                _attr_code(c).alias(f"__attr{i}")
                 for i, c in enumerate(self._attr_cols)
             )
         self.blobs = (
@@ -981,7 +998,8 @@ CODE_BLOB_SCHEMA = "part long, n_vectors long, blob binary"
 
 def _rerank_exact(cands: DataFrame, train: DataFrame, t: DataFrame, k: int,
                   id_col: str, vec_col: str,
-                  broadcast_cands: bool = False) -> DataFrame:
+                  broadcast_cands: bool = False,
+                  dedupe_pairs: bool = False) -> DataFrame:
     """Shared exact-re-rank tail: identical to the pq_knn/sq_knn batch
     tails (same l2sq_arrow kernel, same (dist, id) window) so serving
     results are equal whenever the candidate set covers the true top-k.
@@ -1013,6 +1031,13 @@ def _rerank_exact(cands: DataFrame, train: DataFrame, t: DataFrame, k: int,
             "qid", "id", l2sq_arrow()(F.col("__qv"), F.col("__tv")).alias("dist")
         )
     )
+    if dedupe_pairs:
+        # duplicate qids in t fan the join out to one dist per query ROW;
+        # union-merge semantics keep the best per (qid, id) — only paid
+        # when the caller saw duplicate qids in the batch
+        rescored = rescored.groupBy("qid", "id").agg(
+            F.min("dist").alias("dist")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w))
@@ -1091,7 +1116,7 @@ class PqServingIndex:
                 train.select(
                     F.col(id_col).alias("id"),
                     *(
-                        F.col(c).cast("long").alias(f"__attr{i}")
+                        _attr_code(c).alias(f"__attr{i}")
                         for i, c in enumerate(self._attr_cols)
                     ),
                 ),
@@ -1324,7 +1349,7 @@ class SqServingIndex:
                 train.select(
                     F.col(id_col).alias("id"),
                     *(
-                        F.col(c).cast("long").alias(f"__attr{i}")
+                        _attr_code(c).alias(f"__attr{i}")
                         for i, c in enumerate(self._attr_cols)
                     ),
                 ),
@@ -1542,7 +1567,7 @@ class IvfPqServingIndex:
                 train.select(
                     F.col(id_col).alias("id"),
                     *(
-                        F.col(c).cast("long").alias(f"__attr{i}")
+                        _attr_code(c).alias(f"__attr{i}")
                         for i, c in enumerate(self._attr_cols)
                     ),
                 ),
@@ -1754,6 +1779,10 @@ class IvfPqServingIndex:
         qattrs = np.column_stack(
             [pdf[f"__qa{i}"].to_numpy(dtype=np.int64) for i in range(m)]
         )
+        # duplicate qids in one batch: every row keeps its own probe /
+        # tenant candidates (positional keying below) and the per-qid
+        # answer is the min-merge over its rows (ADVICE r7)
+        has_dup = len(np.unique(qids)) < len(qids)
         hist = self._attribute_histogram()
         n_corpus = max(sum(hist.values()), 1)
         n_cells = int(self._C.shape[0])
@@ -1804,6 +1833,10 @@ class IvfPqServingIndex:
                 "qid", "id",
                 l2sq_arrow()(F.col("vec"), F.col("__cv")).alias("dist"),
             )
+            if has_dup:
+                joined = joined.groupBy("qid", "id").agg(
+                    F.min("dist").alias("dist")
+                )
             w = Window.partitionBy("qid").orderBy(
                 F.col("dist").asc(), F.col("id").asc()
             )
@@ -1816,7 +1849,12 @@ class IvfPqServingIndex:
         if probe_qi:
             sub_ix = np.asarray(probe_qi, dtype=np.int64)
             eff_nprobe = min(n_cells, nprobe * boost)
-            psub = pdf.iloc[probe_qi][["qid", "vec"]].copy()
+            # probe by ROW POSITION, not qid value (ADVICE r7): duplicate
+            # qids in one batch each keep their own probe/tenant results,
+            # matching _query_batch's positional assign; the real qid is
+            # restored from b_qids at emit time
+            psub = pdf.iloc[probe_qi][["vec"]].copy()
+            psub.insert(0, "qid", sub_ix)
             psub["vec"] = psub["vec"].map(list)
             tq = spark.createDataFrame(psub)
             probes = knn_join(tq, self._cents_kv, eff_nprobe).select(
@@ -1825,12 +1863,11 @@ class IvfPqServingIndex:
             cell_rows = probes.groupBy("qid").agg(
                 F.collect_list("cell").alias("__cells")
             ).collect()
-            cells_by_qid = {int(r["qid"]): r["__cells"] for r in cell_rows}
+            cells_by_pos = {int(r["qid"]): r["__cells"] for r in cell_rows}
             acc: dict[int, list[int]] = {}
-            pos = {int(qids[qi]): qi for qi in probe_qi}
-            for qid_v, cells in cells_by_qid.items():
+            for pos_v, cells in cells_by_pos.items():
                 for c in cells:
-                    acc.setdefault(int(c), []).append(pos[qid_v])
+                    acc.setdefault(int(c), []).append(pos_v)
             assign = {
                 c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()
             }
@@ -1905,11 +1942,18 @@ class IvfPqServingIndex:
                 .filter(F.col("arank") <= ncand)
                 .select("qid", "id")
             )
+            # the re-rank joins by REAL qid (the scan restored them from
+            # b_qids), so it gets its own real-qid query frame — tq's
+            # qid column carries probe positions
+            rsub = pdf.iloc[probe_qi][["qid", "vec"]].copy()
+            rsub["vec"] = rsub["vec"].map(list)
+            rq = spark.createDataFrame(rsub)
             parts.append(
                 _rerank_exact(
-                    shortlist, self._train, tq, k, self._id_col,
+                    shortlist, self._train, rq, k, self._id_col,
                     self._vec_col,
                     broadcast_cands=len(sub_ix) * ncand <= 2_000_000,
+                    dedupe_pairs=has_dup,
                 )
             )
 
@@ -2088,7 +2132,7 @@ class RptServingIndex:
             # attr columns live on the assigned relation (attach them
             # upstream; leaves partition the corpus so no join is needed)
             cols.extend(
-                F.col(c).cast("long").alias(f"__attr{i}")
+                _attr_code(c).alias(f"__attr{i}")
                 for i, c in enumerate(self._attr_cols)
             )
         self.blobs = (
@@ -2307,7 +2351,7 @@ class PcaServingIndex:
             # attr columns live on the projected relation (attach them
             # upstream — it already co-locates vec with pvec)
             cols.extend(
-                F.col(c).cast("long").alias(f"__attr{i}")
+                _attr_code(c).alias(f"__attr{i}")
                 for i, c in enumerate(self._attr_cols)
             )
         self.blobs = (

@@ -58,6 +58,8 @@ __all__ = [
     "ivf_filtered_knn",
     "choose_filtered_strategy",
     "dict_encode",
+    "NULL_ATTR_CODE",
+    "null_safe_attr_code",
     "normalize_attr_cols",
     "normalize_allowed",
     "conjunction_mask",
@@ -141,6 +143,24 @@ def codes_for(table: DataFrame, values) -> list[int]:
     )
 
 
+# build-side sentinel for NULL attribute values (ADVICE r7): the serving
+# pack paths coalesce NULL attrs to this code so a NULL-attributed row
+# builds fine, stays visible to unfiltered queries, and never matches a
+# filter (SQL semantics — dict_encode's documented contract). int64 min:
+# unreachable by dict_encode (codes are 0-based) and rejected as an
+# allowed value below, so it can never alias a real predicate.
+NULL_ATTR_CODE = -(2**63)
+
+
+def null_safe_attr_code(col_name: str) -> Column:
+    """``col.cast(long)`` with NULLs mapped to :data:`NULL_ATTR_CODE` —
+    the canonical build-side attribute-code expression for resident
+    serving blobs and their strategy histograms."""
+    return F.coalesce(
+        F.col(col_name).cast("long"), F.lit(NULL_ATTR_CODE).cast("long")
+    )
+
+
 def normalize_attr_cols(attr_col) -> "tuple[str, ...] | None":
     """``attr_col`` as accepted by the serving classes: None, a single
     column name, or a sequence of names (conjunction filtering)."""
@@ -168,9 +188,11 @@ def normalize_allowed(allowed, n_attrs: int) -> "tuple[frozenset[int], ...]":
         if not items:
             return (frozenset(),)
         if not any(_is_value_collection(v) for v in items):
-            return (frozenset(int(v) for v in items),)
+            return (_reject_null_sentinel(frozenset(int(v) for v in items)),)
         if len(items) == 1 and _is_value_collection(items[0]):
-            return (frozenset(int(v) for v in items[0]),)
+            return (
+                _reject_null_sentinel(frozenset(int(v) for v in items[0])),
+            )
         raise ValueError(
             f"allowed for one attribute must be a flat value list, got "
             f"{allowed!r}"
@@ -182,7 +204,20 @@ def normalize_allowed(allowed, n_attrs: int) -> "tuple[frozenset[int], ...]":
             f"allowed must give one value collection per attribute "
             f"({n_attrs}), got {allowed!r}"
         )
-    return tuple(frozenset(int(v) for v in vs) for vs in items)
+    return tuple(
+        _reject_null_sentinel(frozenset(int(v) for v in vs)) for vs in items
+    )
+
+
+def _reject_null_sentinel(vs: "frozenset[int]") -> "frozenset[int]":
+    if NULL_ATTR_CODE in vs:
+        raise ValueError(
+            "allowed value {} is the NULL-attribute sentinel; a NULL "
+            "attribute never matches a filter (SQL semantics)".format(
+                NULL_ATTR_CODE
+            )
+        )
+    return vs
 
 
 def _is_value_collection(v) -> bool:

@@ -117,7 +117,10 @@ def stream_ann_query(
         raise ValueError("allowed= needs attrs= and attr_col=")
     if attrs is not None:
         cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
-        vectors = vectors.join(attrs.select("id", *cols), "id")
+        # LEFT join (ADVICE r7): ids missing from attrs stay resident and
+        # visible to unfiltered queries; their NULL attributes sentinel-
+        # encode to a never-matching code in the blob pack
+        vectors = vectors.join(attrs.select("id", *cols), "id", "left")
     serving = ServingIndex(vectors, edges, attr_col=attr_col).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
