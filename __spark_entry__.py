@@ -690,34 +690,112 @@ def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-def q148_minhash_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver gate for the MinHash hot-bucket skew mitigation
-    (operators/dedup.minhash_near_dup(length_bucketed=True), SCALE.md):
-    the composite (band, band_hash, log-size-bucket) candidate key drops
-    only length-infeasible candidates — a pair with Jaccard >= t has size
-    ratio <= 1/t so buckets differ by <= 1 and the a-side probes ±1 —
-    therefore the VERIFIED output is identical to the plain path and this
-    query shares q13's oracle verbatim. A bucketing bug (wrong base, lost
-    boundary pair) breaks the hash."""
-    from vector_index_spark.operators.dedup import minhash_near_dup
-
-    res = minhash_near_dup(_t(spark, sf_dir, "documents"), length_bucketed=True)
-    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def q149_simhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver gate for the SimHash hot-band skew mitigation
-    (operators/dedup.simhash_near_dup(collapse_identical=True), SCALE.md):
-    banding over DISTINCT hash values with member expansion at pair
-    emission is output-identical to the per-doc banding, so this query
-    shares q14's oracle verbatim; a collapse bug (lost within-group pair,
-    wrong cross-group hamming) breaks the hash."""
-    from vector_index_spark.operators.dedup import simhash_near_dup
-
-    res = simhash_near_dup(
-        _t(spark, sf_dir, "documents"), collapse_identical=True
+def q169_range_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate filtered exact kNN (round 8): neighbors restricted
+    to label in [3, 7) AND day_code in [0, 50) — the interval form of a
+    curation predicate ("quality tier >= 3 AND date in window") served
+    WITHOUT enumerating the interval into a value set
+    (operators/filtered.RangeSpec; normalize_allowed accepts
+    range(lo, hi)/slice on every filtered surface). The conjunction
+    lands on the corpus relation before the distance kernel — two
+    comparisons per attribute pushed toward the scan, the same plan as
+    the isin form (PLANS.md round 8)."""
+    from vector_index_spark.operators.filtered import (
+        conjunction_predicate,
+        filtered_knn,
+        normalize_allowed,
     )
-    return res.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+    train, test = _lsplit(spark, sf_dir)
+    train = train.withColumn("day_code", F.col("id") % 100)
+    allows = normalize_allowed([range(3, 7), range(0, 50)], 2)
+    pred = conjunction_predicate(("label", "day_code"), allows)
+    res = filtered_knn(test, train, K, pred)
+    return res.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched gate for RANGE filters on the warm serving classes
+    (round 8): graph ServingIndex and IVF CellServingIndex built with a
+    day_code attribute (id % 100 — a synthetic date window), queried
+    under range(lo, hi) specs. Selective window [10, 11) (~1% — under
+    fallback_factor*k) -> the auto strategy's masked exact scan must
+    EQUAL brute-force range-filtered kNN on BOTH classes; broad window
+    [5, 95) (~90%) -> the boosted masked beam returns only in-window
+    rows at full Q*k shape with recall >= 0.9 vs exact. The resident
+    mask evaluates the interval as two comparisons — RangeSpec rides
+    the same broadcast the value sets do."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        ServingIndex,
+    )
+
+    train, test = _lsplit(spark, sf_dir)
+    train = train.withColumn("day_code", F.col("id") % 100)
+    test = test.select("qid", "vec")
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(
+        train.select("id", "vec"), params
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "day_code")), "id"
+    )
+    gidx = ServingIndex(vectors, edges, attr_col="day_code").warm()
+    assigned, cents = build_ivf(
+        train.select("id", "vec", "day_code"), n_centroids=8,
+        carry_cols=("day_code",),
+    )
+    cidx = CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents, attr_col="day_code"
+    ).warm()
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in df.collect()
+        )
+
+    sel_pred = (F.col("day_code") >= 10) & (F.col("day_code") < 11)
+    sel_exact = rows(knn_join(test, train.filter(sel_pred), K))
+    g_ok = rows(gidx.query(test, K, allowed=range(10, 11))) == sel_exact
+    c_ok = rows(cidx.query(test, K, allowed=range(10, 11))) == sel_exact
+
+    broad_pred = (F.col("day_code") >= 5) & (F.col("day_code") < 95)
+    got = gidx.query(test, K, allowed=range(5, 95)).localCheckpoint(
+        eager=True
+    )
+    bad = got.join(train.select("id", "day_code"), "id").filter(
+        ~broad_pred
+    ).count()
+    truth = set(rows(knn_join(test, train.filter(broad_pred), K)))
+    hits = len(set(rows(got)) & truth)
+    gidx.unpersist()
+    cidx.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                bool(g_ok),
+                bool(c_ok),
+                bool(bad == 0),
+                bool(hits / len(truth) >= 0.9),
+                # full-shape check: the oracle pins n_test * K, so a
+                # short broad result breaks the hash
+                int(got.count()),
+            )
+        ],
+        "graph_sel_range_ok boolean, cell_sel_range_ok boolean, "
+        "broad_only_matching boolean, broad_recall_ok boolean, "
+        "n_broad_rows long",
+    )
 
 
 def q150_ivfpq_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3690,6 +3768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q144/q113/q114 and the raw relations stay pytest-gated
     # (test_sketches) — bringing the registry to 150 all-hash-matched
     # entries within the window guarantee.
+        "q169_range_filtered_knn": q169_range_filtered_knn,
+        "q170_range_serving_gate": q170_range_serving_gate,
         "q45_rolling_hash": q45_rolling_hash,
         "q46_semantic_search": q46_semantic_search,
         "q48_rollup_revenue": q48_rollup_revenue,
@@ -3698,8 +3778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_png_pixel_stats": q145_png_pixel_stats,
         "q146_png_resize_stats": q146_png_resize_stats,
         "q147_wav_audio_stats": q147_wav_audio_stats,
-        "q148_minhash_pairs_bucketed": q148_minhash_pairs_bucketed,
-        "q149_simhash_pairs_collapsed": q149_simhash_pairs_collapsed,
         "q141_gapfill_forward": q141_gapfill_forward,
         "q143_gapfill_linear": q143_gapfill_linear,
         "q134_table_profile": q134_table_profile,
@@ -4742,11 +4820,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.5
         """,
-        # q148: the length-bucketed mitigation is output-identical -> same oracle
-        "q148_minhash_pairs_bucketed": f"""
-            WITH {_MINHASH_CTES_SQL}
-            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
-            FROM pairs WHERE jaccard >= 0.5
+        # q169: range conjunction -> plain BETWEEN-style predicates in SQL
+        "q169_range_filtered_knn": f"""
+            WITH train AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings
+              WHERE vec_id % 10 <> 0
+                AND label >= 3 AND label < 7
+                AND (vec_id % 100) >= 0 AND (vec_id % 100) < 50
+            ), test AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), d AS (
+              SELECT t.qid, c.id,
+                     {_L2SQ_SQL.format(a="t.vec", b="c.vec")} AS dist
+              FROM test t CROSS JOIN train c
+            ), ranked AS (
+              SELECT qid, id, dist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY dist, id) AS rank
+              FROM d
+            )
+            SELECT qid, rank, id, round(dist, 6) AS dist
+            FROM ranked WHERE rank <= {K}
         """,
         "q86_zorder_keys": f"""
             WITH o AS (
@@ -4808,26 +4904,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sh, b.sh)) <= 6
         """,
         # q149: the collapse-identical mitigation is output-identical -> same oracle
-        "q149_simhash_pairs_collapsed": f"""
-            WITH toks AS (
-              SELECT doc_id AS id,
-                     list_distinct({_TOKS_SQL.format(t="text")}) AS t
-              FROM documents
-            ), th AS (
-              SELECT id, ('0x'||substring(md5(token),1,12))::BIGINT AS h
-              FROM (SELECT id, unnest(t) AS token FROM toks WHERE len(t) > 0)
-            ), bits AS (
-              SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM th, range(0, 48) r(b)
-              GROUP BY id, b
-            ), sh AS (
-              SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
-              FROM bits GROUP BY id
-            )
-            SELECT a.id AS id_a, b.id AS id_b,
-                   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
-            FROM sh a JOIN sh b ON a.id < b.id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        # q170: gate booleans computed in Spark; the oracle pins them TRUE
+        # plus the full broad shape (every test row must carry K rows)
+        "q170_range_serving_gate": f"""
+            SELECT true AS graph_sel_range_ok,
+                   true AS cell_sel_range_ok,
+                   true AS broad_only_matching,
+                   true AS broad_recall_ok,
+                   count(*) * {K} AS n_broad_rows
+            FROM embeddings WHERE vec_id % 10 = 0
         """,
         "q15_text_profile": f"""
             WITH base AS (

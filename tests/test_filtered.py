@@ -370,3 +370,68 @@ def test_query_shard_allowed_mask_unit():
     assert all(mask[off] for _, off in res)
     # unfiltered still returns the full k
     assert len(query_shard(g, q, 5, 32)) == 5
+
+
+def test_range_spec_normalization_and_masks():
+    """Round 8: range(lo, hi) / slice(lo, hi) as per-attribute filter
+    specs — canonicalization, membership (drives the histogram strategy
+    rule), the numpy mask kernel, and the Catalyst predicate twin."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        NULL_ATTR_CODE,
+        RangeSpec,
+        conjunction_mask,
+        normalize_allowed,
+    )
+
+    assert normalize_allowed(range(3, 7), 1) == (RangeSpec(3, 7),)
+    assert normalize_allowed([range(3, 7)], 1) == (RangeSpec(3, 7),)
+    assert normalize_allowed(slice(3, 7), 1) == (RangeSpec(3, 7),)
+    assert normalize_allowed([[1, 2], range(0, 2)], 2) == (
+        frozenset({1, 2}), RangeSpec(0, 2),
+    )
+    rs = RangeSpec(3, 7)
+    assert 3 in rs and 6 in rs and 7 not in rs and 2 not in rs
+    a = np.array([[1, 5], [4, 1], [6, 0], [3, 1]])
+    m = conjunction_mask(a, (RangeSpec(3, 7), np.array([0, 1])))
+    assert m.tolist() == [False, True, True, True]
+    # a stepped range is not an interval; the sentinel is unreachable
+    with pytest.raises(ValueError, match="step 1"):
+        normalize_allowed(range(0, 10, 2), 1)
+    with pytest.raises(ValueError, match="sentinel"):
+        RangeSpec(NULL_ATTR_CODE, 5)
+    # a bare range cannot cover a 2-attribute conjunction
+    with pytest.raises(ValueError, match="one spec per"):
+        normalize_allowed(range(0, 5), 2)
+
+
+def test_range_predicate_equals_mask(spark):
+    """conjunction_predicate and conjunction_mask agree on ranges: the
+    Catalyst form (exact fallbacks, scan pushdown) and the in-kernel
+    resident form select the same rows."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        RangeSpec,
+        conjunction_mask,
+        conjunction_predicate,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    allows = (RangeSpec(4, 9), frozenset({0, 2, 5}))
+    got = sorted(
+        r["id"] for r in df.filter(
+            conjunction_predicate(("a", "b"), allows)
+        ).collect()
+    )
+    pdf = df.toPandas()
+    m = conjunction_mask(
+        np.column_stack([pdf["a"].to_numpy(), pdf["b"].to_numpy()]), allows
+    )
+    assert got == sorted(pdf["id"].to_numpy()[m].tolist())
+    assert got  # non-degenerate fixture

@@ -1623,3 +1623,79 @@ def test_ivfpq_multi_tenant_duplicate_qids(spark, ltrain):
         assert labs == {3, 5}
     finally:
         sidx.unpersist()
+
+
+def test_range_filtered_serving_all_routes(spark, ltrain):
+    """Round 8: range predicates (`lo <= attr < hi`) as first-class
+    filter specs through the warm serving classes and the facade —
+    "quality tier >= 3 AND date_code in [a, b)" without enumerating the
+    interval. Selective ranges must EQUAL exact range-filtered kNN
+    (auto exact branch); a broad range+set conjunction on the
+    compressed route returns only matching rows at a recall floor."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        IvfPqServingIndex,
+        ServingIndex,
+    )
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    sel_pred = (F.col("label") >= 3) & (F.col("label") < 5)
+    sel_exact = _round_rows(knn_join(test, train.filter(sel_pred), K))
+
+    # graph route
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label", "label2")), "id"
+    )
+    gs = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        assert _round_rows(gs.query(test, K, allowed=range(3, 5))) == sel_exact
+    finally:
+        gs.unpersist()
+
+    # IVF cell route
+    assigned, cents = build_ivf(
+        train.select("id", "vec", "label"), n_centroids=8,
+        carry_cols=("label",),
+    )
+    cs = CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents, attr_col="label"
+    ).warm()
+    try:
+        assert _round_rows(cs.query(test, K, allowed=range(3, 5))) == sel_exact
+    finally:
+        cs.unpersist()
+
+    # compressed route: broad range+set conjunction — only matching
+    # rows, full shape, recall floor vs exact
+    broad_pred = (
+        (F.col("label") >= 1) & (F.col("label") < 8)
+        & F.col("label2").isin(0, 1)
+    )
+    enc, cents2, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    ps = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents2, books, train,
+        attr_col=["label", "label2"],
+    ).warm()
+    try:
+        got = ps.query(
+            test, K, allowed=[range(1, 8), [0, 1]], candidate_factor=32
+        ).localCheckpoint(eager=True)
+        bad = got.join(
+            train.select("id", "label", "label2"), "id"
+        ).filter(~broad_pred).count()
+        assert bad == 0
+        want = _round_rows(knn_join(test, train.filter(broad_pred), K))
+        hits = len(set(_round_rows(got)) & set(want))
+        assert hits / len(want) >= 0.9
+    finally:
+        ps.unpersist()

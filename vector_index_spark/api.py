@@ -375,14 +375,35 @@ class VectorIndex:
         t = assert_dim(t, "vec", self.params.dimension)
         if metric == "cosine_similarity":
             t = t.select("qid", normalize(F.col("vec")).alias("vec"))
+        from vector_index_spark.operators.filtered import (
+            NULL_ATTR_CODE,
+            normalize_allowed,
+        )
+
         if not isinstance(attr_col, str):
             attr_expr, allowed = self._composite_attr(attrs, attr_col, allowed)
         else:
             attr_expr = F.col(attr_col)
-            allowed = [int(v) for v in allowed]
+            # value set OR range(lo, hi)/slice (round 8) — validated here,
+            # evaluated inside graph_filtered_ann_query
+            allowed = normalize_allowed(allowed, 1)[0]
+        # LEFT join + NULL sentinel (ADVICE r7): ids missing from attrs
+        # (or NULL-attributed) stay in the search relation so the graph
+        # keeps its edges and the beam navigates THROUGH them — they can
+        # never match a filter (the sentinel is rejected as an allowed
+        # value), matching SQL semantics instead of corrupting the graph
         vec_attr = self.vectors.join(
-            attrs.select(F.col("id"), attr_expr.alias("__fattr")),
+            attrs.select(
+                F.col("id"),
+                F.coalesce(
+                    attr_expr.cast("long"), F.lit(NULL_ATTR_CODE)
+                ).alias("__fattr"),
+            ),
             "id",
+            "left",
+        ).withColumn(
+            "__fattr",
+            F.coalesce(F.col("__fattr"), F.lit(NULL_ATTR_CODE)),
         )
         res = graph_filtered_ann_query(
             vec_attr, self.edges, t, k, allowed, attr_col="__fattr",
@@ -430,20 +451,35 @@ class VectorIndex:
                 )
         # ...and out-of-domain ALLOWED values (v < 0 or v >= card_j)
         # can never match a row but would alias a different real tuple
-        # inside the encoding — drop them before enumeration
-        allows = tuple(
-            frozenset(v for v in vs if 0 <= v < card)
-            for vs, card in zip(allows, cards)
-        )
+        # inside the encoding — clip them before enumeration. Ranges
+        # clip to [max(lo,0), min(hi,card)) and are SIZE-CHECKED before
+        # materializing (a wide range over a high-cardinality attribute
+        # must trip the guard, not enumerate first).
+        from vector_index_spark.operators.filtered import RangeSpec
+
+        clipped = []
         n_combo = 1
-        for vs in allows:
-            n_combo *= max(len(vs), 1)
+        for vs, card in zip(allows, cards):
+            if isinstance(vs, RangeSpec):
+                lo, hi = max(vs.lo, 0), min(vs.hi, card)
+                clipped.append(("range", lo, max(hi, lo)))
+                n_combo *= max(max(hi, lo) - lo, 1)
+            else:
+                kept = frozenset(v for v in vs if 0 <= v < card)
+                clipped.append(("set", kept))
+                n_combo *= max(len(kept), 1)
         if n_combo > 10_000:
             raise ValueError(
                 f"conjunction cross product too large ({n_combo} > 10000); "
                 "use serving(attrs=..., attr_col=[...]) — resident masks "
                 "evaluate the conjunction without enumeration"
             )
+        allows = tuple(
+            frozenset(range(spec[1], spec[2]))
+            if spec[0] == "range"
+            else spec[1]
+            for spec in clipped
+        )
         expr = F.col(cols[0]).cast("long")
         for c, card in zip(cols[1:], cards[1:]):
             expr = expr * F.lit(card) + F.col(c).cast("long")

@@ -440,13 +440,18 @@ def graph_filtered_ann_query(
     inverse match rate, so the beam surveys enough matching nodes to
     fill k before stalling. Returns (qid, rank, id, dist)."""
     from vector_index_spark.index.querychunk import chunked_over_queries
-    from vector_index_spark.operators.filtered import choose_filtered_strategy
+    from vector_index_spark.operators.filtered import (
+        choose_filtered_strategy,
+        conjunction_predicate,
+        normalize_allowed,
+    )
     from vector_index_spark.operators.knn import knn_join
 
     if mode not in ("auto", "exact", "beam"):
         raise ValueError(f"mode must be auto|beam|exact, got {mode!r}")
-    allow_vals = sorted({int(v) for v in allowed})
-    match_pred = F.col(attr_col).isin(allow_vals)
+    # one value set OR a range(lo, hi)/slice (round 8) — normalized once
+    allow_spec = normalize_allowed(allowed, 1)[0]
+    match_pred = conjunction_predicate((attr_col,), (allow_spec,))
     patience = relaxed_monotonicity
     if mode == "auto":
         counts = vectors.agg(
@@ -485,7 +490,7 @@ def graph_filtered_ann_query(
     return chunked_over_queries(
         t,
         lambda chunk: _graph_filtered_query_batch(
-            vectors, edges, chunk, k, patience, attr_col, allow_vals
+            vectors, edges, chunk, k, patience, attr_col, allow_spec
         ),
         max_queries_per_batch,
     )
@@ -498,8 +503,10 @@ def _graph_filtered_query_batch(
     k: int,
     patience: int,
     attr_col: str,
-    allow_vals: list[int],
+    allow_spec,
 ) -> DataFrame:
+    from vector_index_spark.operators.filtered import RangeSpec
+
     spark = vectors.sparkSession
     test_pdf = t.toPandas()
     if len(test_pdf) == 0:
@@ -508,9 +515,14 @@ def _graph_filtered_query_batch(
         )
     qids = test_pdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(test_pdf["vec"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast(
-        (qids, Q, np.asarray(allow_vals, dtype=np.int64))
+    allow_obj = (
+        allow_spec
+        if isinstance(allow_spec, RangeSpec)
+        else np.fromiter(
+            sorted(allow_spec), dtype=np.int64, count=len(allow_spec)
+        )
     )
+    bc = spark.sparkContext.broadcast((qids, Q, allow_obj))
 
     def search(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(vec_pdf) == 0:
@@ -521,7 +533,11 @@ def _graph_filtered_query_batch(
         erows = edge_pdf[["layer", "src", "dst", "dist"]].to_numpy(dtype=np.float64)
         g = graph_from_rows(X, ids, erows)
         q_ids, q_mat, allow_arr = bc.value
-        mask = np.isin(vec_pdf[attr_col].to_numpy(dtype=np.int64), allow_arr)
+        from vector_index_spark.operators.filtered import conjunction_mask
+
+        mask = conjunction_mask(
+            vec_pdf[attr_col].to_numpy(dtype=np.int64), (allow_arr,)
+        )
         if not mask.any():
             return pd.DataFrame(columns=["qid", "id", "dist"])
         out_qid: list[int] = []

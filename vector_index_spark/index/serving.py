@@ -124,10 +124,15 @@ def _match_count(hist, allows) -> int:
 
 
 def _allow_arrays(allows):
-    """Broadcast-friendly form of normalized allowed sets: one sorted
-    int64 array per attribute."""
+    """Broadcast-friendly form of normalized allowed specs: one sorted
+    int64 array per value-set attribute; RangeSpecs pass through
+    (two ints — conjunction_mask compares in-kernel)."""
+    from vector_index_spark.operators.filtered import RangeSpec
+
     return tuple(
-        np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
+        vs
+        if isinstance(vs, RangeSpec)
+        else np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
         for vs in allows
     )
 

@@ -161,6 +161,68 @@ def null_safe_attr_code(col_name: str) -> Column:
     )
 
 
+class RangeSpec:
+    """Half-open integer interval ``[lo, hi)`` as a per-attribute filter
+    (round 8): the range form of an ``allowed`` value set — "quality
+    tier >= 3", "date_code BETWEEN a AND b" — accepted everywhere a
+    value collection is (all seven serving classes, the exact paths,
+    the facade, streaming). Pass a Python ``range(lo, hi)`` or
+    ``slice(lo, hi)`` and :func:`normalize_allowed` canonicalizes to
+    this; membership (``v in spec``) drives the histogram strategy rule
+    unchanged, and the resident mask is two vectorized comparisons —
+    the same zero-plan-node kernel as the isin mask."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: int, hi: int):
+        lo, hi = int(lo), int(hi)
+        if lo <= NULL_ATTR_CODE:
+            raise ValueError(
+                f"range lower bound {lo} reaches the NULL-attribute "
+                "sentinel; a NULL attribute never matches a filter"
+            )
+        self.lo, self.hi = lo, hi
+
+    def __contains__(self, v) -> bool:
+        return self.lo <= int(v) < self.hi
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, RangeSpec)
+            and (self.lo, self.hi) == (other.lo, other.hi)
+        )
+
+    def __hash__(self) -> int:
+        return hash((RangeSpec, self.lo, self.hi))
+
+    def __repr__(self) -> str:
+        return f"RangeSpec({self.lo}, {self.hi})"
+
+    def __getstate__(self):
+        return (self.lo, self.hi)
+
+    def __setstate__(self, state):
+        self.lo, self.hi = state
+
+
+def _as_range_spec(v) -> "RangeSpec | None":
+    """RangeSpec when ``v`` denotes a contiguous step-1 interval
+    (range / slice / RangeSpec), else None."""
+    if isinstance(v, RangeSpec):
+        return v
+    if isinstance(v, range):
+        if v.step != 1:
+            raise ValueError(f"range filters need step 1, got {v!r}")
+        return RangeSpec(v.start, v.stop)
+    if isinstance(v, slice):
+        if v.step not in (None, 1) or v.start is None or v.stop is None:
+            raise ValueError(
+                f"slice filters need explicit start/stop and step 1, got {v!r}"
+            )
+        return RangeSpec(v.start, v.stop)
+    return None
+
+
 def normalize_attr_cols(attr_col) -> "tuple[str, ...] | None":
     """``attr_col`` as accepted by the serving classes: None, a single
     column name, or a sequence of names (conjunction filtering)."""
@@ -174,38 +236,60 @@ def normalize_attr_cols(attr_col) -> "tuple[str, ...] | None":
     return cols
 
 
-def normalize_allowed(allowed, n_attrs: int) -> "tuple[frozenset[int], ...]":
+def normalize_allowed(allowed, n_attrs: int):
     """``allowed`` as accepted by serving queries: for one attribute, a
-    flat collection of integral values; for ``n_attrs >= 2``, one value
-    collection PER attribute (matched positionally against ``attr_col``
-    order) — a row matches when EVERY attribute's value is in its set
-    (conjunction). A dict keyed by position also works."""
+    flat collection of integral values OR a ``range(lo, hi)`` /
+    ``slice(lo, hi)`` (half-open interval — round 8); for
+    ``n_attrs >= 2``, one value collection or range PER attribute
+    (matched positionally against ``attr_col`` order) — a row matches
+    when EVERY attribute's value is in its set/interval (conjunction).
+    A dict keyed by position also works. Returns one ``frozenset[int]``
+    or :class:`RangeSpec` per attribute."""
+    rs = _as_range_spec(allowed)
+    if rs is not None:
+        # a bare range/slice: only unambiguous for one attribute (and
+        # checked BEFORE list() — enumerating range(0, 10**9) into a
+        # value set is exactly what RangeSpec exists to avoid)
+        if n_attrs != 1:
+            raise ValueError(
+                f"a single range covers one attribute; give one spec per "
+                f"attribute ({n_attrs}), got {allowed!r}"
+            )
+        return (rs,)
     if isinstance(allowed, dict):
         allowed = [allowed[i] for i in range(n_attrs)]
     items = list(allowed)
+    specs = [_as_range_spec(v) for v in items]
     if n_attrs == 1:
         # flat value list (the single-attribute form used since round 6)
         if not items:
             return (frozenset(),)
-        if not any(_is_value_collection(v) for v in items):
+        if len(items) == 1 and specs[0] is not None:
+            return (specs[0],)
+        if not any(_is_value_collection(v) for v in items) and not any(
+            s is not None for s in specs
+        ):
             return (_reject_null_sentinel(frozenset(int(v) for v in items)),)
         if len(items) == 1 and _is_value_collection(items[0]):
             return (
                 _reject_null_sentinel(frozenset(int(v) for v in items[0])),
             )
         raise ValueError(
-            f"allowed for one attribute must be a flat value list, got "
-            f"{allowed!r}"
+            f"allowed for one attribute must be a flat value list or a "
+            f"range, got {allowed!r}"
         )
     if len(items) != n_attrs or not all(
-        _is_value_collection(v) for v in items
+        _is_value_collection(v) or s is not None
+        for v, s in zip(items, specs)
     ):
         raise ValueError(
-            f"allowed must give one value collection per attribute "
-            f"({n_attrs}), got {allowed!r}"
+            f"allowed must give one value collection or range per "
+            f"attribute ({n_attrs}), got {allowed!r}"
         )
     return tuple(
-        _reject_null_sentinel(frozenset(int(v) for v in vs)) for vs in items
+        s if s is not None
+        else _reject_null_sentinel(frozenset(int(v) for v in vs))
+        for vs, s in zip(items, specs)
     )
 
 
@@ -224,27 +308,52 @@ def _is_value_collection(v) -> bool:
     return isinstance(v, (list, tuple, set, frozenset))
 
 
+def _mask_one(col, spec):
+    """Vectorized membership of one int64 column in one spec (value
+    array/set or RangeSpec) — two comparisons for a range, np.isin for
+    a set; both branchless kernels with no plan nodes."""
+    import numpy as np
+
+    if isinstance(spec, RangeSpec):
+        return (col >= spec.lo) & (col < spec.hi)
+    if isinstance(spec, (set, frozenset)):
+        # np.isin treats a raw set as one 0-d object (all-False mask) —
+        # materialize it; the serving hot paths pre-convert via
+        # _allow_arrays and never hit this branch
+        spec = np.fromiter(sorted(spec), dtype=np.int64, count=len(spec))
+    return np.isin(col, spec)
+
+
 def conjunction_mask(attrs, allows) -> "object":
     """Boolean row mask over a resident ``(n, m)`` int64 attribute array:
-    row i matches iff ``attrs[i, j] in allows[j]`` for every j. The
-    in-kernel form of an AND-of-IN predicate — adds no plan nodes."""
+    row i matches iff ``attrs[i, j] in allows[j]`` for every j (each
+    ``allows[j]`` a value set or a :class:`RangeSpec`). The in-kernel
+    form of an AND-of-(IN|BETWEEN) predicate — adds no plan nodes."""
     import numpy as np
 
     a = np.asarray(attrs)
     if a.ndim == 1:
         a = a[:, None]
-    mask = np.isin(a[:, 0], allows[0])
+    mask = _mask_one(a[:, 0], allows[0])
     for j in range(1, len(allows)):
-        mask &= np.isin(a[:, j], allows[j])
+        mask &= _mask_one(a[:, j], allows[j])
     return mask
+
+
+def _predicate_one(col_name: str, spec) -> Column:
+    c = F.col(col_name).cast("long")
+    if isinstance(spec, RangeSpec):
+        return (c >= F.lit(spec.lo)) & (c < F.lit(spec.hi))
+    return c.isin([int(v) for v in spec])
 
 
 def conjunction_predicate(attr_cols, allows) -> Column:
     """The same conjunction as a Catalyst predicate (for exact fallbacks
-    and scan pushdown): AND of ``col IN values`` over the attributes."""
-    pred = F.col(attr_cols[0]).cast("long").isin([int(v) for v in allows[0]])
+    and scan pushdown): AND of ``col IN values`` / range comparisons
+    over the attributes."""
+    pred = _predicate_one(attr_cols[0], allows[0])
     for c, vs in zip(attr_cols[1:], allows[1:]):
-        pred = pred & F.col(c).cast("long").isin([int(v) for v in vs])
+        pred = pred & _predicate_one(c, vs)
     return pred
 
 
