@@ -727,7 +727,10 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     [5, 95) (~90%) -> the boosted masked beam returns only in-window
     rows at full Q*k shape with recall >= 0.9 vs exact. The resident
     mask evaluates the interval as two comparisons — RangeSpec rides
-    the same broadcast the value sets do."""
+    the same broadcast the value sets do. Also gates the DNF (AnyOf)
+    mask: two adjacent one-day windows OR'd together must be
+    byte-identical to the merged two-day range (same match count ->
+    same strategy, so divergence can only be a mask bug)."""
     from vector_index_spark.config import IndexParameters
     from vector_index_spark.index.builder import build_graph_index
     from vector_index_spark.index.ivf import build_ivf
@@ -778,6 +781,15 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     truth = set(rows(knn_join(test, train.filter(broad_pred), K)))
     hits = len(set(rows(got)) & truth)
+    # DNF (AnyOf) mask contract: two adjacent one-day windows OR'd
+    # together must be byte-identical to the merged two-day range —
+    # same match count -> same strategy/patience, so any divergence is
+    # a mask bug, independent of beam recall
+    from vector_index_spark.operators.filtered import AnyOf
+
+    dnf_ok = rows(
+        gidx.query(test, K, allowed=AnyOf(range(10, 11), range(11, 12)))
+    ) == rows(gidx.query(test, K, allowed=range(10, 12)))
     gidx.unpersist()
     cidx.unpersist()
     return spark.createDataFrame(
@@ -787,6 +799,7 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(c_ok),
                 bool(bad == 0),
                 bool(hits / len(truth) >= 0.9),
+                bool(dnf_ok),
                 # full-shape check: the oracle pins n_test * K, so a
                 # short broad result breaks the hash
                 int(got.count()),
@@ -794,7 +807,7 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "graph_sel_range_ok boolean, cell_sel_range_ok boolean, "
         "broad_only_matching boolean, broad_recall_ok boolean, "
-        "n_broad_rows long",
+        "dnf_equiv_ok boolean, n_broad_rows long",
     )
 
 
@@ -4911,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS cell_sel_range_ok,
                    true AS broad_only_matching,
                    true AS broad_recall_ok,
+                   true AS dnf_equiv_ok,
                    count(*) * {K} AS n_broad_rows
             FROM embeddings WHERE vec_id % 10 = 0
         """,

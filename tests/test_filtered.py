@@ -435,3 +435,69 @@ def test_range_predicate_equals_mask(spark):
     )
     assert got == sorted(pdf["id"].to_numpy()[m].tolist())
     assert got  # non-degenerate fixture
+
+
+def test_dnf_normalization_and_masks():
+    """Round 8: AnyOf(conj, conj, ...) — OR-of-conjunctions (DNF)
+    predicates. Normalization to DnfSpec (idempotent), the OR mask, the
+    histogram membership helper, and mixed set/range disjuncts."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        AnyOf,
+        DnfSpec,
+        RangeSpec,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_matches,
+        normalize_allowed,
+    )
+
+    d = normalize_allowed(AnyOf([[3], [0]], [[5], [1, 2]]), 2)
+    assert d == DnfSpec(
+        ((frozenset({3}), frozenset({0})), (frozenset({5}), frozenset({1, 2})))
+    )
+    assert normalize_allowed(d, 2) is d  # idempotent re-entry
+    a = np.array([[3, 0], [3, 1], [5, 1], [5, 0], [4, 0]])
+    m = conjunction_mask(a, allow_arrays(d))
+    assert m.tolist() == [True, False, True, False, False]
+    assert [conjunction_matches(tuple(r), d) for r in a] == m.tolist()
+    # single attribute: value set OR interval
+    d2 = normalize_allowed(AnyOf([1, 2], range(7, 9)), 1)
+    assert d2.disjuncts == ((frozenset({1, 2}),), (RangeSpec(7, 9),))
+    col = np.array([0, 1, 5, 7, 8, 9])
+    assert conjunction_mask(col, allow_arrays(d2)).tolist() == [
+        False, True, False, True, True, False,
+    ]
+    with pytest.raises(ValueError):
+        AnyOf()
+
+
+def test_dnf_predicate_equals_mask(spark):
+    """conjunction_predicate on a DnfSpec (OR of conjunction predicates)
+    selects exactly the rows the OR mask selects."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        AnyOf,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_predicate,
+        normalize_allowed,
+    )
+
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 13).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    d = normalize_allowed(AnyOf([range(2, 5), [0, 1]], [[11], range(3, 6)]), 2)
+    got = sorted(
+        r["id"]
+        for r in df.filter(conjunction_predicate(("a", "b"), d)).collect()
+    )
+    pdf = df.toPandas()
+    m = conjunction_mask(
+        np.column_stack([pdf["a"].to_numpy(), pdf["b"].to_numpy()]),
+        allow_arrays(d),
+    )
+    assert got == sorted(pdf["id"].to_numpy()[m].tolist())
+    assert got

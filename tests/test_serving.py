@@ -1699,3 +1699,73 @@ def test_range_filtered_serving_all_routes(spark, ltrain):
         assert hits / len(want) >= 0.9
     finally:
         ps.unpersist()
+
+
+def test_dnf_filtered_serving_and_facade(spark, ltrain):
+    """Round 8: AnyOf DNF predicates ("(label=3 AND label2=0) OR
+    (label=5 AND label2 IN (1,2))") through the warm serving classes
+    and the facade. The selective DNF routes to the auto exact branch
+    on the graph class and must EQUAL exact DNF-filtered kNN; the
+    compressed route must match at full candidate coverage; the facade
+    composite path unions the per-conjunction code enumerations."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import (
+        IvfPqServingIndex,
+        ServingIndex,
+    )
+    from vector_index_spark.operators.filtered import AnyOf
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    pred = ((F.col("label") == 3) & (F.col("label2") == 0)) | (
+        (F.col("label") == 5) & F.col("label2").isin(1, 2)
+    )
+    want = _round_rows(knn_join(test, train.filter(pred), K))
+    dnf = AnyOf([[3], [0]], [[5], [1, 2]])
+    attrs = train.select("id", "label", "label2")
+
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(attrs), "id"
+    )
+    gs = ServingIndex(vectors, edges, attr_col=["label", "label2"]).warm()
+    try:
+        assert _round_rows(gs.query(test, K, allowed=dnf)) == want
+    finally:
+        gs.unpersist()
+
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    ps = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col=["label", "label2"],
+    ).warm()
+    try:
+        assert _round_rows(
+            ps.query(test, K, allowed=dnf, candidate_factor=32)
+        ) == want
+    finally:
+        ps.unpersist()
+
+    idx = VectorIndex.build(train.select("id", "vec"), PARAMS)
+    assert _round_rows(
+        idx.filtered_query(test, K, attrs, dnf, attr_col=["label", "label2"])
+    ) == want
+    # single-attribute DNF (set OR interval) through the facade
+    pred1 = F.col("label").isin(1, 2) | (
+        (F.col("label") >= 7) & (F.col("label") < 9)
+    )
+    want1 = _round_rows(knn_join(test, train.filter(pred1), K))
+    got1 = _round_rows(
+        idx.filtered_query(
+            test, K, attrs.select("id", "label"),
+            AnyOf([1, 2], range(7, 9)), attr_col="label",
+        )
+    )
+    assert got1 == want1

@@ -384,9 +384,10 @@ class VectorIndex:
             attr_expr, allowed = self._composite_attr(attrs, attr_col, allowed)
         else:
             attr_expr = F.col(attr_col)
-            # value set OR range(lo, hi)/slice (round 8) — validated here,
-            # evaluated inside graph_filtered_ann_query
-            allowed = normalize_allowed(allowed, 1)[0]
+            # value set, range(lo, hi)/slice, or AnyOf DNF (round 8) —
+            # validated here, evaluated inside graph_filtered_ann_query
+            # (normalize_allowed is idempotent on the re-entry there)
+            allowed = normalize_allowed(allowed, 1)
         # LEFT join + NULL sentinel (ADVICE r7): ids missing from attrs
         # (or NULL-attributed) stay in the search relation so the graph
         # keeps its edges and the beam navigates THROUGH them — they can
@@ -424,9 +425,28 @@ class VectorIndex:
         attrs relation; at warehouse scale these are table statistics."""
         import itertools
 
-        from vector_index_spark.operators.filtered import normalize_allowed
+        from vector_index_spark.operators.filtered import (
+            AnyOf,
+            normalize_allowed,
+        )
+
+        from vector_index_spark.operators.filtered import DnfSpec
 
         cols = list(attr_cols)
+        if isinstance(allowed, (AnyOf, DnfSpec)):
+            # DNF: enumerate each conjunction and UNION the composite
+            # codes (exact OR-of-AND semantics; each conjunction pays
+            # one tiny stats aggregate and its own 10k guard)
+            conjs = (
+                allowed.conjunctions
+                if isinstance(allowed, AnyOf)
+                else allowed.disjuncts
+            )
+            expr, codes = None, set()
+            for conj in conjs:
+                expr, cl = VectorIndex._composite_attr(attrs, attr_cols, conj)
+                codes.update(cl)
+            return expr, sorted(codes)
         allows = normalize_allowed(allowed, len(cols))
         sizes = attrs.agg(
             *[(F.max(F.col(c).cast("long")) + 1).alias(c) for c in cols],

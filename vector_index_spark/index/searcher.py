@@ -449,9 +449,10 @@ def graph_filtered_ann_query(
 
     if mode not in ("auto", "exact", "beam"):
         raise ValueError(f"mode must be auto|beam|exact, got {mode!r}")
-    # one value set OR a range(lo, hi)/slice (round 8) — normalized once
-    allow_spec = normalize_allowed(allowed, 1)[0]
-    match_pred = conjunction_predicate((attr_col,), (allow_spec,))
+    # one value set, a range(lo, hi)/slice, or AnyOf(...) DNF (round 8) —
+    # normalized once; the full spec flows to predicate and beam mask
+    allow_spec = normalize_allowed(allowed, 1)
+    match_pred = conjunction_predicate((attr_col,), allow_spec)
     patience = relaxed_monotonicity
     if mode == "auto":
         counts = vectors.agg(
@@ -505,7 +506,7 @@ def _graph_filtered_query_batch(
     attr_col: str,
     allow_spec,
 ) -> DataFrame:
-    from vector_index_spark.operators.filtered import RangeSpec
+    from vector_index_spark.operators.filtered import allow_arrays
 
     spark = vectors.sparkSession
     test_pdf = t.toPandas()
@@ -515,14 +516,7 @@ def _graph_filtered_query_batch(
         )
     qids = test_pdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(test_pdf["vec"].to_numpy()).astype(np.float64)
-    allow_obj = (
-        allow_spec
-        if isinstance(allow_spec, RangeSpec)
-        else np.fromiter(
-            sorted(allow_spec), dtype=np.int64, count=len(allow_spec)
-        )
-    )
-    bc = spark.sparkContext.broadcast((qids, Q, allow_obj))
+    bc = spark.sparkContext.broadcast((qids, Q, allow_arrays(allow_spec)))
 
     def search(key, vec_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(vec_pdf) == 0:
@@ -535,8 +529,9 @@ def _graph_filtered_query_batch(
         q_ids, q_mat, allow_arr = bc.value
         from vector_index_spark.operators.filtered import conjunction_mask
 
+        # allow_arr is the FULL normalized spec (tuple-of-1 or DnfSpec)
         mask = conjunction_mask(
-            vec_pdf[attr_col].to_numpy(dtype=np.int64), (allow_arr,)
+            vec_pdf[attr_col].to_numpy(dtype=np.int64), allow_arr
         )
         if not mask.any():
             return pd.DataFrame(columns=["qid", "id", "dist"])

@@ -115,26 +115,22 @@ def _tuple_histogram(df: DataFrame, attr_cols, id_col: str = "id"):
 
 
 def _match_count(hist, allows) -> int:
-    """Rows matching the conjunction, from the tuple histogram."""
+    """Rows matching the normalized spec (conjunction or DNF), from the
+    tuple histogram."""
+    from vector_index_spark.operators.filtered import conjunction_matches
+
     return sum(
-        n
-        for key, n in hist.items()
-        if all(key[j] in allows[j] for j in range(len(allows)))
+        n for key, n in hist.items() if conjunction_matches(key, allows)
     )
 
 
 def _allow_arrays(allows):
-    """Broadcast-friendly form of normalized allowed specs: one sorted
-    int64 array per value-set attribute; RangeSpecs pass through
-    (two ints — conjunction_mask compares in-kernel)."""
-    from vector_index_spark.operators.filtered import RangeSpec
+    """Broadcast-friendly form of normalized allowed specs — see
+    operators/filtered.allow_arrays (value sets -> sorted int64 arrays,
+    RangeSpecs pass through, DnfSpec converts per conjunction)."""
+    from vector_index_spark.operators.filtered import allow_arrays
 
-    return tuple(
-        vs
-        if isinstance(vs, RangeSpec)
-        else np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
-        for vs in allows
-    )
+    return allow_arrays(allows)
 
 
 def _bytes_resident(blobs: DataFrame, driver_arrays=()) -> dict:

@@ -60,9 +60,15 @@ __all__ = [
     "dict_encode",
     "NULL_ATTR_CODE",
     "null_safe_attr_code",
+    "RangeSpec",
+    "AnyOf",
+    "DnfSpec",
     "normalize_attr_cols",
     "normalize_allowed",
+    "allow_arrays",
     "conjunction_mask",
+    "conjunction_matches",
+    "conjunction_predicate",
 ]
 
 
@@ -205,6 +211,50 @@ class RangeSpec:
         self.lo, self.hi = state
 
 
+class AnyOf:
+    """OR of conjunctions (round 8): ``AnyOf(conj1, conj2, ...)`` where
+    each conjunction is anything :func:`normalize_allowed` accepts for
+    the index's attributes — the disjunctive-normal-form predicate a
+    real curation filter takes ("(lang = 'en' AND source = 'web') OR
+    (lang = 'de' AND source = 'books')"). Accepted wherever ``allowed``
+    is: exact paths, the facade, the graph beam, and all seven serving
+    classes' resident masks (OR of the per-conjunction masks — still
+    zero plan nodes)."""
+
+    __slots__ = ("conjunctions",)
+
+    def __init__(self, *conjunctions):
+        if not conjunctions:
+            raise ValueError("AnyOf needs at least one conjunction")
+        self.conjunctions = conjunctions
+
+
+class DnfSpec:
+    """Normalized form of :class:`AnyOf`: a tuple of normalized
+    conjunctions (each itself one value set / RangeSpec per attribute).
+    Flows through the same broadcast the plain conjunction does."""
+
+    __slots__ = ("disjuncts",)
+
+    def __init__(self, disjuncts):
+        self.disjuncts = tuple(disjuncts)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, DnfSpec) and self.disjuncts == other.disjuncts
+
+    def __hash__(self) -> int:
+        return hash((DnfSpec, self.disjuncts))
+
+    def __repr__(self) -> str:
+        return f"DnfSpec({self.disjuncts!r})"
+
+    def __getstate__(self):
+        return self.disjuncts
+
+    def __setstate__(self, state):
+        self.disjuncts = state
+
+
 def _as_range_spec(v) -> "RangeSpec | None":
     """RangeSpec when ``v`` denotes a contiguous step-1 interval
     (range / slice / RangeSpec), else None."""
@@ -244,7 +294,16 @@ def normalize_allowed(allowed, n_attrs: int):
     (matched positionally against ``attr_col`` order) — a row matches
     when EVERY attribute's value is in its set/interval (conjunction).
     A dict keyed by position also works. Returns one ``frozenset[int]``
-    or :class:`RangeSpec` per attribute."""
+    or :class:`RangeSpec` per attribute — or a :class:`DnfSpec` when
+    ``allowed`` is an :class:`AnyOf` (each conjunction normalized
+    recursively; consumed transparently by conjunction_mask /
+    conjunction_predicate / the histogram match count)."""
+    if isinstance(allowed, DnfSpec):
+        return allowed  # already normalized (idempotent re-entry)
+    if isinstance(allowed, AnyOf):
+        return DnfSpec(
+            normalize_allowed(c, n_attrs) for c in allowed.conjunctions
+        )
     rs = _as_range_spec(allowed)
     if rs is not None:
         # a bare range/slice: only unambiguous for one attribute (and
@@ -327,10 +386,16 @@ def _mask_one(col, spec):
 def conjunction_mask(attrs, allows) -> "object":
     """Boolean row mask over a resident ``(n, m)`` int64 attribute array:
     row i matches iff ``attrs[i, j] in allows[j]`` for every j (each
-    ``allows[j]`` a value set or a :class:`RangeSpec`). The in-kernel
-    form of an AND-of-(IN|BETWEEN) predicate — adds no plan nodes."""
+    ``allows[j]`` a value set or a :class:`RangeSpec`) — or, for a
+    :class:`DnfSpec`, iff ANY of its conjunctions matches. The in-kernel
+    form of an (OR-of-)AND-of-(IN|BETWEEN) predicate — no plan nodes."""
     import numpy as np
 
+    if isinstance(allows, DnfSpec):
+        mask = conjunction_mask(attrs, allows.disjuncts[0])
+        for conj in allows.disjuncts[1:]:
+            mask |= conjunction_mask(attrs, conj)
+        return mask
     a = np.asarray(attrs)
     if a.ndim == 1:
         a = a[:, None]
@@ -338,6 +403,31 @@ def conjunction_mask(attrs, allows) -> "object":
     for j in range(1, len(allows)):
         mask &= _mask_one(a[:, j], allows[j])
     return mask
+
+
+def allow_arrays(allows):
+    """Broadcast-friendly form of a normalized allowed spec: value sets
+    become sorted int64 arrays (np.isin needs arrays); RangeSpecs pass
+    through; a DnfSpec converts each conjunction recursively."""
+    import numpy as np
+
+    if isinstance(allows, DnfSpec):
+        return DnfSpec(allow_arrays(c) for c in allows.disjuncts)
+    return tuple(
+        vs
+        if isinstance(vs, RangeSpec)
+        else np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
+        for vs in allows
+    )
+
+
+def conjunction_matches(key, allows) -> bool:
+    """Membership of one attribute TUPLE in a normalized spec (drives
+    the histogram-based strategy rule for plain conjunctions and DNF
+    alike)."""
+    if isinstance(allows, DnfSpec):
+        return any(conjunction_matches(key, c) for c in allows.disjuncts)
+    return all(key[j] in allows[j] for j in range(len(allows)))
 
 
 def _predicate_one(col_name: str, spec) -> Column:
@@ -350,7 +440,13 @@ def _predicate_one(col_name: str, spec) -> Column:
 def conjunction_predicate(attr_cols, allows) -> Column:
     """The same conjunction as a Catalyst predicate (for exact fallbacks
     and scan pushdown): AND of ``col IN values`` / range comparisons
-    over the attributes."""
+    over the attributes; a :class:`DnfSpec` becomes the OR of its
+    conjunction predicates."""
+    if isinstance(allows, DnfSpec):
+        pred = conjunction_predicate(attr_cols, allows.disjuncts[0])
+        for conj in allows.disjuncts[1:]:
+            pred = pred | conjunction_predicate(attr_cols, conj)
+        return pred
     pred = _predicate_one(attr_cols[0], allows[0])
     for c, vs in zip(attr_cols[1:], allows[1:]):
         pred = pred & _predicate_one(c, vs)
