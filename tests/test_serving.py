@@ -1769,3 +1769,67 @@ def test_dnf_filtered_serving_and_facade(spark, ltrain):
         )
     )
     assert got1 == want1
+
+
+def test_serving_refresh_after_remove(spark, tmp_path):
+    """Round 8: ServingIndex.refresh composes with remove_from_index the
+    same way it does with append — re-pack ONLY the affected shards from
+    the post-remove relations, byte-identical to a cold rebuild. A shard
+    emptied by the delete must DROP from the blob relation and the
+    routing table (no ghost blob serving deleted rows)."""
+    from vector_index_spark.index.builder import (
+        build_graph_index,
+        remove_from_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(50)
+
+    path = str(tmp_path / "idx")
+    save_index(
+        assign_shards(full, PARAMS.sub_index_bound),
+        build_graph_index(full, PARAMS),
+        PARAMS,
+        path,
+    )
+    vectors, edges, _ = load_index(spark, path)
+    idx = ServingIndex(vectors, edges).warm()
+    idx.query(test, K, nprobe=2).count()  # materialize routing table
+    n_before = idx.n_shards
+    assert n_before == 2  # ids 0..499 -> shards 0 and 1
+
+    # delete a slice of shard 0 AND the whole of shard 1 (ids 250..499)
+    doomed = full.filter((F.col("id") < 40) | (F.col("id") >= 250))
+    remove_from_index(spark, path, doomed.select("id"))
+    vectors2, edges2, _ = load_index(spark, path)
+    affected = [0, 1]
+
+    idx.refresh(vectors2, edges2, affected)
+    cold = ServingIndex(vectors2, edges2).warm()
+    assert idx.n_shards == cold.n_shards == n_before - 1  # shard 1 gone
+    for nprobe in (None, 2):
+        warm_rows = sorted(
+            map(tuple, idx.query(test, K, nprobe=nprobe).collect())
+        )
+        cold_rows = sorted(
+            map(tuple, cold.query(test, K, nprobe=nprobe).collect())
+        )
+        assert warm_rows == cold_rows
+    # no deleted id can ever surface
+    got_ids = {
+        r["id"] for r in idx.query(test, K).select("id").distinct().collect()
+    }
+    doomed_ids = {r["id"] for r in doomed.collect()}
+    assert not (got_ids & doomed_ids)
+    # blob relation byte-identical to the cold rebuild (shard 1 absent)
+    refreshed = {r.shard: bytes(r.blob) for r in idx.blobs.collect()}
+    rebuilt = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+    assert refreshed == rebuilt and 1 not in refreshed
+    idx.unpersist()
+    cold.unpersist()

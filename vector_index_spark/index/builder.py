@@ -199,6 +199,12 @@ def remove_from_index(spark, path: str, ids: DataFrame,
     for shard in set(affected) - remaining:
         shutil.rmtree(f"{path}/vectors/shard={shard}", ignore_errors=True)
         shutil.rmtree(f"{path}/edges/shard={shard}", ignore_errors=True)
+    # the rmtree happens OUTSIDE Spark, so the session's shared
+    # file-status cache still lists the deleted part files — any reader
+    # of this path in the same session would then die with
+    # FAILED_READ_FILE.FILE_NOT_EXIST. Invalidate the cached listing.
+    spark.catalog.refreshByPath(f"{path}/vectors")
+    spark.catalog.refreshByPath(f"{path}/edges")
 
 
 def append_to_index(spark, path: str, new_vectors: DataFrame,
