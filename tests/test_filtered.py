@@ -501,3 +501,74 @@ def test_dnf_predicate_equals_mask(spark):
     )
     assert got == sorted(pdf["id"].to_numpy()[m].tolist())
     assert got
+
+
+def test_notin_spec_semantics():
+    """Round 8: NotIn (blocklist) filters. SQL semantics: a NULL
+    (sentinel-coded) attribute matches NEITHER IN nor NOT IN — an
+    exclusion filter never resurrects NULL-attributed rows."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        NULL_ATTR_CODE,
+        AnyOf,
+        NotIn,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_matches,
+        normalize_allowed,
+    )
+
+    s = normalize_allowed(NotIn([2, 5]), 1)
+    assert s == (NotIn([2, 5]),)
+    col = np.array([0, 2, 5, 7, NULL_ATTR_CODE])
+    assert conjunction_mask(col, allow_arrays(s)).tolist() == [
+        True, False, False, True, False,
+    ]
+    # conjunction with a range; histogram membership agrees with mask
+    d = normalize_allowed([NotIn({1}), range(0, 2)], 2)
+    a = np.array([[0, 0], [1, 0], [2, 1], [NULL_ATTR_CODE, 0]])
+    m = conjunction_mask(a, allow_arrays(d))
+    assert m.tolist() == [True, False, True, False]
+    assert [conjunction_matches(tuple(r), d) for r in a] == m.tolist()
+    # NotIn inside a DNF disjunct
+    dnf = normalize_allowed(AnyOf(NotIn(range(0, 900)), [3]), 1)
+    assert conjunction_mask(
+        np.array([3, 950, 100, NULL_ATTR_CODE]), allow_arrays(dnf)
+    ).tolist() == [True, True, False, False]
+    with pytest.raises(ValueError, match="sentinel"):
+        NotIn([NULL_ATTR_CODE])
+
+
+def test_notin_predicate_equals_mask(spark):
+    """conjunction_predicate on NotIn: excludes the listed values AND
+    NULL rows (SQL NOT IN semantics), matching the numpy mask over
+    sentinel-coded attributes."""
+    import numpy as np
+
+    from vector_index_spark.operators.filtered import (
+        NULL_ATTR_CODE,
+        NotIn,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_predicate,
+        normalize_allowed,
+    )
+
+    df = spark.range(0, 100).select(
+        "id",
+        F.when(F.col("id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("id") % 7).alias("a"),
+    )
+    spec = normalize_allowed(NotIn([2, 4]), 1)
+    got = sorted(
+        r["id"] for r in df.filter(
+            conjunction_predicate(("a",), spec)
+        ).collect()
+    )
+    pdf = df.toPandas()
+    coded = pdf["a"].fillna(NULL_ATTR_CODE).to_numpy(dtype=np.int64)
+    m = conjunction_mask(coded, allow_arrays(spec))
+    assert got == sorted(pdf["id"].to_numpy()[m].tolist())
+    # NULL rows appear in neither the IN nor the NOT IN result
+    assert not any(i % 11 == 0 for i in got)

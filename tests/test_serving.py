@@ -1833,3 +1833,58 @@ def test_serving_refresh_after_remove(spark, tmp_path):
     assert refreshed == rebuilt and 1 not in refreshed
     idx.unpersist()
     cold.unpersist()
+
+
+def test_notin_filtered_serving_and_facade(spark, ltrain):
+    """Round 8: NotIn blocklists through warm serving and the facade.
+    The broad complement (NOT IN over 2 of 10 labels, ~80% match) runs
+    the boosted beam and must return ONLY non-blocked rows at a recall
+    floor; rows whose attribute is NULL in the attrs relation are
+    excluded from BOTH polarities (SQL semantics)."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.filtered import NotIn
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    blocked = NotIn([3, 5])
+    pred = F.col("label").isNotNull() & ~F.col("label").isin(3, 5)
+
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    gs = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        got = gs.query(test, K, allowed=blocked).localCheckpoint(eager=True)
+        bad = got.join(train.select("id", "label"), "id").filter(
+            F.col("label").isin(3, 5)
+        ).count()
+        assert bad == 0
+        want = _round_rows(knn_join(test, train.filter(pred), K))
+        hits = len(set(_round_rows(got)) & set(want))
+        assert hits / len(want) >= 0.9
+        assert got.count() == test.count() * K
+    finally:
+        gs.unpersist()
+
+    # facade path with NULL attrs: NULL-labeled ids match neither
+    # polarity — blocklist filtering must not resurrect them
+    attrs = train.select(
+        "id",
+        F.when(F.col("id") % 13 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("label")).alias("label"),
+    )
+    idx = VectorIndex.build(train.select("id", "vec"), PARAMS)
+    res = idx.filtered_query(
+        test, K, attrs, NotIn([3, 5]), attr_col="label"
+    ).localCheckpoint(eager=True)
+    joined = res.join(attrs, "id")
+    assert joined.filter(
+        F.col("label").isin(3, 5) | F.col("label").isNull()
+    ).count() == 0
+    assert res.count() == test.count() * K

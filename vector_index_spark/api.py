@@ -475,18 +475,24 @@ class VectorIndex:
         # clip to [max(lo,0), min(hi,card)) and are SIZE-CHECKED before
         # materializing (a wide range over a high-cardinality attribute
         # must trip the guard, not enumerate first).
-        from vector_index_spark.operators.filtered import RangeSpec
+        from vector_index_spark.operators.filtered import NotIn, RangeSpec
 
         clipped = []
         n_combo = 1
         for vs, card in zip(allows, cards):
             if isinstance(vs, RangeSpec):
                 lo, hi = max(vs.lo, 0), min(vs.hi, card)
-                clipped.append(("range", lo, max(hi, lo)))
+                clipped.append(("range", (lo, max(hi, lo)), card))
                 n_combo *= max(max(hi, lo) - lo, 1)
+            elif isinstance(vs, NotIn):
+                # complement within the domain [0, card); sized BEFORE
+                # materializing so the guard fires without enumeration
+                kept_n = card - sum(1 for v in vs.excluded if 0 <= v < card)
+                clipped.append(("notin", vs, card))
+                n_combo *= max(kept_n, 1)
             else:
                 kept = frozenset(v for v in vs if 0 <= v < card)
-                clipped.append(("set", kept))
+                clipped.append(("set", kept, card))
                 n_combo *= max(len(kept), 1)
         if n_combo > 10_000:
             raise ValueError(
@@ -495,10 +501,14 @@ class VectorIndex:
                 "evaluate the conjunction without enumeration"
             )
         allows = tuple(
-            frozenset(range(spec[1], spec[2]))
-            if spec[0] == "range"
-            else spec[1]
-            for spec in clipped
+            frozenset(range(payload[0], payload[1]))
+            if kind == "range"
+            else (
+                frozenset(v for v in range(card) if v in payload)
+                if kind == "notin"
+                else payload
+            )
+            for kind, payload, card in clipped
         )
         expr = F.col(cols[0]).cast("long")
         for c, card in zip(cols[1:], cards[1:]):

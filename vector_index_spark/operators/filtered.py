@@ -61,6 +61,7 @@ __all__ = [
     "NULL_ATTR_CODE",
     "null_safe_attr_code",
     "RangeSpec",
+    "NotIn",
     "AnyOf",
     "DnfSpec",
     "normalize_attr_cols",
@@ -211,6 +212,51 @@ class RangeSpec:
         self.lo, self.hi = state
 
 
+class NotIn:
+    """Exclusion (blocklist) filter for one attribute (round 8):
+    ``NotIn(values)`` matches rows whose attribute is NOT in the set —
+    "label NOT IN (spam, boilerplate)". SQL semantics throughout: a
+    NULL attribute (sentinel-coded at pack time) matches NEITHER the
+    inclusion nor the exclusion form — ``NOT IN`` never resurrects
+    NULL-attributed or attrs-missing rows."""
+
+    __slots__ = ("excluded",)
+
+    def __init__(self, values):
+        vals = (
+            {int(values)}
+            if isinstance(values, int)
+            else {int(v) for v in values}
+        )
+        # excluding the sentinel is meaningless (it never matches any
+        # filter) and would double-encode the NULL rule — refuse it
+        if NULL_ATTR_CODE in vals:
+            raise ValueError(
+                "NotIn cannot name the NULL-attribute sentinel; NULL rows "
+                "never match any filter"
+            )
+        self.excluded = frozenset(vals)
+
+    def __contains__(self, v) -> bool:
+        v = int(v)
+        return v != NULL_ATTR_CODE and v not in self.excluded
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, NotIn) and self.excluded == other.excluded
+
+    def __hash__(self) -> int:
+        return hash((NotIn, self.excluded))
+
+    def __repr__(self) -> str:
+        return f"NotIn({sorted(self.excluded)!r})"
+
+    def __getstate__(self):
+        return self.excluded
+
+    def __setstate__(self, state):
+        self.excluded = state
+
+
 class AnyOf:
     """OR of conjunctions (round 8): ``AnyOf(conj1, conj2, ...)`` where
     each conjunction is anything :func:`normalize_allowed` accepts for
@@ -253,6 +299,14 @@ class DnfSpec:
 
     def __setstate__(self, state):
         self.disjuncts = state
+
+
+def _as_atomic_spec(v):
+    """The non-value-set atomic specs a position can hold: NotIn passes
+    through, range/slice/RangeSpec canonicalize to RangeSpec, else None."""
+    if isinstance(v, NotIn):
+        return v
+    return _as_range_spec(v)
 
 
 def _as_range_spec(v) -> "RangeSpec | None":
@@ -304,7 +358,7 @@ def normalize_allowed(allowed, n_attrs: int):
         return DnfSpec(
             normalize_allowed(c, n_attrs) for c in allowed.conjunctions
         )
-    rs = _as_range_spec(allowed)
+    rs = _as_atomic_spec(allowed)
     if rs is not None:
         # a bare range/slice: only unambiguous for one attribute (and
         # checked BEFORE list() — enumerating range(0, 10**9) into a
@@ -318,7 +372,7 @@ def normalize_allowed(allowed, n_attrs: int):
     if isinstance(allowed, dict):
         allowed = [allowed[i] for i in range(n_attrs)]
     items = list(allowed)
-    specs = [_as_range_spec(v) for v in items]
+    specs = [_as_atomic_spec(v) for v in items]
     if n_attrs == 1:
         # flat value list (the single-attribute form used since round 6)
         if not items:
@@ -375,6 +429,12 @@ def _mask_one(col, spec):
 
     if isinstance(spec, RangeSpec):
         return (col >= spec.lo) & (col < spec.hi)
+    if isinstance(spec, NotIn):
+        # SQL semantics: NULL (sentinel-coded) rows match NEITHER form
+        arr = np.fromiter(
+            sorted(spec.excluded), dtype=np.int64, count=len(spec.excluded)
+        )
+        return ~np.isin(col, arr) & (col != NULL_ATTR_CODE)
     if isinstance(spec, (set, frozenset)):
         # np.isin treats a raw set as one 0-d object (all-False mask) —
         # materialize it; the serving hot paths pre-convert via
@@ -415,7 +475,7 @@ def allow_arrays(allows):
         return DnfSpec(allow_arrays(c) for c in allows.disjuncts)
     return tuple(
         vs
-        if isinstance(vs, RangeSpec)
+        if isinstance(vs, (RangeSpec, NotIn))
         else np.fromiter(sorted(vs), dtype=np.int64, count=len(vs))
         for vs in allows
     )
@@ -434,6 +494,14 @@ def _predicate_one(col_name: str, spec) -> Column:
     c = F.col(col_name).cast("long")
     if isinstance(spec, RangeSpec):
         return (c >= F.lit(spec.lo)) & (c < F.lit(spec.hi))
+    if isinstance(spec, NotIn):
+        # isNotNull for raw relations; the sentinel guard for columns
+        # already NULL-coalesced by the serving/facade pack paths
+        return (
+            c.isNotNull()
+            & (c != F.lit(NULL_ATTR_CODE))
+            & ~c.isin([int(v) for v in spec.excluded])
+        )
     return c.isin([int(v) for v in spec])
 
 
