@@ -77,13 +77,24 @@ def main() -> None:
     t_build = time.perf_counter() - t0
     vectors = assign_shards(train.select("id", "vec"), params.sub_index_bound)
 
+    from vector_index_spark.operators.filtered import (
+        AnyOf,
+        conjunction_predicate,
+        normalize_allowed,
+    )
+
     rows = []
-    for attr_col, n_vals, label in (
-        ("attr_fine", 1, "0.0025%"),   # ~n/40000 rows: under the 8k boundary
-        ("attr", 1, "0.1%"),
-        ("attr", 10, "1%"),
-        ("attr", 100, "10%"),
-        ("attr", 500, "50%"),
+    # round 8: the "10% range" and "10% dnf" points select the SAME
+    # match rate as the 100-value set point through RangeSpec / AnyOf,
+    # so any latency delta is the spec kernel, not selectivity
+    for attr_col, allowed, label in (
+        ("attr_fine", [1], "0.0025%"),  # ~n/40000 rows: under the 8k boundary
+        ("attr", [1], "0.1%"),
+        ("attr", list(range(1, 11)), "1%"),
+        ("attr", list(range(1, 101)), "10%"),
+        ("attr", list(range(1, 501)), "50%"),
+        ("attr", range(1, 101), "10% range"),
+        ("attr", AnyOf(range(1, 51), range(101, 151)), "10% dnf"),
     ):
         sidx = ServingIndex(
             vectors.join(
@@ -93,7 +104,6 @@ def main() -> None:
         ).warm()
         # value 0 is degenerate (id % 1000 == 0 implies id % 40 == 0 —
         # the TEST split), so allowed sets start at 1
-        allowed = list(range(1, n_vals + 1))
         # warm pass (blob pack + JIT), then the measured batch
         sidx.query(test, K, allowed=allowed).count()
         t0 = time.perf_counter()
@@ -111,10 +121,11 @@ def main() -> None:
         from vector_index_spark.operators.knn_fast import knn_fast
 
         truth: dict = {}
+        pred = conjunction_predicate(
+            (attr_col,), normalize_allowed(allowed, 1)
+        )
         for r in knn_fast(
-            test,
-            train.filter(F.col(attr_col).isin(allowed)).select("id", "vec"),
-            K,
+            test, train.filter(pred).select("id", "vec"), K
         ).collect():
             truth.setdefault(r.qid, set()).add(r.id)
         got_rows = got.collect()
