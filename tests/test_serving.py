@@ -1888,3 +1888,67 @@ def test_notin_filtered_serving_and_facade(spark, ltrain):
         F.col("label").isin(3, 5) | F.col("label").isNull()
     ).count() == 0
     assert res.count() == test.count() * K
+
+
+def test_spec_forms_on_remaining_serving_classes(spark, ltrain):
+    """Round 8 closure: RangeSpec / NotIn / AnyOf flow through the SAME
+    normalize -> histogram -> broadcast -> mask chain on the four
+    remaining serving classes (PQ, SQ, RPT, PCA). Full candidate
+    coverage (or full leaf probing) makes each spec's answer equal
+    exact filtered kNN over the equivalent Catalyst predicate — a spec
+    bug in any class breaks byte parity."""
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+    from vector_index_spark.operators.filtered import AnyOf, NotIn
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test = ltrain
+    specs = [
+        (range(3, 5), (F.col("label") >= 3) & (F.col("label") < 5)),
+        (NotIn([0, 1, 2, 4, 6, 7, 8, 9]),
+         F.col("label").isNotNull() & ~F.col("label").isin(0, 1, 2, 4, 6, 7, 8, 9)),
+        (AnyOf([3], range(5, 6)), F.col("label").isin(3, 5)),
+    ]
+    wants = [
+        _round_rows(knn_join(test, train.filter(pred), K))
+        for _, pred in specs
+    ]
+
+    books = train_pq(train.select("id", "vec"), n_subspaces=8, n_centroids=16)
+    pqe = encode_pq(train.select("id", "vec"), books)
+    idxs = []
+    pqs = PqServingIndex(pqe, train, books, attr_col="label").warm()
+    idxs.append(("pq", pqs, {"candidate_factor": 64}))
+    mins, maxs = train_sq(train.select("id", "vec"))
+    sqe = encode_sq(train.select("id", "vec"), mins, maxs)
+    sqs = SqServingIndex(sqe, train, mins, maxs, attr_col="label").warm()
+    idxs.append(("sq", sqs, {"candidate_factor": 64}))
+    W, T = train_rpt(train.select("id", "vec"), depth=3, seed=7)
+    assigned = assign_rpt(train.select("id", "vec"), W, T).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    rpts = RptServingIndex(assigned, W, T, attr_col="label").warm()
+    idxs.append(("rpt", rpts, {"probes": 8}))
+    mean, comp = train_pca(train.select("id", "vec"), 16)
+    proj = project_pca(train.select("id", "vec"), mean, comp).join(
+        F.broadcast(train.select("id", "label")), "id"
+    )
+    pcas = PcaServingIndex(proj, mean, comp, attr_col="label").warm()
+    idxs.append(("pca", pcas, {"candidate_factor": 64}))
+
+    try:
+        for name, sidx, kw in idxs:
+            for (spec, _), want in zip(specs, wants):
+                got = _round_rows(sidx.query(test, K, allowed=spec, **kw))
+                assert got == want, (name, repr(spec))
+    finally:
+        for _, sidx, _ in idxs:
+            sidx.unpersist()
