@@ -636,6 +636,16 @@ def main() -> None:
         "multi_tenant_serving_query_k100_62k",
         lambda: tsidx.query_by_attribute(tbatch, K, qattr_col="attr").count(),
     )
+    # range-filtered warm serving (round 8): a [10, 40) window over the
+    # same resident index — the RangeSpec mask + inverse-match-rate
+    # boosted beam (~30% match -> boost 4); rides tenant_state's blobs
+    tsidx.query(tbatch.select("qid", "vec"), K, allowed=range(10, 40)).count()
+    timed(
+        "graph_serving_range_filtered_query_k100_62k",
+        lambda: tsidx.query(
+            tbatch.select("qid", "vec"), K, allowed=range(10, 40)
+        ).count(),
+    )
     tsidx.unpersist()
 
     total = round(sum(timings.values()), 3)
