@@ -21,6 +21,9 @@ Stages:
   6. string: "lang = 'en' AND source IN (...)" over STRING columns —
              dict_encode code tables + a multi-attribute conjunction
              mask on warm graph serving (round 7)
+  7. specs:  round-8 predicate shapes through the same allowed= slot —
+             range(lo, hi) intervals, NotIn(...) blocklists, and
+             AnyOf(...) OR-of-conjunctions
 Each stage verifies its results only contain allowed labels, and the
 approximate stages report recall vs the exact filtered ground truth.
 """
@@ -165,6 +168,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
     ).collect()
     recalls["warm_string_conjunction"] = _recall(s_rows, str_exact)
     s_serving.unpersist()
+
+    # -- 7. round-8 spec forms on the same warm graph index: an interval
+    #       (date-window / quality-tier shape), a blocklist, and an
+    #       OR-of-conjunctions — all through the identical allowed= slot
+    from vector_index_spark.operators.filtered import AnyOf, NotIn
+    from vector_index_spark.operators.knn import knn_join
+
+    spec_serving = ServingIndex(
+        idx.vectors.join(train.select("id", "label"), "id"),
+        idx.edges, attr_col="label",
+    ).warm()
+    for name, spec, pred in (
+        ("warm_range", range(3, 6),
+         (F.col("label") >= 3) & (F.col("label") < 6)),
+        ("warm_blocklist", NotIn([0, 1, 2]),
+         F.col("label").isNotNull() & ~F.col("label").isin(0, 1, 2)),
+        ("warm_dnf", AnyOf([3], range(6, 8)),
+         F.col("label").isin(3, 6, 7)),
+    ):
+        spec_exact = knn_join(
+            test.select("qid", "vec"),
+            train.filter(pred).select("id", "vec"), K,
+        ).collect()
+        spec_rows = spec_serving.query(
+            test.select("qid", "vec"), K, allowed=spec
+        ).collect()
+        recalls[name] = _recall(spec_rows, spec_exact)
+    spec_serving.unpersist()
 
     for name, r in recalls.items():
         print(f"{name}: recall {r:.3f}")

@@ -1952,3 +1952,56 @@ def test_spec_forms_on_remaining_serving_classes(spark, ltrain):
     finally:
         for _, sidx, _ in idxs:
             sidx.unpersist()
+
+
+def test_stream_ann_range_filter_drain_equals_exact(spark, ltrain, tmp_path):
+    """Round 8: RangeSpec through the STREAMING serving loop — a drained
+    query stream on stream_ann_query(allowed=range(3, 5)) must equal
+    exact range-filtered kNN (the ~20% window routes the warm auto
+    strategy through the boosted beam; on this corpus the all-shard
+    masked beam is exact — the r7 fixture protocol)."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.persistence import save_index
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import stream_ann_query
+
+    train, test = ltrain
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    idx_path = str(tmp_path / "gidx")
+    save_index(
+        assign_shards(train.select("id", "vec"), 250),
+        build_graph_index(train.select("id", "vec"), params),
+        params,
+        idx_path,
+    )
+    qdir = str(tmp_path / "queries")
+    test.limit(50).write.parquet(qdir)
+    stream = spark.readStream.schema(
+        "qid long, vec array<float>"
+    ).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = stream_ann_query(
+        stream, idx_path, out, str(tmp_path / "ckpt"), K,
+        attrs=train.select("id", "label"), attr_col="label",
+        allowed=range(3, 5),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    qids = {r.qid for r in spark.read.parquet(qdir).collect()}
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(
+            test.filter(F.col("qid").isin(list(qids))),
+            train.filter((F.col("label") >= 3) & (F.col("label") < 5)),
+            K,
+        ).collect()
+    )
+    assert got == want

@@ -349,7 +349,12 @@ class VectorIndex:
         ``attr_col`` may be a SEQUENCE of integral columns with one
         ``allowed`` value collection per column — an AND-of-IN
         conjunction ("lang = 'en' AND source IN (...)" after
-        operators/filtered.dict_encode). The conjunction is served by
+        operators/filtered.dict_encode). Each position also accepts a
+        ``range(lo, hi)``/``slice`` interval or a ``NotIn(values)``
+        blocklist, and ``allowed`` as a whole may be an
+        ``AnyOf(conj, ...)`` OR-of-conjunctions (round 8; full grammar
+        in operators/filtered.normalize_allowed). The conjunction is
+        served by
         composite-encoding the attribute tuple into one integer
         (attr0 * card1 + attr1, ...) whose allowed set is the CROSS
         PRODUCT of the per-column sets — exact AND semantics; the

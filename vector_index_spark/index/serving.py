@@ -367,9 +367,13 @@ class ServingIndex:
         (qid, rank, id, dist).
 
         ``allowed`` (requires ``attr_col`` at construction) restricts
-        neighbors to matching rows: a flat value set for one attribute,
-        or one value set PER attribute for a conjunction (AND-of-IN —
-        see operators/filtered.normalize_allowed). With ``auto_boost``
+        neighbors to matching rows. Full spec grammar
+        (operators/filtered.normalize_allowed): a flat value set for
+        one attribute or one spec PER attribute for a conjunction;
+        each position may also be a ``range(lo, hi)``/``slice``
+        interval or a ``NotIn(values)`` blocklist, and the whole thing
+        may be an ``AnyOf(conj, ...)`` OR-of-conjunctions. All other
+        serving classes accept the same grammar. With ``auto_boost``
         the operators/filtered strategy rule runs against a resident
         attribute histogram: a selective filter switches to a masked
         exact GEMM over the resident shard matrices (the raw vectors are
