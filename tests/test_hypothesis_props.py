@@ -364,3 +364,64 @@ def test_gap_fill_properties(spark, rows):
                 assert m == last or (m is None and last is None)
             if has_any_value and last is not None:
                 assert m is not None
+
+
+# -- round 8: filter-spec algebra ------------------------------------------
+
+_values = st.integers(min_value=-5, max_value=15)
+
+
+def _atomic_spec():
+    return st.one_of(
+        st.frozensets(_values, min_size=0, max_size=6),
+        st.builds(
+            lambda lo, w: __import__(
+                "vector_index_spark.operators.filtered", fromlist=["RangeSpec"]
+            ).RangeSpec(lo, lo + w),
+            st.integers(-5, 15), st.integers(0, 10),
+        ),
+        st.builds(
+            lambda vs: __import__(
+                "vector_index_spark.operators.filtered", fromlist=["NotIn"]
+            ).NotIn(vs),
+            st.frozensets(_values, min_size=0, max_size=6),
+        ),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    specs=st.lists(_atomic_spec(), min_size=1, max_size=3),
+    n_disjuncts=st.integers(0, 2),
+    rows=st.lists(
+        st.lists(_values, min_size=3, max_size=3), min_size=1, max_size=20
+    ),
+)
+def test_conjunction_mask_agrees_with_tuple_membership(
+    specs, n_disjuncts, rows
+):
+    """The vectorized numpy mask (serving hot path) and the per-tuple
+    membership helper (histogram strategy rule) are independent
+    implementations of the same predicate algebra — they must agree on
+    every row for every spec shape: value sets, ranges, NotIn
+    blocklists, conjunctions of them, and DNF disjunctions."""
+    from vector_index_spark.operators.filtered import (
+        DnfSpec,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_matches,
+    )
+
+    m = len(specs)
+    conj = tuple(specs)
+    # distinct disjuncts: the reversed conjunction puts different specs
+    # at each position (a real OR, not a degenerate duplicate)
+    spec = (
+        DnfSpec([conj, tuple(reversed(conj))][: n_disjuncts + 1])
+        if n_disjuncts
+        else conj
+    )
+    a = np.asarray([r[:m] for r in rows], dtype=np.int64)
+    mask = conjunction_mask(a, allow_arrays(spec))
+    slow = [conjunction_matches(tuple(r), spec) for r in a]
+    assert mask.tolist() == slow
