@@ -2005,3 +2005,82 @@ def test_stream_ann_range_filter_drain_equals_exact(spark, ltrain, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_query_by_window_per_query_ranges(spark, ltrain):
+    """Round 8: ServingIndex.query_by_window — each query row carries
+    its own [lo, hi) window over the indexed attribute (per-user
+    recency windows). A mixed batch groups by distinct window: a
+    narrow window routes to the masked exact GEMM and must EQUAL exact
+    window-filtered kNN; a wide one runs the boosted beam and returns
+    only in-window rows at a recall floor; the mixed batch equals the
+    per-window runs."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test0 = ltrain
+    # windowed attribute: day_code = id % 100 (72 rows per value)
+    train = train.withColumn("day_code", F.col("id") % 100)
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "day_code")), "id"
+    )
+    sidx = ServingIndex(vectors, edges, attr_col="day_code").warm()
+    try:
+        half = test0.limit(40).localCheckpoint(eager=True)
+        # narrow window [10, 11): 72 rows <= 8k boundary -> exact branch
+        narrow = half.select(
+            "qid", "vec", F.lit(10).alias("lo"), F.lit(11).alias("hi")
+        )
+        want_n = _round_rows(knn_join(
+            half.select("qid", "vec"),
+            train.filter(
+                (F.col("day_code") >= 10) & (F.col("day_code") < 11)
+            ),
+            K,
+        ))
+        got_n = _round_rows(sidx.query_by_window(narrow, K))
+        assert got_n == want_n
+        # wide window [5, 95): beam with boost -> only in-window rows,
+        # full shape, recall floor
+        wide = half.select(
+            "qid", "vec", F.lit(5).alias("lo"), F.lit(95).alias("hi")
+        )
+        got_w = sidx.query_by_window(wide, K).localCheckpoint(eager=True)
+        bad = got_w.join(train.select("id", "day_code"), "id").filter(
+            (F.col("day_code") < 5) | (F.col("day_code") >= 95)
+        ).count()
+        assert bad == 0
+        assert got_w.count() == half.count() * K
+        want_w = _round_rows(knn_join(
+            half.select("qid", "vec"),
+            train.filter(
+                (F.col("day_code") >= 5) & (F.col("day_code") < 95)
+            ),
+            K,
+        ))
+        hits = len(set(_round_rows(got_w)) & set(want_w))
+        assert hits / len(want_w) >= 0.9
+        # mixed batch (two windows in one call) == the per-window runs
+        q20 = {r["qid"] for r in narrow.limit(20).select("qid").collect()}
+        mixed = narrow.filter(F.col("qid").isin(list(q20))).unionByName(
+            wide.filter(~F.col("qid").isin(list(q20)))
+        )
+        got_m = _round_rows(sidx.query_by_window(mixed, K))
+        want_m = sorted(
+            r for r in got_n if r[0] in q20
+        ) + sorted(r for r in _round_rows(got_w) if r[0] not in q20)
+        assert got_m == sorted(want_m)
+        # arity gate: windows need exactly one attribute
+        two = ServingIndex(
+            vectors.withColumn("x2", F.col("day_code")),
+            edges, attr_col=["day_code", "x2"],
+        )
+        with pytest.raises(ValueError, match="exactly one"):
+            two.query_by_window(narrow, K)
+        two.unpersist()
+    finally:
+        sidx.unpersist()

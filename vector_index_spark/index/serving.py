@@ -554,6 +554,8 @@ class ServingIndex:
         # group queries by tenant tuple; per-group strategy from the
         # resident histogram (each group is one value per attribute —
         # equality is the selectivity-sharpest conjunction)
+        from vector_index_spark.operators.filtered import allow_arrays
+
         hist = self._attribute_histogram()
         n_corpus = max(sum(hist.values()), 1)
         acc: dict[tuple, list[int]] = {}
@@ -580,17 +582,30 @@ class ServingIndex:
                     )
             groups.append(
                 (
-                    np.asarray(key, dtype=np.int64),
+                    allow_arrays(tuple(frozenset({int(v)}) for v in key)),
                     np.asarray(ix, dtype=np.int64),
                     exact,
                     patience,
                 )
             )
+        return self._grouped_masked_batch(qids, Q, groups, k)
+
+    def _grouped_masked_batch(self, qids, Q, groups, k) -> DataFrame:
+        """Shared engine for per-query-constraint serving
+        (query_by_attribute / query_by_window): ``groups`` is a list of
+        ``(spec_arrays, row_ix, exact, patience)`` — one entry per
+        distinct constraint in the batch — and ONE mapInPandas pass over
+        the cached blobs evaluates every group's mask (groups sharing a
+        blob visit share its unpickle)."""
+        spark = self._spark
         bc = spark.sparkContext.broadcast((qids, Q, groups))
         self._live_bcs.append(bc)
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.operators.filtered import (
+                conjunction_mask,
+            )
 
             for pdf_b in batches:
                 q_ids, q_mat, b_groups = bc.value
@@ -601,10 +616,8 @@ class ServingIndex:
                     attrs = g.attrs
                     if attrs.ndim == 1:
                         attrs = attrs[:, None]
-                    for key, ix, exact, patience in b_groups:
-                        mask = attrs[:, 0] == key[0]
-                        for j in range(1, len(key)):
-                            mask &= attrs[:, j] == key[j]
+                    for spec, ix, exact, patience in b_groups:
+                        mask = conjunction_mask(attrs, spec)
                         if not mask.any():
                             continue
                         if exact:
@@ -633,6 +646,100 @@ class ServingIndex:
 
         per_shard = self.blobs.mapInPandas(search, RESULT_SCHEMA)
         return _merge_topk(per_shard, k)
+
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        relaxed_monotonicity: int = 64,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query WINDOW filtered serving (round 8): each query row
+        carries its own half-open interval ``[lo_col, hi_col)`` over
+        this index's single attribute — the per-user recency/date-window
+        workload ("this user's candidates from the last 30 days", each
+        request with its own window). The per-query form of a RangeSpec
+        filter, the way :meth:`query_by_attribute` is the per-query form
+        of a value-set filter.
+
+        A micro-batch groups by distinct (lo, hi); each group gets the
+        histogram-driven strategy (narrow window -> masked exact GEMM;
+        wide -> masked beam with inverse-match-rate patience boost), and
+        ALL groups ride one mapInPandas pass over the cached blobs.
+        Requires a single ``attr_col`` at construction. Returns
+        (qid, rank, id, dist)."""
+        import math as _math
+
+        from vector_index_spark.index.querychunk import chunked_over_queries
+        from vector_index_spark.operators.filtered import (
+            RangeSpec,
+            choose_filtered_strategy,
+        )
+
+        if self._attr_cols is None or len(self._attr_cols) != 1:
+            raise ValueError(
+                "query_by_window needs exactly one attr_col= at "
+                "ServingIndex construction (the windowed attribute)"
+            )
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            F.col(lo_col).cast("long").alias("__lo"),
+            F.col(hi_col).cast("long").alias("__hi"),
+        )
+        if self._dimension is not None:
+            from vector_index_spark.functions.distance import assert_dim
+
+            t = assert_dim(t, "vec", self._dimension)
+
+        def run_chunk(chunk: DataFrame) -> DataFrame:
+            spark = self._spark
+            pdf = chunk.toPandas()
+            if len(pdf) == 0:
+                return spark.createDataFrame(
+                    [], "qid long, rank int, id long, dist double"
+                )
+            qids = pdf["qid"].to_numpy(dtype=np.int64)
+            Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            los = pdf["__lo"].to_numpy(dtype=np.int64)
+            his = pdf["__hi"].to_numpy(dtype=np.int64)
+            hist = self._attribute_histogram()
+            n_corpus = max(sum(hist.values()), 1)
+            acc: dict[tuple[int, int], list[int]] = {}
+            for qi in range(len(qids)):
+                acc.setdefault((int(los[qi]), int(his[qi])), []).append(qi)
+            groups = []
+            for (lo, hi), ix in acc.items():
+                spec = (RangeSpec(lo, max(hi, lo)),)
+                n_match = _match_count(hist, spec)
+                exact = True
+                patience = relaxed_monotonicity
+                if not auto_boost:
+                    exact = False
+                elif n_match > 0:
+                    strategy, _ = choose_filtered_strategy(
+                        n_corpus, min(n_match, n_corpus), k, 1, 1
+                    )
+                    exact = strategy == "exact"
+                    if not exact:
+                        sel = n_match / n_corpus
+                        patience = relaxed_monotonicity * min(
+                            8, _math.ceil(1.0 / sel)
+                        )
+                groups.append(
+                    (spec, np.asarray(ix, dtype=np.int64), exact, patience)
+                )
+            return self._grouped_masked_batch(qids, Q, groups, k)
+
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        return chunked_over_queries(t, run_chunk, max_queries_per_batch)
 
     def _query_batch(
         self,
