@@ -937,6 +937,8 @@ def test_filtered_search_example_end_to_end(spark):
     assert set(recalls) == {
         "exact", "ivf", "graph", "warm_graph", "warm_ivf", "warm_ivfpq",
         "warm_string_conjunction",
+        # round 8: interval / blocklist / DNF specs on warm serving
+        "warm_range", "warm_blocklist", "warm_dnf",
     }
     assert min(recalls.values()) >= 0.6, recalls
 
