@@ -2086,3 +2086,76 @@ def test_query_by_window_per_query_ranges(spark, ltrain):
         two.unpersist()
     finally:
         sidx.unpersist()
+
+
+def test_ivfpq_query_by_window(spark, ltrain):
+    """Round 8: per-query windows on the COMPRESSED route. Narrow
+    windows resolve through one non-equi broadcast join (== per-row
+    exact window kNN); wide windows probe with per-window masks and
+    must return only in-window rows at full shape with a recall floor;
+    a mixed batch equals the per-window runs."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test0 = ltrain
+    train = train.withColumn("day_code", F.col("id") % 100)
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    sidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="day_code",
+    ).warm()
+    try:
+        half = test0.limit(30).localCheckpoint(eager=True)
+        narrow = half.select(
+            "qid", "vec", F.lit(11).alias("lo"), F.lit(12).alias("hi")
+        )
+        want_n = _round_rows(knn_join(
+            half.select("qid", "vec"),
+            train.filter(
+                (F.col("day_code") >= 11) & (F.col("day_code") < 12)
+            ),
+            K,
+        ))
+        assert _round_rows(sidx.query_by_window(narrow, K)) == want_n
+        # wide window -> masked probe + rerank
+        wide = half.select(
+            "qid", "vec", F.lit(5).alias("lo"), F.lit(95).alias("hi")
+        )
+        got_w = sidx.query_by_window(
+            wide, K, candidate_factor=32
+        ).localCheckpoint(eager=True)
+        bad = got_w.join(train.select("id", "day_code"), "id").filter(
+            (F.col("day_code") < 5) | (F.col("day_code") >= 95)
+        ).count()
+        assert bad == 0
+        assert got_w.count() == half.count() * K
+        want_w = _round_rows(knn_join(
+            half.select("qid", "vec"),
+            train.filter(
+                (F.col("day_code") >= 5) & (F.col("day_code") < 95)
+            ),
+            K,
+        ))
+        hits = len(set(_round_rows(got_w)) & set(want_w))
+        assert hits / len(want_w) >= 0.9
+        # mixed batch == per-window runs
+        q10 = {r["qid"] for r in half.limit(10).select("qid").collect()}
+        mixed = narrow.filter(F.col("qid").isin(list(q10))).unionByName(
+            wide.filter(~F.col("qid").isin(list(q10)))
+        )
+        got_m = _round_rows(sidx.query_by_window(mixed, K, candidate_factor=32))
+        want_m = sorted(
+            [r for r in want_n if r[0] in q10]
+            + [r for r in _round_rows(got_w) if r[0] not in q10]
+        )
+        assert got_m == want_m
+        with pytest.raises(ValueError, match="exactly one"):
+            IvfPqServingIndex(
+                enc, cents, books, train,
+                attr_col=["day_code", "day_code"],
+            ).query_by_window(narrow, K)
+    finally:
+        sidx.unpersist()

@@ -2078,6 +2078,254 @@ class IvfPqServingIndex:
             out = out.unionByName(p)
         return out
 
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        nprobe: int = 4,
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 65_536,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query WINDOW serving on the COMPRESSED route (round 8):
+        each query row carries its own half-open ``[lo_col, hi_col)``
+        interval over this index's single attribute —
+        :meth:`ServingIndex.query_by_window`'s contract over resident
+        code blobs. Narrow-window queries all resolve through ONE
+        non-equi broadcast join against the cold corpus (the query side
+        broadcasts with its bounds; the corpus never shuffles); the rest
+        probe their routed cells with per-window range masks on the
+        resident attribute arrays BEFORE ADC scoring, nprobe boosted by
+        the largest inverse match rate. Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        if self._attr_cols is None or len(self._attr_cols) != 1:
+            raise ValueError(
+                "query_by_window needs exactly one attr_col= at "
+                "IvfPqServingIndex construction (the windowed attribute)"
+            )
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            F.col(lo_col).cast("long").alias("__lo"),
+            F.col(hi_col).cast("long").alias("__hi"),
+        )
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch_by_window(
+                chunk, k, nprobe, candidate_factor, auto_boost
+            ),
+            max_queries_per_batch,
+        )
+
+    def _query_batch_by_window(
+        self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
+        auto_boost: bool,
+    ) -> DataFrame:
+        import math as _math
+
+        from pyspark.sql import Window
+
+        from vector_index_spark.operators.filtered import (
+            RangeSpec,
+            choose_filtered_strategy,
+        )
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        los = pdf["__lo"].to_numpy(dtype=np.int64)
+        his = pdf["__hi"].to_numpy(dtype=np.int64)
+        has_dup = len(np.unique(qids)) < len(qids)
+        hist = self._attribute_histogram()
+        n_corpus = max(sum(hist.values()), 1)
+        n_cells = int(self._C.shape[0])
+        exact_qi: list[int] = []
+        probe_qi: list[int] = []
+        boost = 1
+        strat: dict[tuple[int, int], str] = {}
+        for qi in range(len(qids)):
+            win = (int(los[qi]), int(his[qi]))
+            if win not in strat:
+                spec = (RangeSpec(win[0], max(win[1], win[0])),)
+                n_match = _match_count(hist, spec)
+                s = "exact"
+                if auto_boost and n_match > 0:
+                    s, _ = choose_filtered_strategy(
+                        n_corpus, min(n_match, n_corpus), k, 1, 1
+                    )
+                elif not auto_boost:
+                    s = "probe"
+                strat[win] = s
+                if s != "exact":
+                    sel = max(n_match, 1) / n_corpus
+                    boost = max(boost, min(8, _math.ceil(1.0 / sel)))
+            (exact_qi if strat[win] == "exact" else probe_qi).append(qi)
+        parts = []
+
+        if exact_qi:
+            # ONE non-equi broadcast join covers every narrow-window
+            # query: the (tiny) query side broadcasts carrying its
+            # bounds; the corpus scans once, never shuffles
+            from vector_index_spark.functions.distance import l2sq_arrow
+
+            sub = pdf.iloc[exact_qi][["qid", "vec", "__lo", "__hi"]].copy()
+            sub["vec"] = sub["vec"].map(list)
+            tq = spark.createDataFrame(sub)
+            attr = F.col(self._attr_cols[0]).cast("long")
+            joined = (
+                self._train.select(
+                    F.col(self._id_col).alias("id"),
+                    F.col(self._vec_col).alias("__cv"),
+                    attr.alias("__wattr"),
+                )
+                .join(
+                    F.broadcast(tq),
+                    (F.col("__wattr") >= F.col("__lo"))
+                    & (F.col("__wattr") < F.col("__hi")),
+                )
+                .select(
+                    "qid", "id",
+                    l2sq_arrow()(F.col("vec"), F.col("__cv")).alias("dist"),
+                )
+            )
+            if has_dup:
+                joined = joined.groupBy("qid", "id").agg(
+                    F.min("dist").alias("dist")
+                )
+            w = Window.partitionBy("qid").orderBy(
+                F.col("dist").asc(), F.col("id").asc()
+            )
+            parts.append(
+                joined.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("qid", "rank", "id", "dist")
+            )
+
+        if probe_qi:
+            sub_ix = np.asarray(probe_qi, dtype=np.int64)
+            eff_nprobe = min(n_cells, nprobe * boost)
+            # probe by ROW POSITION (the dup-qid contract)
+            psub = pdf.iloc[probe_qi][["vec"]].copy()
+            psub.insert(0, "qid", sub_ix)
+            psub["vec"] = psub["vec"].map(list)
+            tq = spark.createDataFrame(psub)
+            probes = knn_join(tq, self._cents_kv, eff_nprobe).select(
+                "qid", F.col("id").alias("cell")
+            )
+            cell_rows = probes.groupBy("qid").agg(
+                F.collect_list("cell").alias("__cells")
+            ).collect()
+            acc: dict[int, list[int]] = {}
+            for r in cell_rows:
+                for c in r["__cells"]:
+                    acc.setdefault(int(c), []).append(int(r["qid"]))
+            assign = {
+                c: np.asarray(ix, dtype=np.int64) for c, ix in acc.items()
+            }
+            ncand = candidate_factor * k
+            bc = spark.sparkContext.broadcast(
+                (qids, Q, los, his, self._C, self._books, assign)
+            )
+            self._live_bcs.append(bc)
+
+            def scan(batches):
+                b_qids, bQ, b_los, b_his, bC, books, asg = bc.value
+                bm, ncent, sub_d = books.shape
+                for pdf_b in batches:
+                    for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                        ix = asg.get(int(cell))
+                        if ix is None or len(ix) == 0:
+                            continue
+                        payload = pickle.loads(blob)
+                        ids, codes, attrs = payload[0], payload[1], payload[2]
+                        if attrs.ndim == 1:
+                            attrs = attrs[:, None]
+                        # group this cell's probing queries by window so
+                        # shared windows share one mask+LUT pass
+                        groups: dict[tuple, list[int]] = {}
+                        for qi in ix:
+                            groups.setdefault(
+                                (int(b_los[qi]), int(b_his[qi])), []
+                            ).append(int(qi))
+                        for (lo, hi), qlist in groups.items():
+                            mask = (attrs[:, 0] >= lo) & (attrs[:, 0] < hi)
+                            if not mask.any():
+                                continue
+                            g_ids = ids[mask]
+                            g_codes = codes[mask].astype(np.int64)
+                            gq = np.asarray(qlist, dtype=np.int64)
+                            R = bQ[gq] - bC[int(cell)][None, :]
+                            lut = np.empty((len(gq), bm, ncent))
+                            for s in range(bm):
+                                seg = R[:, s * sub_d : (s + 1) * sub_d]
+                                lut[:, s, :] = (
+                                    (seg[:, None, :] - books[s][None, :, :])
+                                    ** 2
+                                ).sum(-1)
+                            approx = np.zeros((len(g_ids), len(gq)))
+                            for s in range(bm):
+                                approx += lut[:, s, g_codes[:, s]].T
+                            kk = min(ncand, len(g_ids))
+                            for p in range(len(gq)):
+                                sel = np.lexsort((g_ids, approx[:, p]))[:kk]
+                                yield pd.DataFrame(
+                                    {
+                                        "qid": np.full(kk, b_qids[gq[p]]),
+                                        "id": g_ids[sel],
+                                        "approx": approx[sel, p],
+                                    }
+                                )
+
+            probed = sorted(assign)
+            cands = (
+                self.blobs.filter(F.col("cell").isin(probed))
+                .mapInPandas(scan, "qid long, id long, approx double")
+                .groupBy("qid", "id")
+                .agg(F.min("approx").alias("approx"))
+            )
+            wa = Window.partitionBy("qid").orderBy(
+                F.col("approx").asc(), F.col("id").asc()
+            )
+            shortlist = (
+                cands.withColumn("arank", F.row_number().over(wa))
+                .filter(F.col("arank") <= ncand)
+                .select("qid", "id")
+            )
+            rsub = pdf.iloc[probe_qi][["qid", "vec"]].copy()
+            rsub["vec"] = rsub["vec"].map(list)
+            rq = spark.createDataFrame(rsub)
+            parts.append(
+                _rerank_exact(
+                    shortlist, self._train, rq, k, self._id_col,
+                    self._vec_col,
+                    broadcast_cands=len(sub_ix) * ncand <= 2_000_000,
+                    dedupe_pairs=has_dup,
+                )
+            )
+
+        if not parts:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _query_batch(
         self, t: DataFrame, k: int, nprobe: int, candidate_factor: int,
         allows=None,
