@@ -491,3 +491,58 @@ def test_composite_attr_domain_validation(spark):
         idx.filtered_query(
             test, K, neg, [[3], [1]], attr_col=["label", "label2"]
         )
+
+
+def test_cosine_serving_query_by_window(spark):
+    """_CosineServing passes per-query windows through with the cosine
+    transform: results equal exact cosine kNN over each query's own
+    [lo, hi) window."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        (F.col("vec_id") % 100).alias("day"),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(20)
+    cos = VectorIndex.build(
+        train.select("id", "vec"),
+        IndexParameters(
+            dimension=64, sub_index_bound=250,
+            distance_type="cosine_similarity",
+        ),
+    )
+    sidx = cos.serving(
+        attrs=train.select("id", "day"), attr_col="day"
+    ).warm()
+    try:
+        q = test.select(
+            "qid", "vec",
+            ((F.col("qid") % 40) + 1).alias("lo"),
+            ((F.col("qid") % 40) + 4).alias("hi"),
+        ).localCheckpoint(eager=True)
+        got = sorted(
+            (r.qid, r.rank, r.id, round(r.dist, 9))
+            for r in sidx.query_by_window(q, K).collect()
+        )
+        want = []
+        for row in q.collect():
+            sub = train.filter(
+                (F.col("day") >= row.lo) & (F.col("day") < row.hi)
+            ).select("id", "vec")
+            one = spark.createDataFrame(
+                [(row.qid, list(row.vec))], "qid long, vec array<double>"
+            )
+            want += [
+                (r.qid, r.rank, r.id, round(r.dist, 9))
+                for r in knn_join(
+                    one, sub, K, metric="cosine_similarity"
+                ).collect()
+            ]
+        assert got == sorted(want) and got
+    finally:
+        sidx.unpersist()

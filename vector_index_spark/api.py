@@ -98,6 +98,20 @@ class _CosineServing:
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
 
+    def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        """Per-query [lo, hi) window serving with the cosine transform
+        (round 8): the bound columns pass through untouched; distances
+        map l2sq-on-normalized -> cos via dist/2, same as query()."""
+        bounds = [
+            kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
+        ]
+        res = self._inner.query_by_window(
+            self._normed(test, kwargs, extra=bounds), k, **kwargs
+        )
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
     def _normed(self, test: DataFrame, kwargs: dict, extra=()):
         from vector_index_spark.functions.distance import normalize
 
