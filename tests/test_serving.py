@@ -2159,3 +2159,48 @@ def test_ivfpq_query_by_window(spark, ltrain):
             ).query_by_window(narrow, K)
     finally:
         sidx.unpersist()
+
+
+def test_serving_snapshot_roundtrip(spark, ltrain, tmp_path):
+    """Round 8: ServingIndex.snapshot / from_snapshot — the packed
+    serving form persists (blobs + routing + manifest incl. the
+    strategy histogram) and the restored handle answers routed,
+    filtered, and per-window queries byte-identically WITHOUT any
+    re-pack (no cogroup/pickle at load — a parquet read)."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, test = ltrain
+    train = train.withColumn("day_code", F.col("id") % 100)
+    edges = build_graph_index(
+        train.select("id", "vec"), PARAMS
+    ).localCheckpoint()
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "label", "day_code")), "id"
+    )
+    live = ServingIndex(vectors, edges, attr_col="label").warm()
+    path = str(tmp_path / "snap")
+    try:
+        live.snapshot(path)
+        restored = ServingIndex.from_snapshot(spark, path).warm()
+        try:
+            assert restored.n_shards == live.n_shards
+            for kwargs in (
+                {},                       # all-shard
+                {"nprobe": 2},            # routed (uses saved routing)
+                {"allowed": [3]},         # filtered (uses saved histogram)
+                {"allowed": range(3, 5)},
+            ):
+                a = sorted(map(tuple, live.query(test, K, **kwargs).collect()))
+                b = sorted(
+                    map(tuple, restored.query(test, K, **kwargs).collect())
+                )
+                assert a == b, kwargs
+            # blob payloads byte-identical through the round trip
+            lb = {r.shard: bytes(r.blob) for r in live.blobs.collect()}
+            rb = {r.shard: bytes(r.blob) for r in restored.blobs.collect()}
+            assert lb == rb
+        finally:
+            restored.unpersist()
+    finally:
+        live.unpersist()

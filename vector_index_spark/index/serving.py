@@ -335,6 +335,83 @@ class ServingIndex:
             b.unpersist(blocking=False)
         self._live_bcs = []
 
+    def snapshot(self, path: str) -> "ServingIndex":
+        """Persist the SERVING form itself (round 8): the packed blob
+        relation, the routing table, and a manifest (dimension,
+        attr_cols, and — when attributes are packed — the strategy
+        histogram). A restarted serving fleet then cold-starts with
+        :meth:`from_snapshot` from a parquet read: NO shard cogroup, NO
+        graph rebuild, NO pickling — at 100 TB that is the difference
+        between minutes of parquet scan and hours of re-packing. The
+        snapshot is byte-faithful: answers from the restored index are
+        identical to the live one (tested)."""
+        import json as _json
+        import os as _os
+
+        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
+        self._routing_table().write.mode("overwrite").parquet(
+            f"{path}/routing"
+        )
+        manifest = {
+            "dimension": self._dimension,
+            "attr_cols": list(self._attr_cols)
+            if self._attr_cols is not None
+            else None,
+            "attr_hist": [
+                [list(k), v] for k, v in self._attribute_histogram().items()
+            ]
+            if self._attr_cols is not None
+            else None,
+        }
+        _os.makedirs(path, exist_ok=True)
+        with open(f"{path}/serving_manifest.json", "w") as f:
+            _json.dump(manifest, f)
+        return self
+
+    @classmethod
+    def from_snapshot(
+        cls,
+        spark,
+        path: str,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> "ServingIndex":
+        """Restore a serving handle from :meth:`snapshot` — a parquet
+        read + persist, no re-pack. The restored handle serves queries
+        (routed, filtered, per-tenant, per-window) identically to the
+        original; :meth:`refresh` still works by passing the live
+        post-append/remove relations."""
+        import json as _json
+
+        with open(f"{path}/serving_manifest.json") as f:
+            manifest = _json.load(f)
+        idx = cls.__new__(cls)
+        idx._dimension = manifest["dimension"]
+        idx._storage_level = storage_level
+        idx._attr_cols = (
+            tuple(manifest["attr_cols"])
+            if manifest["attr_cols"] is not None
+            else None
+        )
+        idx._attr_hist = (
+            {tuple(k): int(v) for k, v in manifest["attr_hist"]}
+            if manifest["attr_hist"] is not None
+            else None
+        )
+        idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        idx.blobs = (
+            spark.read.parquet(f"{path}/blobs")
+            .repartition(idx._n_serve)
+            .persist(storage_level)
+        )
+        idx._cents_kv = spark.read.parquet(
+            f"{path}/routing"
+        ).localCheckpoint(eager=True)
+        idx._centroids = None
+        idx._vectors = None  # refresh() takes live relations explicitly
+        idx._spark = spark
+        idx._live_bcs = []
+        return idx
+
     def _routing_table(self):
         if self._cents_kv is None:
             cents = (
