@@ -2204,3 +2204,58 @@ def test_serving_snapshot_roundtrip(spark, ltrain, tmp_path):
             restored.unpersist()
     finally:
         live.unpersist()
+
+
+def test_ivfpq_snapshot_roundtrip(spark, ltrain, tmp_path):
+    """Round 8: IvfPqServingIndex.snapshot / from_snapshot — the
+    compressed serving form (code blobs + routing + centroid/codebook
+    arrays + histogram manifest) persists; restored with the cold
+    corpus relation it answers plain, filtered, multi-tenant, and
+    per-window queries byte-identically."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    train, test = ltrain
+    train = train.withColumn("day_code", F.col("id") % 100)
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    live = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="day_code",
+    ).warm()
+    path = str(tmp_path / "pqsnap")
+    try:
+        live.snapshot(path)
+        restored = IvfPqServingIndex.from_snapshot(spark, path, train).warm()
+        try:
+            assert restored.n_cells == live.n_cells
+            half = test.limit(25).localCheckpoint(eager=True)
+            cases = [
+                ("query", lambda s: s.query(half, K, nprobe=3)),
+                ("filtered", lambda s: s.query(
+                    half, K, allowed=range(10, 40), candidate_factor=32
+                )),
+                ("tenant", lambda s: s.query_by_attribute(
+                    half.withColumn("day_code", F.lit(11)), K,
+                    qattr_col="day_code",
+                )),
+                ("window", lambda s: s.query_by_window(
+                    half.select(
+                        "qid", "vec",
+                        F.lit(11).alias("lo"), F.lit(14).alias("hi"),
+                    ),
+                    K,
+                )),
+            ]
+            for name, run in cases:
+                a = sorted(map(tuple, run(live).collect()))
+                b = sorted(map(tuple, run(restored).collect()))
+                assert a == b, name
+            lb = {r.cell: bytes(r.blob) for r in live.blobs.collect()}
+            rb = {r.cell: bytes(r.blob) for r in restored.blobs.collect()}
+            assert lb == rb
+        finally:
+            restored.unpersist()
+    finally:
+        live.unpersist()

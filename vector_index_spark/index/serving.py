@@ -1782,6 +1782,83 @@ class IvfPqServingIndex:
         self.n_cells = self.blobs.count()
         return self
 
+    def snapshot(self, path: str) -> "IvfPqServingIndex":
+        """Persist the compressed serving form (round 8): the per-cell
+        code blob relation, the centroid routing table, the driver-held
+        centroid/codebook arrays, and a manifest (attr_cols, id/vec
+        column names, strategy histogram). :meth:`from_snapshot` then
+        cold-starts a serving node from a parquet read + two .npy loads
+        — no encode-side groupBy, no re-pack. The cold corpus (`train`,
+        the raw vectors for the exact re-rank tail) is NOT snapshotted:
+        it lives wherever it already lives and is passed at restore."""
+        import json as _json
+        import os as _os
+
+        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
+        self._cents_kv.write.mode("overwrite").parquet(f"{path}/routing")
+        _os.makedirs(path, exist_ok=True)
+        np.save(f"{path}/centroids.npy", self._C)
+        np.save(f"{path}/codebooks.npy", self._books)
+        manifest = {
+            "id_col": self._id_col,
+            "vec_col": self._vec_col,
+            "attr_cols": list(self._attr_cols)
+            if self._attr_cols is not None
+            else None,
+            "attr_hist": [
+                [list(k), v] for k, v in self._attribute_histogram().items()
+            ]
+            if self._attr_cols is not None
+            else None,
+        }
+        with open(f"{path}/serving_manifest.json", "w") as f:
+            _json.dump(manifest, f)
+        return self
+
+    @classmethod
+    def from_snapshot(
+        cls,
+        spark,
+        path: str,
+        train: DataFrame,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> "IvfPqServingIndex":
+        """Restore a compressed serving handle from :meth:`snapshot`
+        plus the cold corpus relation (read wherever it already lives).
+        Answers are byte-identical to the live handle (tested)."""
+        import json as _json
+
+        with open(f"{path}/serving_manifest.json") as f:
+            manifest = _json.load(f)
+        idx = cls.__new__(cls)
+        idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        idx._train = train
+        idx._id_col = manifest["id_col"]
+        idx._vec_col = manifest["vec_col"]
+        idx._attr_cols = (
+            tuple(manifest["attr_cols"])
+            if manifest["attr_cols"] is not None
+            else None
+        )
+        idx._attr_hist = (
+            {tuple(k): int(v) for k, v in manifest["attr_hist"]}
+            if manifest["attr_hist"] is not None
+            else None
+        )
+        idx._books = np.load(f"{path}/codebooks.npy")
+        idx._C = np.load(f"{path}/centroids.npy")
+        idx.blobs = (
+            spark.read.parquet(f"{path}/blobs")
+            .repartition(idx._n_serve)
+            .persist(storage_level)
+        )
+        idx._cents_kv = spark.read.parquet(
+            f"{path}/routing"
+        ).localCheckpoint(eager=True)
+        idx._spark = spark
+        idx._live_bcs = []
+        return idx
+
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (per-cell int32 code blobs) plus the
         driver-held centroids + codebooks — see _bytes_resident."""
