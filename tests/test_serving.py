@@ -1627,6 +1627,97 @@ def test_ivfpq_multi_tenant_duplicate_qids(spark, ltrain):
         sidx.unpersist()
 
 
+def test_ivfpq_duplicate_qids_different_vectors(spark, ltrain):
+    """Round 10 (ADVICE r9 medium): one qid appearing twice in a batch
+    with DIFFERENT vectors and DIFFERENT tenant/window constraints. The
+    old rerank joined the shortlist to the query frame by real qid, so a
+    candidate admitted only under row A's tenant was also scored against
+    row B's vector and the (qid, id) min kept the cross-scored distance.
+    The fixed path keys the rerank by ROW POSITION: each candidate is
+    rescored only against its originating row's vector, then min-merged —
+    the answer must equal running the rows separately and min-merging,
+    and must byte-match the graph route on the same batch."""
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+
+    train, _ = ltrain
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+
+    def qrow(vec_id, qid, **lits):
+        cols = [F.lit(qid).alias("qid"), F.col("embedding").alias("vec")]
+        cols += [F.lit(v).alias(c) for c, v in lits.items()]
+        return emb.filter(F.col("vec_id") == vec_id).select(*cols)
+
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    sidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).warm()
+    edges = build_graph_index(train.select("id", "vec"), PARAMS)
+    vectors = assign_shards(
+        train.select("id", "vec"), PARAMS.sub_index_bound
+    ).join(F.broadcast(train.select("id", "label")), "id")
+    gidx = ServingIndex(vectors, edges, attr_col="label").warm()
+    try:
+        # --- by-attribute: different vectors, different tenants ---
+        rows = [qrow(100, 999, label=3), qrow(200, 999, label=5)]
+        dup = rows[0].unionByName(rows[1]).localCheckpoint(eager=True)
+        kw = dict(
+            qattr_col="label", auto_boost=False, nprobe=8,
+            candidate_factor=64,
+        )
+        got = _round_rows(sidx.query_by_attribute(dup, K, **kw))
+        singles = [
+            (r["qid"], r["id"], r["dist"])
+            for one in rows
+            for r in sidx.query_by_attribute(one, K, **kw).collect()
+        ]
+        best: dict = {}
+        for qid, id_, dist in singles:
+            if (qid, id_) not in best or dist < best[(qid, id_)]:
+                best[(qid, id_)] = dist
+        merged = sorted(best.items(), key=lambda kv: (kv[1], kv[0][1]))[:K]
+        want = sorted(
+            (qid, rank, id_, round(dist, 9))
+            for rank, ((qid, id_), dist) in enumerate(merged, start=1)
+        )
+        assert got == want
+        # every returned id matches the tenant of SOME admitting row, at
+        # that row's own exact distance (the merged expectation pins
+        # both), and the graph route byte-matches the same batch
+        graph = _round_rows(gidx.query_by_attribute(dup, K, qattr_col="label"))
+        assert graph == want
+        # --- by-window: different vectors, disjoint windows ---
+        wrows = [qrow(100, 999, lo=3, hi=4), qrow(200, 999, lo=5, hi=6)]
+        wdup = wrows[0].unionByName(wrows[1]).localCheckpoint(eager=True)
+        wkw = dict(auto_boost=False, nprobe=8, candidate_factor=64)
+        wgot = _round_rows(sidx.query_by_window(wdup, K, **wkw))
+        wsingles = [
+            (r["qid"], r["id"], r["dist"])
+            for one in wrows
+            for r in sidx.query_by_window(one, K, **wkw).collect()
+        ]
+        wbest: dict = {}
+        for qid, id_, dist in wsingles:
+            if (qid, id_) not in wbest or dist < wbest[(qid, id_)]:
+                wbest[(qid, id_)] = dist
+        wmerged = sorted(wbest.items(), key=lambda kv: (kv[1], kv[0][1]))[:K]
+        wwant = sorted(
+            (qid, rank, id_, round(dist, 9))
+            for rank, ((qid, id_), dist) in enumerate(wmerged, start=1)
+        )
+        assert wgot == wwant
+        wgraph = _round_rows(gidx.query_by_window(wdup, K))
+        assert wgraph == wwant
+    finally:
+        sidx.unpersist()
+        gidx.unpersist()
+
+
 def test_range_filtered_serving_all_routes(spark, ltrain):
     """Round 8: range predicates (`lo <= attr < hi`) as first-class
     filter specs through the warm serving classes and the facade —
@@ -2257,5 +2348,185 @@ def test_ivfpq_snapshot_roundtrip(spark, ltrain, tmp_path):
             assert lb == rb
         finally:
             restored.unpersist()
+    finally:
+        live.unpersist()
+
+
+def test_all_class_snapshot_roundtrips(spark, ltrain, tmp_path):
+    """Round 10 (VERDICT r9 item 4): snapshot/from_snapshot on the FIVE
+    remaining serving classes — Cell, PQ, SQ, RPT, PCA — each persisting
+    its packed blobs plus its route-specific driver arrays (codebooks /
+    scales / tree / basis) and the versioned manifest. Parity contract:
+    blob payloads byte-identical through the round trip, and the
+    restored handle answers plain AND filtered queries identically to
+    the live one (same blobs + same deterministic kernels => equal at
+    any candidate factor)."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+
+    train, test = ltrain
+    test = test.limit(25).localCheckpoint(eager=True)
+    tr = train.select("id", "vec", "label").localCheckpoint(eager=True)
+
+    assigned_ivf, cents = build_ivf(tr.select("id", "vec"), n_centroids=8)
+    assigned_ivf = assigned_ivf.join(
+        F.broadcast(tr.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+    books = train_pq(tr, n_subspaces=8, n_centroids=16)
+    enc_pq = encode_pq(tr, books).localCheckpoint(eager=True)
+    mins, maxs = train_sq(tr)
+    enc_sq = encode_sq(tr, mins, maxs).localCheckpoint(eager=True)
+    W, T = train_rpt(tr, depth=3)
+    assigned_rpt = assign_rpt(tr, W, T).join(
+        F.broadcast(tr.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+    mean, comp = train_pca(tr, 16)
+    projected = project_pca(tr, mean, comp).join(
+        F.broadcast(tr.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+
+    cases = [
+        (
+            "cell",
+            lambda: CellServingIndex(assigned_ivf, cents, attr_col="label"),
+            lambda p: CellServingIndex.from_snapshot(spark, p),
+            lambda s: s.query(test, K, nprobe=3),
+            lambda s: s.query(test, K, nprobe=3, allowed=[3]),
+            "cell",
+        ),
+        (
+            "pq",
+            lambda: PqServingIndex(enc_pq, tr, books, attr_col="label"),
+            lambda p: PqServingIndex.from_snapshot(spark, p, tr),
+            lambda s: s.query(test, K, candidate_factor=8),
+            lambda s: s.query(test, K, candidate_factor=8, allowed=[3]),
+            "part",
+        ),
+        (
+            "sq",
+            lambda: SqServingIndex(enc_sq, tr, mins, maxs, attr_col="label"),
+            lambda p: SqServingIndex.from_snapshot(spark, p, tr),
+            lambda s: s.query(test, K, candidate_factor=8),
+            lambda s: s.query(test, K, candidate_factor=8, allowed=[3]),
+            "part",
+        ),
+        (
+            "rpt",
+            lambda: RptServingIndex(assigned_rpt, W, T, attr_col="label"),
+            lambda p: RptServingIndex.from_snapshot(spark, p),
+            lambda s: s.query(test, K, probes=2),
+            lambda s: s.query(test, K, probes=2, allowed=[3]),
+            "leaf",
+        ),
+        (
+            "pca",
+            lambda: PcaServingIndex(projected, mean, comp, attr_col="label"),
+            lambda p: PcaServingIndex.from_snapshot(spark, p),
+            lambda s: s.query(test, K, candidate_factor=8),
+            lambda s: s.query(test, K, candidate_factor=8, allowed=[3]),
+            "part",
+        ),
+    ]
+    for name, build, restore, plain, filtered, key in cases:
+        live = build().warm()
+        path = str(tmp_path / f"snap_{name}")
+        try:
+            live.snapshot(path)
+            restored = restore(path).warm()
+            try:
+                for run in (plain, filtered):
+                    a = sorted(map(tuple, run(live).collect()))
+                    b = sorted(map(tuple, run(restored).collect()))
+                    assert a == b, name
+                # PQ/SQ/PCA 'part' keys are informational (not unique),
+                # so parity compares the blob payload MULTISET
+                lb = sorted(bytes(r.blob) for r in live.blobs.collect())
+                rb = sorted(bytes(r.blob) for r in restored.blobs.collect())
+                assert lb == rb, name
+            finally:
+                restored.unpersist()
+        finally:
+            live.unpersist()
+
+
+def test_snapshot_integrity_guards(spark, ltrain, tmp_path):
+    """Round 10 (VERDICT r9 items 2-3 negatives): a drifted cold corpus,
+    a truncated blob relation, an unknown format version, and a
+    wrong-class restore each raise SnapshotIntegrityError instead of
+    silently serving wrong answers; validate=False documents the
+    opt-out for callers with their own freshness guarantee."""
+    import json
+
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import (
+        IvfPqServingIndex,
+        PqServingIndex,
+        SnapshotIntegrityError,
+    )
+
+    train, _ = ltrain
+    tr = train.select("id", "vec").localCheckpoint(eager=True)
+    enc, cents, books = build_ivfpq(tr, n_centroids=8, replicas=1)
+    live = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, tr
+    ).warm()
+    path = str(tmp_path / "guard")
+    try:
+        live.snapshot(path)
+        # sanity: the untouched snapshot restores with validation on
+        IvfPqServingIndex.from_snapshot(spark, path, tr).unpersist()
+        # (a) corpus drift by row count / id set
+        shrunk = tr.filter(F.col("id") % 7 != 0)
+        with pytest.raises(SnapshotIntegrityError, match="drifted"):
+            IvfPqServingIndex.from_snapshot(spark, path, shrunk)
+        # (b) corpus drift by VALUE under unchanged ids (the silent
+        # wrong-ids hazard: same count, same id checksum)
+        doubled = tr.withColumn(
+            "vec", F.transform("vec", lambda v: v * F.lit(2.0))
+        )
+        with pytest.raises(SnapshotIntegrityError, match="drifted"):
+            IvfPqServingIndex.from_snapshot(spark, path, doubled)
+        # opt-out restores without the scan
+        IvfPqServingIndex.from_snapshot(
+            spark, path, doubled, validate=False
+        ).unpersist()
+        # (c) wrong class
+        with pytest.raises(SnapshotIntegrityError, match="written by"):
+            PqServingIndex.from_snapshot(spark, path, tr)
+        # (d) future format version — rewrite through the same Hadoop
+        # FS helper a future writer would use (local open() would break
+        # the LocalFileSystem .crc sidecar)
+        from vector_index_spark.index.serving import (
+            _fs_read_bytes,
+            _fs_write_bytes,
+        )
+
+        mpath = f"{path}/serving_manifest.json"
+        manifest = json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
+        good = dict(manifest)
+        manifest["format_version"] = 999
+        _fs_write_bytes(spark, mpath, json.dumps(manifest).encode("utf-8"))
+        with pytest.raises(SnapshotIntegrityError, match="format_version"):
+            IvfPqServingIndex.from_snapshot(spark, path, tr)
+        _fs_write_bytes(spark, mpath, json.dumps(good).encode("utf-8"))
+        # (e) truncated blob relation
+        kept = (
+            spark.read.parquet(f"{path}/blobs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("overwrite").parquet(f"{path}/blobs")
+        with pytest.raises(SnapshotIntegrityError, match="incomplete"):
+            IvfPqServingIndex.from_snapshot(spark, path, tr)
     finally:
         live.unpersist()
