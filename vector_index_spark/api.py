@@ -437,36 +437,37 @@ class VectorIndex:
 
     @staticmethod
     def _composite_attr(attrs: DataFrame, attr_cols, allowed):
-        """Composite-encode a multi-attribute conjunction into one
-        integral attribute + flat allowed set (cross product of the
-        per-column value sets — exact AND-of-IN semantics). Column
-        cardinalities come from one scalar max() aggregate over the
-        attrs relation; at warehouse scale these are table statistics."""
+        """Composite-encode a multi-attribute conjunction — or an
+        AnyOf/DNF of conjunctions — into one integral attribute + flat
+        allowed set (cross product per conjunction, UNION across
+        conjunctions: exact OR-of-AND-of-IN semantics). Column
+        cardinalities come from ONE scalar max() aggregate over the
+        attrs relation regardless of disjunct count, and the 10k
+        enumeration guard applies to the union of all conjunctions'
+        cross products (round 10 — previously each conjunction paid its
+        own aggregate and its own guard, so a many-disjunct AnyOf
+        re-scanned the stats N times and enumerated far past the cap).
+        At warehouse scale the cardinalities are table statistics."""
         import itertools
 
         from vector_index_spark.operators.filtered import (
             AnyOf,
+            DnfSpec,
+            NotIn,
+            RangeSpec,
             normalize_allowed,
         )
 
-        from vector_index_spark.operators.filtered import DnfSpec
-
         cols = list(attr_cols)
-        if isinstance(allowed, (AnyOf, DnfSpec)):
-            # DNF: enumerate each conjunction and UNION the composite
-            # codes (exact OR-of-AND semantics; each conjunction pays
-            # one tiny stats aggregate and its own 10k guard)
-            conjs = (
-                allowed.conjunctions
-                if isinstance(allowed, AnyOf)
-                else allowed.disjuncts
-            )
-            expr, codes = None, set()
-            for conj in conjs:
-                expr, cl = VectorIndex._composite_attr(attrs, attr_cols, conj)
-                codes.update(cl)
-            return expr, sorted(codes)
-        allows = normalize_allowed(allowed, len(cols))
+        conjs = (
+            allowed.conjunctions
+            if isinstance(allowed, AnyOf)
+            else allowed.disjuncts
+            if isinstance(allowed, DnfSpec)
+            else (allowed,)
+        )
+        # ONE stats aggregate for the whole spec (hoisted out of the
+        # per-conjunction loop)
         sizes = attrs.agg(
             *[(F.max(F.col(c).cast("long")) + 1).alias(c) for c in cols],
             *[
@@ -478,7 +479,7 @@ class VectorIndex:
         # mixed-radix encoding is only injective over codes in
         # [0, card_j) (ADVICE r7): negative attribute codes in the DATA
         # would alias other tuples — refuse them (dict_encode codes are
-        # 0-based, so real pipelines never hit this)...
+        # 0-based, so real pipelines never hit this)
         for c in cols:
             mn = sizes[f"__min_{c}"]
             if mn is not None and int(mn) < 0:
@@ -488,57 +489,64 @@ class VectorIndex:
                     f"(dictionary-encode with operators/filtered."
                     f"dict_encode first)"
                 )
-        # ...and out-of-domain ALLOWED values (v < 0 or v >= card_j)
-        # can never match a row but would alias a different real tuple
-        # inside the encoding — clip them before enumeration. Ranges
-        # clip to [max(lo,0), min(hi,card)) and are SIZE-CHECKED before
-        # materializing (a wide range over a high-cardinality attribute
-        # must trip the guard, not enumerate first).
-        from vector_index_spark.operators.filtered import NotIn, RangeSpec
-
-        clipped = []
-        n_combo = 1
-        for vs, card in zip(allows, cards):
-            if isinstance(vs, RangeSpec):
-                lo, hi = max(vs.lo, 0), min(vs.hi, card)
-                clipped.append(("range", (lo, max(hi, lo)), card))
-                n_combo *= max(max(hi, lo) - lo, 1)
-            elif isinstance(vs, NotIn):
-                # complement within the domain [0, card); sized BEFORE
-                # materializing so the guard fires without enumeration
-                kept_n = card - sum(1 for v in vs.excluded if 0 <= v < card)
-                clipped.append(("notin", vs, card))
-                n_combo *= max(kept_n, 1)
-            else:
-                kept = frozenset(v for v in vs if 0 <= v < card)
-                clipped.append(("set", kept, card))
-                n_combo *= max(len(kept), 1)
-        if n_combo > 10_000:
-            raise ValueError(
-                f"conjunction cross product too large ({n_combo} > 10000); "
-                "use serving(attrs=..., attr_col=[...]) — resident masks "
-                "evaluate the conjunction without enumeration"
-            )
-        allows = tuple(
-            frozenset(range(payload[0], payload[1]))
-            if kind == "range"
-            else (
-                frozenset(v for v in range(card) if v in payload)
-                if kind == "notin"
-                else payload
-            )
-            for kind, payload, card in clipped
-        )
         expr = F.col(cols[0]).cast("long")
         for c, card in zip(cols[1:], cards[1:]):
             expr = expr * F.lit(card) + F.col(c).cast("long")
-        combo_allowed = []
-        for combo in itertools.product(*[sorted(vs) for vs in allows]):
-            code = combo[0]
-            for v, card in zip(combo[1:], cards[1:]):
-                code = code * card + v
-            combo_allowed.append(int(code))
-        return expr, combo_allowed
+        codes: set = set()
+        n_total = 0
+        for conj in conjs:
+            allows = normalize_allowed(conj, len(cols))
+            # out-of-domain ALLOWED values (v < 0 or v >= card_j) can
+            # never match a row but would alias a different real tuple
+            # inside the encoding — clip them before enumeration.
+            # Ranges clip to [max(lo,0), min(hi,card)) and everything is
+            # SIZE-CHECKED before materializing (a wide range over a
+            # high-cardinality attribute must trip the guard, not
+            # enumerate first); the running total carries across
+            # conjunctions so the guard bounds the UNION.
+            clipped = []
+            n_combo = 1
+            for vs, card in zip(allows, cards):
+                if isinstance(vs, RangeSpec):
+                    lo, hi = max(vs.lo, 0), min(vs.hi, card)
+                    clipped.append(("range", (lo, max(hi, lo)), card))
+                    n_combo *= max(max(hi, lo) - lo, 1)
+                elif isinstance(vs, NotIn):
+                    # complement within the domain [0, card); sized
+                    # BEFORE materializing
+                    kept_n = card - sum(
+                        1 for v in vs.excluded if 0 <= v < card
+                    )
+                    clipped.append(("notin", vs, card))
+                    n_combo *= max(kept_n, 1)
+                else:
+                    kept = frozenset(v for v in vs if 0 <= v < card)
+                    clipped.append(("set", kept, card))
+                    n_combo *= max(len(kept), 1)
+            n_total += n_combo
+            if n_total > 10_000:
+                raise ValueError(
+                    f"conjunction cross product too large ({n_total} > "
+                    "10000, summed over all AnyOf disjuncts); use "
+                    "serving(attrs=..., attr_col=[...]) — resident masks "
+                    "evaluate the conjunction without enumeration"
+                )
+            mat = tuple(
+                frozenset(range(payload[0], payload[1]))
+                if kind == "range"
+                else (
+                    frozenset(v for v in range(card) if v in payload)
+                    if kind == "notin"
+                    else payload
+                )
+                for kind, payload, card in clipped
+            )
+            for combo in itertools.product(*[sorted(vs) for vs in mat]):
+                code = combo[0]
+                for v, card in zip(combo[1:], cards[1:]):
+                    code = code * card + v
+                codes.add(int(code))
+        return expr, sorted(codes)
 
     def exact_query(
         self, test: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"

@@ -255,8 +255,12 @@ def _attr_pack_names(attr_cols: "tuple[str, ...]") -> "list[str]":
 
 
 def _with_attr_cols(df: DataFrame, attr_cols: "tuple[str, ...]") -> DataFrame:
-    from vector_index_spark.operators.filtered import null_safe_attr_code
+    from vector_index_spark.operators.filtered import (
+        null_safe_attr_code,
+        validate_attr_schema,
+    )
 
+    validate_attr_schema(df, attr_cols)
     for i, c in enumerate(attr_cols):
         # NULL attrs sentinel-encode (ADVICE r7): the row stays in the
         # blob (visible unfiltered) but can never match a filter —
@@ -271,6 +275,20 @@ def _attr_code(col_name: str):
     from vector_index_spark.operators.filtered import null_safe_attr_code
 
     return null_safe_attr_code(col_name)
+
+
+def _attr_code_exprs(df: DataFrame, attr_cols) -> list:
+    """Validated build-side attribute-code expressions for ``df`` —
+    every pack path goes through here so a non-integral attribute
+    column fails LOUDLY at construction (dict_encode-first hint)
+    instead of sentinel-coding every row and silently matching nothing
+    (round 10, VERDICT r9)."""
+    from vector_index_spark.operators.filtered import validate_attr_schema
+
+    validate_attr_schema(df, attr_cols)
+    return [
+        _attr_code(c).alias(f"__attr{i}") for i, c in enumerate(attr_cols)
+    ]
 
 
 def _stack_attrs(pdf: pd.DataFrame):
@@ -1166,10 +1184,7 @@ class CellServingIndex:
         self._attr_cols = normalize_attr_cols(attr_col)
         cols = [F.col("centroid_id").alias("cell"), F.col("id"), F.col("vec")]
         if self._attr_cols is not None:
-            cols.extend(
-                _attr_code(c).alias(f"__attr{i}")
-                for i, c in enumerate(self._attr_cols)
-            )
+            cols.extend(_attr_code_exprs(assigned, self._attr_cols))
         self.blobs = (
             assigned.select(*cols)
             .groupBy("cell")
@@ -1589,10 +1604,7 @@ class PqServingIndex:
             code_rel = code_rel.join(
                 train.select(
                     F.col(id_col).alias("id"),
-                    *(
-                        _attr_code(c).alias(f"__attr{i}")
-                        for i, c in enumerate(self._attr_cols)
-                    ),
+                    *_attr_code_exprs(train, self._attr_cols),
                 ),
                 "id",
             )
@@ -1881,10 +1893,7 @@ class SqServingIndex:
             code_rel = code_rel.join(
                 train.select(
                     F.col(id_col).alias("id"),
-                    *(
-                        _attr_code(c).alias(f"__attr{i}")
-                        for i, c in enumerate(self._attr_cols)
-                    ),
+                    *_attr_code_exprs(train, self._attr_cols),
                 ),
                 "id",
             )
@@ -2157,10 +2166,7 @@ class IvfPqServingIndex:
             code_rel = code_rel.join(
                 train.select(
                     F.col(id_col).alias("id"),
-                    *(
-                        _attr_code(c).alias(f"__attr{i}")
-                        for i, c in enumerate(self._attr_cols)
-                    ),
+                    *_attr_code_exprs(train, self._attr_cols),
                 ),
                 "id",
             )
@@ -3047,10 +3053,7 @@ class RptServingIndex:
         if self._attr_cols is not None:
             # attr columns live on the assigned relation (attach them
             # upstream; leaves partition the corpus so no join is needed)
-            cols.extend(
-                _attr_code(c).alias(f"__attr{i}")
-                for i, c in enumerate(self._attr_cols)
-            )
+            cols.extend(_attr_code_exprs(assigned, self._attr_cols))
         self.blobs = (
             assigned.select(*cols)
             .groupBy("leaf")
@@ -3314,10 +3317,7 @@ class PcaServingIndex:
         if self._attr_cols is not None:
             # attr columns live on the projected relation (attach them
             # upstream — it already co-locates vec with pvec)
-            cols.extend(
-                _attr_code(c).alias(f"__attr{i}")
-                for i, c in enumerate(self._attr_cols)
-            )
+            cols.extend(_attr_code_exprs(projected, self._attr_cols))
         self.blobs = (
             projected.select(*cols)
             .repartition(self._n_serve)

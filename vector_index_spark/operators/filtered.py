@@ -162,10 +162,46 @@ NULL_ATTR_CODE = -(2**63)
 def null_safe_attr_code(col_name: str) -> Column:
     """``col.cast(long)`` with NULLs mapped to :data:`NULL_ATTR_CODE` —
     the canonical build-side attribute-code expression for resident
-    serving blobs and their strategy histograms."""
+    serving blobs and their strategy histograms. Callers that see the
+    build relation must run :func:`validate_attr_schema` first: under
+    non-ANSI Spark a failed cast (string column, etc.) yields NULL,
+    which this expression would silently map to the sentinel — every
+    row would sentinel-code and every filter would match nothing."""
     return F.coalesce(
         F.col(col_name).cast("long"), F.lit(NULL_ATTR_CODE).cast("long")
     )
+
+
+def validate_attr_schema(df: DataFrame, attr_cols) -> None:
+    """Build-time gate for attribute columns (round 10, VERDICT r9):
+    each must exist and be an integral/boolean type. A string or other
+    non-castable column under non-ANSI Spark turns EVERY code into the
+    NULL sentinel via :func:`null_safe_attr_code` — filters silently
+    match nothing — so the misuse fails loudly here instead, with the
+    documented remedy (:func:`dict_encode` first)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral = (ByteType, ShortType, IntegerType, LongType, BooleanType)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in attr_cols:
+        if c not in fields:
+            raise ValueError(
+                f"attribute column {c!r} not found in the build relation "
+                f"(columns: {sorted(fields)})"
+            )
+        if not isinstance(fields[c], integral):
+            raise TypeError(
+                f"attribute column {c!r} has type {fields[c].simpleString()};"
+                " serving attributes must be integral codes — run "
+                "vector_index_spark.operators.filtered.dict_encode on the "
+                "column first and filter by its codes"
+            )
 
 
 class RangeSpec:
