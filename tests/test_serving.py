@@ -2530,3 +2530,121 @@ def test_snapshot_integrity_guards(spark, ltrain, tmp_path):
             IvfPqServingIndex.from_snapshot(spark, path, tr)
     finally:
         live.unpersist()
+
+
+def test_query_by_window_all_serving_classes(spark, ltrain):
+    """Round 10 (VERDICT r9 item 9): query_by_window on the five
+    remaining serving classes. CellServingIndex evaluates per-row
+    windows in ONE resident pass (grouped masks, positional dup-qid
+    contract — the ServingIndex/IvfPq pattern); PQ/SQ/RPT/PCA route
+    through the documented grouped decomposition (one filtered pass per
+    DISTINCT window). Selective windows must EQUAL exact per-row
+    window-filtered kNN, min-merged; a dup qid with different vectors
+    AND windows must equal running its rows separately; over-cap
+    distinct windows raise."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test0 = ltrain
+    tr = train.select(
+        "id", "vec", (F.col("id") % 100).alias("day")
+    ).localCheckpoint(eager=True)
+    windows = [(10, 14), (20, 26), (30, 33)]
+    rows = test0.limit(15).toPandas()
+    rows["vec"] = rows["vec"].map(list)
+    rows["lo"] = [windows[i % 3][0] for i in range(len(rows))]
+    rows["hi"] = [windows[i % 3][1] for i in range(len(rows))]
+    wtest = spark.createDataFrame(rows).localCheckpoint(eager=True)
+
+    # ground truth: per-row exact kNN over that row's own window
+    want = []
+    for lo, hi in windows:
+        sub = wtest.filter((F.col("lo") == lo) & (F.col("hi") == hi))
+        corp = tr.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        want += _round_rows(knn_join(sub.select("qid", "vec"), corp, K))
+    want = sorted(want)
+
+    assigned_ivf, cents = build_ivf(tr.select("id", "vec"), n_centroids=8)
+    assigned_ivf = assigned_ivf.join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+    books = train_pq(tr, n_subspaces=8, n_centroids=16)
+    enc_pq = encode_pq(tr, books).localCheckpoint(eager=True)
+    mins, maxs = train_sq(tr)
+    enc_sq = encode_sq(tr, mins, maxs).localCheckpoint(eager=True)
+    W, T = train_rpt(tr, depth=3)
+    assigned_rpt = assign_rpt(tr, W, T).join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+    mean, comp = train_pca(tr, 16)
+    projected = project_pca(tr, mean, comp).join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+
+    built = {
+        "cell": CellServingIndex(assigned_ivf, cents, attr_col="day"),
+        "pq": PqServingIndex(enc_pq, tr, books, attr_col="day"),
+        "sq": SqServingIndex(enc_sq, tr, mins, maxs, attr_col="day"),
+        "rpt": RptServingIndex(assigned_rpt, W, T, attr_col="day"),
+        "pca": PcaServingIndex(projected, mean, comp, attr_col="day"),
+    }
+    try:
+        for name, sidx in built.items():
+            sidx.warm()
+            got = _round_rows(sidx.query_by_window(wtest, K))
+            assert got == want, name
+
+        # dup qid, different vectors AND windows — Cell's single-pass
+        # positional path and PQ's wave decomposition both must equal
+        # independent-then-min-merge
+        two = wtest.limit(2).toPandas()
+        v0 = [float(v) for v in two["vec"][0]]
+        v1 = [float(v) for v in two["vec"][1]]
+        dup = spark.createDataFrame(
+            [(999, v0, 10, 14), (999, v1, 20, 26)],
+            "qid long, vec array<double>, lo long, hi long",
+        ).localCheckpoint(eager=True)
+        for name in ("cell", "pq"):
+            sidx = built[name]
+            singles = []
+            for v, (lo, hi) in zip((v0, v1), [(10, 14), (20, 26)]):
+                one = spark.createDataFrame(
+                    [(999, v, lo, hi)],
+                    "qid long, vec array<double>, lo long, hi long",
+                )
+                singles += [
+                    (r["qid"], r["id"], r["dist"])
+                    for r in sidx.query_by_window(one, K).collect()
+                ]
+            best: dict = {}
+            for qid, id_, dist in singles:
+                if (qid, id_) not in best or dist < best[(qid, id_)]:
+                    best[(qid, id_)] = dist
+            merged = sorted(best.items(), key=lambda kv: (kv[1], kv[0][1]))[:K]
+            dwant = sorted(
+                (qid, rank, id_, round(dist, 9))
+                for rank, ((qid, id_), dist) in enumerate(merged, start=1)
+            )
+            dgot = _round_rows(built[name].query_by_window(dup, K))
+            assert dgot == dwant, name
+
+        # over-cap distinct windows raise on the decomposition route
+        with pytest.raises(ValueError, match="distinct windows"):
+            built["pq"].query_by_window(wtest, K, max_windows_per_batch=2)
+        # attr_col is mandatory
+        with pytest.raises(ValueError, match="attr_col"):
+            PqServingIndex(enc_pq, tr, books).query_by_window(wtest, K)
+    finally:
+        for sidx in built.values():
+            sidx.unpersist()

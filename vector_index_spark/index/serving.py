@@ -248,6 +248,83 @@ def _restore_attr_fields(idx, manifest) -> None:
     )
 
 
+def _query_by_window_grouped(
+    idx,
+    test: DataFrame,
+    k: int,
+    lo_col: str,
+    hi_col: str,
+    qid_col: str,
+    vec_col: str,
+    max_windows_per_batch: int,
+    query_kwargs: dict,
+) -> DataFrame:
+    """Shared :meth:`query_by_window` for the serving classes whose
+    filtered query already evaluates a RangeSpec over the resident
+    blobs (PQ, SQ, RPT, PCA — round 10): the batch decomposes into
+    DISTINCT ``(lo, hi)`` groups and each group rides ONE filtered pass
+    (``allowed=range(lo, hi)``), inheriting that class's histogram
+    strategy rule, masks, boosts, and recall contract unchanged.
+    Duplicate qids inside a group split into unique-qid waves so every
+    row is answered strictly against its own vector; all answers
+    min-merge per (qid, id).
+
+    Contract: cost scales with the number of DISTINCT windows in a
+    micro-batch, not rows — the right amortization for the
+    tenant-recency workload where windows repeat. A batch with more
+    than ``max_windows_per_batch`` distinct windows raises; for
+    row-unique windows use the graph, IVF, or IVF-PQ serving routes,
+    which evaluate per-row windows inside a single resident pass."""
+    if idx._attr_cols is None or len(idx._attr_cols) != 1:
+        raise ValueError(
+            "query_by_window needs exactly one attr_col= at "
+            f"{type(idx).__name__} construction (the windowed attribute)"
+        )
+    spark = idx._spark
+    t = test.select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).alias("vec"),
+        F.col(lo_col).cast("long").alias("__lo"),
+        F.col(hi_col).cast("long").alias("__hi"),
+    )
+    pdf = t.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, id long, dist double"
+        )
+    qids = pdf["qid"].to_numpy(dtype=np.int64)
+    has_dup = len(np.unique(qids)) < len(qids)
+    groups: dict = {}
+    for pos in range(len(pdf)):
+        lo, hi = int(pdf["__lo"].iat[pos]), int(pdf["__hi"].iat[pos])
+        if hi <= lo:
+            continue  # empty window matches nothing (RangeSpec semantics)
+        groups.setdefault((lo, hi), []).append(pos)
+    if len(groups) > max_windows_per_batch:
+        raise ValueError(
+            f"batch carries {len(groups)} distinct windows > "
+            f"max_windows_per_batch={max_windows_per_batch}; this route "
+            "pays one resident pass per distinct window — for row-unique "
+            "windows use ServingIndex / CellServingIndex / "
+            "IvfPqServingIndex.query_by_window (single-pass per-row "
+            "masks), or raise max_windows_per_batch explicitly"
+        )
+    parts = []
+    for (lo, hi), ix in groups.items():
+        sub = pdf.iloc[ix][["qid", "vec"]].copy()
+        sub["vec"] = sub["vec"].map(list)
+        # unique-qid waves: the class's plain filtered query answers a
+        # batch of DISTINCT qids; a qid repeated within one window group
+        # (different vectors) goes in a later wave and min-merges below
+        sub["__wave"] = sub.groupby("qid").cumcount()
+        for _, wave in sub.groupby("__wave"):
+            qdf = spark.createDataFrame(wave[["qid", "vec"]])
+            parts.append(
+                idx.query(qdf, k, allowed=range(lo, hi), **query_kwargs)
+            )
+    return _union_min_merge(parts, spark, k, has_dup)
+
+
 def _attr_pack_names(attr_cols: "tuple[str, ...]") -> "list[str]":
     """Internal packed-attribute column names (__attr0..__attr{m-1}) —
     positional, so the blob layout is independent of user column names."""
@@ -1419,6 +1496,185 @@ class CellServingIndex:
             .select("qid", "rank", "id", "dist")
         )
 
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query WINDOW serving on the IVF route (round 10): each
+        query row carries its own half-open ``[lo_col, hi_col)``
+        interval over this index's single attribute —
+        :meth:`ServingIndex.query_by_window`'s contract over resident
+        cell blobs. A micro-batch groups rows by distinct window; the
+        histogram strategy picks per group (a narrow window probes
+        EVERY cell, where the range-masked GEMM over the resident raw
+        vectors is exact; a wide one probes routed cells with the
+        largest inverse-match-rate nprobe boost), and ALL groups ride
+        ONE mapInPandas pass over the cached blobs. Rows are keyed by
+        position end-to-end, so duplicate qids carrying different
+        vectors/windows answer independently and min-merge per
+        (qid, id). Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        if self._attr_cols is None or len(self._attr_cols) != 1:
+            raise ValueError(
+                "query_by_window needs exactly one attr_col= at "
+                "CellServingIndex construction (the windowed attribute)"
+            )
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            F.col(lo_col).cast("long").alias("__lo"),
+            F.col(hi_col).cast("long").alias("__hi"),
+        )
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._query_batch_by_window(
+                chunk, k, nprobe, auto_boost
+            ),
+            max_queries_per_batch,
+        )
+
+    def _query_batch_by_window(
+        self, t: DataFrame, k: int, nprobe: int, auto_boost: bool,
+    ) -> DataFrame:
+        import math as _math
+
+        from pyspark.sql import Window
+
+        from vector_index_spark.operators.filtered import (
+            RangeSpec,
+            choose_filtered_strategy,
+        )
+        from vector_index_spark.operators.knn import knn_join
+
+        spark = self._spark
+        pdf = t.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], "qid long, rank int, id long, dist double"
+            )
+        qids = pdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        los = pdf["__lo"].to_numpy(dtype=np.int64)
+        his = pdf["__hi"].to_numpy(dtype=np.int64)
+        has_dup = len(np.unique(qids)) < len(qids)
+        hist = self._attribute_histogram()
+        n_corpus = max(sum(hist.values()), 1)
+        all_cells = [int(r["id"]) for r in self._cents_kv.select("id").collect()]
+        n_cells = max(len(all_cells), 1)
+        exact_qi: list[int] = []
+        probe_qi: list[int] = []
+        boost = 1
+        strat: dict[tuple[int, int], str] = {}
+        for qi in range(len(qids)):
+            win = (int(los[qi]), int(his[qi]))
+            if win not in strat:
+                spec = (RangeSpec(win[0], max(win[1], win[0])),)
+                n_match = _match_count(hist, spec)
+                s = "exact"
+                if auto_boost and n_match > 0:
+                    s, _ = choose_filtered_strategy(
+                        n_corpus, min(n_match, n_corpus), k, 1, 1
+                    )
+                elif not auto_boost:
+                    s = "probe"
+                strat[win] = s
+                if s != "exact":
+                    sel = max(n_match, 1) / n_corpus
+                    boost = max(boost, min(8, _math.ceil(1.0 / sel)))
+            (exact_qi if strat[win] == "exact" else probe_qi).append(qi)
+        # per-POSITION cell assignment: narrow-window rows visit every
+        # cell (range-masked GEMM over resident raw vectors == exact);
+        # the rest probe routed cells at the boosted nprobe
+        acc: dict[int, list[int]] = {}
+        for c in all_cells if exact_qi else ():
+            acc[int(c)] = list(exact_qi)
+        if probe_qi:
+            sub_ix = np.asarray(probe_qi, dtype=np.int64)
+            eff_nprobe = min(n_cells, nprobe * boost)
+            psub = pdf.iloc[probe_qi][["vec"]].copy()
+            psub.insert(0, "qid", sub_ix)
+            psub["vec"] = psub["vec"].map(list)
+            tq = spark.createDataFrame(psub)
+            probes = knn_join(tq, self._cents_kv, eff_nprobe).select(
+                "qid", F.col("id").alias("cell")
+            )
+            for r in probes.collect():
+                acc.setdefault(int(r["cell"]), []).append(int(r["qid"]))
+        assign = {
+            c: np.asarray(sorted(set(ix)), dtype=np.int64)
+            for c, ix in acc.items()
+        }
+        bc = spark.sparkContext.broadcast((Q, los, his, assign))
+        self._live_bcs.append(bc)
+
+        def search(batches):
+            from vector_index_spark.index.cellscan import gemm_topk_frame
+
+            bQ, b_los, b_his, asg = bc.value
+            for pdf_b in batches:
+                frames = []
+                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                    ix = asg.get(int(cell))
+                    if ix is None or len(ix) == 0:
+                        continue
+                    payload = pickle.loads(blob)
+                    ids, X, attrs = payload[0], payload[1], payload[2]
+                    if attrs.ndim > 1:
+                        attrs = attrs[:, 0]
+                    groups: dict[tuple, list[int]] = {}
+                    for qi in ix:
+                        groups.setdefault(
+                            (int(b_los[qi]), int(b_his[qi])), []
+                        ).append(int(qi))
+                    for (lo, hi), qlist in groups.items():
+                        mask = (attrs >= lo) & (attrs < hi)
+                        if not mask.any():
+                            continue
+                        gq = np.asarray(qlist, dtype=np.int64)
+                        # positional keys out of the kernel; the real
+                        # qid is restored after the merge
+                        frames.append(
+                            gemm_topk_frame(
+                                gq, bQ[gq], ids[mask], X[mask], k
+                            )
+                        )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame({"qid": [], "id": [], "dist": []})
+                )
+
+        probed = sorted(assign)
+        per_cell = self.blobs.filter(F.col("cell").isin(probed)).mapInPandas(
+            search, RESULT_SCHEMA
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        ranked = (
+            per_cell.groupBy("qid", "id")  # replica min per POSITION
+            .agg(F.min("dist").alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
+        )
+        translated = _translate_positions(
+            ranked, spark, np.arange(len(qids)), qids
+        )
+        return _union_min_merge([translated], spark, k, has_dup)
+
 
 # ---------------------------------------------------------------------------
 # Warm serving for the compressed routes (VERDICT r5 item 3): PQ, SQ, and
@@ -1692,6 +1948,28 @@ class PqServingIndex:
         compression ratio vs raw shows up here) plus the driver-held
         codebooks — see _bytes_resident."""
         return _bytes_resident(self.blobs, (self._books,))
+
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_windows_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query window serving via grouped decomposition — one
+        masked filtered pass per DISTINCT ``[lo, hi)`` window in the
+        batch; see :func:`_query_by_window_grouped` for the contract
+        (row-unique windows belong on the graph/IVF/IVF-PQ routes)."""
+        return _query_by_window_grouped(
+            self, test, k, lo_col, hi_col, qid_col, vec_col,
+            max_windows_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -1979,6 +2257,27 @@ class SqServingIndex:
         """Executor-resident bytes (uint8 code matrices — ~8x below raw
         float64) plus the driver-held bounds — see _bytes_resident."""
         return _bytes_resident(self.blobs, (self._mins, self._span))
+
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_windows_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query window serving via grouped decomposition (one
+        masked pass per DISTINCT window; contract in
+        :func:`_query_by_window_grouped`)."""
+        return _query_by_window_grouped(
+            self, test, k, lo_col, hi_col, qid_col, vec_col,
+            max_windows_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
@@ -3128,6 +3427,27 @@ class RptServingIndex:
         driver-held tree (normals, thresholds) — see _bytes_resident."""
         return _bytes_resident(self.blobs, (self._W, self._T))
 
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        probes: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_windows_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query window serving via grouped decomposition (one
+        masked pass per DISTINCT window; contract in
+        :func:`_query_by_window_grouped`)."""
+        return _query_by_window_grouped(
+            self, test, k, lo_col, hi_col, qid_col, vec_col,
+            max_windows_per_batch,
+            dict(probes=probes, auto_boost=auto_boost),
+        )
+
     def unpersist(self) -> None:
         self.blobs.unpersist()
         for b in self._live_bcs:
@@ -3390,6 +3710,27 @@ class PcaServingIndex:
         this route trades memory for its exact in-blob refine) plus the
         driver-held basis — see _bytes_resident."""
         return _bytes_resident(self.blobs, (self._mean, self._comp))
+
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        candidate_factor: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_windows_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Per-query window serving via grouped decomposition (one
+        masked pass per DISTINCT window; contract in
+        :func:`_query_by_window_grouped`)."""
+        return _query_by_window_grouped(
+            self, test, k, lo_col, hi_col, qid_col, vec_col,
+            max_windows_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
 
     def unpersist(self) -> None:
         self.blobs.unpersist()
