@@ -790,6 +790,24 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dnf_ok = rows(
         gidx.query(test, K, allowed=AnyOf(range(10, 11), range(11, 12)))
     ) == rows(gidx.query(test, K, allowed=range(10, 12)))
+    # round 10: the restart contract rides the same gate — snapshot the
+    # graph serving form, restore it (format_version + blob fingerprint
+    # validated), and the restored handle must answer the selective
+    # range query byte-identically to brute force, like the live one
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    snap_dir = _tempfile.mkdtemp(prefix="q170_snap_")
+    try:
+        gidx.snapshot(snap_dir)
+        restored = type(gidx).from_snapshot(spark, snap_dir).warm()
+        snap_ok = (
+            rows(restored.query(test, K, allowed=range(10, 11)))
+            == sel_exact
+        )
+        restored.unpersist()
+    finally:
+        _shutil.rmtree(snap_dir, ignore_errors=True)
     gidx.unpersist()
     cidx.unpersist()
     return spark.createDataFrame(
@@ -800,6 +818,7 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(bad == 0),
                 bool(hits / len(truth) >= 0.9),
                 bool(dnf_ok),
+                bool(snap_ok),
                 # full-shape check: the oracle pins n_test * K, so a
                 # short broad result breaks the hash
                 int(got.count()),
@@ -807,7 +826,8 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "graph_sel_range_ok boolean, cell_sel_range_ok boolean, "
         "broad_only_matching boolean, broad_recall_ok boolean, "
-        "dnf_equiv_ok boolean, n_broad_rows long",
+        "dnf_equiv_ok boolean, snapshot_parity_ok boolean, "
+        "n_broad_rows long",
     )
 
 
@@ -4918,13 +4938,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q149: the collapse-identical mitigation is output-identical -> same oracle
         # q170: gate booleans computed in Spark; the oracle pins them TRUE
-        # plus the full broad shape (every test row must carry K rows)
+        # plus the full broad shape (every test row must carry K rows).
+        # snapshot_parity_ok (round 10) pins the restart contract: a
+        # snapshot/restore round trip must answer the selective range
+        # query byte-identically to brute force.
         "q170_range_serving_gate": f"""
             SELECT true AS graph_sel_range_ok,
                    true AS cell_sel_range_ok,
                    true AS broad_only_matching,
                    true AS broad_recall_ok,
                    true AS dnf_equiv_ok,
+                   true AS snapshot_parity_ok,
                    count(*) * {K} AS n_broad_rows
             FROM embeddings WHERE vec_id % 10 = 0
         """,

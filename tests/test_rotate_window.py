@@ -117,3 +117,23 @@ def test_apply_rotation_round_trips(tmp_path):
     ns: dict = {}
     exec(text, ns)
     assert list(ns["queries"]().keys()) == ["a", "b"]
+
+
+def test_rotation_guard_detects_stale():
+    """Round 10 (VERDICT r9 item 10): the mechanical guard — fresh
+    registry passes; a registry whose head is not the rotation top-50
+    is flagged with the exact remediation command. oracle_check exits
+    on it; bench.py prints it to stderr every round, so an idle round
+    can no longer let the window silently go stale."""
+    import __spark_entry__ as e
+    from tools.oracle_check import check_rotation_fresh
+
+    assert check_rotation_fresh(e) is None
+
+    class Stale:
+        @staticmethod
+        def queries():
+            return dict(reversed(list(e.queries().items())))
+
+    msg = check_rotation_fresh(Stale)
+    assert msg is not None and "rotate_window.py --apply" in msg

@@ -22,10 +22,39 @@ TABLES = [
 ]
 
 
+def check_rotation_fresh(entry, window: int = 50) -> "str | None":
+    """Round 10 (VERDICT r9 item 10): the registry order IS the driver's
+    correctness window — a stale order silently re-checks last round's
+    50 and lets the tail age past the 3-round freshness bound. Returns
+    an error string when registry[:window] differs from the rotation
+    top-window computed from the CORRECTNESS_r*.json on disk."""
+    from tools.rotate_window import load_latest_green, rotation_order
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = list(entry.queries())
+    top = rotation_order(registry, load_latest_green(repo_root))[:window]
+    if registry[:window] == top:
+        return None
+    return (
+        "registry window is STALE (registry[:50] != rotation top-50 for "
+        "the CORRECTNESS_r*.json on disk) — run:\n"
+        "    PYTHONPATH=. python tools/rotate_window.py --apply\n"
+        "and commit __spark_entry__.py before anything else"
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     sf = os.environ.get("SPARK_GRAFT_CORRECT_DIR", "/root/testdata/sf0.01")
+
+    import __spark_entry__ as _entry_mod
+
+    stale = check_rotation_fresh(_entry_mod)
+    if stale is not None and not os.environ.get(
+        "SPARK_GRAFT_SKIP_ROTATION_GUARD"
+    ):
+        sys.exit(stale)
 
     from vector_index_spark import get_spark
 
