@@ -595,3 +595,62 @@ def test_composite_dnf_union_guard_and_single_aggregate(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="summed over"):
         VectorIndex._composite_attr(attrs, ["c1", "c2"], big)
+
+
+def test_cosine_serving_snapshot_roundtrip(spark, tmp_path):
+    """Round 10: idx.serving().snapshot() stamps the metric into the
+    manifest and VectorIndex.serving_from_snapshot restores the SAME
+    adapter — a cosine snapshot restored bare would serve
+    l2sq-on-normalized distances (right ids, wrong scale, no error).
+    Euclidean snapshots restore as the bare ServingIndex."""
+    from vector_index_spark.api import VectorIndex, _CosineServing
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.serving import ServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(20).localCheckpoint(eager=True)
+
+    cos = VectorIndex.build(
+        train,
+        IndexParameters(
+            dimension=64, sub_index_bound=250,
+            distance_type="cosine_similarity",
+        ),
+    )
+    live = cos.serving().warm()
+    path = str(tmp_path / "cos_snap")
+    try:
+        live.snapshot(path)
+        restored = VectorIndex.serving_from_snapshot(spark, path).warm()
+        assert isinstance(restored, _CosineServing)
+        try:
+            a = sorted(
+                (r.qid, r.rank, r.id, round(r.dist, 9))
+                for r in live.query(test, K).collect()
+            )
+            b = sorted(
+                (r.qid, r.rank, r.id, round(r.dist, 9))
+                for r in restored.query(test, K).collect()
+            )
+            assert a == b
+        finally:
+            restored.unpersist()
+    finally:
+        live.unpersist()
+
+    # euclidean snapshots restore bare
+    euc = VectorIndex.build(train, PARAMS)
+    elive = euc.serving().warm()
+    epath = str(tmp_path / "euc_snap")
+    try:
+        elive.snapshot(epath)
+        erestored = VectorIndex.serving_from_snapshot(spark, epath)
+        assert isinstance(erestored, ServingIndex)
+        erestored.unpersist()
+    finally:
+        elive.unpersist()

@@ -2648,3 +2648,71 @@ def test_query_by_window_all_serving_classes(spark, ltrain):
     finally:
         for sidx in built.values():
             sidx.unpersist()
+
+
+def test_cell_multi_tenant_query_by_attribute(spark, ltrain):
+    """Round 10: CellServingIndex.query_by_attribute — multi-tenant
+    serving on the IVF route. Small tenants (everything at sf0.01) take
+    the all-cell masked exact GEMM, so the batch must EQUAL exact
+    per-tenant attribute kNN; a dup qid with different vectors and
+    tenants must equal independent-rows + min-merge (the positional
+    contract shared with graph/IVF-PQ)."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+    from vector_index_spark.operators.filtered import attribute_knn
+
+    train, test0 = ltrain
+    test = test0.limit(15)
+    wtest = test.join(
+        spark.range(0, 10_000).select(
+            F.col("id").alias("qid"), (F.col("id") % 7).alias("label")
+        ),
+        "qid",
+    ).localCheckpoint(eager=True)
+    assigned, cents = build_ivf(
+        train.select("id", "vec"), n_centroids=8, replicas=2
+    )
+    assigned = assigned.join(
+        F.broadcast(train.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+    sidx = CellServingIndex(assigned, cents, attr_col="label").warm()
+    try:
+        want = _round_rows(attribute_knn(
+            wtest, train.select("id", "vec", "label"), K, "label"
+        ))
+        got = _round_rows(sidx.query_by_attribute(wtest, K, qattr_col="label"))
+        assert got == want
+        # dup qid, different vectors AND tenants
+        two = wtest.limit(2).toPandas()
+        v0 = [float(v) for v in two["vec"][0]]
+        v1 = [float(v) for v in two["vec"][1]]
+        dup = spark.createDataFrame(
+            [(999, v0, 3), (999, v1, 5)],
+            "qid long, vec array<double>, label long",
+        )
+        singles = []
+        for v, lab in ((v0, 3), (v1, 5)):
+            one = spark.createDataFrame(
+                [(999, v, lab)], "qid long, vec array<double>, label long"
+            )
+            singles += [
+                (r["qid"], r["id"], r["dist"])
+                for r in sidx.query_by_attribute(
+                    one, K, qattr_col="label"
+                ).collect()
+            ]
+        best: dict = {}
+        for qid, id_, dist in singles:
+            if (qid, id_) not in best or dist < best[(qid, id_)]:
+                best[(qid, id_)] = dist
+        merged = sorted(best.items(), key=lambda kv: (kv[1], kv[0][1]))[:K]
+        dwant = sorted(
+            (qid, rank, id_, round(dist, 9))
+            for rank, ((qid, id_), dist) in enumerate(merged, start=1)
+        )
+        dgot = _round_rows(sidx.query_by_attribute(dup, K, qattr_col="label"))
+        assert dgot == dwant
+        with pytest.raises(ValueError):
+            sidx.query_by_attribute(wtest, K, qattr_col=["label", "label"])
+    finally:
+        sidx.unpersist()

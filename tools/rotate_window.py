@@ -131,8 +131,12 @@ def main() -> int:
         help="fail if the guaranteed re-check interval exceeds this",
     )
     ap.add_argument(
-        "--emit", choices=("report", "dict"), default="report",
-        help="'dict' prints paste-ready queries() body lines",
+        "--emit", choices=("report", "dict", "latest"), default="report",
+        help="'dict' prints paste-ready queries() body lines; 'latest' "
+        "prints one 'qid latest_green=rN' line per registry entry "
+        "(registry order) — the mechanical source for any latest-green "
+        "citation (ADVICE r9: derive these from the CORRECTNESS_r*.json "
+        "key sets instead of hand-carrying them between rounds)",
     )
     ap.add_argument(
         "--apply", action="store_true",
@@ -169,6 +173,12 @@ def main() -> int:
     if args.emit == "dict":
         for name in order:
             print(f'        "{name}": {name},')
+        return 0
+
+    if args.emit == "latest":
+        for name in registry:
+            tag = f"r{latest[name]}" if name in latest else "never"
+            print(f"{name} latest_green={tag}")
         return 0
 
     if args.apply:

@@ -112,6 +112,27 @@ class _CosineServing:
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
 
+    def snapshot(self, path: str) -> "_CosineServing":
+        """Snapshot the wrapped serving form and stamp the metric into
+        the manifest, so :meth:`VectorIndex.serving_from_snapshot`
+        restores the SAME adapter (round 10): a cosine snapshot restored
+        bare would serve l2sq-on-normalized distances — right ids,
+        wrong dist scale — with no error."""
+        import json as _json
+
+        from vector_index_spark.index.serving import (
+            _fs_read_bytes,
+            _fs_write_bytes,
+        )
+
+        self._inner.snapshot(path)
+        spark = self._inner._spark
+        mpath = f"{path}/serving_manifest.json"
+        manifest = _json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
+        manifest["metric"] = "cosine_similarity"
+        _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
+        return self
+
     def _normed(self, test: DataFrame, kwargs: dict, extra=()):
         from vector_index_spark.functions.distance import normalize
 
@@ -631,6 +652,32 @@ class VectorIndex:
             "inner_product use query() (its augmentation undo joins back "
             "through the stored vectors, outside the resident-shard path)"
         )
+
+    @staticmethod
+    def serving_from_snapshot(spark, path: str, validate: bool = True):
+        """Restore a facade serving handle written by
+        ``idx.serving().snapshot(path)`` (round 10): reads the manifest,
+        validates format/fingerprint (see
+        :meth:`~vector_index_spark.index.serving.ServingIndex.from_snapshot`),
+        and re-wraps cosine snapshots in the SAME metric adapter
+        ``serving()`` returned — a cosine snapshot restored bare would
+        serve l2sq-on-normalized distances (right ids, wrong scale)."""
+        import json as _json
+
+        from vector_index_spark.index.serving import (
+            ServingIndex,
+            _fs_read_bytes,
+        )
+
+        manifest = _json.loads(
+            _fs_read_bytes(spark, f"{path}/serving_manifest.json").decode(
+                "utf-8"
+            )
+        )
+        inner = ServingIndex.from_snapshot(spark, path, validate=validate)
+        if manifest.get("metric") == "cosine_similarity":
+            return _CosineServing(inner)
+        return inner
 
     # -- persistence & maintenance ----------------------------------------
 

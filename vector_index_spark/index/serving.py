@@ -1548,12 +1548,104 @@ class CellServingIndex:
     def _query_batch_by_window(
         self, t: DataFrame, k: int, nprobe: int, auto_boost: bool,
     ) -> DataFrame:
+        from vector_index_spark.operators.filtered import RangeSpec
+
+        def mask_of(attrs, key):
+            return (attrs[:, 0] >= key[0]) & (attrs[:, 0] < key[1])
+
+        return self._grouped_constraint_batch(
+            t,
+            key_cols=("__lo", "__hi"),
+            mask_of=mask_of,
+            nmatch_of=lambda hist, key: _match_count(
+                hist, (RangeSpec(key[0], max(key[1], key[0])),)
+            ),
+            k=k, nprobe=nprobe, auto_boost=auto_boost,
+        )
+
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_queries_per_batch: int = 100_000,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant serving on the IVF route (round 10): each query
+        row carries its own attribute value(s) (``qattr_col``: one
+        column, or a sequence aligned with this index's ``attr_col``)
+        and neighbors must match them ALL exactly —
+        :meth:`ServingIndex.query_by_attribute`'s contract over resident
+        cell blobs. Tenants group inside one blob pass (a small tenant
+        probes EVERY cell, where the masked GEMM is exact; a large one
+        probes routed cells at the boosted nprobe); positional keying
+        gives duplicate qids the independent-rows + min-merge contract.
+        Returns (qid, rank, id, dist)."""
+        from vector_index_spark.index.querychunk import chunked_over_queries
+
+        if self._attr_cols is None:
+            raise ValueError(
+                "query_by_attribute needs attr_col= at CellServingIndex "
+                "construction"
+            )
+        qcols = [qattr_col] if isinstance(qattr_col, str) else list(qattr_col)
+        if len(qcols) != len(self._attr_cols):
+            raise ValueError(
+                f"qattr_col must name {len(self._attr_cols)} column(s) "
+                f"(one per attr_col), got {qattr_col!r}"
+            )
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
+        t = test.select(
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            *(
+                F.col(c).cast("long").alias(f"__qa{i}")
+                for i, c in enumerate(qcols)
+            ),
+        )
+        m = len(qcols)
+
+        def mask_of(attrs, key):
+            mask = attrs[:, 0] == key[0]
+            for j in range(1, len(key)):
+                mask &= attrs[:, j] == key[j]
+            return mask
+
+        return chunked_over_queries(
+            t,
+            lambda chunk: self._grouped_constraint_batch(
+                chunk,
+                key_cols=tuple(f"__qa{i}" for i in range(m)),
+                mask_of=mask_of,
+                nmatch_of=lambda hist, key: hist.get(tuple(key), 0),
+                k=k, nprobe=nprobe, auto_boost=auto_boost,
+            ),
+            max_queries_per_batch,
+        )
+
+    def _grouped_constraint_batch(
+        self, t: DataFrame, key_cols, mask_of, nmatch_of,
+        k: int, nprobe: int, auto_boost: bool,
+    ) -> DataFrame:
+        """Shared engine for per-query-constraint serving on the IVF
+        route (query_by_window / query_by_attribute): ``key_cols`` name
+        the long-typed constraint columns of the batch frame,
+        ``mask_of(attrs, key)`` builds the resident mask for one
+        constraint over a blob's (n, m) attribute matrix, and
+        ``nmatch_of(hist, key)`` feeds the strategy rule. Rows sharing a
+        constraint share one mask+GEMM pass per blob; everything is
+        keyed by ROW POSITION so duplicate qids answer independently
+        and min-merge per (qid, id)."""
         import math as _math
 
         from pyspark.sql import Window
 
         from vector_index_spark.operators.filtered import (
-            RangeSpec,
             choose_filtered_strategy,
         )
         from vector_index_spark.operators.knn import knn_join
@@ -1566,8 +1658,9 @@ class CellServingIndex:
             )
         qids = pdf["qid"].to_numpy(dtype=np.int64)
         Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        los = pdf["__lo"].to_numpy(dtype=np.int64)
-        his = pdf["__hi"].to_numpy(dtype=np.int64)
+        keys = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.int64) for c in key_cols]
+        )
         has_dup = len(np.unique(qids)) < len(qids)
         hist = self._attribute_histogram()
         n_corpus = max(sum(hist.values()), 1)
@@ -1576,12 +1669,11 @@ class CellServingIndex:
         exact_qi: list[int] = []
         probe_qi: list[int] = []
         boost = 1
-        strat: dict[tuple[int, int], str] = {}
+        strat: dict[tuple, str] = {}
         for qi in range(len(qids)):
-            win = (int(los[qi]), int(his[qi]))
-            if win not in strat:
-                spec = (RangeSpec(win[0], max(win[1], win[0])),)
-                n_match = _match_count(hist, spec)
+            key = tuple(int(v) for v in keys[qi])
+            if key not in strat:
+                n_match = nmatch_of(hist, key)
                 s = "exact"
                 if auto_boost and n_match > 0:
                     s, _ = choose_filtered_strategy(
@@ -1589,13 +1681,13 @@ class CellServingIndex:
                     )
                 elif not auto_boost:
                     s = "probe"
-                strat[win] = s
+                strat[key] = s
                 if s != "exact":
                     sel = max(n_match, 1) / n_corpus
                     boost = max(boost, min(8, _math.ceil(1.0 / sel)))
-            (exact_qi if strat[win] == "exact" else probe_qi).append(qi)
-        # per-POSITION cell assignment: narrow-window rows visit every
-        # cell (range-masked GEMM over resident raw vectors == exact);
+            (exact_qi if strat[key] == "exact" else probe_qi).append(qi)
+        # per-POSITION cell assignment: selective-constraint rows visit
+        # every cell (masked GEMM over resident raw vectors == exact);
         # the rest probe routed cells at the boosted nprobe
         acc: dict[int, list[int]] = {}
         for c in all_cells if exact_qi else ():
@@ -1616,13 +1708,13 @@ class CellServingIndex:
             c: np.asarray(sorted(set(ix)), dtype=np.int64)
             for c, ix in acc.items()
         }
-        bc = spark.sparkContext.broadcast((Q, los, his, assign))
+        bc = spark.sparkContext.broadcast((Q, keys, assign))
         self._live_bcs.append(bc)
 
         def search(batches):
             from vector_index_spark.index.cellscan import gemm_topk_frame
 
-            bQ, b_los, b_his, asg = bc.value
+            bQ, b_keys, asg = bc.value
             for pdf_b in batches:
                 frames = []
                 for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
@@ -1631,15 +1723,15 @@ class CellServingIndex:
                         continue
                     payload = pickle.loads(blob)
                     ids, X, attrs = payload[0], payload[1], payload[2]
-                    if attrs.ndim > 1:
-                        attrs = attrs[:, 0]
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
                     groups: dict[tuple, list[int]] = {}
                     for qi in ix:
                         groups.setdefault(
-                            (int(b_los[qi]), int(b_his[qi])), []
+                            tuple(int(v) for v in b_keys[qi]), []
                         ).append(int(qi))
-                    for (lo, hi), qlist in groups.items():
-                        mask = (attrs >= lo) & (attrs < hi)
+                    for key, qlist in groups.items():
+                        mask = mask_of(attrs, key)
                         if not mask.any():
                             continue
                         gq = np.asarray(qlist, dtype=np.int64)
