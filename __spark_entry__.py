@@ -1483,6 +1483,31 @@ def q168_multi_tenant_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 6).alias("dist"),
     ).localCheckpoint(eager=True)
     sidx.unpersist()
+    # round 10: the IVF route's tenant form (CellServingIndex.
+    # query_by_attribute) must answer the SAME batch identically — all
+    # tenants are under the exact boundary on both routes, so any
+    # divergence is a mask/positional-keying bug; it raises here and
+    # reds the driver gate
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+
+    assigned, cents = build_ivf(train.select("id", "vec"), n_centroids=8)
+    cidx = CellServingIndex(
+        assigned.join(F.broadcast(train.select("id", "label")), "id")
+        .localCheckpoint(eager=True),
+        cents, attr_col="label",
+    ).warm()
+    cell = cidx.query_by_attribute(test, K, qattr_col="label").select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id",
+        F.round("dist", 6).alias("dist"),
+    )
+    n_diff = res.exceptAll(cell).count() + cell.exceptAll(res).count()
+    cidx.unpersist()
+    if n_diff:
+        raise AssertionError(
+            f"CellServingIndex.query_by_attribute diverged from the "
+            f"graph route on {n_diff} rows"
+        )
     return res
 
 

@@ -13,6 +13,11 @@ Stages:
      (streaming/ingest.stream_index_ingest -> affected shards only)
   3. load the grown index, warm a ServingIndex, and serve query batches
      from the resident blobs; verify recall vs brute force
+  4. fleet restart (round 10): snapshot the serving form, restore it
+     from the snapshot (versioned manifest + blob fingerprint
+     validated), and verify the restored handle answers the SAME batch
+     byte-identically — the restart path is a parquet read, not a
+     re-pack
 """
 
 from __future__ import annotations
@@ -83,7 +88,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> float:
     recall = hits / sum(len(v) for v in truth.values())
     print(f"serving recall@10 vs exact: {recall:.4f}")
     assert recall >= 0.95, f"serving recall {recall} below 0.95"
+
+    # 4. fleet restart: snapshot -> restore -> byte-identical answers
+    t0 = time.perf_counter()
+    serving.snapshot(f"{work}/snap")
+    print(f"serving snapshot: {time.perf_counter() - t0:.2f}s")
     serving.unpersist()
+    t0 = time.perf_counter()
+    restored = VectorIndex.serving_from_snapshot(spark, f"{work}/snap").warm()
+    print(f"snapshot restore+warm: {time.perf_counter() - t0:.2f}s")
+    replay = restored.query(queries, k=10).collect()
+    assert sorted(map(tuple, replay)) == sorted(map(tuple, approx)), (
+        "restored serving answers diverged from the live handle"
+    )
+    print("restored serving byte-identical: True")
+    restored.unpersist()
     if own_session:
         spark.stop()
     return recall
