@@ -2716,3 +2716,93 @@ def test_cell_multi_tenant_query_by_attribute(spark, ltrain):
             sidx.query_by_attribute(wtest, K, qattr_col=["label", "label"])
     finally:
         sidx.unpersist()
+
+
+def test_query_by_attribute_decomposed_classes(spark, ltrain):
+    """Round 10 depth: query_by_attribute on PQ/SQ/RPT/PCA via the
+    grouped decomposition — every serving class now carries BOTH
+    per-query forms. Single-tenant-per-row batches must equal exact
+    per-tenant attribute kNN (selective tenants -> each class's exact
+    branch); PQ also checks the multi-attribute conjunction form and
+    the over-cap guard."""
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+    from vector_index_spark.operators.filtered import attribute_knn
+
+    train, test0 = ltrain
+    tr = train.select("id", "vec", "label", "label2").localCheckpoint(
+        eager=True
+    )
+    wtest = test0.limit(12).withColumn(
+        "label", F.col("qid") % 7
+    ).localCheckpoint(eager=True)
+    want = _round_rows(attribute_knn(wtest, tr, K, "label"))
+
+    books = train_pq(tr, n_subspaces=8, n_centroids=16)
+    enc_pq = encode_pq(tr, books).localCheckpoint(eager=True)
+    mins, maxs = train_sq(tr)
+    enc_sq = encode_sq(tr, mins, maxs).localCheckpoint(eager=True)
+    W, T = train_rpt(tr, depth=3)
+    assigned_rpt = assign_rpt(tr, W, T).join(
+        F.broadcast(tr.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+    mean, comp = train_pca(tr, 16)
+    projected = project_pca(tr, mean, comp).join(
+        F.broadcast(tr.select("id", "label")), "id"
+    ).localCheckpoint(eager=True)
+
+    built = {
+        "pq": PqServingIndex(enc_pq, tr, books, attr_col="label"),
+        "sq": SqServingIndex(enc_sq, tr, mins, maxs, attr_col="label"),
+        "rpt": RptServingIndex(assigned_rpt, W, T, attr_col="label"),
+        "pca": PcaServingIndex(projected, mean, comp, attr_col="label"),
+    }
+    try:
+        for name, sidx in built.items():
+            sidx.warm()
+            got = _round_rows(
+                sidx.query_by_attribute(wtest, K, qattr_col="label")
+            )
+            assert got == want, name
+        # over-cap tenants raise with guidance
+        with pytest.raises(ValueError, match="distinct tenants"):
+            built["pq"].query_by_attribute(
+                wtest, K, qattr_col="label", max_tenants_per_batch=2
+            )
+        # multi-attribute conjunction tenants on the compressed route
+        pq2 = PqServingIndex(
+            encode_pq(tr, books).localCheckpoint(eager=True), tr, books,
+            attr_col=["label", "label2"],
+        ).warm()
+        try:
+            from vector_index_spark.operators.knn import knn_join
+
+            ctest = wtest.withColumn(
+                "label2", F.col("qid") % 3
+            ).localCheckpoint(eager=True)
+            cwant = []
+            for r in ctest.select("label", "label2").distinct().collect():
+                pred = (F.col("label") == r["label"]) & (
+                    F.col("label2") == r["label2"]
+                )
+                cwant += _round_rows(knn_join(
+                    ctest.filter(pred).select("qid", "vec"),
+                    tr.filter(pred).select("id", "vec"), K,
+                ))
+            cgot = _round_rows(pq2.query_by_attribute(
+                ctest, K, qattr_col=["label", "label2"]
+            ))
+            assert cgot == sorted(cwant)
+        finally:
+            pq2.unpersist()
+    finally:
+        for sidx in built.values():
+            sidx.unpersist()

@@ -280,13 +280,39 @@ def _query_by_window_grouped(
             "query_by_window needs exactly one attr_col= at "
             f"{type(idx).__name__} construction (the windowed attribute)"
         )
-    spark = idx._spark
     t = test.select(
         F.col(qid_col).alias("qid"),
         F.col(vec_col).alias("vec"),
         F.col(lo_col).cast("long").alias("__lo"),
         F.col(hi_col).cast("long").alias("__hi"),
     )
+
+    def key_of(pdf, pos):
+        lo, hi = int(pdf["__lo"].iat[pos]), int(pdf["__hi"].iat[pos])
+        # empty window matches nothing (RangeSpec semantics)
+        return (lo, hi) if hi > lo else None
+
+    return _decomposed_constraint_query(
+        idx, t, k, key_of,
+        allowed_of=lambda key: range(key[0], key[1]),
+        max_groups=max_windows_per_batch,
+        group_noun="distinct windows",
+        cap_name="max_windows_per_batch",
+        query_kwargs=query_kwargs,
+    )
+
+
+def _decomposed_constraint_query(
+    idx, t: DataFrame, k: int, key_of, allowed_of,
+    max_groups: int, group_noun: str, cap_name: str, query_kwargs: dict,
+) -> DataFrame:
+    """Shared decomposition engine behind the PQ/SQ/RPT/PCA per-query
+    forms (`query_by_window`, `query_by_attribute`): rows group by
+    ``key_of(pdf, pos)`` (None = row matches nothing), each group rides
+    one filtered ``idx.query(allowed=allowed_of(key))`` pass, dup qids
+    inside a group split into unique-qid waves, and everything
+    min-merges per (qid, id)."""
+    spark = idx._spark
     pdf = t.toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame(
@@ -296,33 +322,84 @@ def _query_by_window_grouped(
     has_dup = len(np.unique(qids)) < len(qids)
     groups: dict = {}
     for pos in range(len(pdf)):
-        lo, hi = int(pdf["__lo"].iat[pos]), int(pdf["__hi"].iat[pos])
-        if hi <= lo:
-            continue  # empty window matches nothing (RangeSpec semantics)
-        groups.setdefault((lo, hi), []).append(pos)
-    if len(groups) > max_windows_per_batch:
+        key = key_of(pdf, pos)
+        if key is None:
+            continue
+        groups.setdefault(key, []).append(pos)
+    if len(groups) > max_groups:
         raise ValueError(
-            f"batch carries {len(groups)} distinct windows > "
-            f"max_windows_per_batch={max_windows_per_batch}; this route "
-            "pays one resident pass per distinct window — for row-unique "
-            "windows use ServingIndex / CellServingIndex / "
-            "IvfPqServingIndex.query_by_window (single-pass per-row "
-            "masks), or raise max_windows_per_batch explicitly"
+            f"batch carries {len(groups)} {group_noun} > "
+            f"{cap_name}={max_groups}; this route pays one resident pass "
+            "per group — for row-unique constraints use ServingIndex / "
+            "CellServingIndex / IvfPqServingIndex (single-pass per-row "
+            f"masks), or raise {cap_name} explicitly"
         )
     parts = []
-    for (lo, hi), ix in groups.items():
+    for key, ix in groups.items():
         sub = pdf.iloc[ix][["qid", "vec"]].copy()
         sub["vec"] = sub["vec"].map(list)
         # unique-qid waves: the class's plain filtered query answers a
-        # batch of DISTINCT qids; a qid repeated within one window group
+        # batch of DISTINCT qids; a qid repeated within one group
         # (different vectors) goes in a later wave and min-merges below
         sub["__wave"] = sub.groupby("qid").cumcount()
         for _, wave in sub.groupby("__wave"):
             qdf = spark.createDataFrame(wave[["qid", "vec"]])
             parts.append(
-                idx.query(qdf, k, allowed=range(lo, hi), **query_kwargs)
+                idx.query(qdf, k, allowed=allowed_of(key), **query_kwargs)
             )
     return _union_min_merge(parts, spark, k, has_dup)
+
+
+def _query_by_attribute_grouped(
+    idx,
+    test: DataFrame,
+    k: int,
+    qattr_col,
+    qid_col: str,
+    vec_col: str,
+    max_tenants_per_batch: int,
+    query_kwargs: dict,
+) -> DataFrame:
+    """Shared :meth:`query_by_attribute` for PQ/SQ/RPT/PCA (round 10):
+    the batch decomposes into DISTINCT tenant tuples and each rides one
+    equality-filtered pass (``allowed=[[v0], [v1], ...]``), inheriting
+    the class's strategy rule and recall contract — the tenant analogue
+    of :func:`_query_by_window_grouped`, with the same cost contract
+    (one resident pass per distinct tenant in the batch)."""
+    if idx._attr_cols is None:
+        raise ValueError(
+            "query_by_attribute needs attr_col= at "
+            f"{type(idx).__name__} construction"
+        )
+    qcols = [qattr_col] if isinstance(qattr_col, str) else list(qattr_col)
+    if len(qcols) != len(idx._attr_cols):
+        raise ValueError(
+            f"qattr_col must name {len(idx._attr_cols)} column(s) "
+            f"(one per attr_col), got {qattr_col!r}"
+        )
+    m = len(qcols)
+    t = test.select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).alias("vec"),
+        *(
+            F.col(c).cast("long").alias(f"__qa{i}")
+            for i, c in enumerate(qcols)
+        ),
+    )
+
+    def key_of(pdf, pos):
+        return tuple(int(pdf[f"__qa{i}"].iat[pos]) for i in range(m))
+
+    def allowed_of(key):
+        return [key[0]] if m == 1 else [[v] for v in key]
+
+    return _decomposed_constraint_query(
+        idx, t, k, key_of, allowed_of,
+        max_groups=max_tenants_per_batch,
+        group_noun="distinct tenants",
+        cap_name="max_tenants_per_batch",
+        query_kwargs=query_kwargs,
+    )
 
 
 def _attr_pack_names(attr_cols: "tuple[str, ...]") -> "list[str]":
@@ -2063,6 +2140,26 @@ class PqServingIndex:
             dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
         )
 
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_tenants_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant serving via grouped decomposition (one masked
+        pass per DISTINCT tenant; contract in
+        :func:`_query_by_attribute_grouped`)."""
+        return _query_by_attribute_grouped(
+            self, test, k, qattr_col, qid_col, vec_col,
+            max_tenants_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
+
     def unpersist(self) -> None:
         self.blobs.unpersist()
         for b in self._live_bcs:
@@ -2368,6 +2465,26 @@ class SqServingIndex:
         return _query_by_window_grouped(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
             max_windows_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
+
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        candidate_factor: int = 8,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_tenants_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant serving via grouped decomposition (one masked
+        pass per DISTINCT tenant; contract in
+        :func:`_query_by_attribute_grouped`)."""
+        return _query_by_attribute_grouped(
+            self, test, k, qattr_col, qid_col, vec_col,
+            max_tenants_per_batch,
             dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
         )
 
@@ -3540,6 +3657,26 @@ class RptServingIndex:
             dict(probes=probes, auto_boost=auto_boost),
         )
 
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        probes: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_tenants_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant serving via grouped decomposition (one masked
+        pass per DISTINCT tenant; contract in
+        :func:`_query_by_attribute_grouped`)."""
+        return _query_by_attribute_grouped(
+            self, test, k, qattr_col, qid_col, vec_col,
+            max_tenants_per_batch,
+            dict(probes=probes, auto_boost=auto_boost),
+        )
+
     def unpersist(self) -> None:
         self.blobs.unpersist()
         for b in self._live_bcs:
@@ -3821,6 +3958,26 @@ class PcaServingIndex:
         return _query_by_window_grouped(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
             max_windows_per_batch,
+            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+        )
+
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        candidate_factor: int = 4,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+        max_tenants_per_batch: int = 64,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """Multi-tenant serving via grouped decomposition (one masked
+        pass per DISTINCT tenant; contract in
+        :func:`_query_by_attribute_grouped`)."""
+        return _query_by_attribute_grouped(
+            self, test, k, qattr_col, qid_col, vec_col,
+            max_tenants_per_batch,
             dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
         )
 
