@@ -88,3 +88,56 @@ def cell_topk_scan(
         .cogroup(corpus_with_cell.groupBy(cell_col))
         .applyInPandas(score, QSCAN_SCHEMA)
     )
+
+
+def grouped_masked_topk_frame(qids, Q, ids, X, groups, k: int,
+                              query_block: int = 1024):
+    """Many masked top-k selections from ONE distance matrix per blob
+    (round 10): ``groups`` is a list of ``(row_positions, corpus_mask)``
+    — one entry per distinct constraint probing this blob — and the
+    full (probing queries) x (blob rows) L2 matrix is computed once
+    (blocked over query rows), with each group selecting its top-k from
+    its mask's columns. Replaces one GEMM + corpus-subset copy per
+    (blob, group), whose memory traffic dominated when a windowed batch
+    carried many distinct constraints (SCALE.md round-10 probe: the
+    per-group ``X[mask]`` copies re-read the blob matrix once per
+    group). Bit-parity with per-group ``gemm_topk_frame(ids[mask],
+    X[mask])``: each distance element is the same 64-dim dot product
+    over the same contiguous rows — masking selects COLUMNS of the
+    result, after the math (asserted against exact kNN in
+    tests/test_serving.py)."""
+    import pandas as pd
+
+    # restrict the GEMM to rows that actually probe this blob
+    up = np.unique(np.concatenate([pos for pos, _ in groups]))
+    remap = {int(p): i for i, p in enumerate(up)}
+    Qp = Q[up]
+    csq = (X * X).sum(axis=1)
+    qsq = (Qp * Qp).sum(axis=1)
+    out_qid, out_id, out_dist = [], [], []
+    for lo in range(0, len(Qp), query_block):
+        hi = lo + query_block
+        D = qsq[lo:hi, None] - 2.0 * Qp[lo:hi] @ X.T + csq[None, :]
+        for pos, mask in groups:
+            rows = np.asarray(
+                [remap[int(p)] for p in pos if lo <= remap[int(p)] < hi],
+                dtype=np.int64,
+            )
+            if len(rows) == 0 or not mask.any():
+                continue
+            Dg = D[rows - lo][:, mask]
+            kk = min(k, Dg.shape[1])
+            top = np.argsort(Dg, axis=1, kind="stable")[:, :kk]
+            gids = ids[mask]
+            out_qid.append(np.repeat(qids[up[rows]], kk))
+            out_id.append(gids[top].reshape(-1))
+            out_dist.append(np.take_along_axis(Dg, top, axis=1).reshape(-1))
+    if not out_qid:
+        return pd.DataFrame({"qid": [], "id": [], "dist": []})
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(out_qid),
+            "id": np.concatenate(out_id),
+            "dist": np.concatenate(out_dist),
+        }
+    )

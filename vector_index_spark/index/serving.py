@@ -1789,7 +1789,9 @@ class CellServingIndex:
         self._live_bcs.append(bc)
 
         def search(batches):
-            from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.index.cellscan import (
+                grouped_masked_topk_frame,
+            )
 
             bQ, b_keys, asg = bc.value
             for pdf_b in batches:
@@ -1807,18 +1809,21 @@ class CellServingIndex:
                         groups.setdefault(
                             tuple(int(v) for v in b_keys[qi]), []
                         ).append(int(qi))
-                    for key, qlist in groups.items():
-                        mask = mask_of(attrs, key)
-                        if not mask.any():
-                            continue
-                        gq = np.asarray(qlist, dtype=np.int64)
-                        # positional keys out of the kernel; the real
-                        # qid is restored after the merge
-                        frames.append(
-                            gemm_topk_frame(
-                                gq, bQ[gq], ids[mask], X[mask], k
-                            )
+                    blob_groups = [
+                        (np.asarray(qlist, dtype=np.int64), mask)
+                        for key, qlist in groups.items()
+                        for mask in (mask_of(attrs, key),)
+                    ]
+                    # ONE distance matrix per blob, each constraint
+                    # selecting from its mask's columns — positional
+                    # keys out of the kernel; real qids restored after
+                    # the merge
+                    frames.append(
+                        grouped_masked_topk_frame(
+                            np.arange(len(bQ), dtype=np.int64), bQ,
+                            ids, X, blob_groups, k,
                         )
+                    )
                 yield (
                     pd.concat(frames, ignore_index=True)
                     if frames
