@@ -1036,7 +1036,9 @@ class ServingIndex:
         self._live_bcs.append(bc)
 
         def search(batches):
-            from vector_index_spark.index.cellscan import gemm_topk_frame
+            from vector_index_spark.index.cellscan import (
+                grouped_masked_topk_frame,
+            )
             from vector_index_spark.operators.filtered import (
                 conjunction_mask,
             )
@@ -1050,17 +1052,13 @@ class ServingIndex:
                     attrs = g.attrs
                     if attrs.ndim == 1:
                         attrs = attrs[:, None]
+                    exact_groups = []
                     for spec, ix, exact, patience in b_groups:
                         mask = conjunction_mask(attrs, spec)
                         if not mask.any():
                             continue
                         if exact:
-                            frames.append(
-                                gemm_topk_frame(
-                                    q_ids[ix], q_mat[ix],
-                                    g.ids[mask], g.X[mask], k,
-                                )
-                            )
+                            exact_groups.append((ix, mask))
                             continue
                         for qi in ix:
                             for d, off in query_shard(
@@ -1069,6 +1067,17 @@ class ServingIndex:
                                 out_qid.append(int(q_ids[qi]))
                                 out_id.append(int(g.ids[off]))
                                 out_dist.append(d)
+                    if exact_groups:
+                        # ONE distance matrix per shard; each exact
+                        # group (tenant / window) selects its top-k
+                        # from its mask's columns — per-group corpus
+                        # copies removed (round 10, cellscan kernel)
+                        frames.append(
+                            grouped_masked_topk_frame(
+                                q_ids, q_mat, g.ids, g.X,
+                                exact_groups, k,
+                            )
+                        )
                 beam = pd.DataFrame(
                     {"qid": out_qid, "id": out_id, "dist": out_dist}
                 )
