@@ -2806,3 +2806,15 @@ def test_query_by_attribute_decomposed_classes(spark, ltrain):
     finally:
         for sidx in built.values():
             sidx.unpersist()
+
+
+def test_snapshot_missing_path_is_typed(spark, tmp_path):
+    """A restore from a path with no snapshot raises the typed
+    SnapshotIntegrityError (not a raw py4j FileNotFound)."""
+    from vector_index_spark.index.serving import (
+        ServingIndex,
+        SnapshotIntegrityError,
+    )
+
+    with pytest.raises(SnapshotIntegrityError, match="no serving snapshot"):
+        ServingIndex.from_snapshot(spark, str(tmp_path / "nothing_here"))

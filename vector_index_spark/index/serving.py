@@ -207,9 +207,15 @@ def _write_manifest(spark, path: str, manifest: dict) -> None:
 def _read_manifest(spark, path: str, expected_cls: str) -> dict:
     import json as _json
 
-    manifest = _json.loads(
-        _fs_read_bytes(spark, f"{path}/serving_manifest.json").decode("utf-8")
-    )
+    try:
+        raw = _fs_read_bytes(spark, f"{path}/serving_manifest.json")
+    except Exception as e:  # py4j wraps FileNotFound — re-raise typed
+        raise SnapshotIntegrityError(
+            f"no serving snapshot at {path} (serving_manifest.json "
+            "missing or unreadable) — is the path the one snapshot() "
+            "wrote to?"
+        ) from e
+    manifest = _json.loads(raw.decode("utf-8"))
     v = manifest.get("format_version")
     if v != SNAPSHOT_FORMAT_VERSION:
         raise SnapshotIntegrityError(
