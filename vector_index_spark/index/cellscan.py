@@ -101,10 +101,13 @@ def grouped_masked_topk_frame(qids, Q, ids, X, groups, k: int,
     (blob, group), whose memory traffic dominated when a windowed batch
     carried many distinct constraints (SCALE.md round-10 probe: the
     per-group ``X[mask]`` copies re-read the blob matrix once per
-    group). Bit-parity with per-group ``gemm_topk_frame(ids[mask],
-    X[mask])``: each distance element is the same 64-dim dot product
-    over the same contiguous rows — masking selects COLUMNS of the
-    result, after the math (asserted against exact kNN in
+    group). Parity with per-group ``gemm_topk_frame(ids[mask],
+    X[mask])``: masking selects COLUMNS of the result after the math,
+    but BLAS accumulates shape-dependently, so distances can wobble in
+    the low float64 ULPs — equal to 1e-9 relative, with identical id
+    selection away from within-wobble top-k boundaries (the PCA-serving
+    parity contract; property-tested in test_hypothesis_props, pinned
+    against exact kNN at the engine's 9-decimal rounding in
     tests/test_serving.py)."""
     import pandas as pd
 
