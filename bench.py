@@ -690,6 +690,40 @@ def main() -> None:
         rstate["idx"].unpersist()
     shutil.rmtree(snap_dir, ignore_errors=True)
 
+    # per-row windowed serving on the IVF route (round 10): a 10-query
+    # batch where EVERY row carries its own 3-wide [lo, hi) window over
+    # a packed day attribute — the grouped-constraint engine's tripwire
+    # (one distance matrix per cell blob, per-window column masks).
+    # Build/warm untimed (startup, like the other serving entries);
+    # appended at the tail per the ordering contract.
+    def cell_window_state():
+        from vector_index_spark.index.ivf import build_ivf
+        from vector_index_spark.index.serving import CellServingIndex
+
+        tl = big_train.withColumn("day", F.col("id") % 100)
+        assigned, cents = build_ivf(
+            tl.select("id", "vec"), n_centroids=16
+        )
+        assigned = assigned.join(
+            F.broadcast(tl.select("id", "day")), "id"
+        ).localCheckpoint(eager=True)
+        sidx = CellServingIndex(assigned, cents, attr_col="day").warm()
+        batch = (
+            big_test.limit(10)
+            .withColumn("lo", F.col("qid") % 50)
+            .withColumn("hi", (F.col("qid") % 50) + 3)
+            .localCheckpoint(eager=True)
+        )
+        return sidx, batch
+
+    wsidx, wbatch = cell_window_state()
+    wsidx.query_by_window(wbatch, K).count()  # JIT pass
+    timed(
+        "cell_windowed_serving_query_k100_62k",
+        lambda: wsidx.query_by_window(wbatch, K).count(),
+    )
+    wsidx.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
