@@ -493,3 +493,126 @@ def test_stream_ann_query_filtered_drain_equals_batch(spark, tmp_path):
             stream, idx_path, out, str(tmp_path / "ckpt2"), k=5,
             allowed=[1],
         )
+
+
+def test_stream_per_row_constraints_and_snapshot_restart(spark, tmp_path):
+    """Round 10: streaming serving with per-row constraints from the
+    query stream itself — window_cols on the graph loop, qattr_col on
+    the IVF-PQ loop — must drain to the batch per-row forms' answers
+    (== exact per-constraint kNN at these selectivities); and a server
+    restarted with snapshot_path= serves the same stream identically
+    without re-packing."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.persistence import save_ivfpq
+    from vector_index_spark.index.serving import (
+        IvfPqServingIndex,
+        ServingIndex,
+    )
+    from vector_index_spark.operators.knn import knn_join
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import (
+        stream_ann_query,
+        stream_ivfpq_query,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        "label", (F.col("vec_id") % 100).alias("day"),
+    ).localCheckpoint(eager=True)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(20).localCheckpoint(eager=True)
+    K5 = 5
+
+    # --- graph loop, per-row windows, served from a SNAPSHOT ---
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    edges = build_graph_index(train.select("id", "vec"), params)
+    vectors = assign_shards(train.select("id", "vec"), 250).join(
+        F.broadcast(train.select("id", "day")), "id"
+    )
+    gidx = ServingIndex(vectors, edges, attr_col="day").warm()
+    snap = str(tmp_path / "gsnap")
+    gidx.snapshot(snap)
+    gidx.unpersist()
+
+    wtest = test.withColumn("lo", F.lit(10)).withColumn("hi", F.lit(14))
+    qdir = str(tmp_path / "wqueries")
+    wtest.write.parquet(qdir)
+    stream = spark.readStream.schema(
+        "qid long, vec array<float>, lo long, hi long"
+    ).parquet(qdir)
+    out = str(tmp_path / "wresults")
+    q = stream_ann_query(
+        stream, None, out, str(tmp_path / "wckpt"), k=K5,
+        window_cols=("lo", "hi"), snapshot_path=snap,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    corp = train.filter((F.col("day") >= 10) & (F.col("day") < 14))
+    want = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in knn_join(test, corp.select("id", "vec"), K5).collect()
+    )
+    assert got == want
+
+    # --- IVF-PQ loop, per-row tenants, restarted from a snapshot ---
+    enc, cents, books = build_ivfpq(
+        train.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    pq_path = str(tmp_path / "pqidx")
+    save_ivfpq(enc.localCheckpoint(eager=True), cents, books, pq_path)
+    pidx = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books, train,
+        attr_col="label",
+    ).warm()
+    psnap = str(tmp_path / "psnap")
+    pidx.snapshot(psnap)
+    pidx.unpersist()
+
+    ttest = test.withColumn("label", F.col("qid") % 7)
+    tdir = str(tmp_path / "tqueries")
+    ttest.write.parquet(tdir)
+    tstream = spark.readStream.schema(
+        "qid long, vec array<float>, label long"
+    ).parquet(tdir)
+    tout = str(tmp_path / "tresults")
+    q2 = stream_ivfpq_query(
+        tstream, None, train, tout, str(tmp_path / "tckpt"), k=K5,
+        qattr_col="label", snapshot_path=psnap,
+    )
+    q2.awaitTermination(120)
+    tgot = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(tout).collect()
+    )
+    from vector_index_spark.operators.filtered import attribute_knn
+
+    twant = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in attribute_knn(
+            ttest, train.select("id", "vec", "label"), K5, "label"
+        ).collect()
+    )
+    assert tgot == twant
+
+    # constraint forms are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        stream_ann_query(
+            stream, None, out, str(tmp_path / "xckpt"), k=K5,
+            window_cols=("lo", "hi"), qattr_col="label",
+            snapshot_path=snap,
+        )

@@ -64,7 +64,7 @@ def stream_index_ingest(
 
 def stream_ann_query(
     queries: DataFrame,
-    index_path: str,
+    index_path: "str | None",
     output_path: str,
     checkpoint_dir: str,
     k: int,
@@ -76,6 +76,9 @@ def stream_ann_query(
     attrs: DataFrame | None = None,
     attr_col=None,
     allowed=None,
+    qattr_col=None,
+    window_cols: "tuple[str, str] | None" = None,
+    snapshot_path: "str | None" = None,
 ) -> StreamingQuery:
     """Streaming ANN serving twin: queries arrive on a stream, each
     micro-batch searches the persisted graph index at ``index_path``, and
@@ -105,32 +108,70 @@ def stream_ann_query(
     same rows and the output stays exactly-once (the standard
     idempotent-foreachBatch recipe). Readers see ``batch_id`` as an extra
     partition column on ``output_path``.
+
+    Round 10: two per-row constraint forms and a restart path.
+    ``qattr_col`` names attribute column(s) ON THE QUERY STREAM — every
+    row serves against its own tenant value(s)
+    (:meth:`ServingIndex.query_by_attribute`); ``window_cols=(lo, hi)``
+    names per-row half-open window bounds on the stream
+    (:meth:`ServingIndex.query_by_window`). Both are exclusive with the
+    shared ``allowed``. ``snapshot_path`` restores the resident serving
+    form from :meth:`ServingIndex.snapshot` (a parquet read — no shard
+    cogroup, no re-pack) instead of packing from ``index_path``: the
+    restarted-server path, integrity-validated.
     """
     from vector_index_spark.index.persistence import load_index
     from vector_index_spark.index.serving import ServingIndex
 
     spark = queries.sparkSession
-    vectors, edges, params = load_index(spark, index_path)
-    if edges is None:
-        raise ValueError(f"index at {index_path!r} has no graph edges")
+    if sum(x is not None for x in (allowed, qattr_col, window_cols)) > 1:
+        raise ValueError(
+            "allowed=, qattr_col=, window_cols= are mutually exclusive"
+        )
     if allowed is not None and (attrs is None or attr_col is None):
         raise ValueError("allowed= needs attrs= and attr_col=")
-    if attrs is not None:
-        cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
-        # LEFT join (ADVICE r7): ids missing from attrs stay resident and
-        # visible to unfiltered queries; their NULL attributes sentinel-
-        # encode to a never-matching code in the blob pack
-        vectors = vectors.join(attrs.select("id", *cols), "id", "left")
-    serving = ServingIndex(vectors, edges, attr_col=attr_col).warm()
+    if snapshot_path is not None:
+        # restart path: attributes (when packed) live in the snapshot
+        if attrs is not None:
+            raise ValueError(
+                "snapshot_path= restores packed attributes from the "
+                "snapshot; attrs= only applies when packing from "
+                "index_path"
+            )
+        serving = ServingIndex.from_snapshot(spark, snapshot_path).warm()
+    else:
+        vectors, edges, params = load_index(spark, index_path)
+        if edges is None:
+            raise ValueError(f"index at {index_path!r} has no graph edges")
+        if attrs is not None:
+            cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+            # LEFT join (ADVICE r7): ids missing from attrs stay resident
+            # and visible to unfiltered queries; their NULL attributes
+            # sentinel-encode to a never-matching code in the blob pack
+            vectors = vectors.join(attrs.select("id", *cols), "id", "left")
+        serving = ServingIndex(vectors, edges, attr_col=attr_col).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = serving.query(
-            batch_df, k, nprobe=nprobe,
-            relaxed_monotonicity=relaxed_monotonicity,
-            qid_col=qid_col, vec_col=vec_col, allowed=allowed,
-        )
+        if qattr_col is not None:
+            res = serving.query_by_attribute(
+                batch_df, k, qattr_col=qattr_col,
+                relaxed_monotonicity=relaxed_monotonicity,
+                qid_col=qid_col, vec_col=vec_col,
+            )
+        elif window_cols is not None:
+            res = serving.query_by_window(
+                batch_df, k, lo_col=window_cols[0], hi_col=window_cols[1],
+                relaxed_monotonicity=relaxed_monotonicity,
+                qid_col=qid_col, vec_col=vec_col,
+            )
+        else:
+            res = serving.query(
+                batch_df, k, nprobe=nprobe,
+                relaxed_monotonicity=relaxed_monotonicity,
+                qid_col=qid_col, vec_col=vec_col, allowed=allowed,
+            )
         res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (
@@ -144,7 +185,7 @@ def stream_ann_query(
 
 def stream_ivfpq_query(
     queries: DataFrame,
-    index_path: str,
+    index_path: "str | None",
     corpus: DataFrame,
     output_path: str,
     checkpoint_dir: str,
@@ -156,6 +197,9 @@ def stream_ivfpq_query(
     available_now: bool = True,
     attr_col=None,
     allowed=None,
+    qattr_col=None,
+    window_cols: "tuple[str, str] | None" = None,
+    snapshot_path: "str | None" = None,
 ) -> StreamingQuery:
     """Streaming serving for the IVF-PQ route — the byte-efficient route
     a 100 TB deployment actually serves (SCALE.md byte math). The saved
@@ -175,25 +219,57 @@ def stream_ivfpq_query(
     conjunctions); the attributes ride the one-time build-side id join
     into the resident code blobs and every micro-batch evaluates the
     ``allowed`` value set(s) in-kernel BEFORE ADC scoring — filtered
-    compressed serving on a stream."""
+    compressed serving on a stream.
+
+    Round 10: ``qattr_col`` serves per-row tenants and
+    ``window_cols=(lo, hi)`` per-row windows from columns ON THE QUERY
+    STREAM (exclusive with the shared ``allowed``); ``snapshot_path``
+    restores the resident serving form from
+    :meth:`IvfPqServingIndex.snapshot` instead of re-encoding from
+    ``index_path`` — the passed ``corpus`` is validated against the
+    snapshot's fingerprint (drift raises, it never silently re-ranks
+    against mismatched vectors)."""
     from vector_index_spark.index.persistence import load_ivfpq
     from vector_index_spark.index.serving import IvfPqServingIndex
 
     spark = queries.sparkSession
+    if sum(x is not None for x in (allowed, qattr_col, window_cols)) > 1:
+        raise ValueError(
+            "allowed=, qattr_col=, window_cols= are mutually exclusive"
+        )
     if allowed is not None and attr_col is None:
         raise ValueError("allowed= needs attr_col=")
-    encoded, centroids, books = load_ivfpq(spark, index_path)
-    serving = IvfPqServingIndex(
-        encoded, centroids, books, corpus, attr_col=attr_col
-    ).warm()
+    if snapshot_path is not None:
+        serving = IvfPqServingIndex.from_snapshot(
+            spark, snapshot_path, corpus
+        ).warm()
+    else:
+        encoded, centroids, books = load_ivfpq(spark, index_path)
+        serving = IvfPqServingIndex(
+            encoded, centroids, books, corpus, attr_col=attr_col
+        ).warm()
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = serving.query(
-            batch_df, k, nprobe=nprobe, candidate_factor=candidate_factor,
-            qid_col=qid_col, vec_col=vec_col, allowed=allowed,
-        )
+        if qattr_col is not None:
+            res = serving.query_by_attribute(
+                batch_df, k, qattr_col=qattr_col, nprobe=nprobe,
+                candidate_factor=candidate_factor,
+                qid_col=qid_col, vec_col=vec_col,
+            )
+        elif window_cols is not None:
+            res = serving.query_by_window(
+                batch_df, k, lo_col=window_cols[0], hi_col=window_cols[1],
+                nprobe=nprobe, candidate_factor=candidate_factor,
+                qid_col=qid_col, vec_col=vec_col,
+            )
+        else:
+            res = serving.query(
+                batch_df, k, nprobe=nprobe,
+                candidate_factor=candidate_factor,
+                qid_col=qid_col, vec_col=vec_col, allowed=allowed,
+            )
         res.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (
