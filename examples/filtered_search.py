@@ -195,6 +195,37 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict:
             test.select("qid", "vec"), K, allowed=spec
         ).collect()
         recalls[name] = _recall(spec_rows, spec_exact)
+
+    # -- 8. round-10 per-query forms on the SAME warm index: every row
+    #       carries its own constraint — its tenant (the multi-tenant
+    #       isolation shape) or its own [lo, hi) window (the per-user
+    #       recency shape); at sf0.01 every group takes the exact
+    #       masked-GEMM strategy, so recall is 1.0 by construction
+    tenant_batch = test.select("qid", "vec", "label")
+    t_exact = attribute_knn(
+        tenant_batch, train.select("id", "vec", "label"), K, "label"
+    ).collect()
+    t_rows = spec_serving.query_by_attribute(
+        tenant_batch, K, qattr_col="label"
+    ).collect()
+    recalls["warm_per_tenant"] = _recall(t_rows, t_exact)
+
+    wbatch = (
+        test.select("qid", "vec")
+        .withColumn("lo", F.col("qid") % 5)
+        .withColumn("hi", (F.col("qid") % 5) + 3)
+    )
+    w_exact = []
+    for lo in range(5):
+        w_exact += knn_join(
+            wbatch.filter(F.col("lo") == lo).select("qid", "vec"),
+            train.filter(
+                (F.col("label") >= lo) & (F.col("label") < lo + 3)
+            ).select("id", "vec"),
+            K,
+        ).collect()
+    w_rows = spec_serving.query_by_window(wbatch, K).collect()
+    recalls["warm_per_window"] = _recall(w_rows, w_exact)
     spec_serving.unpersist()
 
     for name, r in recalls.items():

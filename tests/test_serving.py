@@ -939,6 +939,8 @@ def test_filtered_search_example_end_to_end(spark):
         "warm_string_conjunction",
         # round 8: interval / blocklist / DNF specs on warm serving
         "warm_range", "warm_blocklist", "warm_dnf",
+        # round 10: per-query tenant / window forms
+        "warm_per_tenant", "warm_per_window",
     }
     assert min(recalls.values()) >= 0.6, recalls
 
