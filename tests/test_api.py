@@ -654,3 +654,59 @@ def test_cosine_serving_snapshot_roundtrip(spark, tmp_path):
         erestored.unpersist()
     finally:
         elive.unpersist()
+
+
+def test_facade_constrained_dispatch(spark, data):
+    """Round 11 (VERDICT r10 item 5): the facade's per-query constrained
+    forms dispatch to the measured fast route — the resident GRAPH
+    ServingIndex single-pass grouped-mask engine (SCALE.md routing
+    rule) — build the warm handle lazily ONCE per attr-column set, and
+    reuse it across calls. Results equal exact per-row window kNN."""
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.knn import knn_join
+
+    train, test = data
+    attrs = train.select("id", (F.col("id") % 100).alias("day"))
+    idx = VectorIndex.build(train, PARAMS)
+    q = test.limit(12).select(
+        "qid", "vec",
+        ((F.col("qid") % 30) + 1).alias("lo"),
+        ((F.col("qid") % 30) + 4).alias("hi"),
+    ).localCheckpoint(eager=True)
+
+    got = sorted(
+        (r.qid, r.rank, r.id, round(r.dist, 9))
+        for r in idx.query_by_window(
+            q, K, attrs=attrs, attr_col="day"
+        ).collect()
+    )
+    # dispatch pinned: the cached handle IS the graph serving route
+    handle = idx._serving_cache[("day",)]
+    assert isinstance(handle, ServingIndex)
+    # reuse pinned: a second call (tenant form, same attr set) must not
+    # rebuild the handle
+    t2 = test.limit(5).withColumn("day", (F.col("qid") % 100)).localCheckpoint(
+        eager=True
+    )
+    idx.query_by_attribute(t2, K, qattr_col="day", attr_col="day").count()
+    assert idx._serving_cache[("day",)] is handle
+
+    corp = train.join(attrs, "id")
+    want = []
+    for row in q.collect():
+        sub = corp.filter(
+            (F.col("day") >= row.lo) & (F.col("day") < row.hi)
+        ).select("id", "vec")
+        one = spark.createDataFrame(
+            [(row.qid, list(row.vec))], "qid long, vec array<double>"
+        )
+        want += [
+            (r.qid, r.rank, r.id, round(r.dist, 9))
+            for r in knn_join(one, sub, K).collect()
+        ]
+    assert got == sorted(want)
+
+    # attr_col is mandatory on the facade forms
+    with pytest.raises(ValueError, match="attr_col"):
+        idx.query_by_window(q, K)
+    handle.unpersist()

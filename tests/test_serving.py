@@ -2535,15 +2535,16 @@ def test_snapshot_integrity_guards(spark, ltrain, tmp_path):
 
 
 def test_query_by_window_all_serving_classes(spark, ltrain):
-    """Round 10 (VERDICT r9 item 9): query_by_window on the five
-    remaining serving classes. CellServingIndex evaluates per-row
-    windows in ONE resident pass (grouped masks, positional dup-qid
-    contract — the ServingIndex/IvfPq pattern); PQ/SQ/RPT/PCA route
-    through the documented grouped decomposition (one filtered pass per
-    DISTINCT window). Selective windows must EQUAL exact per-row
-    window-filtered kNN, min-merged; a dup qid with different vectors
-    AND windows must equal running its rows separately; over-cap
-    distinct windows raise."""
+    """Round 10 (VERDICT r9 item 9), single-pass everywhere since round
+    11: query_by_window on the five remaining serving classes.
+    CellServingIndex evaluates per-row windows in ONE resident pass
+    (grouped masks, positional dup-qid contract — the ServingIndex/
+    IvfPq pattern); PQ/SQ/RPT/PCA answer ALL window groups in one
+    masked pass over their resident blobs (VERDICT r10 item 4 — the
+    64-group decomposition cap is gone). Selective windows must EQUAL
+    exact per-row window-filtered kNN, min-merged; a dup qid with
+    different vectors AND windows must equal running its rows
+    separately."""
     from vector_index_spark.index.ivf import build_ivf
     from vector_index_spark.index.pca import project_pca, train_pca
     from vector_index_spark.index.pq import encode_pq, train_pq
@@ -2641,9 +2642,6 @@ def test_query_by_window_all_serving_classes(spark, ltrain):
             dgot = _round_rows(built[name].query_by_window(dup, K))
             assert dgot == dwant, name
 
-        # over-cap distinct windows raise on the decomposition route
-        with pytest.raises(ValueError, match="distinct windows"):
-            built["pq"].query_by_window(wtest, K, max_windows_per_batch=2)
         # attr_col is mandatory
         with pytest.raises(ValueError, match="attr_col"):
             PqServingIndex(enc_pq, tr, books).query_by_window(wtest, K)
@@ -2721,12 +2719,13 @@ def test_cell_multi_tenant_query_by_attribute(spark, ltrain):
 
 
 def test_query_by_attribute_decomposed_classes(spark, ltrain):
-    """Round 10 depth: query_by_attribute on PQ/SQ/RPT/PCA via the
-    grouped decomposition — every serving class now carries BOTH
-    per-query forms. Single-tenant-per-row batches must equal exact
-    per-tenant attribute kNN (selective tenants -> each class's exact
-    branch); PQ also checks the multi-attribute conjunction form and
-    the over-cap guard."""
+    """Round 10 depth, single-pass since round 11: query_by_attribute
+    on PQ/SQ/RPT/PCA — every serving class carries BOTH per-query
+    forms, and all tenant groups of a batch answer in ONE pass (no
+    distinct-tenant cap). Single-tenant-per-row batches must equal
+    exact per-tenant attribute kNN (selective tenants -> each class's
+    exact branch); PQ also checks the multi-attribute conjunction
+    form."""
     from vector_index_spark.index.pca import project_pca, train_pca
     from vector_index_spark.index.pq import encode_pq, train_pq
     from vector_index_spark.index.rpt import assign_rpt, train_rpt
@@ -2774,11 +2773,6 @@ def test_query_by_attribute_decomposed_classes(spark, ltrain):
                 sidx.query_by_attribute(wtest, K, qattr_col="label")
             )
             assert got == want, name
-        # over-cap tenants raise with guidance
-        with pytest.raises(ValueError, match="distinct tenants"):
-            built["pq"].query_by_attribute(
-                wtest, K, qattr_col="label", max_tenants_per_batch=2
-            )
         # multi-attribute conjunction tenants on the compressed route
         pq2 = PqServingIndex(
             encode_pq(tr, books).localCheckpoint(eager=True), tr, books,
@@ -2820,3 +2814,253 @@ def test_snapshot_missing_path_is_typed(spark, tmp_path):
 
     with pytest.raises(SnapshotIntegrityError, match="no serving snapshot"):
         ServingIndex.from_snapshot(spark, str(tmp_path / "nothing_here"))
+
+
+def test_row_unique_windows_single_pass(spark, ltrain):
+    """VERDICT r10 item 4 done-criterion: a batch of 200 queries, EVERY
+    row carrying its own distinct window, answers on PqServingIndex (and
+    the other single-pass routes) without any distinct-group cap — round
+    10's decomposition raised at 64. Mixed narrow/wide windows drive
+    both branches (narrow -> one cold-corpus non-equi join; wide -> the
+    masked resident pass); with full candidate coverage
+    (candidate_factor covers every blob, probes covers every leaf) each
+    class must EQUAL exact per-row window kNN, checked against an
+    independent numpy brute-force oracle."""
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import (
+        PcaServingIndex,
+        PqServingIndex,
+        RptServingIndex,
+        SqServingIndex,
+    )
+    from vector_index_spark.index.sq import encode_sq, train_sq
+
+    import numpy as np
+
+    train, test0 = ltrain
+    tr = train.select(
+        "id", "vec", (F.col("id") % 100).alias("day")
+    ).localCheckpoint(eager=True)
+
+    # 200 queries, each with its OWN [lo, hi): lo walks 0..99, width
+    # alternates 3 (narrow -> exact cold join) and 61 (wide -> masked
+    # resident pass)
+    base = test0.limit(50).toPandas()
+    rows = []
+    for i in range(200):
+        r = base.iloc[i % len(base)]
+        lo = (i * 7) % 100
+        hi = lo + (3 if i % 2 == 0 else 61)
+        rows.append((10_000 + i, [float(v) for v in r["vec"]], lo, hi))
+    wtest = spark.createDataFrame(
+        rows, "qid long, vec array<double>, lo long, hi long"
+    ).localCheckpoint(eager=True)
+    assert wtest.select("lo", "hi").distinct().count() > 64
+
+    # independent oracle: numpy brute force per row over its own window
+    corp = tr.toPandas()
+    cids = corp["id"].to_numpy(dtype=np.int64)
+    cday = corp["day"].to_numpy(dtype=np.int64)
+    CX = np.stack(corp["vec"].to_numpy()).astype(np.float64)
+    want = []
+    for qid, vec, lo, hi in rows:
+        m = (cday >= lo) & (cday < hi)
+        if not m.any():
+            continue
+        q = np.asarray(vec, dtype=np.float64)
+        d = ((CX[m] - q[None, :]) ** 2).sum(axis=1)
+        ids_m = cids[m]
+        order = np.lexsort((ids_m, d))[:K]
+        for rank, j in enumerate(order, start=1):
+            want.append((qid, rank, int(ids_m[j]), round(float(d[j]), 9)))
+    want = sorted(want)
+
+    books = train_pq(tr, n_subspaces=8, n_centroids=16)
+    enc_pq = encode_pq(tr, books).localCheckpoint(eager=True)
+    mins, maxs = train_sq(tr)
+    enc_sq = encode_sq(tr, mins, maxs).localCheckpoint(eager=True)
+    W, T = train_rpt(tr, depth=3)
+    assigned_rpt = assign_rpt(tr, W, T).join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+    mean, comp = train_pca(tr, 16)
+    projected = project_pca(tr, mean, comp).join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+
+    built = {
+        "pq": (
+            PqServingIndex(enc_pq, tr, books, attr_col="day"),
+            dict(candidate_factor=64),
+        ),
+        "sq": (
+            SqServingIndex(enc_sq, tr, mins, maxs, attr_col="day"),
+            dict(candidate_factor=64),
+        ),
+        "rpt": (
+            RptServingIndex(assigned_rpt, W, T, attr_col="day"),
+            dict(probes=8),  # depth 3 -> every leaf: full coverage
+        ),
+        "pca": (
+            PcaServingIndex(projected, mean, comp, attr_col="day"),
+            dict(candidate_factor=64),
+        ),
+    }
+    try:
+        for name, (sidx, kw) in built.items():
+            sidx.warm()
+            got = _round_rows(sidx.query_by_window(wtest, K, **kw))
+            assert got == want, name
+    finally:
+        for sidx, _ in built.values():
+            sidx.unpersist()
+
+
+def test_cell_route_constraint_scan_warning(spark, ltrain):
+    """Round 11 (VERDICT r10 item 5): the measured routing rule encoded
+    as code — a CellServingIndex batch carrying many distinct SELECTIVE
+    constraints (each an all-cell masked GEMM on this route; SCALE.md
+    500k probe: 11.3 s vs 1.6 s on graph/IVF-PQ) warns once per handle,
+    naming the single-pass routes. Answers stay correct (the warning is
+    advisory), and a small batch (few distinct groups) stays silent."""
+    import warnings as _warnings
+
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+
+    train, test0 = ltrain
+    tr = train.select("id", "vec", (F.col("id") % 100).alias("day"))
+    assigned, cents = build_ivf(tr.select("id", "vec"), n_centroids=8)
+    assigned = assigned.join(
+        F.broadcast(tr.select("id", "day")), "id"
+    ).localCheckpoint(eager=True)
+    sidx = CellServingIndex(assigned, cents, attr_col="day").warm()
+    try:
+        rows = test0.limit(12).toPandas()
+        rows["vec"] = rows["vec"].map(list)
+        rows["lo"] = [(3 * i) % 90 for i in range(len(rows))]
+        rows["hi"] = [(3 * i) % 90 + 3 for i in range(len(rows))]
+        wtest = spark.createDataFrame(rows).localCheckpoint(eager=True)
+        with pytest.warns(RuntimeWarning, match="all-cell masked GEMM"):
+            assert sidx.query_by_window(wtest, K).count() > 0
+        # once per handle: a second expensive batch stays silent
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", RuntimeWarning)
+            sidx.query_by_window(wtest, K).count()
+        # a fresh handle with a FEW distinct groups never warns
+        sidx2 = CellServingIndex(assigned, cents, attr_col="day").warm()
+        try:
+            small = spark.createDataFrame(
+                rows.head(4), schema=wtest.schema
+            ).localCheckpoint(eager=True)
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("error", RuntimeWarning)
+                sidx2.query_by_window(small, K).count()
+        finally:
+            sidx2.unpersist()
+    finally:
+        sidx.unpersist()
+
+
+def test_incremental_snapshot_generations(spark, tmp_path):
+    """Round 11 (VERDICT r10 item 7): append -> refresh ->
+    snapshot_incremental writes ONLY the affected shards as a new blob
+    GENERATION — the base blobs directory is untouched (mtime + file-set
+    assertion) and the generation dir holds just the re-packed shard —
+    and the restored handle's blobs byte-equal a cold rebuild of the
+    post-append index. A full snapshot resets the generation chain
+    (dirs deleted, manifest generations=[]); incremental against a
+    snapshot this handle never wrote/restored raises typed."""
+    import os
+
+    from vector_index_spark.index.builder import (
+        append_to_index,
+        build_graph_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import SnapshotIntegrityError
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    first = full.filter(F.col("id") < 350)
+    rest = full.filter(F.col("id") >= 350)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(10)
+
+    path = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    save_index(
+        assign_shards(first, PARAMS.sub_index_bound),
+        build_graph_index(first, PARAMS),
+        PARAMS,
+        path,
+    )
+    vectors, edges, _ = load_index(spark, path)
+    idx = ServingIndex(vectors, edges).warm()
+    idx.query(test, K, nprobe=2).count()
+    idx.snapshot(snap)
+
+    def listing(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    base_before = listing(f"{snap}/blobs")
+
+    append_to_index(spark, path, rest)
+    vectors2, edges2, _ = load_index(spark, path)
+    idx.refresh(vectors2, edges2, [1])  # ids 350..499 -> shard 1
+    idx.snapshot_incremental(snap)
+
+    # the base blob files were NOT rewritten
+    assert listing(f"{snap}/blobs") == base_before
+    # exactly one generation dir, holding only shard 1's row
+    assert os.path.isdir(f"{snap}/blobs_gen_1")
+    gen1 = spark.read.parquet(f"{snap}/blobs_gen_1")
+    assert [r.shard for r in gen1.select("shard").collect()] == [1]
+
+    # restore == cold rebuild, byte-for-byte blobs and answers
+    restored = ServingIndex.from_snapshot(spark, snap)
+    cold = ServingIndex(vectors2, edges2).warm()
+    try:
+        got = {r.shard: bytes(r.blob) for r in restored.blobs.collect()}
+        want = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+        assert got == want
+        a = sorted(map(tuple, restored.query(test, K).collect()))
+        b = sorted(map(tuple, cold.query(test, K).collect()))
+        assert a == b
+
+        # a restored handle carries the lineage: refresh + incremental
+        # again stacks generation 2 and still restores byte-identically
+        restored.refresh(vectors2, edges2, [0])
+        restored.snapshot_incremental(snap)
+        assert os.path.isdir(f"{snap}/blobs_gen_2")
+        again = ServingIndex.from_snapshot(spark, snap)
+        try:
+            got2 = {r.shard: bytes(r.blob) for r in again.blobs.collect()}
+            assert got2 == want
+        finally:
+            again.unpersist()
+
+        # lineage guard: a handle that never touched this path refuses
+        with pytest.raises(SnapshotIntegrityError, match="snapshot_incremental"):
+            cold.snapshot_incremental(snap)
+
+        # a full snapshot resets the chain: generation dirs deleted
+        # (written from the cold handle — its blobs don't lazily read
+        # from the snapshot path being overwritten)
+        cold.snapshot(snap)
+        assert not os.path.exists(f"{snap}/blobs_gen_1")
+        assert not os.path.exists(f"{snap}/blobs_gen_2")
+    finally:
+        restored.unpersist()
+        cold.unpersist()
+        idx.unpersist()

@@ -158,6 +158,10 @@ class VectorIndex:
         self.params = params
         self.path = path
         self._n_shards: int | None = None  # lazy, cached for auto-scale
+        # warm serving handles for the facade per-query constrained
+        # forms, keyed by attr-column tuple (round 11); append/remove
+        # return fresh VectorIndex objects, so no invalidation hook
+        self._serving_cache: dict = {}
 
     # -- construction ------------------------------------------------------
 
@@ -678,6 +682,71 @@ class VectorIndex:
         if manifest.get("metric") == "cosine_similarity":
             return _CosineServing(inner)
         return inner
+
+    def _constrained_serving(self, attrs, attr_col):
+        """Lazy warm serving handle for the facade per-query constrained
+        forms (round 11): built once per attr-column set, reused across
+        batches (the one-time blob pack + warm is the serving-node
+        startup cost, never paid per batch)."""
+        if attr_col is None:
+            raise ValueError(
+                "facade per-query constrained serving needs attr_col= "
+                "(and attrs= unless the attribute columns already live "
+                "on the stored vectors)"
+            )
+        key = tuple(
+            [attr_col] if isinstance(attr_col, str) else list(attr_col)
+        )
+        handle = self._serving_cache.get(key)
+        if handle is None:
+            handle = self.serving(attrs=attrs, attr_col=attr_col).warm()
+            self._serving_cache[key] = handle
+        return handle
+
+    def query_by_attribute(
+        self,
+        test: DataFrame,
+        k: int,
+        qattr_col="attr",
+        attrs: "DataFrame | None" = None,
+        attr_col=None,
+        **kwargs,
+    ) -> DataFrame:
+        """Multi-tenant per-query serving through the facade (round 11):
+        each query row carries its own attribute value(s) in
+        ``qattr_col`` and its neighbors must match them all. Dispatches
+        to the measured FAST route for per-row constraints — the
+        resident graph ServingIndex, whose grouped-mask engine answers
+        every distinct tenant of a batch in ONE pass over the cached
+        shard blobs (the SCALE.md routing rule encoded as code: per-row
+        constraint batches belong on the graph/IVF-PQ single-pass
+        routes, not the all-cell Cell-route scan — 1.6 s vs 11.3 s on
+        the 500k windowed probe). ``attrs``/``attr_col`` describe the
+        corpus-side attributes exactly as in :meth:`serving`; the warm
+        handle builds once and is reused across calls."""
+        return self._constrained_serving(attrs, attr_col).query_by_attribute(
+            test, k, qattr_col=qattr_col, **kwargs
+        )
+
+    def query_by_window(
+        self,
+        test: DataFrame,
+        k: int,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        attrs: "DataFrame | None" = None,
+        attr_col=None,
+        **kwargs,
+    ) -> DataFrame:
+        """Per-query window serving through the facade (round 11): each
+        query row carries its own half-open ``[lo_col, hi_col)`` window
+        over the corpus attribute named by ``attr_col`` — dispatched to
+        the single-pass grouped-mask engine on the resident graph
+        route, the measured fast path for row-unique windows (see
+        :meth:`query_by_attribute`)."""
+        return self._constrained_serving(attrs, attr_col).query_by_window(
+            test, k, lo_col=lo_col, hi_col=hi_col, **kwargs
+        )
 
     # -- persistence & maintenance ----------------------------------------
 

@@ -107,6 +107,15 @@ def _fs_read_npy(spark, path: str):
     return np.load(_io.BytesIO(_fs_read_bytes(spark, path)))
 
 
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (same URI
+    space as the snapshot writers); missing paths are a no-op."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def _blob_fingerprint(blobs: DataFrame) -> dict:
     """(blob count, total packed vectors) — one tiny agg over the blob
     relation; restore re-derives it and refuses a truncated copy."""
@@ -254,7 +263,15 @@ def _restore_attr_fields(idx, manifest) -> None:
     )
 
 
-def _query_by_window_grouped(
+def _require_window_attr(idx) -> None:
+    if idx._attr_cols is None or len(idx._attr_cols) != 1:
+        raise ValueError(
+            "query_by_window needs exactly one attr_col= at "
+            f"{type(idx).__name__} construction (the windowed attribute)"
+        )
+
+
+def _single_pass_window_query(
     idx,
     test: DataFrame,
     k: int,
@@ -262,116 +279,65 @@ def _query_by_window_grouped(
     hi_col: str,
     qid_col: str,
     vec_col: str,
-    max_windows_per_batch: int,
-    query_kwargs: dict,
+    max_queries_per_batch: int,
+    auto_boost: bool,
+    masked_batch,
+    exact_corpus,
 ) -> DataFrame:
-    """Shared :meth:`query_by_window` for the serving classes whose
-    filtered query already evaluates a RangeSpec over the resident
-    blobs (PQ, SQ, RPT, PCA — round 10): the batch decomposes into
-    DISTINCT ``(lo, hi)`` groups and each group rides ONE filtered pass
-    (``allowed=range(lo, hi)``), inheriting that class's histogram
-    strategy rule, masks, boosts, and recall contract unchanged.
-    Duplicate qids inside a group split into unique-qid waves so every
-    row is answered strictly against its own vector; all answers
-    min-merge per (qid, id).
+    """Shared :meth:`query_by_window` for the serving classes without
+    cell routing (PQ, SQ, RPT, PCA — round 11): per-row half-open
+    ``[lo, hi)`` windows answer in ONE masked pass over the resident
+    blobs, the way round 10's grouped kernel already served the
+    graph/Cell/IVF-PQ routes. Replaces the per-DISTINCT-window
+    decomposition (round 10 ``_decomposed_constraint_query``), whose
+    cost scaled with the number of distinct windows and carried a
+    64-group cap — this route has NO cap: a row-unique-window batch of
+    N queries is one resident pass, same as a single-window batch.
+    Selective windows ride one non-equi broadcast join against the cold
+    corpus where the class keeps one (exact — the tiny query side
+    broadcasts with its bounds, the corpus never shuffles); everything
+    keys by ROW POSITION (dup-qid contract) and min-merges per
+    (qid, id)."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
 
-    Contract: cost scales with the number of DISTINCT windows in a
-    micro-batch, not rows — the right amortization for the
-    tenant-recency workload where windows repeat. A batch with more
-    than ``max_windows_per_batch`` distinct windows raises; for
-    row-unique windows use the graph, IVF, or IVF-PQ serving routes,
-    which evaluate per-row windows inside a single resident pass."""
-    if idx._attr_cols is None or len(idx._attr_cols) != 1:
-        raise ValueError(
-            "query_by_window needs exactly one attr_col= at "
-            f"{type(idx).__name__} construction (the windowed attribute)"
-        )
+    _require_window_attr(idx)
     t = test.select(
         F.col(qid_col).alias("qid"),
         F.col(vec_col).alias("vec"),
         F.col(lo_col).cast("long").alias("__lo"),
         F.col(hi_col).cast("long").alias("__hi"),
     )
-
-    def key_of(pdf, pos):
-        lo, hi = int(pdf["__lo"].iat[pos]), int(pdf["__hi"].iat[pos])
-        # empty window matches nothing (RangeSpec semantics)
-        return (lo, hi) if hi > lo else None
-
-    return _decomposed_constraint_query(
-        idx, t, k, key_of,
-        allowed_of=lambda key: range(key[0], key[1]),
-        max_groups=max_windows_per_batch,
-        group_noun="distinct windows",
-        cap_name="max_windows_per_batch",
-        query_kwargs=query_kwargs,
+    for b in idx._live_bcs:
+        b.unpersist(blocking=False)
+    idx._live_bcs = []
+    return chunked_over_queries(
+        t,
+        lambda chunk: _single_pass_constraint_batch(
+            idx, chunk, k, "window", masked_batch, exact_corpus, auto_boost
+        ),
+        max_queries_per_batch,
     )
 
 
-def _decomposed_constraint_query(
-    idx, t: DataFrame, k: int, key_of, allowed_of,
-    max_groups: int, group_noun: str, cap_name: str, query_kwargs: dict,
-) -> DataFrame:
-    """Shared decomposition engine behind the PQ/SQ/RPT/PCA per-query
-    forms (`query_by_window`, `query_by_attribute`): rows group by
-    ``key_of(pdf, pos)`` (None = row matches nothing), each group rides
-    one filtered ``idx.query(allowed=allowed_of(key))`` pass, dup qids
-    inside a group split into unique-qid waves, and everything
-    min-merges per (qid, id)."""
-    spark = idx._spark
-    pdf = t.toPandas()
-    if len(pdf) == 0:
-        return spark.createDataFrame(
-            [], "qid long, rank int, id long, dist double"
-        )
-    qids = pdf["qid"].to_numpy(dtype=np.int64)
-    has_dup = len(np.unique(qids)) < len(qids)
-    groups: dict = {}
-    for pos in range(len(pdf)):
-        key = key_of(pdf, pos)
-        if key is None:
-            continue
-        groups.setdefault(key, []).append(pos)
-    if len(groups) > max_groups:
-        raise ValueError(
-            f"batch carries {len(groups)} {group_noun} > "
-            f"{cap_name}={max_groups}; this route pays one resident pass "
-            "per group — for row-unique constraints use ServingIndex / "
-            "CellServingIndex / IvfPqServingIndex (single-pass per-row "
-            f"masks), or raise {cap_name} explicitly"
-        )
-    parts = []
-    for key, ix in groups.items():
-        sub = pdf.iloc[ix][["qid", "vec"]].copy()
-        sub["vec"] = sub["vec"].map(list)
-        # unique-qid waves: the class's plain filtered query answers a
-        # batch of DISTINCT qids; a qid repeated within one group
-        # (different vectors) goes in a later wave and min-merges below
-        sub["__wave"] = sub.groupby("qid").cumcount()
-        for _, wave in sub.groupby("__wave"):
-            qdf = spark.createDataFrame(wave[["qid", "vec"]])
-            parts.append(
-                idx.query(qdf, k, allowed=allowed_of(key), **query_kwargs)
-            )
-    return _union_min_merge(parts, spark, k, has_dup)
-
-
-def _query_by_attribute_grouped(
+def _single_pass_attr_query(
     idx,
     test: DataFrame,
     k: int,
     qattr_col,
     qid_col: str,
     vec_col: str,
-    max_tenants_per_batch: int,
-    query_kwargs: dict,
+    max_queries_per_batch: int,
+    auto_boost: bool,
+    masked_batch,
+    exact_corpus,
 ) -> DataFrame:
-    """Shared :meth:`query_by_attribute` for PQ/SQ/RPT/PCA (round 10):
-    the batch decomposes into DISTINCT tenant tuples and each rides one
-    equality-filtered pass (``allowed=[[v0], [v1], ...]``), inheriting
-    the class's strategy rule and recall contract — the tenant analogue
-    of :func:`_query_by_window_grouped`, with the same cost contract
-    (one resident pass per distinct tenant in the batch)."""
+    """Shared :meth:`query_by_attribute` for PQ/SQ/RPT/PCA (round 11):
+    the tenant analogue of :func:`_single_pass_window_query` — one
+    masked resident pass for every tenant group in the batch (no
+    distinct-tenant cap), small tenants on one equality-join exact pass
+    against the cold corpus where the class keeps one."""
+    from vector_index_spark.index.querychunk import chunked_over_queries
+
     if idx._attr_cols is None:
         raise ValueError(
             "query_by_attribute needs attr_col= at "
@@ -383,7 +349,6 @@ def _query_by_attribute_grouped(
             f"qattr_col must name {len(idx._attr_cols)} column(s) "
             f"(one per attr_col), got {qattr_col!r}"
         )
-    m = len(qcols)
     t = test.select(
         F.col(qid_col).alias("qid"),
         F.col(vec_col).alias("vec"),
@@ -392,19 +357,166 @@ def _query_by_attribute_grouped(
             for i, c in enumerate(qcols)
         ),
     )
+    for b in idx._live_bcs:
+        b.unpersist(blocking=False)
+    idx._live_bcs = []
+    return chunked_over_queries(
+        t,
+        lambda chunk: _single_pass_constraint_batch(
+            idx, chunk, k, "attr", masked_batch, exact_corpus, auto_boost
+        ),
+        max_queries_per_batch,
+    )
 
-    def key_of(pdf, pos):
-        return tuple(int(pdf[f"__qa{i}"].iat[pos]) for i in range(m))
 
-    def allowed_of(key):
-        return [key[0]] if m == 1 else [[v] for v in key]
+def _single_pass_constraint_batch(
+    idx, t: DataFrame, k: int, form: str, masked_batch, exact_corpus,
+    auto_boost: bool,
+) -> DataFrame:
+    """One micro-batch of the single-pass constrained forms: rows group
+    by constraint (tenant tuple / window), each group gets the
+    histogram strategy rule, SELECTIVE groups ride one cold-corpus
+    broadcast join (when the class keeps a cold corpus — PQ/SQ; RPT/PCA
+    keep raw vectors resident and fold exactness into the masked pass),
+    and every remaining group rides ONE ``masked_batch(pdf, Q, groups,
+    k, n_corpus)`` pass over the resident blobs — groups sharing a blob
+    share its unpickle, the cellscan grouped-kernel shape. ``groups``
+    entries are ``(allow_arrays, row_positions, exact, n_match)``.
+    Positional keying end-to-end; min-merge per (qid, id)."""
+    from vector_index_spark.operators.filtered import (
+        RangeSpec,
+        choose_filtered_strategy,
+    )
 
-    return _decomposed_constraint_query(
-        idx, t, k, key_of, allowed_of,
-        max_groups=max_tenants_per_batch,
-        group_noun="distinct tenants",
-        cap_name="max_tenants_per_batch",
-        query_kwargs=query_kwargs,
+    spark = idx._spark
+    pdf = t.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], "qid long, rank int, id long, dist double"
+        )
+    qids = pdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    has_dup = len(np.unique(qids)) < len(qids)
+    m = len(idx._attr_cols)
+    hist = idx._attribute_histogram()
+    n_corpus = max(sum(hist.values()), 1)
+    if form == "attr":
+        qa = np.column_stack(
+            [pdf[f"__qa{i}"].to_numpy(dtype=np.int64) for i in range(m)]
+        )
+        keys = [tuple(int(v) for v in qa[pos]) for pos in range(len(pdf))]
+    else:
+        los = pdf["__lo"].to_numpy(dtype=np.int64)
+        his = pdf["__hi"].to_numpy(dtype=np.int64)
+        keys = [(int(los[p]), int(his[p])) for p in range(len(pdf))]
+    acc: dict = {}
+    for pos, key in enumerate(keys):
+        acc.setdefault(key, []).append(pos)
+    exact_rows: list = []
+    groups: list = []
+    for key, ix in acc.items():
+        if form == "window":
+            if key[1] <= key[0]:
+                continue  # empty window matches nothing (RangeSpec)
+            spec = (RangeSpec(key[0], key[1]),)
+        else:
+            spec = tuple(frozenset({v}) for v in key)
+        n_match = _match_count(hist, spec)
+        exact = True
+        if not auto_boost:
+            exact = False  # parity semantics: force the masked route
+        elif n_match > 0:
+            s, _ = choose_filtered_strategy(
+                n_corpus, min(n_match, n_corpus), k, 1, 1
+            )
+            exact = s == "exact"
+        if exact and exact_corpus is not None:
+            exact_rows.extend(ix)
+        else:
+            groups.append(
+                (
+                    _allow_arrays(spec),
+                    np.asarray(ix, dtype=np.int64),
+                    exact,
+                    n_match,
+                )
+            )
+    parts = []
+    if exact_rows:
+        ex = np.asarray(sorted(exact_rows), dtype=np.int64)
+        parts.append(
+            _translate_positions(
+                _exact_constraint_join(
+                    spark, pdf, ex, form, k, exact_corpus, idx._attr_cols
+                ),
+                spark, ex, qids[ex],
+            )
+        )
+    if groups:
+        parts.append(
+            _translate_positions(
+                masked_batch(pdf, Q, groups, k, n_corpus),
+                spark, np.arange(len(pdf), dtype=np.int64), qids,
+            )
+        )
+    return _union_min_merge(parts, spark, k, has_dup)
+
+
+def _exact_constraint_join(
+    spark, pdf, rows, form: str, k: int, exact_corpus, attr_cols,
+) -> DataFrame:
+    """ONE broadcast join answers every selective-constraint row of the
+    batch exactly against the cold corpus — equality on the attribute
+    codes for tenants (the attribute_knn plan), non-equi on the bounds
+    for windows; either way the tiny query side broadcasts and the
+    corpus scans once, never shuffles. Positional qids (each row joins
+    only its own constraint's rows, so duplicate qids never
+    cross-score); callers translate positions back."""
+    from pyspark.sql import Window
+
+    from vector_index_spark.functions.distance import l2sq_arrow
+
+    corpus, id_col, vec_col = exact_corpus
+    m = len(attr_cols)
+    if form == "attr":
+        sub = pdf.iloc[rows][["vec"] + [f"__qa{i}" for i in range(m)]].copy()
+        sub.insert(0, "qid", rows)
+        sub["vec"] = sub["vec"].map(list)
+        tq = spark.createDataFrame(
+            sub.rename(columns={f"__qa{i}": f"__k{i}" for i in range(m)})
+        )
+        joined = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__cv"),
+            *(
+                F.col(a).cast("long").alias(f"__k{i}")
+                for i, a in enumerate(attr_cols)
+            ),
+        ).join(F.broadcast(tq), [f"__k{i}" for i in range(m)])
+    else:
+        sub = pdf.iloc[rows][["vec", "__lo", "__hi"]].copy()
+        sub.insert(0, "qid", rows)
+        sub["vec"] = sub["vec"].map(list)
+        tq = spark.createDataFrame(sub)
+        joined = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(attr_cols[0]).cast("long").alias("__wattr"),
+        ).join(
+            F.broadcast(tq),
+            (F.col("__wattr") >= F.col("__lo"))
+            & (F.col("__wattr") < F.col("__hi")),
+        )
+    joined = joined.select(
+        "qid", "id", l2sq_arrow()(F.col("vec"), F.col("__cv")).alias("dist")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist")
     )
 
 
@@ -666,6 +778,12 @@ class ServingIndex:
         ``ServingIndex(vectors, edges)`` rebuild (tests/test_serving.py).
         """
         shards = sorted({int(s) for s in shards})
+        # incremental-snapshot bookkeeping (round 11): shards re-packed
+        # since the last snapshot are the only ones snapshot_incremental
+        # must rewrite
+        self._pending_snapshot_shards = (
+            getattr(self, "_pending_snapshot_shards", set()) | set(shards)
+        )
         refreshed = vectors
         if self._attr_cols is not None:
             refreshed = _with_attr_cols(refreshed, self._attr_cols)
@@ -722,6 +840,17 @@ class ServingIndex:
         ``format_version`` plus a blob fingerprint, written through the
         Hadoop FileSystem API so the whole snapshot lives on ONE storage
         URI (s3a://, hdfs://, file://) — round 10."""
+        import uuid as _uuid
+
+        # a full snapshot resets any incremental generation chain at
+        # this path (round 11): delete dirs the old manifest listed so
+        # stale generations can never shadow the fresh base
+        try:
+            old = _read_manifest(self._spark, path, type(self).__name__)
+            for g in old.get("generations", []):
+                _fs_delete(self._spark, f"{path}/blobs_gen_{g['gen']}")
+        except SnapshotIntegrityError:
+            pass
         self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
         self._routing_table().write.mode("overwrite").parquet(
             f"{path}/routing"
@@ -731,11 +860,69 @@ class ServingIndex:
             "class": type(self).__name__,
             "dimension": self._dimension,
             "blobs": _blob_fingerprint(self.blobs),
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"])
+        self._pending_snapshot_shards = set()
+        return self
+
+    def snapshot_incremental(self, path: str) -> "ServingIndex":
+        """Incremental snapshot after :meth:`refresh` (round 11, VERDICT
+        r10 item 7): write ONLY the shards re-packed since the last
+        snapshot as a new blob GENERATION (``blobs_gen_N``) plus an
+        updated manifest, instead of rewriting the whole packed
+        relation — on a 100 TB fleet snapshotting after each ingest
+        wave, the write cost tracks the wave, not the corpus.
+        :meth:`from_snapshot` resolves per-shard latest-generation-wins
+        (a shard a generation CLAIMS but writes no row for was removed).
+
+        Requires lineage: this handle must have written or restored the
+        snapshot at ``path`` (the unaffected base blobs are reused
+        byte-as-is, which is only sound against the snapshot this
+        handle's resident state descends from); otherwise a typed
+        :class:`SnapshotIntegrityError` says to run :meth:`snapshot`.
+        With nothing pending, only the manifest refreshes."""
+        spark = self._spark
+        lineage = getattr(self, "_snapshot_lineage", None)
+        manifest = _read_manifest(spark, path, type(self).__name__)
+        if lineage != (path, manifest.get("snapshot_id")):
+            raise SnapshotIntegrityError(
+                f"snapshot_incremental({path!r}) needs a base snapshot "
+                "this handle wrote or restored (unaffected shards are "
+                "reused from it byte-as-is) — run snapshot() first"
+            )
+        pending = sorted(
+            getattr(self, "_pending_snapshot_shards", set())
+        )
+        gens = manifest.get("generations", [])
+        if pending:
+            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+            self.blobs.filter(
+                F.col("shard").isin(pending)
+            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+            gens = gens + [
+                {"gen": gen, "shards": [int(s) for s in pending]}
+            ]
+        self._routing_table().write.mode("overwrite").parquet(
+            f"{path}/routing"
+        )
+        manifest.update(
+            {
+                "dimension": self._dimension,
+                "blobs": _blob_fingerprint(self.blobs),
+                "generations": gens,
+                **_manifest_attr_fields(
+                    self._attr_cols, self._attribute_histogram
+                ),
+            }
+        )
+        _write_manifest(spark, path, manifest)
+        self._pending_snapshot_shards = set()
         return self
 
     @classmethod
@@ -759,11 +946,35 @@ class ServingIndex:
         idx._storage_level = storage_level
         _restore_attr_fields(idx, manifest)
         idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
-        idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
-            .repartition(idx._n_serve)
-            .persist(storage_level)
-        )
+        rel = spark.read.parquet(f"{path}/blobs")
+        gens = manifest.get("generations", [])
+        if gens:
+            # latest-generation-wins per shard (round 11 incremental
+            # snapshots): a shard keeps its base (gen 0) row unless a
+            # later generation CLAIMS it — then only that generation's
+            # row survives (no row there = the shard was removed)
+            claim: dict = {}
+            for g in gens:
+                for s in g["shards"]:
+                    claim[int(s)] = max(claim.get(int(s), 0), int(g["gen"]))
+            rel = rel.withColumn("__gen", F.lit(0))
+            for g in gens:
+                rel = rel.unionByName(
+                    spark.read.parquet(f"{path}/blobs_gen_{g['gen']}")
+                    .withColumn("__gen", F.lit(int(g["gen"])))
+                )
+            cm = spark.createDataFrame(
+                [(int(s), int(g)) for s, g in claim.items()],
+                "shard long, __claim int",
+            )
+            rel = (
+                rel.join(F.broadcast(cm), "shard", "left")
+                .filter(
+                    F.col("__gen") == F.coalesce(F.col("__claim"), F.lit(0))
+                )
+                .drop("__gen", "__claim")
+            )
+        idx.blobs = rel.repartition(idx._n_serve).persist(storage_level)
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._cents_kv = spark.read.parquet(
@@ -773,6 +984,7 @@ class ServingIndex:
         idx._vectors = None  # refresh() takes live relations explicitly
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, manifest.get("snapshot_id"))
         return idx
 
     def _routing_table(self):
@@ -1778,6 +1990,29 @@ class CellServingIndex:
                     sel = max(n_match, 1) / n_corpus
                     boost = max(boost, min(8, _math.ceil(1.0 / sel)))
             (exact_qi if strat[key] == "exact" else probe_qi).append(qi)
+        n_exact_groups = sum(1 for s in strat.values() if s == "exact")
+        if n_exact_groups > 8 and not getattr(
+            self, "_warned_constraint_scan", False
+        ):
+            # measured routing rule as code, not docs (VERDICT r10 item
+            # 5): every selective group on this route pays an all-cell
+            # masked GEMM — +60% vs graph/IVF-PQ at 10 distinct windows
+            # on the 500k probe (SCALE.md round 10)
+            import warnings
+
+            warnings.warn(
+                f"CellServingIndex batch carries {n_exact_groups} "
+                "distinct selective constraints; each rides the "
+                "all-cell masked GEMM on this route (measured +60% vs "
+                "graph/IVF-PQ at 10 distinct windows, 500k rows — "
+                "SCALE.md). Row-unique constraint batches belong on "
+                "ServingIndex / IvfPqServingIndex (single-pass per-row "
+                "masks); the VectorIndex facade's query_by_window / "
+                "query_by_attribute dispatch there automatically.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            self._warned_constraint_scan = True
         # per-POSITION cell assignment: selective-constraint rows visit
         # every cell (masked GEMM over resident raw vectors == exact);
         # the rest probe routed cells at the boosted nprobe
@@ -2147,17 +2382,24 @@ class PqServingIndex:
         candidate_factor: int = 8,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_windows_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Per-query window serving via grouped decomposition — one
-        masked filtered pass per DISTINCT ``[lo, hi)`` window in the
-        batch; see :func:`_query_by_window_grouped` for the contract
-        (row-unique windows belong on the graph/IVF/IVF-PQ routes)."""
-        return _query_by_window_grouped(
+        """Per-query window serving in ONE masked pass over the resident
+        code blobs (round 11): narrow windows ride one non-equi
+        broadcast join against the cold corpus (exact); the rest share a
+        single ADC scan where each window group's range mask applies
+        BEFORE its shortlist — no distinct-window cap (round 10's
+        per-DISTINCT-window decomposition is gone); a row-unique-window
+        batch costs one pass."""
+        return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
-            max_windows_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    pdf, Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=(self._train, self._id_col, self._vec_col),
         )
 
     def query_by_attribute(
@@ -2168,16 +2410,92 @@ class PqServingIndex:
         candidate_factor: int = 8,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_tenants_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Multi-tenant serving via grouped decomposition (one masked
-        pass per DISTINCT tenant; contract in
-        :func:`_query_by_attribute_grouped`)."""
-        return _query_by_attribute_grouped(
+        """Multi-tenant serving in ONE masked pass (round 11): small
+        tenants ride one equality-join exact pass against the cold
+        corpus, the rest share a single ADC scan with per-tenant masks —
+        no distinct-tenant cap (the tenant analogue of
+        :meth:`query_by_window`)."""
+        return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
-            max_tenants_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    pdf, Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=(self._train, self._id_col, self._vec_col),
+        )
+
+    def _masked_constraint_batch(
+        self, pdf, Q, groups, k: int, candidate_factor: int,
+    ) -> DataFrame:
+        """One ADC pass over every resident code blob answers ALL masked
+        constraint groups (round 11): the per-query LUTs build once for
+        the whole batch, each blob unpickles once, and each group
+        gathers approx distances only over its masked rows for its own
+        query positions (total work <= the unfiltered batch scan's).
+        Candidates key by ROW POSITION; the exact re-rank scores each
+        row only against its own vector."""
+        spark = self._spark
+        m, ncent, sub_d = self._books.shape
+        tables = np.empty((len(Q), m, ncent))
+        for s in range(m):
+            seg = Q[:, s * sub_d : (s + 1) * sub_d]
+            tables[:, s, :] = (
+                (seg[:, None, :] - self._books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+        ncand = candidate_factor * k
+        bgroups = [(allow, ix) for allow, ix, _, _ in groups]
+        bc = spark.sparkContext.broadcast((tables, bgroups))
+        self._live_bcs.append(bc)
+
+        def scan(batches):
+            from vector_index_spark.operators.filtered import (
+                conjunction_mask,
+            )
+
+            b_tables, bg = bc.value
+            bm = b_tables.shape[1]
+            for pdf_b in batches:
+                for blob in pdf_b["blob"]:
+                    payload = pickle.loads(blob)
+                    ids, codes, attrs = payload[0], payload[1], payload[2]
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
+                    codes64 = codes.astype(np.int64)
+                    for allow, ix in bg:
+                        mask = conjunction_mask(attrs, allow)
+                        if not mask.any():
+                            continue
+                        g_ids = ids[mask]
+                        g_codes = codes64[mask]
+                        approx = np.zeros((len(g_ids), len(ix)))
+                        for s in range(bm):
+                            approx += b_tables[ix, s, :][:, g_codes[:, s]].T
+                        kk = min(ncand, len(g_ids))
+                        # masked rows keep the blob's id sort, so a
+                        # stable argsort yields the (approx, id) order
+                        part = np.argsort(approx, axis=0, kind="stable")[:kk]
+                        sel = part.T.reshape(-1)
+                        yield pd.DataFrame(
+                            {"qid": np.repeat(ix, kk), "id": g_ids[sel]}
+                        )
+
+        cands = (
+            self.blobs.mapInPandas(scan, "qid long, id long")
+            .dropDuplicates(["qid", "id"])
+        )
+        probe_ix = np.concatenate([ix for _, ix, _, _ in groups])
+        rsub = pdf.iloc[probe_ix][["vec"]].copy()
+        rsub.insert(0, "qid", probe_ix)
+        rsub["vec"] = rsub["vec"].map(list)
+        rq = spark.createDataFrame(rsub)
+        small = len(probe_ix) * ncand * self._n_serve <= 2_000_000
+        return _rerank_exact(
+            cands, self._train, rq, k, self._id_col, self._vec_col,
+            broadcast_cands=small,
         )
 
     def unpersist(self) -> None:
@@ -2476,16 +2794,23 @@ class SqServingIndex:
         candidate_factor: int = 8,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_windows_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Per-query window serving via grouped decomposition (one
-        masked pass per DISTINCT window; contract in
-        :func:`_query_by_window_grouped`)."""
-        return _query_by_window_grouped(
+        """Per-query window serving in ONE masked pass over the resident
+        uint8 blobs (round 11): narrow windows ride one non-equi
+        broadcast join against the cold corpus (exact); the rest share a
+        single dequantize + grouped-GEMM pass (one distance matrix per
+        blob, each window group selecting its masked columns — the
+        cellscan kernel) — no distinct-window cap."""
+        return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
-            max_windows_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    pdf, Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=(self._train, self._id_col, self._vec_col),
         )
 
     def query_by_attribute(
@@ -2496,16 +2821,85 @@ class SqServingIndex:
         candidate_factor: int = 8,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_tenants_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Multi-tenant serving via grouped decomposition (one masked
-        pass per DISTINCT tenant; contract in
-        :func:`_query_by_attribute_grouped`)."""
-        return _query_by_attribute_grouped(
+        """Multi-tenant serving in ONE masked pass (round 11): small
+        tenants on one equality-join exact pass against the cold corpus,
+        the rest on a single dequantize + grouped-GEMM pass with
+        per-tenant masks — no distinct-tenant cap."""
+        return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
-            max_tenants_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    pdf, Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=(self._train, self._id_col, self._vec_col),
+        )
+
+    def _masked_constraint_batch(
+        self, pdf, Q, groups, k: int, candidate_factor: int,
+    ) -> DataFrame:
+        """One dequantize + grouped-GEMM pass over every resident uint8
+        blob answers ALL masked constraint groups (round 11): each blob
+        dequantizes ONCE, `grouped_masked_topk_frame` computes one
+        distance matrix per blob restricted to the probing query rows,
+        and each group selects its top-ncand from its mask's columns.
+        Candidates key by ROW POSITION; the exact re-rank scores each
+        row only against its own vector."""
+        spark = self._spark
+        ncand = candidate_factor * k
+        bgroups = [(allow, ix) for allow, ix, _, _ in groups]
+        bc = spark.sparkContext.broadcast(
+            (Q, self._mins, self._span, bgroups)
+        )
+        self._live_bcs.append(bc)
+
+        def scan(batches):
+            from vector_index_spark.index.cellscan import (
+                grouped_masked_topk_frame,
+            )
+            from vector_index_spark.operators.filtered import (
+                conjunction_mask,
+            )
+
+            bQ, b_mins, b_span, bg = bc.value
+            pos_ids = np.arange(len(bQ), dtype=np.int64)
+            for pdf_b in batches:
+                for blob in pdf_b["blob"]:
+                    payload = pickle.loads(blob)
+                    ids, codes, attrs = payload[0], payload[1], payload[2]
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
+                    kg = []
+                    for allow, ix in bg:
+                        mask = conjunction_mask(attrs, allow)
+                        if mask.any():
+                            kg.append((ix, mask))
+                    if not kg:
+                        continue
+                    # identical dequantize to sq._sq_knn_batch, ONCE
+                    X = codes.astype(np.float64)
+                    X = X / 255.0 * b_span[None, :] + b_mins[None, :]
+                    f = grouped_masked_topk_frame(
+                        pos_ids, bQ, ids, X, kg, ncand
+                    )
+                    yield f[["qid", "id"]]
+
+        cands = (
+            self.blobs.mapInPandas(scan, "qid long, id long")
+            .dropDuplicates(["qid", "id"])
+        )
+        probe_ix = np.concatenate([ix for _, ix, _, _ in groups])
+        rsub = pdf.iloc[probe_ix][["vec"]].copy()
+        rsub.insert(0, "qid", probe_ix)
+        rsub["vec"] = rsub["vec"].map(list)
+        rq = spark.createDataFrame(rsub)
+        small = len(probe_ix) * ncand * self._n_serve <= 2_000_000
+        return _rerank_exact(
+            cands, self._train, rq, k, self._id_col, self._vec_col,
+            broadcast_cands=small,
         )
 
     def unpersist(self) -> None:
@@ -3665,16 +4059,24 @@ class RptServingIndex:
         probes: int = 4,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_windows_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Per-query window serving via grouped decomposition (one
-        masked pass per DISTINCT window; contract in
-        :func:`_query_by_window_grouped`)."""
-        return _query_by_window_grouped(
+        """Per-query window serving in ONE masked pass over the resident
+        leaf blobs (round 11): broad window groups probe their boosted
+        leaf sets, narrow groups scan EVERY leaf (raw vectors are
+        resident and leaves partition the corpus, so full coverage is
+        exact — no cold-corpus pass needed), all groups sharing each
+        leaf's unpickle and one grouped-GEMM kernel call — no
+        distinct-window cap."""
+        return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
-            max_windows_per_batch,
-            dict(probes=probes, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    Q, groups, kk, probes, nc, auto_boost
+                ),
+            exact_corpus=None,
         )
 
     def query_by_attribute(
@@ -3685,16 +4087,125 @@ class RptServingIndex:
         probes: int = 4,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_tenants_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Multi-tenant serving via grouped decomposition (one masked
-        pass per DISTINCT tenant; contract in
-        :func:`_query_by_attribute_grouped`)."""
-        return _query_by_attribute_grouped(
+        """Multi-tenant serving in ONE masked pass (round 11): small
+        tenants scan every resident leaf with their equality mask
+        (exact), large tenants probe boosted leaf sets — no
+        distinct-tenant cap (the tenant analogue of
+        :meth:`query_by_window`)."""
+        return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
-            max_tenants_per_batch,
-            dict(probes=probes, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    Q, groups, kk, probes, nc, auto_boost
+                ),
+            exact_corpus=None,
+        )
+
+    def _masked_constraint_batch(
+        self, Q, groups, k: int, probes: int, n_corpus: int,
+        auto_boost: bool = True,
+    ) -> DataFrame:
+        """One pass over the resident leaf blobs answers ALL constraint
+        groups (round 11): non-exact groups run the driver-side
+        best-first probe walk with the inverse-match-rate probe boost
+        (the class's filtered-query rule), exact groups visit EVERY leaf
+        — raw vectors are resident and leaves partition the corpus, so
+        the masked grouped GEMM over full leaf coverage is exact. All
+        groups probing a leaf share its unpickle and one
+        `grouped_masked_topk_frame` call; distances are final (no
+        re-rank tail on this route)."""
+        from pyspark.sql import Window
+
+        from vector_index_spark.index.rpt import _probe_leaves
+        from vector_index_spark.operators.filtered import (
+            choose_filtered_strategy,
+        )
+
+        spark = self._spark
+        n_leaves = 2 ** self._depth
+        # leaf -> {group index -> probing row positions}
+        assign: dict = {}
+        exact_gi: list = []
+        for gi, (allow, ix, exact, n_match) in enumerate(groups):
+            if exact:
+                exact_gi.append(gi)
+                continue
+            eff = probes
+            if auto_boost:
+                _, boosted = choose_filtered_strategy(
+                    n_corpus, min(max(n_match, 1), n_corpus), k, probes,
+                    n_leaves,
+                )
+                eff = min(n_leaves, max(probes, boosted))
+            for pos in ix:
+                # sorted-set normalization matches rpt_knn's probe UDF
+                for leaf in sorted(set(_probe_leaves(
+                    Q[pos], self._W, self._T, self._depth, eff
+                ))):
+                    assign.setdefault(int(leaf), {}).setdefault(
+                        gi, []
+                    ).append(int(pos))
+        bgroups = [(allow, ix) for allow, ix, _, _ in groups]
+        bc = spark.sparkContext.broadcast((Q, bgroups, assign, exact_gi))
+        self._live_bcs.append(bc)
+
+        def search(batches):
+            from vector_index_spark.index.cellscan import (
+                grouped_masked_topk_frame,
+            )
+            from vector_index_spark.operators.filtered import (
+                conjunction_mask,
+            )
+
+            bQ, bg, asg, b_exact = bc.value
+            pos_ids = np.arange(len(bQ), dtype=np.int64)
+            for pdf_b in batches:
+                frames = []
+                for leaf, blob in zip(pdf_b["leaf"], pdf_b["blob"]):
+                    payload = pickle.loads(blob)
+                    ids, X, attrs = payload[0], payload[1], payload[2]
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
+                    kg = []
+                    here = asg.get(int(leaf), {})
+                    for gi, poss in here.items():
+                        mask = conjunction_mask(attrs, bg[gi][0])
+                        if mask.any():
+                            kg.append(
+                                (np.asarray(poss, dtype=np.int64), mask)
+                            )
+                    for gi in b_exact:
+                        mask = conjunction_mask(attrs, bg[gi][0])
+                        if mask.any():
+                            kg.append((bg[gi][1], mask))
+                    if kg:
+                        frames.append(
+                            grouped_masked_topk_frame(
+                                pos_ids, bQ, ids, X, kg, k
+                            )
+                        )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame({"qid": [], "id": [], "dist": []})
+                )
+
+        rel = self.blobs
+        if not exact_gi:
+            # no group needs full coverage: prune to the probed leaves
+            rel = rel.filter(F.col("leaf").isin(sorted(assign)))
+        per_leaf = rel.mapInPandas(search, RESULT_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            per_leaf.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
         )
 
     def unpersist(self) -> None:
@@ -3969,16 +4480,24 @@ class PcaServingIndex:
         candidate_factor: int = 4,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_windows_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Per-query window serving via grouped decomposition (one
-        masked pass per DISTINCT window; contract in
-        :func:`_query_by_window_grouped`)."""
-        return _query_by_window_grouped(
+        """Per-query window serving in ONE masked pass over the resident
+        (reduced, raw) blobs (round 11): narrow window groups run a
+        masked grouped GEMM over the resident RAW matrices (full blob
+        coverage -> exact, no cold-corpus pass), broad groups shortlist
+        in the reduced space under their masks and refine against the
+        co-resident raw rows inside the same blob visit — no
+        distinct-window cap."""
+        return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
-            max_windows_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=None,
         )
 
     def query_by_attribute(
@@ -3989,16 +4508,109 @@ class PcaServingIndex:
         candidate_factor: int = 4,
         qid_col: str = "qid",
         vec_col: str = "vec",
-        max_tenants_per_batch: int = 64,
+        max_queries_per_batch: int = 65_536,
         auto_boost: bool = True,
     ) -> DataFrame:
-        """Multi-tenant serving via grouped decomposition (one masked
-        pass per DISTINCT tenant; contract in
-        :func:`_query_by_attribute_grouped`)."""
-        return _query_by_attribute_grouped(
+        """Multi-tenant serving in ONE masked pass (round 11): small
+        tenants run the masked exact GEMM over the resident raw
+        matrices, large tenants shortlist reduced-space under their
+        masks and refine in-blob — no distinct-tenant cap."""
+        return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
-            max_tenants_per_batch,
-            dict(candidate_factor=candidate_factor, auto_boost=auto_boost),
+            max_queries_per_batch, auto_boost,
+            masked_batch=lambda pdf, Q, groups, kk, nc:
+                self._masked_constraint_batch(
+                    Q, groups, kk, candidate_factor
+                ),
+            exact_corpus=None,
+        )
+
+    def _masked_constraint_batch(
+        self, Q, groups, k: int, candidate_factor: int,
+    ) -> DataFrame:
+        """One pass over the resident (ids, reduced, raw) blobs answers
+        ALL constraint groups (round 11): exact groups ride one grouped
+        masked GEMM over the RAW matrix (full coverage -> exact); the
+        rest shortlist in the reduced space (one reduced distance matrix
+        per blob, each group selecting its masked columns) and refine
+        against the co-resident raw rows in the SAME blob visit — the
+        filter-and-refine layout pays off because vec and pvec were
+        packed together. Distances are final; no re-rank tail."""
+        from pyspark.sql import Window
+
+        spark = self._spark
+        PQ_ = (Q - self._mean[None, :]) @ self._comp.T
+        ncand = candidate_factor * k
+        bgroups = [(allow, ix, exact) for allow, ix, exact, _ in groups]
+        bc = spark.sparkContext.broadcast((Q, PQ_, bgroups))
+        self._live_bcs.append(bc)
+
+        def scan(batches):
+            from vector_index_spark.index.cellscan import (
+                grouped_masked_topk_frame,
+            )
+            from vector_index_spark.operators.filtered import (
+                conjunction_mask,
+            )
+
+            bQ, bPQ, bg = bc.value
+            pos_ids = np.arange(len(bQ), dtype=np.int64)
+            for pdf_b in batches:
+                frames = []
+                for blob in pdf_b["blob"]:
+                    payload = pickle.loads(blob)
+                    ids, P, X, attrs = (
+                        payload[0], payload[1], payload[2], payload[3],
+                    )
+                    if attrs.ndim == 1:
+                        attrs = attrs[:, None]
+                    eg, sg = [], []
+                    for allow, ix, exact in bg:
+                        mask = conjunction_mask(attrs, allow)
+                        if not mask.any():
+                            continue
+                        (eg if exact else sg).append((ix, mask))
+                    if eg:
+                        frames.append(
+                            grouped_masked_topk_frame(
+                                pos_ids, bQ, ids, X, eg, k
+                            )
+                        )
+                    if sg:
+                        # reduced-space shortlist: candidate "ids" are
+                        # blob ROW indices, refined against the raw rows
+                        rf = grouped_masked_topk_frame(
+                            pos_ids, bPQ,
+                            np.arange(len(ids), dtype=np.int64), P,
+                            sg, ncand,
+                        )
+                        if len(rf):
+                            qpos = rf["qid"].to_numpy(dtype=np.int64)
+                            rix = rf["id"].to_numpy(dtype=np.int64)
+                            diff = bQ[qpos] - X[rix]
+                            d = (diff * diff).sum(axis=1)
+                            ref = pd.DataFrame(
+                                {"qid": qpos, "id": ids[rix], "dist": d}
+                            )
+                            frames.append(
+                                ref.sort_values(
+                                    ["qid", "dist", "id"], kind="stable"
+                                ).groupby("qid").head(k)
+                            )
+                yield (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame({"qid": [], "id": [], "dist": []})
+                )
+
+        partial = self.blobs.mapInPandas(scan, RESULT_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist")
         )
 
     def unpersist(self) -> None:
