@@ -730,7 +730,12 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same broadcast the value sets do. Also gates the DNF (AnyOf)
     mask: two adjacent one-day windows OR'd together must be
     byte-identical to the merged two-day range (same match count ->
-    same strategy, so divergence can only be a mask bug)."""
+    same strategy, so divergence can only be a mask bug). Round 11
+    extends the gate: ``single_pass_windows_ok`` pins the no-cap
+    single-pass constrained engine (a row-unique-window batch on
+    PqServingIndex == exact per-row window kNN, numpy ground truth)
+    and ``facade_dispatch_ok`` pins VectorIndex.query_by_window's
+    dispatch to the resident graph route with the same exact answers."""
     from vector_index_spark.config import IndexParameters
     from vector_index_spark.index.builder import build_graph_index
     from vector_index_spark.index.ivf import build_ivf
@@ -808,6 +813,64 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         restored.unpersist()
     finally:
         _shutil.rmtree(snap_dir, ignore_errors=True)
+    # round 11: single-pass constrained serving — a ROW-UNIQUE-window
+    # batch (every test row its own [lo, hi), mixed narrow/wide) on
+    # PqServingIndex must equal exact per-row window kNN (the round-10
+    # per-DISTINCT-window decomposition and its 64-group cap are gone;
+    # one masked pass + one cold non-equi join answer all groups), and
+    # the facade's query_by_window must dispatch to the resident GRAPH
+    # single-pass route and return the same exact answers
+    import numpy as _np
+
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    wtest = test.withColumn(
+        "lo", (F.col("qid") / 10).cast("long") % 90
+    ).withColumn(
+        "hi", F.col("lo") + F.when(F.col("qid") % 20 == 0, 2).otherwise(31)
+    ).localCheckpoint(eager=True)
+    corp = train.select("id", "vec", "day_code").toPandas()
+    c_ids = corp["id"].to_numpy(dtype="int64")
+    c_day = corp["day_code"].to_numpy(dtype="int64")
+    c_x = _np.stack(corp["vec"].to_numpy()).astype(_np.float64)
+    w_want = []
+    for r in wtest.collect():
+        m = (c_day >= r["lo"]) & (c_day < r["hi"])
+        if not m.any():
+            continue
+        qv = _np.asarray(r["vec"], dtype=_np.float64)
+        d = ((c_x[m] - qv[None, :]) ** 2).sum(axis=1)
+        ids_m = c_ids[m]
+        order = _np.lexsort((ids_m, d))[:K]
+        w_want += [
+            (r["qid"], rank, int(ids_m[j]), round(float(d[j]), 9))
+            for rank, j in enumerate(order, start=1)
+        ]
+    w_want = sorted(w_want)
+    books = train_pq(
+        train.select("id", "vec"), n_subspaces=8, n_centroids=16
+    )
+    pqidx = PqServingIndex(
+        encode_pq(train.select("id", "vec"), books).localCheckpoint(
+            eager=True
+        ),
+        train, books, attr_col="day_code",
+    ).warm()
+    single_pass_ok = (
+        rows(pqidx.query_by_window(wtest, K, candidate_factor=64))
+        == w_want
+    )
+    pqidx.unpersist()
+    from vector_index_spark.api import VectorIndex as _VI
+
+    fidx = _VI(vectors, edges, params)
+    facade_ok = (
+        rows(fidx.query_by_window(wtest, K, attr_col="day_code"))
+        == w_want
+        and type(fidx._serving_cache[("day_code",)]) is ServingIndex
+    )
+    fidx._serving_cache[("day_code",)].unpersist()
     gidx.unpersist()
     cidx.unpersist()
     return spark.createDataFrame(
@@ -819,6 +882,8 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(hits / len(truth) >= 0.9),
                 bool(dnf_ok),
                 bool(snap_ok),
+                bool(single_pass_ok),
+                bool(facade_ok),
                 # full-shape check: the oracle pins n_test * K, so a
                 # short broad result breaks the hash
                 int(got.count()),
@@ -827,6 +892,7 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph_sel_range_ok boolean, cell_sel_range_ok boolean, "
         "broad_only_matching boolean, broad_recall_ok boolean, "
         "dnf_equiv_ok boolean, snapshot_parity_ok boolean, "
+        "single_pass_windows_ok boolean, facade_dispatch_ok boolean, "
         "n_broad_rows long",
     )
 
@@ -4974,6 +5040,8 @@ def oracle_sql() -> dict[str, str]:
                    true AS broad_recall_ok,
                    true AS dnf_equiv_ok,
                    true AS snapshot_parity_ok,
+                   true AS single_pass_windows_ok,
+                   true AS facade_dispatch_ok,
                    count(*) * {K} AS n_broad_rows
             FROM embeddings WHERE vec_id % 10 = 0
         """,
