@@ -3064,3 +3064,46 @@ def test_incremental_snapshot_generations(spark, tmp_path):
         restored.unpersist()
         cold.unpersist()
         idx.unpersist()
+
+
+def test_snapshot_fingerprint_corpus_opt_out(spark, ltrain, tmp_path):
+    """Round 11: `snapshot(fingerprint_corpus=False)` skips the
+    raw-corpus fingerprint scan (it dominates the snapshot write at 5M
+    rows — SCALE.md). The manifest records the opt-out (corpus=None);
+    restore still validates the blob fingerprint but can no longer
+    catch cold-corpus drift — the weaker guarantee is explicit, not
+    silent: the default path still raises on drift."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import (
+        PqServingIndex,
+        SnapshotIntegrityError,
+        _read_manifest,
+    )
+
+    train, test0 = ltrain
+    tr = train.select("id", "vec").localCheckpoint(eager=True)
+    test = test0.limit(5).localCheckpoint(eager=True)
+    books = train_pq(tr, n_subspaces=8, n_centroids=16)
+    sidx = PqServingIndex(
+        encode_pq(tr, books).localCheckpoint(eager=True), tr, books
+    ).warm()
+    drifted = tr.filter(F.col("id") % 7 != 0).localCheckpoint(eager=True)
+    try:
+        p1 = str(tmp_path / "with_fp")
+        sidx.snapshot(p1)
+        assert _read_manifest(spark, p1, "PqServingIndex")["corpus"]
+        with pytest.raises(SnapshotIntegrityError, match="drifted"):
+            PqServingIndex.from_snapshot(spark, p1, drifted)
+
+        p2 = str(tmp_path / "no_fp")
+        sidx.snapshot(p2, fingerprint_corpus=False)
+        assert _read_manifest(spark, p2, "PqServingIndex")["corpus"] is None
+        restored = PqServingIndex.from_snapshot(spark, p2, tr)
+        try:
+            a = sorted(map(tuple, restored.query(test, K).collect()))
+            b = sorted(map(tuple, sidx.query(test, K).collect()))
+            assert a == b
+        finally:
+            restored.unpersist()
+    finally:
+        sidx.unpersist()

@@ -2308,7 +2308,8 @@ class PqServingIndex:
         self.n_blobs = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "PqServingIndex":
+    def snapshot(self, path: str,
+                 fingerprint_corpus: bool = True) -> "PqServingIndex":
         """Persist the serving form (round 10): packed code blobs, the
         codebook array, and a versioned manifest carrying the cold
         corpus FINGERPRINT — the raw vectors for the exact re-rank tail
@@ -2322,9 +2323,14 @@ class PqServingIndex:
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "blobs": _blob_fingerprint(self.blobs),
+            # fingerprint_corpus=False skips the raw-corpus scan (count
+            # + id checksum + spot vectors) — at 5M rows that scan
+            # dominates the snapshot write (SCALE.md round 11); the
+            # trade is recorded in the manifest: restore then validates
+            # blobs only and cannot catch cold-corpus drift
             "corpus": _corpus_fingerprint(
                 self._train, self._id_col, self._vec_col
-            ),
+            ) if fingerprint_corpus else None,
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
@@ -2360,9 +2366,12 @@ class PqServingIndex:
         )
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
-            _check_corpus_fingerprint(
-                train, idx._id_col, idx._vec_col, manifest["corpus"], path
-            )
+            if manifest["corpus"] is not None:
+                # None = the writer opted out (fingerprint_corpus=False)
+                _check_corpus_fingerprint(
+                    train, idx._id_col, idx._vec_col, manifest["corpus"],
+                    path,
+                )
         idx._spark = spark
         idx._live_bcs = []
         return idx
@@ -2722,7 +2731,8 @@ class SqServingIndex:
         self.n_blobs = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "SqServingIndex":
+    def snapshot(self, path: str,
+                 fingerprint_corpus: bool = True) -> "SqServingIndex":
         """Persist the serving form (round 10): packed uint8 code blobs,
         the per-dimension scale arrays, and a versioned manifest with
         the cold corpus fingerprint (same contract as
@@ -2736,9 +2746,14 @@ class SqServingIndex:
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "blobs": _blob_fingerprint(self.blobs),
+            # fingerprint_corpus=False skips the raw-corpus scan (count
+            # + id checksum + spot vectors) — at 5M rows that scan
+            # dominates the snapshot write (SCALE.md round 11); the
+            # trade is recorded in the manifest: restore then validates
+            # blobs only and cannot catch cold-corpus drift
             "corpus": _corpus_fingerprint(
                 self._train, self._id_col, self._vec_col
-            ),
+            ) if fingerprint_corpus else None,
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
@@ -2773,9 +2788,12 @@ class SqServingIndex:
         )
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
-            _check_corpus_fingerprint(
-                train, idx._id_col, idx._vec_col, manifest["corpus"], path
-            )
+            if manifest["corpus"] is not None:
+                # None = the writer opted out (fingerprint_corpus=False)
+                _check_corpus_fingerprint(
+                    train, idx._id_col, idx._vec_col, manifest["corpus"],
+                    path,
+                )
         idx._spark = spark
         idx._live_bcs = []
         return idx
@@ -3112,7 +3130,8 @@ class IvfPqServingIndex:
         self.n_cells = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "IvfPqServingIndex":
+    def snapshot(self, path: str,
+                 fingerprint_corpus: bool = True) -> "IvfPqServingIndex":
         """Persist the compressed serving form (round 8): the per-cell
         code blob relation, the centroid routing table, the driver-held
         centroid/codebook arrays, and a manifest (attr_cols, id/vec
@@ -3134,9 +3153,14 @@ class IvfPqServingIndex:
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "blobs": _blob_fingerprint(self.blobs),
+            # fingerprint_corpus=False skips the raw-corpus scan (count
+            # + id checksum + spot vectors) — at 5M rows that scan
+            # dominates the snapshot write (SCALE.md round 11); the
+            # trade is recorded in the manifest: restore then validates
+            # blobs only and cannot catch cold-corpus drift
             "corpus": _corpus_fingerprint(
                 self._train, self._id_col, self._vec_col
-            ),
+            ) if fingerprint_corpus else None,
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
@@ -3177,9 +3201,12 @@ class IvfPqServingIndex:
         )
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
-            _check_corpus_fingerprint(
-                train, idx._id_col, idx._vec_col, manifest["corpus"], path
-            )
+            if manifest["corpus"] is not None:
+                # None = the writer opted out (fingerprint_corpus=False)
+                _check_corpus_fingerprint(
+                    train, idx._id_col, idx._vec_col, manifest["corpus"],
+                    path,
+                )
         idx._cents_kv = spark.read.parquet(
             f"{path}/routing"
         ).localCheckpoint(eager=True)
