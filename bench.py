@@ -724,6 +724,39 @@ def main() -> None:
     )
     wsidx.unpersist()
 
+    # per-row windowed serving on the PQ route (round 11): the same
+    # 10-query row-unique-window batch through the single-pass grouped
+    # constraint engine over resident code blobs (one ADC pass, per-group
+    # masks, positional re-rank) — the tripwire for the engine that
+    # replaced the per-DISTINCT-window decomposition. Build/warm untimed
+    # (startup); appended at the tail per the ordering contract.
+    def pq_window_state():
+        from vector_index_spark.index.pq import encode_pq, train_pq
+        from vector_index_spark.index.serving import PqServingIndex
+
+        tl = big_train.withColumn("day", F.col("id") % 100)
+        books = train_pq(tl.select("id", "vec"), n_subspaces=8,
+                         n_centroids=16)
+        enc = encode_pq(tl.select("id", "vec"), books).localCheckpoint(
+            eager=True
+        )
+        sidx = PqServingIndex(enc, tl, books, attr_col="day").warm()
+        batch = (
+            big_test.limit(10)
+            .withColumn("lo", F.col("qid") % 50)
+            .withColumn("hi", (F.col("qid") % 50) + 3)
+            .localCheckpoint(eager=True)
+        )
+        return sidx, batch
+
+    pwsidx, pwbatch = pq_window_state()
+    pwsidx.query_by_window(pwbatch, K).count()  # JIT pass
+    timed(
+        "pq_windowed_serving_query_k100_62k",
+        lambda: pwsidx.query_by_window(pwbatch, K).count(),
+    )
+    pwsidx.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -190,3 +190,47 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == li.join(o, "okey").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_single_pass_window_serving_plan_has_no_corpus_shuffle(split):
+    """Round 11: the single-pass constrained engine's plans. The masked
+    branch (wide windows at small k -> every group over the resident
+    blobs) must re-rank through a BROADCAST hash join — the candidate
+    relation comes out of a mapInPandas scan with no stats, and letting
+    AQE pick a sort-merge join would re-shuffle the CORPUS every serving
+    batch (the one cost a serving loop must never pay). The exact branch
+    (narrow windows) must answer through one broadcast non-equi join —
+    corpus scans once, never shuffles."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    train, test = split
+    tr = train.withColumn("day", F.col("id") % 100)
+    books = train_pq(tr.select("id", "vec"), n_subspaces=8, n_centroids=16)
+    sidx = PqServingIndex(
+        encode_pq(tr.select("id", "vec"), books).localCheckpoint(eager=True),
+        tr, books, attr_col="day",
+    ).warm()
+    try:
+        # wide windows (60 of 100 days ≈ 270 rows >> 8*k) -> masked pass
+        wide = test.limit(6).select(
+            "qid", "vec",
+            (F.col("qid") % 30).alias("lo"),
+            ((F.col("qid") % 30) + 60).alias("hi"),
+        ).localCheckpoint(eager=True)
+        plan = _plan(sidx.query_by_window(wide, 3))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+        # narrow windows (~4 rows each) -> the exact non-equi broadcast
+        # join branch; corpus side must not exchange
+        narrow = test.limit(6).select(
+            "qid", "vec",
+            (F.col("qid") % 90).alias("lo"),
+            ((F.col("qid") % 90) + 1).alias("hi"),
+        ).localCheckpoint(eager=True)
+        plan = _plan(sidx.query_by_window(narrow, 3))
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        sidx.unpersist()
