@@ -616,3 +616,79 @@ def test_stream_per_row_constraints_and_snapshot_restart(spark, tmp_path):
             window_cols=("lo", "hi"), qattr_col="label",
             snapshot_path=snap,
         )
+
+
+def test_stream_index_maintain_generations_and_restart(spark, tmp_path):
+    """Round 11: stream_index_maintain drains ingest waves while keeping
+    the warm serving handle AND its snapshot fresh per wave — each
+    micro-batch appends (affected shards only), refreshes those shards'
+    resident blobs, and stacks an incremental snapshot generation. After
+    the drain: the snapshot carries generations; a cold restore from it
+    byte-equals a cold rebuild over the final index (and the live
+    handle); restore answers queries."""
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import stream_index_maintain
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=6, relaxed_monotonicity=32,
+        step=2, sub_index_bound=100,
+    )
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    first = full.filter(F.col("id") < 300)
+    rest = full.filter(F.col("id") >= 300)
+
+    path = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    save_index(
+        assign_shards(first, params.sub_index_bound),
+        build_graph_index(first, params), params, path,
+    )
+    src = str(tmp_path / "arrivals")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema("id long, vec array<float>").parquet(src)
+    q, sidx = stream_index_maintain(
+        stream, path, snap, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    try:
+        import json as _json
+        import os as _os
+
+        from vector_index_spark.index.serving import _fs_read_bytes
+
+        manifest = _json.loads(
+            _fs_read_bytes(spark, f"{snap}/serving_manifest.json").decode()
+        )
+        assert manifest["generations"], "no incremental generation written"
+        for g in manifest["generations"]:
+            assert _os.path.isdir(f"{snap}/blobs_gen_{g['gen']}")
+
+        vectors, edges, _ = load_index(spark, path)
+        cold = ServingIndex(vectors, edges).warm()
+        restored = ServingIndex.from_snapshot(spark, snap)
+        try:
+            want = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+            assert {
+                r.shard: bytes(r.blob) for r in restored.blobs.collect()
+            } == want
+            assert {
+                r.shard: bytes(r.blob) for r in sidx.blobs.collect()
+            } == want
+            queries = full.filter(F.col("id") == 0).select(
+                F.col("id").alias("qid"), "vec"
+            )
+            a = sorted(map(tuple, restored.query(queries, 5).collect()))
+            b = sorted(map(tuple, cold.query(queries, 5).collect()))
+            assert a == b and len(a) == 5
+        finally:
+            cold.unpersist()
+            restored.unpersist()
+    finally:
+        sidx.unpersist()

@@ -208,7 +208,8 @@ def remove_from_index(spark, path: str, ids: DataFrame,
 
 
 def append_to_index(spark, path: str, new_vectors: DataFrame,
-                    id_col: str = "id", vec_col: str = "vec") -> None:
+                    id_col: str = "id",
+                    vec_col: str = "vec") -> "list[int]":
     """Append rows to a persisted index, rebuilding ONLY the shards the new
     ids land in — the batch form of the reference's growth model (a shard
     fills to ``sub_index_bound``, then the next opens, dehnsw.h:601-609;
@@ -289,3 +290,6 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # the shards this append touched — serving loops pass them straight
+    # to ServingIndex.refresh / snapshot_incremental (round 11)
+    return sorted(int(s) for s in affected)

@@ -62,6 +62,58 @@ def stream_index_ingest(
     return writer.start()
 
 
+def stream_index_maintain(
+    vectors: DataFrame,
+    index_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    available_now: bool = True,
+):
+    """Streaming ingest that keeps a WARM serving handle AND its
+    SNAPSHOT fresh at wave cost (round 11): each micro-batch (1) appends
+    to the persisted index (affected-shard rebuilds only), (2) refreshes
+    ONLY those shards' resident blobs on the returned
+    :class:`~vector_index_spark.index.serving.ServingIndex`, and (3)
+    ``snapshot_incremental`` writes just the re-packed shards as a new
+    blob GENERATION at ``snapshot_path`` — so a serving fleet can
+    cold-restart from the snapshot between any two waves without
+    re-packing, and per-wave maintenance cost (append + refresh +
+    snapshot) all tracks the wave's affected shards, never index size.
+
+    Returns ``(query, serving_handle)``; the handle answers queries
+    between and during waves (refresh persists the new blob relation
+    before unpersisting the old). The base snapshot is written on start
+    (startup-class, once)."""
+    from vector_index_spark.index.persistence import load_index
+    from vector_index_spark.index.serving import ServingIndex
+
+    spark0 = vectors.sparkSession
+    v0, e0, _params = load_index(spark0, index_path)
+    sidx = ServingIndex(v0, e0).warm()
+    sidx.snapshot(snapshot_path)  # generation base
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        affected = append_to_index(
+            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        )
+        v2, e2, _ = load_index(spark, index_path)
+        sidx.refresh(v2, e2, affected)
+        sidx.snapshot_incremental(snapshot_path)
+
+    writer = (
+        vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sidx
+
+
 def stream_ann_query(
     queries: DataFrame,
     index_path: "str | None",
