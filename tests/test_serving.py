@@ -3107,3 +3107,90 @@ def test_snapshot_fingerprint_corpus_opt_out(spark, ltrain, tmp_path):
             restored.unpersist()
     finally:
         sidx.unpersist()
+
+
+def test_ivfpq_refresh_and_incremental_snapshot(spark, ltrain, tmp_path):
+    """Round 11: incremental maintenance on the compressed serving
+    route. refresh(new_rows, train) encodes the wave with the EXISTING
+    centroids+codebooks, merges it into ONLY the affected cells'
+    resident blobs, and must leave the handle byte-identical to a cold
+    pack over the full encode relation (same fit). snapshot_incremental
+    then writes only those cells as a generation (base blob files
+    untouched — FS listing), and the restore byte-equals the cold
+    handle. Lineage and the corpus fingerprint update ride along."""
+    import os
+
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    train, test0 = ltrain
+    full = train.select(
+        "id", "vec", (F.col("id") % 50).alias("day")
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 350).localCheckpoint(eager=True)
+    wave = full.filter(F.col("id") >= 350).localCheckpoint(eager=True)
+    test = test0.limit(8).localCheckpoint(eager=True)
+
+    # ONE fit over the full corpus; the incremental handle starts from
+    # the subset of the SAME encode relation, so byte parity with the
+    # cold pack is exact
+    enc, cents, books = build_ivfpq(
+        full.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    enc = enc.localCheckpoint(eager=True)
+    enc_first = enc.join(
+        F.broadcast(first.select("id")), "id"
+    ).localCheckpoint(eager=True)
+
+    cold = IvfPqServingIndex(enc, cents, books, full, attr_col="day").warm()
+    incr = IvfPqServingIndex(
+        enc_first, cents, books, first, attr_col="day"
+    ).warm()
+    snap = str(tmp_path / "snap")
+    incr.snapshot(snap)
+
+    def listing(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    base_before = listing(f"{snap}/blobs")
+    try:
+        incr.refresh(wave, full)
+        want = {r.cell: bytes(r.blob) for r in cold.blobs.collect()}
+        got = {r.cell: bytes(r.blob) for r in incr.blobs.collect()}
+        assert got == want
+        a = _round_rows(incr.query(test, K, nprobe=4))
+        assert a == _round_rows(cold.query(test, K, nprobe=4))
+        # constrained forms work on the refreshed handle too (+3: the
+        # bare qid % 50 values only occur on test-split ids — the
+        # derived-fixture degeneracy noted in SCALE.md)
+        wq = test.withColumn("attr", (F.col("qid") % 50) + 3)
+        assert incr.query_by_attribute(wq, K, qattr_col="attr").count() > 0
+
+        incr.snapshot_incremental(snap)
+        assert listing(f"{snap}/blobs") == base_before  # base untouched
+        assert os.path.isdir(f"{snap}/blobs_gen_1")
+        gen_cells = {
+            r.cell for r in spark.read.parquet(f"{snap}/blobs_gen_1")
+            .select("cell").collect()
+        }
+        assert gen_cells and gen_cells.issubset(set(want))
+
+        restored = IvfPqServingIndex.from_snapshot(spark, snap, full)
+        try:
+            rgot = {r.cell: bytes(r.blob) for r in restored.blobs.collect()}
+            assert rgot == want
+            assert _round_rows(restored.query(test, K, nprobe=4)) == a
+        finally:
+            restored.unpersist()
+
+        # foreign handle refuses to extend this snapshot
+        with pytest.raises(Exception, match="snapshot_incremental"):
+            cold.snapshot_incremental(snap)
+    finally:
+        cold.unpersist()
+        incr.unpersist()

@@ -116,6 +116,63 @@ def _fs_delete(spark, path: str) -> None:
     fs.delete(jpath, True)
 
 
+def _resolve_generations(spark, path: str, base: DataFrame, key_col: str,
+                         gens: list) -> DataFrame:
+    """Latest-generation-wins resolve for incremental snapshots (round
+    11): a blob row keeps its base (gen 0) version unless a later
+    generation CLAIMS its key — then only that generation's row survives
+    (a claimed key with no row in its generation was removed). Shared by
+    the graph (``shard``) and IVF-PQ (``cell``) restores."""
+    if not gens:
+        return base
+    claim: dict = {}
+    for g in gens:
+        for s in g["shards"]:
+            claim[int(s)] = max(claim.get(int(s), 0), int(g["gen"]))
+    rel = base.withColumn("__gen", F.lit(0))
+    for g in gens:
+        rel = rel.unionByName(
+            spark.read.parquet(f"{path}/blobs_gen_{g['gen']}")
+            .withColumn("__gen", F.lit(int(g["gen"])))
+        )
+    cm = spark.createDataFrame(
+        [(int(s), int(g)) for s, g in claim.items()],
+        f"{key_col} long, __claim int",
+    )
+    return (
+        rel.join(F.broadcast(cm), key_col, "left")
+        .filter(F.col("__gen") == F.coalesce(F.col("__claim"), F.lit(0)))
+        .drop("__gen", "__claim")
+    )
+
+
+def _reset_generation_chain(spark, path: str, cls_name: str) -> None:
+    """A full snapshot resets any incremental generation chain at this
+    path: delete the dirs the old manifest listed so stale generations
+    can never shadow the fresh base."""
+    try:
+        old = _read_manifest(spark, path, cls_name)
+        for g in old.get("generations", []):
+            _fs_delete(spark, f"{path}/blobs_gen_{g['gen']}")
+    except SnapshotIntegrityError:
+        pass
+
+
+def _check_incremental_lineage(idx, path: str, manifest: dict) -> None:
+    """snapshot_incremental requires a base snapshot THIS handle wrote
+    or restored — unaffected blobs are reused from it byte-as-is, which
+    is only sound against the snapshot the handle's resident state
+    descends from."""
+    if getattr(idx, "_snapshot_lineage", None) != (
+        path, manifest.get("snapshot_id")
+    ):
+        raise SnapshotIntegrityError(
+            f"snapshot_incremental({path!r}) needs a base snapshot "
+            "this handle wrote or restored (unaffected shards are "
+            "reused from it byte-as-is) — run snapshot() first"
+        )
+
+
 def _blob_fingerprint(blobs: DataFrame) -> dict:
     """(blob count, total packed vectors) — one tiny agg over the blob
     relation; restore re-derives it and refuses a truncated copy."""
@@ -842,15 +899,7 @@ class ServingIndex:
         URI (s3a://, hdfs://, file://) — round 10."""
         import uuid as _uuid
 
-        # a full snapshot resets any incremental generation chain at
-        # this path (round 11): delete dirs the old manifest listed so
-        # stale generations can never shadow the fresh base
-        try:
-            old = _read_manifest(self._spark, path, type(self).__name__)
-            for g in old.get("generations", []):
-                _fs_delete(self._spark, f"{path}/blobs_gen_{g['gen']}")
-        except SnapshotIntegrityError:
-            pass
+        _reset_generation_chain(self._spark, path, type(self).__name__)
         self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
         self._routing_table().write.mode("overwrite").parquet(
             f"{path}/routing"
@@ -888,14 +937,8 @@ class ServingIndex:
         :class:`SnapshotIntegrityError` says to run :meth:`snapshot`.
         With nothing pending, only the manifest refreshes."""
         spark = self._spark
-        lineage = getattr(self, "_snapshot_lineage", None)
         manifest = _read_manifest(spark, path, type(self).__name__)
-        if lineage != (path, manifest.get("snapshot_id")):
-            raise SnapshotIntegrityError(
-                f"snapshot_incremental({path!r}) needs a base snapshot "
-                "this handle wrote or restored (unaffected shards are "
-                "reused from it byte-as-is) — run snapshot() first"
-            )
+        _check_incremental_lineage(self, path, manifest)
         pending = sorted(
             getattr(self, "_pending_snapshot_shards", set())
         )
@@ -946,34 +989,10 @@ class ServingIndex:
         idx._storage_level = storage_level
         _restore_attr_fields(idx, manifest)
         idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
-        rel = spark.read.parquet(f"{path}/blobs")
-        gens = manifest.get("generations", [])
-        if gens:
-            # latest-generation-wins per shard (round 11 incremental
-            # snapshots): a shard keeps its base (gen 0) row unless a
-            # later generation CLAIMS it — then only that generation's
-            # row survives (no row there = the shard was removed)
-            claim: dict = {}
-            for g in gens:
-                for s in g["shards"]:
-                    claim[int(s)] = max(claim.get(int(s), 0), int(g["gen"]))
-            rel = rel.withColumn("__gen", F.lit(0))
-            for g in gens:
-                rel = rel.unionByName(
-                    spark.read.parquet(f"{path}/blobs_gen_{g['gen']}")
-                    .withColumn("__gen", F.lit(int(g["gen"])))
-                )
-            cm = spark.createDataFrame(
-                [(int(s), int(g)) for s, g in claim.items()],
-                "shard long, __claim int",
-            )
-            rel = (
-                rel.join(F.broadcast(cm), "shard", "left")
-                .filter(
-                    F.col("__gen") == F.coalesce(F.col("__claim"), F.lit(0))
-                )
-                .drop("__gen", "__claim")
-            )
+        rel = _resolve_generations(
+            spark, path, spark.read.parquet(f"{path}/blobs"), "shard",
+            manifest.get("generations", []),
+        )
         idx.blobs = rel.repartition(idx._n_serve).persist(storage_level)
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
@@ -3076,6 +3095,7 @@ class IvfPqServingIndex:
         self._books = codebooks
         self._attr_cols = normalize_attr_cols(attr_col)
         self._attr_hist = None
+        self._storage_level = storage_level
 
         def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
@@ -3130,6 +3150,156 @@ class IvfPqServingIndex:
         self.n_cells = self.blobs.count()
         return self
 
+    def refresh(
+        self, new_rows: DataFrame, train: DataFrame,
+    ) -> "IvfPqServingIndex":
+        """Incremental ingest on the compressed serving route (round
+        11): the wave encodes with the EXISTING centroids and codebooks
+        (neither refits on append — the cell layout's never-refit
+        contract, builder.append_to_index's ivf_cell rule, and PQ's
+        frozen-codebook snapshot contract), routes each row to its
+        nearest cell, and re-packs ONLY the affected cells' resident
+        blobs by merging the wave's code rows into the cached payloads —
+        every other cell's blob row carries over without recomputation.
+        ``train`` is the post-append cold corpus (the exact re-rank
+        tail; also the attribute source when ``attr_col`` was given —
+        the wave's ids must already be in it). New ids must be NEW
+        (id-primary-key, same contract as append_to_index).
+
+        Parity: per-cell payloads are id-sorted arrays, so the merged
+        blob byte-equals a cold pack over the union encode relation
+        (tested). Cost tracks the wave's affected cells, never corpus
+        size; the touched cells queue for :meth:`snapshot_incremental`.
+        """
+        spark = self._spark
+        rows = new_rows.select(
+            F.col(self._id_col).alias("id"),
+            F.col(self._vec_col).alias("vec"),
+        )
+        if self._attr_cols is not None:
+            rows = rows.join(
+                train.select(
+                    F.col(self._id_col).alias("id"),
+                    *_attr_code_exprs(train, self._attr_cols),
+                ),
+                "id",
+            )
+            self._attr_hist = None  # contents changed
+        wave = rows.toPandas()  # bounded: one ingest wave
+        self._train = train
+        if len(wave) == 0:
+            return self
+        ids = wave["id"].to_numpy(dtype=np.int64)
+        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+        # nearest existing cell — the routing table is the bounded side
+        cent = self._cents_kv.orderBy("id").collect()
+        cids = np.array([r["id"] for r in cent], dtype=np.int64)
+        C = np.stack(
+            [np.asarray(r["vec"], dtype=np.float64) for r in cent]
+        )
+        d = (
+            (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        )
+        nearest = d.argmin(axis=1)
+        cells = cids[nearest]
+        # encode residuals with the existing books — identical math to
+        # build_ivfpq's encode pass (ivfpq.py), so merged payloads
+        # byte-match a cold re-encode
+        m, _, sub = self._books.shape
+        R = X - C[nearest]
+        codes = np.empty((len(R), m), dtype=np.int32)
+        for s in range(m):
+            seg = R[:, s * sub : (s + 1) * sub]
+            dd = (
+                (seg[:, None, :] - self._books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+            codes[:, s] = dd.argmin(axis=1)
+        attrs = _stack_attrs(wave)
+        per_cell: dict = {}
+        for i, c in enumerate(cells):
+            per_cell.setdefault(int(c), []).append(i)
+        affected = sorted(per_cell)
+        add = {
+            c: (
+                ids[np.asarray(ix, dtype=np.int64)],
+                codes[np.asarray(ix, dtype=np.int64)],
+                attrs[np.asarray(ix, dtype=np.int64)]
+                if attrs is not None else None,
+            )
+            for c, ix in per_cell.items()
+        }
+        bc = spark.sparkContext.broadcast(add)
+        self._live_bcs.append(bc)
+
+        def merge(batches):
+            for pdf_b in batches:
+                cells_o, nvec_o, blob_o = [], [], []
+                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                    payload = pickle.loads(blob)
+                    a_ids, a_codes, a_attrs = bc.value[int(cell)]
+                    u_ids = np.concatenate([payload[0], a_ids])
+                    u_codes = np.concatenate(
+                        [payload[1], a_codes], axis=0
+                    ).astype(np.int32)
+                    order = np.argsort(u_ids, kind="stable")
+                    new_payload: tuple = (u_ids[order], u_codes[order])
+                    if len(payload) > 2:
+                        u_attrs = np.concatenate([payload[2], a_attrs], axis=0)
+                        new_payload = (*new_payload, u_attrs[order])
+                    cells_o.append(int(cell))
+                    nvec_o.append(len(u_ids))
+                    blob_o.append(
+                        pickle.dumps(
+                            new_payload, protocol=pickle.HIGHEST_PROTOCOL
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"cell": cells_o, "n_vectors": nvec_o, "blob": blob_o}
+                )
+
+        present = {
+            int(r["cell"])
+            for r in self.blobs.filter(F.col("cell").isin(affected))
+            .select("cell").collect()
+        }
+        merged = (
+            self.blobs.filter(F.col("cell").isin(sorted(present)))
+            .mapInPandas(merge, CELL_BLOB_SCHEMA)
+        )
+        parts = [self.blobs.filter(~F.col("cell").isin(affected)), merged]
+        missing = [c for c in affected if c not in present]
+        if missing:
+            # a cell whose blob row didn't exist (it had zero rows):
+            # the wave creates it from scratch
+            rows_new = []
+            for c in missing:
+                a_ids, a_codes, a_attrs = add[c]
+                order = np.argsort(a_ids, kind="stable")
+                payload: tuple = (a_ids[order], a_codes[order])
+                if a_attrs is not None:
+                    payload = (*payload, a_attrs[order])
+                rows_new.append(
+                    (int(c), int(len(a_ids)),
+                     bytearray(pickle.dumps(
+                         payload, protocol=pickle.HIGHEST_PROTOCOL
+                     )))
+                )
+            parts.append(spark.createDataFrame(rows_new, CELL_BLOB_SCHEMA))
+        new_blobs = parts[0]
+        for p in parts[1:]:
+            new_blobs = new_blobs.unionByName(p)
+        new_blobs = new_blobs.repartition(self._n_serve).persist(
+            getattr(self, "_storage_level", StorageLevel.MEMORY_AND_DISK)
+        )
+        self.n_cells = new_blobs.count()  # materialize before swapping
+        old_blobs = self.blobs
+        self.blobs = new_blobs
+        old_blobs.unpersist()
+        self._pending_snapshot_cells = (
+            getattr(self, "_pending_snapshot_cells", set()) | set(affected)
+        )
+        return self
+
     def snapshot(self, path: str,
                  fingerprint_corpus: bool = True) -> "IvfPqServingIndex":
         """Persist the compressed serving form (round 8): the per-cell
@@ -3143,6 +3313,9 @@ class IvfPqServingIndex:
         manifest records its FINGERPRINT (count + id checksum + spot
         rows) so a drifted corpus raises at restore instead of silently
         re-ranking shortlists against mismatched vectors (round 10)."""
+        import uuid as _uuid
+
+        _reset_generation_chain(self._spark, path, type(self).__name__)
         self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
         self._cents_kv.write.mode("overwrite").parquet(f"{path}/routing")
         _fs_write_npy(self._spark, f"{path}/centroids.npy", self._C)
@@ -3152,6 +3325,8 @@ class IvfPqServingIndex:
             "class": type(self).__name__,
             "id_col": self._id_col,
             "vec_col": self._vec_col,
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             # fingerprint_corpus=False skips the raw-corpus scan (count
             # + id checksum + spot vectors) — at 5M rows that scan
@@ -3166,6 +3341,47 @@ class IvfPqServingIndex:
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"])
+        self._pending_snapshot_cells = set()
+        return self
+
+    def snapshot_incremental(
+        self, path: str, fingerprint_corpus: bool = True,
+    ) -> "IvfPqServingIndex":
+        """Incremental snapshot after :meth:`refresh` (round 11): write
+        ONLY the cells touched since the last snapshot as a new blob
+        GENERATION plus an updated manifest — centroids and codebooks
+        never refit on append, so the driver arrays are NOT rewritten
+        (the routing table carries over too: appends route to existing
+        cells). Same lineage contract as the graph route: this handle
+        must have written or restored the base snapshot."""
+        spark = self._spark
+        manifest = _read_manifest(spark, path, type(self).__name__)
+        _check_incremental_lineage(self, path, manifest)
+        pending = sorted(getattr(self, "_pending_snapshot_cells", set()))
+        gens = manifest.get("generations", [])
+        if pending:
+            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+            self.blobs.filter(
+                F.col("cell").isin(pending)
+            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+            gens = gens + [
+                {"gen": gen, "shards": [int(c) for c in pending]}
+            ]
+        manifest.update(
+            {
+                "blobs": _blob_fingerprint(self.blobs),
+                "corpus": _corpus_fingerprint(
+                    self._train, self._id_col, self._vec_col
+                ) if fingerprint_corpus else None,
+                "generations": gens,
+                **_manifest_attr_fields(
+                    self._attr_cols, self._attribute_histogram
+                ),
+            }
+        )
+        _write_manifest(spark, path, manifest)
+        self._pending_snapshot_cells = set()
         return self
 
     @classmethod
@@ -3194,8 +3410,12 @@ class IvfPqServingIndex:
         _restore_attr_fields(idx, manifest)
         idx._books = _fs_read_npy(spark, f"{path}/codebooks.npy")
         idx._C = _fs_read_npy(spark, f"{path}/centroids.npy")
+        idx._storage_level = storage_level
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            _resolve_generations(
+                spark, path, spark.read.parquet(f"{path}/blobs"),
+                "cell", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
@@ -3212,6 +3432,7 @@ class IvfPqServingIndex:
         ).localCheckpoint(eager=True)
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, manifest.get("snapshot_id"))
         return idx
 
     def bytes_resident(self) -> dict:
