@@ -692,3 +692,87 @@ def test_stream_index_maintain_generations_and_restart(spark, tmp_path):
             restored.unpersist()
     finally:
         sidx.unpersist()
+
+
+def test_stream_ivfpq_maintain_generations_and_restart(spark, tmp_path):
+    """Round 11: stream_ivfpq_maintain drains ingest waves on the
+    COMPRESSED route — each micro-batch appends raw rows to the cold
+    corpus parquet, refreshes only the affected cells' resident code
+    blobs (existing centroids/codebooks, never refit), and stacks an
+    incremental snapshot generation. After the drain: the live handle
+    byte-equals a cold pack over the same full-fit encode relation; a
+    restore from (snapshot, corpus_path) byte-equals it too and answers
+    queries identically."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.streaming.ingest import stream_ivfpq_maintain
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        (F.col("vec_id") % 50).alias("day"),
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 350)
+    rest = full.filter(F.col("id") >= 350)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(8).localCheckpoint(eager=True)
+
+    # one fit over the full corpus -> byte parity between the streamed
+    # handle and a cold pack is exact (refresh reuses the same arrays)
+    enc, cents, books = build_ivfpq(
+        full.select("id", "vec"), n_centroids=8, replicas=1
+    )
+    enc = enc.localCheckpoint(eager=True)
+    enc_first = enc.join(
+        F.broadcast(first.select("id")), "id"
+    ).localCheckpoint(eager=True)
+
+    corpus = str(tmp_path / "corpus")
+    snap = str(tmp_path / "snap")
+    first.write.parquet(corpus)  # seed the cold corpus
+    incr = IvfPqServingIndex(
+        enc_first, cents, books, spark.read.parquet(corpus), attr_col="day"
+    ).warm()
+
+    src = str(tmp_path / "arrivals")
+    rest.write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, vec array<float>, day long"
+    ).parquet(src)
+    q = stream_ivfpq_maintain(
+        stream, incr, corpus, snap, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    try:
+        import json as _json
+
+        from vector_index_spark.index.serving import _fs_read_bytes
+
+        manifest = _json.loads(
+            _fs_read_bytes(spark, f"{snap}/serving_manifest.json").decode()
+        )
+        assert manifest["generations"], "no incremental generation written"
+
+        cold = IvfPqServingIndex(
+            enc, cents, books, full, attr_col="day"
+        ).warm()
+        restored = IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        )
+        try:
+            want = {r.cell: bytes(r.blob) for r in cold.blobs.collect()}
+            assert {
+                r.cell: bytes(r.blob) for r in incr.blobs.collect()
+            } == want
+            assert {
+                r.cell: bytes(r.blob) for r in restored.blobs.collect()
+            } == want
+            a = sorted(map(tuple, restored.query(test, 10, nprobe=4).collect()))
+            b = sorted(map(tuple, cold.query(test, 10, nprobe=4).collect()))
+            assert a == b and len({x[0] for x in a}) == 8
+        finally:
+            cold.unpersist()
+            restored.unpersist()
+    finally:
+        incr.unpersist()

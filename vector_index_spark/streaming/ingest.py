@@ -25,6 +25,7 @@ checkpoint dir must be on durable shared storage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vector_index_spark.index.builder import append_to_index
@@ -112,6 +113,63 @@ def stream_index_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sidx
+
+
+def stream_ivfpq_maintain(
+    vectors: DataFrame,
+    serving,
+    corpus_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    available_now: bool = True,
+):
+    """Streaming maintenance twin for the COMPRESSED serving route
+    (round 11): each micro-batch (1) appends the raw rows to the cold
+    corpus relation at ``corpus_path`` (parquet append — the re-rank
+    tail must see the wave), (2) ``serving.refresh`` encodes the wave
+    with the EXISTING centroids/codebooks and merges it into only the
+    affected cells' resident blobs, and (3) ``snapshot_incremental``
+    stacks a blob generation at ``snapshot_path``. ``serving`` is a
+    warm :class:`~vector_index_spark.index.serving.IvfPqServingIndex`
+    whose base snapshot this function writes on start; its CURRENT
+    cold corpus must already sit at ``corpus_path`` (seed it with one
+    write before starting the stream) so a restart's re-rank corpus is
+    complete. Per-wave cost tracks the wave's affected cells; a fleet
+    restart is ``IvfPqServingIndex.from_snapshot(spark, snapshot_path,
+    spark.read.parquet(corpus_path))``.
+
+    The wave's attribute columns (when the handle was built with
+    ``attr_col``) must ride on the incoming ``vectors`` stream rows —
+    they land in ``corpus_path`` with the raw rows and in the resident
+    blobs through the refresh join. Returns the StreamingQuery."""
+    serving.snapshot(snapshot_path)  # generation base
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(corpus_path)
+        spark.catalog.refreshByPath(corpus_path)
+        train = spark.read.parquet(corpus_path)
+        serving.refresh(
+            batch_df.select(
+                F.col(id_col).alias(serving._id_col),
+                F.col(vec_col).alias(serving._vec_col),
+            ) if (id_col, vec_col) != (serving._id_col, serving._vec_col)
+            else batch_df,
+            train,
+        )
+        serving.snapshot_incremental(snapshot_path)
+
+    writer = (
+        vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_ann_query(
