@@ -74,22 +74,23 @@ def test_serving_tree_merge_parity(served):
 
 
 def test_serving_plan_has_no_index_side_exchange(served):
-    """The warm-path plan reads the persisted blob relation directly:
-    InMemoryTableScan on the index side, exchanges only for the small
-    top-k merge window — never a re-shuffle of index data."""
+    """The warm-path plan reads the RESIDENT blob relation directly —
+    since round 12 a lineage-free checkpointed scan (Scan ExistingRDD;
+    warm() severs lineage into the mutable index files) — with
+    exchanges only for the small top-k merge window, never a re-shuffle
+    of index data."""
     _, _, test, idx = served
     small = test.limit(5).localCheckpoint(eager=True)
     plan = (
         idx.query(small, K, nprobe=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "InMemoryTableScan" in plan
-    # everything under InMemoryRelation is the cached blob BUILD plan
-    # (printed but not re-executed); the LIVE plan above it must have
-    # exactly one exchange — the merge window — and none on the blob side
-    live = plan.split("InMemoryRelation")[0]
-    assert live.count("Exchange") == 1
-    assert "MapInPandas" in live and "Filter shard" in live
+    # the blob side is a resident scan: checkpointed RDD, no parquet
+    # re-read, no cache-rebuild subtree in the plan at all
+    assert "Scan ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+    assert plan.count("Exchange") == 1  # only the top-k merge window
+    assert "MapInPandas" in plan and "Filter shard" in plan
 
 
 def test_serving_empty_batch(served, spark):
@@ -310,8 +311,10 @@ def test_ivfpq_serving_plan_prunes_unprobed_cells(spark, vecs):
         sidx.query(small, K, nprobe=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "InMemoryTableScan" in plan
-    assert "Filter cell" in plan.split("InMemoryRelation")[0]
+    # resident checkpointed scan (round 12: warm() severs lineage into
+    # the mutable corpus files) with the cell filter applied above it
+    assert "Scan ExistingRDD" in plan
+    assert "Filter cell" in plan
     sidx.unpersist()
 
 
@@ -3194,3 +3197,214 @@ def test_ivfpq_refresh_and_incremental_snapshot(spark, ltrain, tmp_path):
     finally:
         cold.unpersist()
         incr.unpersist()
+
+
+def test_generation_chain_compaction_and_crash_safe_base(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 2 + ADVICE): (a) snapshot_incremental
+    folds the generation chain into a fresh full base once stacking
+    would exceed max_generations — restore depth is bounded no matter
+    how many waves ran; (b) the fold (and any full re-snapshot) is
+    crash-safe: the new base lands in a VERSIONED dir, the manifest
+    rewrite is the commit point, and only then are the old version's
+    dirs deleted — including the ADVICE hazard of a handle restored
+    from this very path (lazy blobs plan still reading the old dirs)
+    re-snapshotting to the same path."""
+    import os
+
+    from vector_index_spark.index.builder import (
+        append_to_index,
+        build_graph_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import _read_manifest_any
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    first = full.filter(F.col("id") < 300)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(8)
+
+    path = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    save_index(
+        assign_shards(first, PARAMS.sub_index_bound),
+        build_graph_index(first, PARAMS),
+        PARAMS,
+        path,
+    )
+    vectors, edges, _ = load_index(spark, path)
+    idx = ServingIndex(vectors, edges).warm()
+    idx.snapshot(snap)
+
+    def gen_dirs():
+        return sorted(
+            d for d in os.listdir(snap) if d.startswith("blobs_gen_")
+        )
+
+    # four waves, max_generations=2: gens stack to [1], [1,2], then the
+    # third wave FOLDS into a fresh base (chain reset), the fourth
+    # stacks gen 1 of the new chain
+    lo = 300
+    for wave in range(4):
+        hi = lo + 50
+        affected = append_to_index(
+            spark, path, full.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        )
+        v2, e2, _ = load_index(spark, path)
+        idx.refresh(v2, e2, affected)
+        idx.snapshot_incremental(snap, max_generations=2)
+        assert len(gen_dirs()) <= 2, "chain exceeded max_generations"
+        lo = hi
+
+    m = _read_manifest_any(spark, snap)
+    assert m["base_version"] == 2, "fold did not rewrite a versioned base"
+    assert os.path.isdir(f"{snap}/blobs_v2")
+    assert not os.path.exists(f"{snap}/blobs"), "old base dir not GC'd"
+    assert [g["gen"] for g in m["generations"]] == [1], (
+        "post-fold chain should hold exactly the fourth wave"
+    )
+    assert gen_dirs() == ["blobs_gen_1"]
+
+    # restore == cold rebuild over the final index, byte-for-byte
+    vF, eF, _ = load_index(spark, path)
+    cold = ServingIndex(vF, eF).warm()
+    restored = ServingIndex.from_snapshot(spark, snap)
+    try:
+        want = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+        got = {r.shard: bytes(r.blob) for r in restored.blobs.collect()}
+        assert got == want
+        a = sorted(map(tuple, restored.query(test, K).collect()))
+        b = sorted(map(tuple, cold.query(test, K).collect()))
+        assert a == b
+    finally:
+        restored.unpersist()
+
+    # ADVICE hazard: a handle restored LAZILY (validate=False -> no
+    # count, blobs plan still reads blobs_v2 + blobs_gen_1) immediately
+    # re-snapshots to the SAME path — versioning means it never
+    # overwrites what it reads, and the result restores byte-identical
+    lazy = ServingIndex.from_snapshot(spark, snap, validate=False)
+    try:
+        lazy.snapshot(snap)
+        m3 = _read_manifest_any(spark, snap)
+        assert m3["base_version"] == 3 and m3["generations"] == []
+        assert not os.path.exists(f"{snap}/blobs_v2")
+        assert gen_dirs() == []
+        again = ServingIndex.from_snapshot(spark, snap)
+        try:
+            got3 = {r.shard: bytes(r.blob) for r in again.blobs.collect()}
+            assert got3 == want
+        finally:
+            again.unpersist()
+    finally:
+        lazy.unpersist()
+        cold.unpersist()
+        idx.unpersist()
+
+
+def test_incremental_lineage_pins_generation_tip(spark, tmp_path):
+    """Round 12 (ADVICE): the incremental-snapshot lineage pins the
+    GENERATION TIP, not just (path, snapshot_id) — after one of two
+    handles restored from the same base stacks a generation, the other
+    refuses to stack over state its resident blobs don't descend from."""
+    from vector_index_spark.index.builder import (
+        append_to_index,
+        build_graph_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import SnapshotIntegrityError
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    first = full.filter(F.col("id") < 300)
+
+    path = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    save_index(
+        assign_shards(first, PARAMS.sub_index_bound),
+        build_graph_index(first, PARAMS),
+        PARAMS,
+        path,
+    )
+    vectors, edges, _ = load_index(spark, path)
+    ServingIndex(vectors, edges).warm().snapshot(snap)
+
+    a = ServingIndex.from_snapshot(spark, snap)
+    b = ServingIndex.from_snapshot(spark, snap)
+    try:
+        affected = append_to_index(
+            spark, path, full.filter(F.col("id") >= 300)
+        )
+        v2, e2, _ = load_index(spark, path)
+        a.refresh(v2, e2, affected)
+        a.snapshot_incremental(snap)  # moves the chain tip
+
+        b.refresh(v2, e2, affected)
+        with pytest.raises(SnapshotIntegrityError, match="generations"):
+            b.snapshot_incremental(snap)
+    finally:
+        a.unpersist()
+        b.unpersist()
+
+
+def test_neardup_density_routing_warning(spark):
+    """Round 12 (VERDICT r11 item 5): the SCALE.md round-11 routing rule
+    is code, not docs — a compressed-shortlist handle over a
+    near-duplicate-dense corpus (identical-code multiplicity >
+    candidate_factor*k) warns ONCE on first query, pointing at the
+    graph route / dedup-first / larger cf; a low-multiplicity corpus
+    stays silent."""
+    import warnings
+
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    base = emb.limit(20).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("vec")
+    )
+    # 20 base vectors x 100 near-identical variants (1e-4 apart): every
+    # variant quantizes to its base's code -> multiplicity ~100 > cf*k=80
+    dense = (
+        base.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("bid") * 100 + F.col("rep")).alias("id"),
+            F.transform(
+                "vec", lambda x: x + F.col("rep") * F.lit(1e-6)
+            ).alias("vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    test = base.limit(3).select(
+        F.col("bid").alias("qid"), F.col("vec")
+    ).localCheckpoint(eager=True)
+
+    books = train_pq(dense, n_subspaces=8, n_centroids=16)
+    handle = PqServingIndex(encode_pq(dense, books), dense, books).warm()
+    try:
+        with pytest.warns(UserWarning, match="near-duplicate-dense"):
+            handle.query(test, 10, candidate_factor=8).count()
+        # once per handle: the second query stays silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            handle.query(test, 10, candidate_factor=8).count()
+    finally:
+        handle.unpersist()
+
+    # low-multiplicity corpus (distinct embeddings): no warning
+    sparse = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    books2 = train_pq(sparse, n_subspaces=8, n_centroids=16)
+    quiet = PqServingIndex(encode_pq(sparse, books2), sparse, books2).warm()
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            quiet.query(test, 10, candidate_factor=8).count()
+    finally:
+        quiet.unpersist()

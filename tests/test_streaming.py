@@ -776,3 +776,101 @@ def test_stream_ivfpq_maintain_generations_and_restart(spark, tmp_path):
             restored.unpersist()
     finally:
         incr.unpersist()
+
+
+def test_ivfpq_wave_replay_safety(spark, tmp_path):
+    """Round 12 (ADVICE): stream_ivfpq_maintain's wave transaction is
+    replay-safe under foreachBatch's at-least-once delivery. Drives the
+    module-level transaction body (_ivfpq_apply_wave) through the two
+    replay shapes: (a) a FULLY committed wave replayed after a crash
+    between the snapshot commit and the checkpoint commit is skipped
+    outright (no duplicate corpus rows, blobs byte-unchanged); (b) a
+    PARTIALLY applied wave — corpus appended, then crash before the
+    snapshot commit — replays against a restored handle with the corpus
+    deduped via the wave-intent marker, ending byte-equal to a cold
+    pack over the exactly-once corpus."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.streaming.ingest import (
+        _committed_batch,
+        _ivfpq_apply_wave,
+        _write_wave_intent,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 300)
+    wave1 = full.filter((F.col("id") >= 300) & (F.col("id") < 400))
+    wave2 = full.filter(F.col("id") >= 400)
+
+    enc, cents, books = build_ivfpq(full, n_centroids=8, replicas=1)
+    enc = enc.localCheckpoint(eager=True)
+    enc_first = enc.join(F.broadcast(first.select("id")), "id")
+
+    corpus = str(tmp_path / "corpus")
+    snap = str(tmp_path / "snap")
+    first.write.parquet(corpus)
+    serving = IvfPqServingIndex(
+        enc_first, cents, books, spark.read.parquet(corpus)
+    ).warm()
+    serving.snapshot(snap, fingerprint_corpus=False)
+    applied = {"batch": -1}
+
+    def corpus_ids():
+        rows = spark.read.parquet(corpus).select("id").collect()
+        return sorted(r.id for r in rows)
+
+    # wave 1 commits normally
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec", applied, 8,
+                      wave1, 0)
+    assert _committed_batch(spark, snap) == 0
+    ids_after_1 = corpus_ids()
+    blobs_after_1 = {
+        r.cell: bytes(r.blob) for r in serving.blobs.collect()
+    }
+
+    # (a) replay of the committed wave: a no-op
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec", applied, 8,
+                      wave1, 0)
+    assert corpus_ids() == ids_after_1, "committed replay duplicated corpus"
+    assert {
+        r.cell: bytes(r.blob) for r in serving.blobs.collect()
+    } == blobs_after_1, "committed replay touched blobs"
+
+    # (b) partial wave 2: corpus append landed, crash before snapshot
+    # commit — simulate by appending + writing the intent marker, then
+    # "restarting" from the last committed snapshot
+    _write_wave_intent(spark, snap, 1)
+    wave2.write.mode("append").parquet(corpus)
+    spark.catalog.refreshByPath(corpus)
+    restored = IvfPqServingIndex.from_snapshot(
+        spark, snap, spark.read.parquet(corpus), validate=False
+    ).warm()
+    try:
+        assert {
+            r.cell: bytes(r.blob) for r in restored.blobs.collect()
+        } == blobs_after_1, "restore must exclude the uncommitted wave"
+        _ivfpq_apply_wave(restored, corpus, snap, "id", "vec",
+                          {"batch": 0}, 8, wave2, 1)
+        # corpus holds every id exactly once
+        ids = corpus_ids()
+        assert ids == sorted(r.id for r in full.select("id").collect())
+        assert len(ids) == len(set(ids)), "duplicate ids in corpus"
+        assert _committed_batch(spark, snap) == 1
+
+        # blobs == cold pack over the exactly-once corpus
+        cold = IvfPqServingIndex(
+            enc, cents, books, spark.read.parquet(corpus)
+        ).warm()
+        try:
+            want = {r.cell: bytes(r.blob) for r in cold.blobs.collect()}
+            assert {
+                r.cell: bytes(r.blob) for r in restored.blobs.collect()
+            } == want
+        finally:
+            cold.unpersist()
+    finally:
+        restored.unpersist()
+        serving.unpersist()

@@ -290,6 +290,11 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # invalidate the session's cached file listing for the overwritten
+    # partitions — without this a SECOND append (or any read) in the
+    # same session resolves deleted part-files (FAILED_READ_FILE)
+    spark.catalog.refreshByPath(f"{path}/vectors")
+    spark.catalog.refreshByPath(f"{path}/edges")
     # the shards this append touched — serving loops pass them straight
     # to ServingIndex.refresh / snapshot_incremental (round 11)
     return sorted(int(s) for s in affected)

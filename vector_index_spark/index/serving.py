@@ -146,30 +146,158 @@ def _resolve_generations(spark, path: str, base: DataFrame, key_col: str,
     )
 
 
-def _reset_generation_chain(spark, path: str, cls_name: str) -> None:
-    """A full snapshot resets any incremental generation chain at this
-    path: delete the dirs the old manifest listed so stale generations
-    can never shadow the fresh base."""
+def _read_manifest_any(spark, path: str) -> "dict | None":
+    """Best-effort manifest read for snapshot GC / base versioning: no
+    class or version enforcement, ``None`` when missing/unreadable —
+    a full snapshot over a foreign or corrupt manifest just starts a
+    fresh version chain instead of refusing."""
+    import json as _json
+
     try:
-        old = _read_manifest(spark, path, cls_name)
-        for g in old.get("generations", []):
-            _fs_delete(spark, f"{path}/blobs_gen_{g['gen']}")
-    except SnapshotIntegrityError:
-        pass
+        raw = _fs_read_bytes(spark, f"{path}/serving_manifest.json")
+        return _json.loads(raw.decode("utf-8"))
+    except Exception:
+        return None
+
+
+def _vdir(name: str, version: int) -> str:
+    """Versioned snapshot dir/file name. Version 1 keeps the legacy
+    unsuffixed layout (``blobs``, ``routing``, ``centroids.npy``) so
+    pre-round-12 snapshots restore unchanged; version N>1 appends
+    ``_vN`` before any extension."""
+    if version <= 1:
+        return name
+    stem, dot, ext = name.partition(".")
+    return f"{stem}_v{version}{dot}{ext}"
+
+
+def _gc_stale_snapshot_dirs(spark, path: str, old: "dict | None",
+                            new_version: int) -> None:
+    """Delete the PREVIOUS snapshot version's dirs AFTER the new
+    manifest is committed (round 12, ADVICE): the manifest write is the
+    atomic commit point, so a crash anywhere before it leaves the old
+    base + generations fully intact and restorable, and a crash during
+    this GC leaves only unreferenced garbage (the new manifest never
+    points at what's being deleted)."""
+    if not old:
+        return
+    old_v = int(old.get("base_version", 1))
+    for g in old.get("generations", []):
+        _fs_delete(spark, f"{path}/blobs_gen_{g['gen']}")
+    rd = old.get("routing_dir", _vdir("routing", old_v))
+    if old_v != new_version:
+        _fs_delete(spark, f"{path}/{_vdir('blobs', old_v)}")
+        for aux in ("centroids.npy", "codebooks.npy"):
+            _fs_delete(spark, f"{path}/{_vdir(aux, old_v)}")
+    if rd != _vdir("routing", new_version):
+        _fs_delete(spark, f"{path}/{rd}")
+
+
+def _lineage_token(manifest: dict) -> tuple:
+    """What a handle must have observed to stack a generation on this
+    snapshot: the base snapshot id AND the current chain tip (round 12,
+    ADVICE) — two handles restored from the same base can no longer
+    both append generations, because the first append moves the tip."""
+    gens = manifest.get("generations", [])
+    return (
+        manifest.get("snapshot_id"),
+        int(gens[-1]["gen"]) if gens else 0,
+    )
 
 
 def _check_incremental_lineage(idx, path: str, manifest: dict) -> None:
     """snapshot_incremental requires a base snapshot THIS handle wrote
     or restored — unaffected blobs are reused from it byte-as-is, which
     is only sound against the snapshot the handle's resident state
-    descends from."""
+    descends from. The lineage pins the full chain state (base id +
+    generation tip), so a handle that has not observed generations
+    another writer stacked refuses instead of writing a generation over
+    state its resident blobs don't descend from."""
     if getattr(idx, "_snapshot_lineage", None) != (
-        path, manifest.get("snapshot_id")
+        path, *_lineage_token(manifest)
     ):
         raise SnapshotIntegrityError(
             f"snapshot_incremental({path!r}) needs a base snapshot "
-            "this handle wrote or restored (unaffected shards are "
+            "this handle wrote or restored, with no generations "
+            "stacked by other writers since (unaffected shards are "
             "reused from it byte-as-is) — run snapshot() first"
+        )
+
+
+def _max_code_multiplicity(blobs: DataFrame) -> int:
+    """Largest group of IDENTICAL code rows within any resident blob —
+    the cheap near-duplicate-density probe behind the SCALE.md round-11
+    routing rule. Near-duplicates quantize to the SAME code, so a large
+    identical-code group is exactly the population an ADC shortlist of
+    ``candidate_factor * k`` rows cannot discriminate (the quantization
+    error exceeds the gaps between the near-ties). One pass over the
+    resident (compressed) payloads: each blob emits its TOP-64 code
+    hashes with counts (a duplicate group is SPLIT across blobs by the
+    pack repartition, so per-blob maxima alone undercount by the blob
+    fan-out), the driver sums per hash — at most 64 tiny rows per blob
+    cross the wire, no shuffle. Top-64-per-blob keeps it a lower bound,
+    which is what a warning threshold wants."""
+    import hashlib as _hashlib
+    import pickle as _pickle
+
+    def probe(batches):
+        for pdf in batches:
+            hs, cs = [], []
+            for blob in pdf["blob"]:
+                codes = np.ascontiguousarray(
+                    np.atleast_2d(_pickle.loads(bytes(blob))[1])
+                )
+                if codes.shape[0] == 0:
+                    continue
+                flat = codes.view(
+                    [("", codes.dtype)] * codes.shape[1]
+                ).ravel()
+                uniq, counts = np.unique(flat, return_counts=True)
+                top = np.argsort(counts)[::-1][:64]
+                for i in top:
+                    hs.append(int.from_bytes(
+                        _hashlib.blake2b(
+                            uniq[i].tobytes(), digest_size=8
+                        ).digest(), "big", signed=True,
+                    ))
+                    cs.append(int(counts[i]))
+            if hs:
+                yield pd.DataFrame({"h": hs, "c": cs})
+
+    totals: dict = {}
+    for r in blobs.mapInPandas(probe, "h long, c long").collect():
+        totals[r.h] = totals.get(r.h, 0) + int(r.c)
+    return max(totals.values(), default=0)
+
+
+def _warn_if_neardup_dense(idx, k: int, candidate_factor: int) -> None:
+    """Enforce the SCALE.md round-11 routing rule in code (round 12,
+    VERDICT item 5): when the resident codes' duplicate multiplicity
+    exceeds the shortlist budget ``candidate_factor * k``, the
+    compressed route's recall collapses no matter the tuning — warn
+    ONCE per handle (the CellServingIndex many-constraints precedent)
+    pointing at the graph route / dedup-first / larger cf. The probe
+    runs lazily on the first query (cf and k are needed for the
+    threshold) and is cached on the handle."""
+    import warnings as _warnings
+
+    if getattr(idx, "_warned_neardup", False):
+        return
+    m = getattr(idx, "_dup_multiplicity", None)
+    if m is None:
+        m = _max_code_multiplicity(idx.blobs)
+        idx._dup_multiplicity = m
+    if m > candidate_factor * k:
+        idx._warned_neardup = True
+        _warnings.warn(
+            f"{type(idx).__name__}: the corpus is near-duplicate-dense "
+            f"(>= {m} rows share one quantized code, but the shortlist "
+            f"holds only candidate_factor*k = {candidate_factor * k}) — "
+            "compressed-shortlist recall collapses on such corpora "
+            "(SCALE.md round-11 routing rule). Use the graph serving "
+            "route (raw-vector beam, recall 1.0 on the same workload), "
+            "near-dup deduplicate first (operators/dedup), or scale "
+            "candidate_factor toward the duplicate multiplicity."
         )
 
 
@@ -800,7 +928,20 @@ class ServingIndex:
 
     def warm(self) -> "ServingIndex":
         """Materialize the blob cache (one job); call once at startup so
-        the first real query batch doesn't pay the build."""
+        the first real query batch doesn't pay the build.
+
+        Round 12: materialization is an eager ``localCheckpoint``, which
+        SEVERS the blob relation's lineage into the index parquet files.
+        ``append_to_index`` dynamic-partition-overwrites those files and
+        Spark auto-invalidates plan caches on write, so a lineage-bearing
+        cache would silently RECOMPUTE from mutated or deleted part-files
+        mid-maintenance (FAILED_READ_FILE at best, merged rows at worst).
+        Resident state is lineage-free by construction; durability and
+        executor-loss recovery are :meth:`snapshot`'s job — the maintain
+        loops keep it fresh per wave exactly for that."""
+        plan = self.blobs
+        self.blobs = plan.localCheckpoint(eager=True)
+        plan.unpersist()
         self.n_shards = self.blobs.count()
         return self
 
@@ -855,13 +996,15 @@ class ServingIndex:
         # kept for the touches-only-affected-shards plan assertion in tests
         self._last_refresh_packed = packed
         old_blobs = self.blobs
+        # eager localCheckpoint (not persist): severs lineage into the
+        # just-overwritten index files — see warm()
         new_blobs = (
             old_blobs.filter(~F.col("shard").isin(shards))
             .unionByName(packed)
             .repartition(self._n_serve)
-            .persist(self._storage_level)
+            .localCheckpoint(eager=True)
         )
-        self.n_shards = new_blobs.count()  # materialize before swapping
+        self.n_shards = new_blobs.count()
         self.blobs = new_blobs
         old_blobs.unpersist()
         # routing table: carry over unaffected shards, recompute affected
@@ -884,7 +1027,9 @@ class ServingIndex:
             b.unpersist(blocking=False)
         self._live_bcs = []
 
-    def snapshot(self, path: str) -> "ServingIndex":
+    def snapshot(
+        self, path: str, stream_batch_id: "int | None" = None,
+    ) -> "ServingIndex":
         """Persist the SERVING form itself (round 8): the packed blob
         relation, the routing table, and a manifest (dimension,
         attr_cols, and — when attributes are packed — the strategy
@@ -896,13 +1041,25 @@ class ServingIndex:
         identical to the live one (tested). The manifest carries a
         ``format_version`` plus a blob fingerprint, written through the
         Hadoop FileSystem API so the whole snapshot lives on ONE storage
-        URI (s3a://, hdfs://, file://) — round 10."""
+        URI (s3a://, hdfs://, file://) — round 10.
+
+        Crash-safe since round 12 (ADVICE): a re-snapshot writes the new
+        base/routing into fresh VERSIONED dirs, commits by rewriting the
+        manifest (generations=[]), and only then deletes the previous
+        version's dirs — a crash at any point leaves either the old or
+        the new snapshot fully restorable, never a manifest pointing at
+        deleted generation dirs; and a handle restored from this very
+        path never overwrites the dirs its lazily-persisted blob plan
+        still reads."""
         import uuid as _uuid
 
-        _reset_generation_chain(self._spark, path, type(self).__name__)
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
         self._routing_table().write.mode("overwrite").parquet(
-            f"{path}/routing"
+            f"{path}/{_vdir('routing', version)}"
         )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
@@ -910,17 +1067,27 @@ class ServingIndex:
             "dimension": self._dimension,
             "blobs": _blob_fingerprint(self.blobs),
             "snapshot_id": _uuid.uuid4().hex,
+            "base_version": version,
+            "routing_dir": _vdir("routing", version),
             "generations": [],
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
         _write_manifest(self._spark, path, manifest)
-        self._snapshot_lineage = (path, manifest["snapshot_id"])
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_shards = set()
+        _gc_stale_snapshot_dirs(self._spark, path, old, version)
         return self
 
-    def snapshot_incremental(self, path: str) -> "ServingIndex":
+    def snapshot_incremental(
+        self,
+        path: str,
+        max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+    ) -> "ServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 11, VERDICT
         r10 item 7): write ONLY the shards re-packed since the last
         snapshot as a new blob GENERATION (``blobs_gen_N``) plus an
@@ -930,12 +1097,23 @@ class ServingIndex:
         :meth:`from_snapshot` resolves per-shard latest-generation-wins
         (a shard a generation CLAIMS but writes no row for was removed).
 
+        COMPACTION (round 12, VERDICT r11 item 2): restore unions one
+        parquet read per generation, so an unbounded chain degrades
+        restore linearly in wave count. When stacking would push the
+        chain past ``max_generations``, the call folds the whole chain
+        into a fresh full base (:meth:`snapshot` — crash-safe versioned
+        rewrite) instead: restore depth is bounded at
+        ``max_generations`` + base, and per-wave cost stays wave-sized
+        amortized (one corpus-sized write every ``max_generations``
+        waves, from the already-resident blob cache).
+
         Requires lineage: this handle must have written or restored the
-        snapshot at ``path`` (the unaffected base blobs are reused
-        byte-as-is, which is only sound against the snapshot this
-        handle's resident state descends from); otherwise a typed
-        :class:`SnapshotIntegrityError` says to run :meth:`snapshot`.
-        With nothing pending, only the manifest refreshes."""
+        snapshot at ``path`` INCLUDING its current generation tip (the
+        unaffected base blobs are reused byte-as-is, which is only
+        sound against the chain this handle's resident state descends
+        from); otherwise a typed :class:`SnapshotIntegrityError` says
+        to run :meth:`snapshot`. With nothing pending, only the
+        manifest refreshes."""
         spark = self._spark
         manifest = _read_manifest(spark, path, type(self).__name__)
         _check_incremental_lineage(self, path, manifest)
@@ -943,6 +1121,8 @@ class ServingIndex:
             getattr(self, "_pending_snapshot_shards", set())
         )
         gens = manifest.get("generations", [])
+        if pending and len(gens) >= max_generations:
+            return self.snapshot(path, stream_batch_id=stream_batch_id)
         if pending:
             gen = (max(g["gen"] for g in gens) + 1) if gens else 1
             self.blobs.filter(
@@ -951,21 +1131,41 @@ class ServingIndex:
             gens = gens + [
                 {"gen": gen, "shards": [int(s) for s in pending]}
             ]
-        self._routing_table().write.mode("overwrite").parquet(
-            f"{path}/routing"
+            # routing changes only with the shards; write it as a fresh
+            # versioned dir so a crash mid-write can't clobber the dir
+            # the committed manifest points at (replay-idempotent: a
+            # retry rewrites the same gen + routing dirs)
+            routing_dir = f"routing_g{gen}"
+            self._routing_table().write.mode("overwrite").parquet(
+                f"{path}/{routing_dir}"
+            )
+        else:
+            routing_dir = manifest.get(
+                "routing_dir",
+                _vdir("routing", int(manifest.get("base_version", 1))),
+            )
+        old_routing = manifest.get(
+            "routing_dir",
+            _vdir("routing", int(manifest.get("base_version", 1))),
         )
         manifest.update(
             {
                 "dimension": self._dimension,
                 "blobs": _blob_fingerprint(self.blobs),
                 "generations": gens,
+                "routing_dir": routing_dir,
                 **_manifest_attr_fields(
                     self._attr_cols, self._attribute_histogram
                 ),
             }
         )
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_shards = set()
+        self._snapshot_lineage = (path, *_lineage_token(manifest))
+        if old_routing != routing_dir:
+            _fs_delete(spark, f"{path}/{old_routing}")
         return self
 
     @classmethod
@@ -989,21 +1189,23 @@ class ServingIndex:
         idx._storage_level = storage_level
         _restore_attr_fields(idx, manifest)
         idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
+        base_v = int(manifest.get("base_version", 1))
         rel = _resolve_generations(
-            spark, path, spark.read.parquet(f"{path}/blobs"), "shard",
-            manifest.get("generations", []),
+            spark, path,
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+            "shard", manifest.get("generations", []),
         )
         idx.blobs = rel.repartition(idx._n_serve).persist(storage_level)
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._cents_kv = spark.read.parquet(
-            f"{path}/routing"
+            f"{path}/{manifest.get('routing_dir', _vdir('routing', base_v))}"
         ).localCheckpoint(eager=True)
         idx._centroids = None
         idx._vectors = None  # refresh() takes live relations explicitly
         idx._spark = spark
         idx._live_bcs = []
-        idx._snapshot_lineage = (path, manifest.get("snapshot_id"))
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def _routing_table(self):
@@ -2550,6 +2752,7 @@ class PqServingIndex:
             raise ValueError(
                 "filtered query needs attr_col= at PqServingIndex construction"
             )
+        _warn_if_neardup_dense(self, k, candidate_factor)
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))
             if allowed is not None
@@ -2963,6 +3166,7 @@ class SqServingIndex:
             raise ValueError(
                 "filtered query needs attr_col= at SqServingIndex construction"
             )
+        _warn_if_neardup_dense(self, k, candidate_factor)
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))
             if allowed is not None
@@ -3147,6 +3351,11 @@ class IvfPqServingIndex:
         self._live_bcs: list = []
 
     def warm(self) -> "IvfPqServingIndex":
+        # eager localCheckpoint severs lineage into the cold-corpus
+        # files the maintain loop appends to — see ServingIndex.warm()
+        plan = self.blobs
+        self.blobs = plan.localCheckpoint(eager=True)
+        plan.unpersist()
         self.n_cells = self.blobs.count()
         return self
 
@@ -3288,20 +3497,25 @@ class IvfPqServingIndex:
         new_blobs = parts[0]
         for p in parts[1:]:
             new_blobs = new_blobs.unionByName(p)
-        new_blobs = new_blobs.repartition(self._n_serve).persist(
-            getattr(self, "_storage_level", StorageLevel.MEMORY_AND_DISK)
+        # eager localCheckpoint (not persist): severs lineage into the
+        # wave's source files — see ServingIndex.warm()
+        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
+            eager=True
         )
-        self.n_cells = new_blobs.count()  # materialize before swapping
+        self.n_cells = new_blobs.count()
         old_blobs = self.blobs
         self.blobs = new_blobs
         old_blobs.unpersist()
+        self._dup_multiplicity = None  # contents changed; re-probe lazily
         self._pending_snapshot_cells = (
             getattr(self, "_pending_snapshot_cells", set()) | set(affected)
         )
         return self
 
     def snapshot(self, path: str,
-                 fingerprint_corpus: bool = True) -> "IvfPqServingIndex":
+                 fingerprint_corpus: bool = True,
+                 stream_batch_id: "int | None" = None,
+                 ) -> "IvfPqServingIndex":
         """Persist the compressed serving form (round 8): the per-cell
         code blob relation, the centroid routing table, the driver-held
         centroid/codebook arrays, and a manifest (attr_cols, id/vec
@@ -3312,20 +3526,38 @@ class IvfPqServingIndex:
         it lives wherever it already lives and is passed at restore; the
         manifest records its FINGERPRINT (count + id checksum + spot
         rows) so a drifted corpus raises at restore instead of silently
-        re-ranking shortlists against mismatched vectors (round 10)."""
+        re-ranking shortlists against mismatched vectors (round 10).
+
+        Crash-safe since round 12 (ADVICE): blobs/routing/arrays land in
+        fresh VERSIONED dirs, the manifest rewrite is the commit point,
+        and the previous version + any generation chain is deleted only
+        after — see :meth:`ServingIndex.snapshot`."""
         import uuid as _uuid
 
-        _reset_generation_chain(self._spark, path, type(self).__name__)
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        self._cents_kv.write.mode("overwrite").parquet(f"{path}/routing")
-        _fs_write_npy(self._spark, f"{path}/centroids.npy", self._C)
-        _fs_write_npy(self._spark, f"{path}/codebooks.npy", self._books)
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        self._cents_kv.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('routing', version)}"
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('centroids.npy', version)}",
+            self._C,
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('codebooks.npy', version)}",
+            self._books,
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "snapshot_id": _uuid.uuid4().hex,
+            "base_version": version,
+            "routing_dir": _vdir("routing", version),
             "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             # fingerprint_corpus=False skips the raw-corpus scan (count
@@ -3340,13 +3572,18 @@ class IvfPqServingIndex:
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
         _write_manifest(self._spark, path, manifest)
-        self._snapshot_lineage = (path, manifest["snapshot_id"])
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_cells = set()
+        _gc_stale_snapshot_dirs(self._spark, path, old, version)
         return self
 
     def snapshot_incremental(
         self, path: str, fingerprint_corpus: bool = True,
+        max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
     ) -> "IvfPqServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 11): write
         ONLY the cells touched since the last snapshot as a new blob
@@ -3354,12 +3591,21 @@ class IvfPqServingIndex:
         never refit on append, so the driver arrays are NOT rewritten
         (the routing table carries over too: appends route to existing
         cells). Same lineage contract as the graph route: this handle
-        must have written or restored the base snapshot."""
+        must have written or restored the base snapshot at its current
+        generation tip. When stacking would push the chain past
+        ``max_generations``, the chain folds into a fresh full base
+        instead (round 12 compaction — bounded restore depth, see
+        :meth:`ServingIndex.snapshot_incremental`)."""
         spark = self._spark
         manifest = _read_manifest(spark, path, type(self).__name__)
         _check_incremental_lineage(self, path, manifest)
         pending = sorted(getattr(self, "_pending_snapshot_cells", set()))
         gens = manifest.get("generations", [])
+        if pending and len(gens) >= max_generations:
+            return self.snapshot(
+                path, fingerprint_corpus=fingerprint_corpus,
+                stream_batch_id=stream_batch_id,
+            )
         if pending:
             gen = (max(g["gen"] for g in gens) + 1) if gens else 1
             self.blobs.filter(
@@ -3380,8 +3626,11 @@ class IvfPqServingIndex:
                 ),
             }
         )
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_cells = set()
+        self._snapshot_lineage = (path, *_lineage_token(manifest))
         return self
 
     @classmethod
@@ -3408,12 +3657,18 @@ class IvfPqServingIndex:
         idx._id_col = manifest["id_col"]
         idx._vec_col = manifest["vec_col"]
         _restore_attr_fields(idx, manifest)
-        idx._books = _fs_read_npy(spark, f"{path}/codebooks.npy")
-        idx._C = _fs_read_npy(spark, f"{path}/centroids.npy")
+        base_v = int(manifest.get("base_version", 1))
+        idx._books = _fs_read_npy(
+            spark, f"{path}/{_vdir('codebooks.npy', base_v)}"
+        )
+        idx._C = _fs_read_npy(
+            spark, f"{path}/{_vdir('centroids.npy', base_v)}"
+        )
         idx._storage_level = storage_level
         idx.blobs = (
             _resolve_generations(
-                spark, path, spark.read.parquet(f"{path}/blobs"),
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
                 "cell", manifest.get("generations", []),
             )
             .repartition(idx._n_serve)
@@ -3428,11 +3683,11 @@ class IvfPqServingIndex:
                     path,
                 )
         idx._cents_kv = spark.read.parquet(
-            f"{path}/routing"
+            f"{path}/{manifest.get('routing_dir', _vdir('routing', base_v))}"
         ).localCheckpoint(eager=True)
         idx._spark = spark
         idx._live_bcs = []
-        idx._snapshot_lineage = (path, manifest.get("snapshot_id"))
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:
@@ -3480,6 +3735,7 @@ class IvfPqServingIndex:
                 "filtered query needs attr_col= at IvfPqServingIndex "
                 "construction"
             )
+        _warn_if_neardup_dense(self, k, candidate_factor)
         eff_nprobe = nprobe
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))

@@ -31,6 +31,62 @@ from pyspark.sql.streaming import StreamingQuery
 from vector_index_spark.index.builder import append_to_index
 
 
+def _committed_batch(spark, snapshot_path: str) -> int:
+    """The last micro-batch id whose full maintain transaction (corpus
+    append + blob refresh + incremental snapshot) committed — recorded
+    in the snapshot manifest by ``snapshot_incremental(...,
+    stream_batch_id=)``, whose manifest write is the atomic commit
+    point. -1 when the manifest is absent or was never stream-written."""
+    from vector_index_spark.index.serving import _read_manifest_any
+
+    m = _read_manifest_any(spark, snapshot_path)
+    return int(m.get("last_batch_id", -1)) if m else -1
+
+
+def _carry_batch_id(spark, snapshot_path: str, serving_lineage) -> "int | None":
+    """At maintain-loop start the base snapshot is rewritten; carry the
+    previous manifest's last committed batch id forward IFF the handle's
+    resident state descends from that manifest (it wrote or restored
+    it) — otherwise the caller started a new stream epoch and the
+    counter resets. Without the carry, a wave replayed after a crash
+    between the snapshot commit and the checkpoint commit would re-merge
+    into blobs that already contain it."""
+    from vector_index_spark.index.serving import (
+        _lineage_token, _read_manifest_any,
+    )
+
+    m = _read_manifest_any(spark, snapshot_path)
+    if not m or "last_batch_id" not in m:
+        return None
+    if serving_lineage != (snapshot_path, *_lineage_token(m)):
+        return None
+    return int(m["last_batch_id"])
+
+
+def _wave_intent_path(snapshot_path: str) -> str:
+    return f"{snapshot_path}/wave_intent"
+
+
+def _read_wave_intent(spark, snapshot_path: str) -> int:
+    from vector_index_spark.index.serving import _fs_read_bytes
+
+    try:
+        return int(_fs_read_bytes(
+            spark, _wave_intent_path(snapshot_path)
+        ).decode("utf-8"))
+    except Exception:
+        return -1
+
+
+def _write_wave_intent(spark, snapshot_path: str, batch_id: int) -> None:
+    from vector_index_spark.index.serving import _fs_write_bytes
+
+    _fs_write_bytes(
+        spark, _wave_intent_path(snapshot_path),
+        str(int(batch_id)).encode("utf-8"),
+    )
+
+
 def stream_index_ingest(
     vectors: DataFrame,
     index_path: str,
@@ -71,6 +127,7 @@ def stream_index_maintain(
     id_col: str = "id",
     vec_col: str = "vec",
     available_now: bool = True,
+    max_generations: int = 8,
 ):
     """Streaming ingest that keeps a WARM serving handle AND its
     SNAPSHOT fresh at wave cost (round 11): each micro-batch (1) appends
@@ -86,25 +143,46 @@ def stream_index_maintain(
     Returns ``(query, serving_handle)``; the handle answers queries
     between and during waves (refresh persists the new blob relation
     before unpersisting the old). The base snapshot is written on start
-    (startup-class, once)."""
+    (startup-class, once). ``max_generations`` bounds the incremental
+    generation chain (round 12): every ``max_generations`` waves the
+    chain folds into a fresh full base, so restore depth — and with it
+    fleet cold-start cost — stays bounded no matter how long the stream
+    runs. A micro-batch replayed after a crash past its snapshot commit
+    is skipped via the manifest's committed batch id; a replay of a
+    PARTIALLY-applied wave (index appended, snapshot not committed)
+    still fails loudly on ``append_to_index``'s id-primary-key check —
+    the documented at-least-once posture for this twin."""
     from vector_index_spark.index.persistence import load_index
     from vector_index_spark.index.serving import ServingIndex
 
     spark0 = vectors.sparkSession
     v0, e0, _params = load_index(spark0, index_path)
     sidx = ServingIndex(v0, e0).warm()
-    sidx.snapshot(snapshot_path)  # generation base
+    # carry the committed batch counter across restarts unconditionally:
+    # the persisted index at index_path is the source of truth and
+    # monotonically contains every committed wave, and the handle was
+    # just rebuilt from it — so a replayed committed wave must be
+    # skipped, never re-appended (it would trip the id-clash check)
+    carry = _committed_batch(spark0, snapshot_path)
+    sidx.snapshot(
+        snapshot_path, stream_batch_id=carry if carry >= 0 else None
+    )  # generation base
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if batch_id <= _committed_batch(spark, snapshot_path):
+            return  # replay of a fully committed wave
         affected = append_to_index(
             spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
         )
         v2, e2, _ = load_index(spark, index_path)
         sidx.refresh(v2, e2, affected)
-        sidx.snapshot_incremental(snapshot_path)
+        sidx.snapshot_incremental(
+            snapshot_path, max_generations=max_generations,
+            stream_batch_id=batch_id,
+        )
 
     writer = (
         vectors.writeStream.foreachBatch(_ingest)
@@ -113,6 +191,48 @@ def stream_index_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sidx
+
+
+def _ivfpq_apply_wave(
+    serving, corpus_path: str, snapshot_path: str, id_col: str,
+    vec_col: str, applied: dict, max_generations: int,
+    batch_df: DataFrame, batch_id: int,
+) -> None:
+    """One micro-batch of :func:`stream_ivfpq_maintain`'s transaction,
+    module-level so the replay scenarios (committed-wave skip,
+    partial-wave corpus dedup, in-process retry latch) are directly
+    testable — see that function's docstring for the protocol."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    if batch_id <= _committed_batch(spark, snapshot_path):
+        return  # replay of a fully committed wave
+    if _read_wave_intent(spark, snapshot_path) == batch_id:
+        # a prior attempt of THIS wave may have appended to the
+        # corpus before crashing — dedup before re-appending
+        existing = spark.read.parquet(corpus_path).select(F.col(id_col))
+        new_rows = batch_df.join(existing, id_col, "left_anti")
+    else:
+        new_rows = batch_df
+    _write_wave_intent(spark, snapshot_path, batch_id)
+    if not new_rows.isEmpty():
+        new_rows.write.mode("append").parquet(corpus_path)
+    spark.catalog.refreshByPath(corpus_path)
+    train = spark.read.parquet(corpus_path)
+    if applied["batch"] < batch_id:
+        serving.refresh(
+            batch_df.select(
+                F.col(id_col).alias(serving._id_col),
+                F.col(vec_col).alias(serving._vec_col),
+            ) if (id_col, vec_col) != (serving._id_col, serving._vec_col)
+            else batch_df,
+            train,
+        )
+        applied["batch"] = batch_id
+    serving.snapshot_incremental(
+        snapshot_path, fingerprint_corpus=False,
+        max_generations=max_generations, stream_batch_id=batch_id,
+    )
 
 
 def stream_ivfpq_maintain(
@@ -124,6 +244,7 @@ def stream_ivfpq_maintain(
     id_col: str = "id",
     vec_col: str = "vec",
     available_now: bool = True,
+    max_generations: int = 8,
 ):
     """Streaming maintenance twin for the COMPRESSED serving route
     (round 11): each micro-batch (1) appends the raw rows to the cold
@@ -143,25 +264,54 @@ def stream_ivfpq_maintain(
     The wave's attribute columns (when the handle was built with
     ``attr_col``) must ride on the incoming ``vectors`` stream rows —
     they land in ``corpus_path`` with the raw rows and in the resident
-    blobs through the refresh join. Returns the StreamingQuery."""
-    serving.snapshot(snapshot_path)  # generation base
+    blobs through the refresh join. Returns the StreamingQuery.
+
+    EXACTLY-ONCE under replay (round 12, ADVICE): foreachBatch is
+    at-least-once, and this twin's transaction (corpus append → blob
+    refresh → incremental snapshot) is multi-step, so each step guards
+    replays rather than assuming one delivery:
+
+    - the snapshot manifest records the last COMMITTED batch id
+      (``stream_batch_id`` — written atomically with the manifest, the
+      transaction's commit point); a replayed committed wave is skipped
+      outright;
+    - a ``wave_intent`` marker written BEFORE the corpus append flags a
+      possibly-partial prior attempt of the SAME wave; only then does
+      the replay anti-join the wave against the corpus ids before
+      re-appending (the corpus-sized id scan is paid only on the rare
+      crash-replay path, never per wave);
+    - an in-memory applied-batch latch makes the blob refresh
+      idempotent across in-process retries (refresh swaps the blob
+      relation atomically, so a failed refresh leaves no partial state);
+      across process restarts the restored blobs equal the last
+      committed snapshot, which by definition excludes any uncommitted
+      wave — replaying the refresh is then correct, not duplicated.
+
+    Restart recipe: ``serving = IvfPqServingIndex.from_snapshot(spark,
+    snapshot_path, spark.read.parquet(corpus_path), validate=False)``
+    then call this function again with the SAME checkpoint dir — the
+    committed batch counter carries forward through the handle's
+    snapshot lineage. Snapshots along the stream skip the cold-corpus
+    fingerprint (``fingerprint_corpus=False``): at fleet scale that
+    whole-corpus scan per wave would contradict the per-wave cost
+    contract; restore still validates the blob fingerprint
+    (``validate=False`` above skips only the corpus-drift check that
+    the opt-out makes undecidable). ``max_generations`` bounds the
+    generation chain exactly as in :func:`stream_index_maintain`."""
+    spark0 = vectors.sparkSession
+    carry = _carry_batch_id(
+        spark0, snapshot_path, getattr(serving, "_snapshot_lineage", None)
+    )
+    serving.snapshot(
+        snapshot_path, fingerprint_corpus=False, stream_batch_id=carry,
+    )  # generation base
+    applied = {"batch": carry if carry is not None else -1}
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(corpus_path)
-        spark.catalog.refreshByPath(corpus_path)
-        train = spark.read.parquet(corpus_path)
-        serving.refresh(
-            batch_df.select(
-                F.col(id_col).alias(serving._id_col),
-                F.col(vec_col).alias(serving._vec_col),
-            ) if (id_col, vec_col) != (serving._id_col, serving._vec_col)
-            else batch_df,
-            train,
+        _ivfpq_apply_wave(
+            serving, corpus_path, snapshot_path, id_col, vec_col,
+            applied, max_generations, batch_df, batch_id,
         )
-        serving.snapshot_incremental(snapshot_path)
 
     writer = (
         vectors.writeStream.foreachBatch(_ingest)
