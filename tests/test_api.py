@@ -681,7 +681,7 @@ def test_facade_constrained_dispatch(spark, data):
         ).collect()
     )
     # dispatch pinned: the cached handle IS the graph serving route
-    handle = idx._serving_cache[("day",)]
+    handle, _src = idx._serving_cache[("day",)]
     assert isinstance(handle, ServingIndex)
     # reuse pinned: a second call (tenant form, same attr set) must not
     # rebuild the handle
@@ -689,7 +689,26 @@ def test_facade_constrained_dispatch(spark, data):
         eager=True
     )
     idx.query_by_attribute(t2, K, qattr_col="day", attr_col="day").count()
-    assert idx._serving_cache[("day",)] is handle
+    assert idx._serving_cache[("day",)][0] is handle
+    # round 12 (ADVICE): same attrs plan re-derived -> still reuse (no
+    # rebuild); a semantically DIFFERENT attrs for the same attr_col
+    # rebuilds instead of silently serving stale attribute values
+    attrs_same = train.select("id", (F.col("id") % 100).alias("day"))
+    idx.query_by_attribute(
+        t2, K, qattr_col="day", attrs=attrs_same, attr_col="day"
+    ).count()
+    assert idx._serving_cache[("day",)][0] is handle
+    attrs_new = train.select("id", (F.col("id") % 7).alias("day"))
+    idx.query_by_attribute(
+        t2, K, qattr_col="day", attrs=attrs_new, attr_col="day"
+    ).count()
+    assert idx._serving_cache[("day",)][0] is not handle
+    # and the cache can be released wholesale
+    idx.invalidate_serving_cache()
+    assert idx._serving_cache == {}
+    # rebuild once more so the window-parity check below still has a
+    # handle packed from the ORIGINAL attrs
+    idx.query_by_window(q, K, attrs=attrs, attr_col="day").count()
 
     corp = train.join(attrs, "id")
     want = []

@@ -687,7 +687,16 @@ class VectorIndex:
         """Lazy warm serving handle for the facade per-query constrained
         forms (round 11): built once per attr-column set, reused across
         batches (the one-time blob pack + warm is the serving-node
-        startup cost, never paid per batch)."""
+        startup cost, never paid per batch).
+
+        Round 12 (ADVICE): the cache tracks the ``attrs`` relation the
+        handle was packed from. A later call with a SEMANTICALLY
+        DIFFERENT attrs plan for the same attr columns rebuilds the
+        handle (unpersisting the stale one) instead of silently serving
+        the first call's attribute values; a re-derived but
+        plan-identical attrs reuses the cache (``sameSemantics`` — no
+        data scan). :meth:`invalidate_serving_cache` releases the
+        executor memory the cached handles pin."""
         if attr_col is None:
             raise ValueError(
                 "facade per-query constrained serving needs attr_col= "
@@ -697,11 +706,31 @@ class VectorIndex:
         key = tuple(
             [attr_col] if isinstance(attr_col, str) else list(attr_col)
         )
-        handle = self._serving_cache.get(key)
-        if handle is None:
-            handle = self.serving(attrs=attrs, attr_col=attr_col).warm()
-            self._serving_cache[key] = handle
+        cached = self._serving_cache.get(key)
+        if cached is not None:
+            handle, src = cached
+            # attrs=None on a later call means "reuse what's packed";
+            # a non-None attrs must be the plan the handle was built
+            # from (or a semantically identical one) — else rebuild
+            same = attrs is None or (
+                src is not None
+                and (attrs is src or attrs.sameSemantics(src))
+            )
+            if same:
+                return handle
+            handle.unpersist()  # stale attribute values — rebuild
+        handle = self.serving(attrs=attrs, attr_col=attr_col).warm()
+        self._serving_cache[key] = (handle, attrs)
         return handle
+
+    def invalidate_serving_cache(self) -> None:
+        """Unpersist every cached constrained-serving handle (round 12,
+        ADVICE): the facade's warm handles pin executor memory until
+        released — call this when the constrained-query phase is over,
+        or after mutating the stored vectors/attributes out-of-band."""
+        for handle, _src in self._serving_cache.values():
+            handle.unpersist()
+        self._serving_cache = {}
 
     def query_by_attribute(
         self,
