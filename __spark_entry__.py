@@ -868,9 +868,10 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     facade_ok = (
         rows(fidx.query_by_window(wtest, K, attr_col="day_code"))
         == w_want
-        and type(fidx._serving_cache[("day_code",)]) is ServingIndex
+        # round 12: the cache value is (handle, attrs_source)
+        and type(fidx._serving_cache[("day_code",)][0]) is ServingIndex
     )
-    fidx._serving_cache[("day_code",)].unpersist()
+    fidx.invalidate_serving_cache()
     gidx.unpersist()
     cidx.unpersist()
     return spark.createDataFrame(

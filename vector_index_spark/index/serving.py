@@ -939,9 +939,11 @@ class ServingIndex:
         Resident state is lineage-free by construction; durability and
         executor-loss recovery are :meth:`snapshot`'s job — the maintain
         loops keep it fresh per wave exactly for that."""
-        plan = self.blobs
-        self.blobs = plan.localCheckpoint(eager=True)
-        plan.unpersist()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_shards = self.blobs.count()
         return self
 
@@ -1006,6 +1008,7 @@ class ServingIndex:
         )
         self.n_shards = new_blobs.count()
         self.blobs = new_blobs
+        self._blobs_severed = True
         old_blobs.unpersist()
         # routing table: carry over unaffected shards, recompute affected
         if self._centroids is None and self._cents_kv is not None:
@@ -1195,7 +1198,13 @@ class ServingIndex:
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
             "shard", manifest.get("generations", []),
         )
-        idx.blobs = rel.repartition(idx._n_serve).persist(storage_level)
+        # eager localCheckpoint, not persist: one materializing pass at
+        # restore, and the resident relation keeps no lineage into the
+        # snapshot dirs a later full snapshot's GC deletes — see warm()
+        idx.blobs = rel.repartition(idx._n_serve).localCheckpoint(
+            eager=True
+        )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._cents_kv = spark.read.parquet(
@@ -3353,9 +3362,11 @@ class IvfPqServingIndex:
     def warm(self) -> "IvfPqServingIndex":
         # eager localCheckpoint severs lineage into the cold-corpus
         # files the maintain loop appends to — see ServingIndex.warm()
-        plan = self.blobs
-        self.blobs = plan.localCheckpoint(eager=True)
-        plan.unpersist()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_cells = self.blobs.count()
         return self
 
@@ -3505,6 +3516,7 @@ class IvfPqServingIndex:
         self.n_cells = new_blobs.count()
         old_blobs = self.blobs
         self.blobs = new_blobs
+        self._blobs_severed = True
         old_blobs.unpersist()
         self._dup_multiplicity = None  # contents changed; re-probe lazily
         self._pending_snapshot_cells = (
@@ -3665,6 +3677,7 @@ class IvfPqServingIndex:
             spark, f"{path}/{_vdir('centroids.npy', base_v)}"
         )
         idx._storage_level = storage_level
+        # eager localCheckpoint, not persist — see ServingIndex.warm()
         idx.blobs = (
             _resolve_generations(
                 spark, path,
@@ -3672,8 +3685,9 @@ class IvfPqServingIndex:
                 "cell", manifest.get("generations", []),
             )
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
             if manifest["corpus"] is not None:
