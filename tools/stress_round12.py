@@ -48,12 +48,18 @@ def _corpus_copies(emb, n_copies: int):
     )
 
 
-def _gaussian_mixture(spark, n_rows: int, dim: int = 64, n_modes: int = 256,
+def _gaussian_mixture(spark, n_rows: int, dim: int = 64, n_modes: int = 65_536,
                       seed: int = 7):
     """LOW-multiplicity deterministic corpus: every row is a distinct
-    draw around one of ``n_modes`` seeded Gaussian centers — no two rows
-    closer than typical quantization error, unlike the offset-copy
-    corpora whose 1024 variants sit ~0.02 apart."""
+    draw around one of ``n_modes`` seeded Gaussian centers. n_modes must
+    be LARGE relative to n_rows / (candidate_factor*k): the round-12
+    500k probe showed that 256 modes x 2000 members is still
+    "cluster-dense" — within-mode spread sits below PQ resolution, so
+    the whole 2000-member mode is one ADC near-tie and any shortlist of
+    800 collapses (recall 0.03), exactly the population the
+    identical-code multiplicity probe warns about (it read 1909 > 800
+    on that corpus). At 65k modes (~8 rows each at 500k) the corpus is
+    genuinely low-multiplicity."""
     import pandas as pd
 
     def gen(batches):
@@ -87,7 +93,7 @@ def _graph_500k(spark, workdir):
         step=2, sub_index_bound=2048,
     )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    corpus = _corpus_copies(emb, 8).localCheckpoint(eager=True)  # ~500k
+    corpus = _corpus_copies(emb, 256).localCheckpoint(eager=True)  # ~512k
     t0 = time.time()
     vectors = assign_shards(corpus, params.sub_index_bound)
     edges = build_graph_index(corpus, params)
@@ -171,12 +177,12 @@ def cmd_waves():
         idx = ServingIndex(v, e).warm()
         snap = f"{work}/snap"
         idx.snapshot(snap)
-        wave_src = _corpus_copies(emb, 10).select(
+        wave_src = _corpus_copies(emb, 50).select(
             (F.col("id") + base_n * 2).alias("id"), "vec"
         )
         for w in range(10):
             wave = wave_src.filter(
-                (F.col("id") % 62) == w  # ~10k rows each
+                (F.col("id") % 10) == w  # ~10k rows each
             ).localCheckpoint(eager=True)
             t0 = time.time()
             affected = append_to_index(spark, path, wave)
@@ -221,7 +227,7 @@ def cmd_fp5m():
     work = tempfile.mkdtemp(prefix="r12fp_")
     try:
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        corpus = _corpus_copies(emb, 80)  # ~5M
+        corpus = _corpus_copies(emb, 2500)  # ~5M
         corpus.write.parquet(f"{work}/corpus")
         train = spark.read.parquet(f"{work}/corpus")
         t0 = time.time()
@@ -261,10 +267,10 @@ def cmd_recall500k():
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="r12rc_")
     try:
-        corpus = _gaussian_mixture(spark, 500_000)
+        corpus = _gaussian_mixture(spark, 500_000, n_modes=2048)
         corpus.write.parquet(f"{work}/corpus")
         train = spark.read.parquet(f"{work}/corpus")
-        test = _gaussian_mixture(spark, 500_050).filter(
+        test = _gaussian_mixture(spark, 500_050, n_modes=2048).filter(
             F.col("id") >= 500_000
         ).select((F.col("id") - 500_000).alias("qid"),
                  F.col("vec")).localCheckpoint(eager=True)
@@ -284,7 +290,7 @@ def cmd_recall500k():
             return round(float(row["recall"]), 4)
 
         t0 = time.time()
-        enc, cents, books = build_ivfpq(train, n_centroids=64, replicas=1)
+        enc, cents, books = build_ivfpq(train, n_centroids=64, n_pq_centroids=256, replicas=1)
         ipq = IvfPqServingIndex(enc, cents, books, train).warm()
         build_sec = round(time.time() - t0, 1)
         mult = _max_code_multiplicity(ipq.blobs)

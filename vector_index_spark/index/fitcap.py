@@ -79,3 +79,35 @@ def record(site: str, rows: int, dim: int, route: str) -> None:
         "bytes": int(rows) * dim * _BYTES_PER_VAL if route != "distributed" else 0,
         "route": route,
     }
+
+
+def hash_sample(df, n: int, seed: int = 42):
+    """Deterministic spread sample of ~``n`` rows in ONE pass, no
+    shuffle of the corpus (round 12): rank every row by a value hash,
+    keep each partition's ``n`` smallest, then take the global ``n``
+    smallest of that tiny union (<= n * partitions rows).
+
+    Replaces the fit-sample ``limit(n)`` calls: limit takes the FIRST
+    rows the scan produces — on a large corpus that is one file of one
+    partition, so k-means / codebook / PCA fits saw a single shard of
+    the data (fine at sf0.01 where the corpus is smaller than the
+    sample, invisible to the gates, and a silent quality cliff at
+    scale). Hashing VALUES keeps the sample independent of partitioning
+    and file order, so fits are reproducible across layouts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    w = df.withColumn(
+        "__h", F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns])
+    )
+    schema = w.schema
+
+    def head(batches):
+        best = None
+        for pdf in batches:
+            cat = pd.concat([best, pdf]) if best is not None else pdf
+            best = cat.nsmallest(n, "__h")
+        if best is not None:
+            yield best
+
+    return w.mapInPandas(head, schema).orderBy("__h").limit(n).drop("__h")

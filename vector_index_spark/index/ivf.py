@@ -111,11 +111,10 @@ def build_ivf(
         centers = np.array(model.clusterCenters(), dtype=np.float64)
         fitcap.record("ivf", 0, centers.shape[1], "distributed")
     elif fit == "sample":
-        sample = (
-            train.select(F.col(vec_col).alias("vec"))
-            .limit(sample_size)
-            .toPandas()["vec"]
-        )
+        sample = fitcap.hash_sample(
+            train.select(F.col(vec_col).alias("vec")), sample_size,
+            seed=seed,
+        ).toPandas()["vec"]
         X = np.stack(sample.to_numpy()).astype(np.float64)
         centers = _kmeans(X, n_centroids, iters, seed)
         fitcap.record("ivf", len(X), X.shape[1], "sample")

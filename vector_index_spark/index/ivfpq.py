@@ -70,11 +70,10 @@ def build_ivfpq(
     from vector_index_spark.index import fitcap
 
     _dim = int(C.shape[1])
-    sample = (
-        assigned.select("centroid_id", F.col("vec"))
-        .limit(fitcap.capped_rows(sample_size, _dim))
-        .toPandas()
-    )
+    sample = fitcap.hash_sample(
+        assigned.select("centroid_id", F.col("vec")),
+        fitcap.capped_rows(sample_size, _dim), seed=seed,
+    ).toPandas()
     fitcap.record("ivfpq_codebooks", len(sample), _dim, "sample")
     R = (
         np.stack(sample["vec"].to_numpy()).astype(np.float64)

@@ -78,9 +78,9 @@ def train_pca(
         comp = model.pc.toArray().astype(np.float64).T  # (dim_out, d)
         fitcap.record("pca", 0, d, "distributed")
     else:
-        sample = (
-            train.select(F.col(vec_col).alias("v")).limit(sample_size).toPandas()["v"]
-        )
+        sample = fitcap.hash_sample(
+            train.select(F.col(vec_col).alias("v")), sample_size,
+        ).toPandas()["v"]
         X = np.stack(sample.to_numpy()).astype(np.float64)
         mean = X.mean(axis=0)
         C = np.cov(X - mean, rowvar=False)

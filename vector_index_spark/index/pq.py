@@ -53,11 +53,10 @@ def train_pq(
     from vector_index_spark.index import fitcap
 
     _dim = fitcap.vector_dim(train, vec_col)
-    sample = (
-        train.select(F.col(vec_col).alias("vec"))
-        .limit(fitcap.capped_rows(sample_size, _dim))
-        .toPandas()["vec"]
-    )
+    sample = fitcap.hash_sample(
+        train.select(F.col(vec_col).alias("vec")),
+        fitcap.capped_rows(sample_size, _dim), seed=seed,
+    ).toPandas()["vec"]
     X = np.stack(sample.to_numpy()).astype(np.float64)
     fitcap.record("pq", len(X), _dim, "sample")
     dim = X.shape[1]

@@ -56,7 +56,9 @@ def train_rpt(
     # 5); quality stays recall-gated in tests either way
     dim = fitcap.vector_dim(train, vec_col)
     rows = fitcap.capped_rows(sample_size, dim)
-    sample = train.select(F.col(vec_col).alias("v")).limit(rows).toPandas()["v"]
+    sample = fitcap.hash_sample(
+        train.select(F.col(vec_col).alias("v")), rows, seed=seed,
+    ).toPandas()["v"]
     X = np.stack(sample.to_numpy()).astype(np.float64)
     fitcap.record("rpt", len(X), dim, "sample")
     d = X.shape[1]
