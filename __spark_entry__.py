@@ -874,7 +874,8 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidx.invalidate_serving_cache()
     gidx.unpersist()
     cidx.unpersist()
-    return spark.createDataFrame(
+    chain = _gate_snapshot_chain(spark, sf_dir)  # round 12 extension
+    return chain.crossJoin(spark.createDataFrame(
         [
             (
                 bool(g_ok),
@@ -895,7 +896,7 @@ def q170_range_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dnf_equiv_ok boolean, snapshot_parity_ok boolean, "
         "single_pass_windows_ok boolean, facade_dispatch_ok boolean, "
         "n_broad_rows long",
-    )
+    ))
 
 
 def q150_ivfpq_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +966,267 @@ def q151_rpt_serving_parity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0,
             ).otherwise(1)
         ) == 0).alias("parity_ok"),
+    )
+
+
+def _gate_snapshot_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 gate for the incremental-snapshot generation chain:
+    three append->refresh->snapshot_incremental waves with
+    max_generations=2 must stack two generations and then FOLD into a
+    fresh VERSIONED base (crash-safe protocol: new dirs + manifest
+    commit + GC of the old version last — vector_index_spark/index/
+    serving.py snapshot/_gc_stale_snapshot_dirs); the restored handle
+    must byte-equal a cold rebuild of the post-append index; and the
+    lineage guard must pin the generation TIP — after one of two
+    handles restored from the same snapshot stacks a generation, the
+    other's snapshot_incremental raises SnapshotIntegrityError."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import (
+        append_to_index,
+        build_graph_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import (
+        ServingIndex,
+        SnapshotIntegrityError,
+        _read_manifest_any,
+    )
+
+    train, test = _lsplit(spark, sf_dir)
+    train = train.select("id", "vec")
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    work = _tempfile.mkdtemp(prefix="q171_")
+    path, snap = f"{work}/idx", f"{work}/snap"
+    save_index(
+        assign_shards(train, params.sub_index_bound),
+        build_graph_index(train, params),
+        params,
+        path,
+    )
+    v, e, _ = load_index(spark, path)
+    idx = ServingIndex(v, e).warm()
+    idx.snapshot(snap)
+
+    waves_ok = True
+    for w in range(3):
+        wave = test.select(
+            (F.col("qid") + 1_000_000 + w * 10_000).alias("id"), "vec"
+        ).limit(50)
+        affected = append_to_index(spark, path, wave)
+        v2, e2, _ = load_index(spark, path)
+        idx.refresh(v2, e2, affected)
+        idx.snapshot_incremental(snap, max_generations=2)
+        gens = [
+            d for d in _os.listdir(snap) if d.startswith("blobs_gen_")
+        ]
+        waves_ok = waves_ok and len(gens) <= 2
+
+    m = _read_manifest_any(spark, snap)
+    chain_folded_ok = (
+        int(m.get("base_version", 1)) == 2
+        and m.get("generations") == []
+        and _os.path.isdir(f"{snap}/blobs_v2")
+    )
+    old_base_gc_ok = not _os.path.exists(f"{snap}/blobs")
+
+    vF, eF, _ = load_index(spark, path)
+    cold = ServingIndex(vF, eF).warm()
+    restored = ServingIndex.from_snapshot(spark, snap)
+    want = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+    got = {r.shard: bytes(r.blob) for r in restored.blobs.collect()}
+    restore_parity_ok = got == want
+
+    other = ServingIndex.from_snapshot(spark, snap)
+    restored._pending_snapshot_shards = {0}
+    restored.snapshot_incremental(snap)  # moves the chain tip
+    other._pending_snapshot_shards = {0}
+    try:
+        other.snapshot_incremental(snap)
+        lineage_tip_ok = False
+    except SnapshotIntegrityError:
+        lineage_tip_ok = True
+    restored.unpersist()
+    other.unpersist()
+    cold.unpersist()
+    idx.unpersist()
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(waves_ok), bool(chain_folded_ok), bool(old_base_gc_ok),
+            bool(restore_parity_ok), bool(lineage_tip_ok),
+            int(m.get("base_version", 1)),
+        )],
+        "waves_bounded_ok boolean, chain_folded_ok boolean, "
+        "old_base_gc_ok boolean, restore_parity_ok boolean, "
+        "lineage_tip_ok boolean, base_version int",
+    )
+
+
+def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 gate for the IVF-PQ streaming maintenance twin's
+    exactly-once contract (streaming/ingest.py _ivfpq_apply_wave): a
+    replay of a fully COMMITTED wave is skipped outright (corpus and
+    resident blobs untouched); a replay of a PARTIALLY applied wave
+    (corpus appended, crash before the snapshot commit) dedups the
+    corpus through the wave-intent marker and ends byte-equal to a
+    cold pack over the exactly-once corpus."""
+    import tempfile as _tempfile
+
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.streaming.ingest import (
+        _committed_batch,
+        _ivfpq_apply_wave,
+        _write_wave_intent,
+    )
+
+    train, _test = _lsplit(spark, sf_dir)
+    full = train.select("id", "vec").localCheckpoint(eager=True)
+    n = full.count()
+    first = full.filter(F.col("id") % 3 == 0)
+    wave1 = full.filter(F.col("id") % 3 == 1)
+    wave2 = full.filter(F.col("id") % 3 == 2)
+
+    enc, cents, books = build_ivfpq(full, n_centroids=8, replicas=1)
+    enc = enc.localCheckpoint(eager=True)
+    enc_first = enc.join(F.broadcast(first.select("id")), "id")
+
+    work = _tempfile.mkdtemp(prefix="q172_")
+    corpus, snap = f"{work}/corpus", f"{work}/snap"
+    first.write.parquet(corpus)
+    serving = IvfPqServingIndex(
+        enc_first, cents, books, spark.read.parquet(corpus)
+    ).warm()
+    serving.snapshot(snap, fingerprint_corpus=False)
+    applied = {"batch": -1}
+
+    def corpus_ids():
+        return sorted(
+            r.id for r in spark.read.parquet(corpus).select("id").collect()
+        )
+
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec", applied, 8,
+                      wave1, 0)
+    ids1 = corpus_ids()
+    blobs1 = {r.cell: bytes(r.blob) for r in serving.blobs.collect()}
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec", applied, 8,
+                      wave1, 0)  # replay of the committed wave
+    committed_skip_ok = (
+        corpus_ids() == ids1
+        and {r.cell: bytes(r.blob) for r in serving.blobs.collect()}
+        == blobs1
+        and _committed_batch(spark, snap) == 0
+    )
+
+    # partial wave 2: corpus append landed, crash before snapshot commit
+    _write_wave_intent(spark, snap, 1)
+    wave2.write.mode("append").parquet(corpus)
+    spark.catalog.refreshByPath(corpus)
+    restored = IvfPqServingIndex.from_snapshot(
+        spark, snap, spark.read.parquet(corpus), validate=False
+    ).warm()
+    restore_excludes_uncommitted_ok = {
+        r.cell: bytes(r.blob) for r in restored.blobs.collect()
+    } == blobs1
+    _ivfpq_apply_wave(restored, corpus, snap, "id", "vec",
+                      {"batch": 0}, 8, wave2, 1)
+    ids = corpus_ids()
+    exactly_once_ok = (
+        len(ids) == len(set(ids)) == n
+        and _committed_batch(spark, snap) == 1
+    )
+    cold = IvfPqServingIndex(
+        enc, cents, books, spark.read.parquet(corpus)
+    ).warm()
+    final_parity_ok = {
+        r.cell: bytes(r.blob) for r in restored.blobs.collect()
+    } == {r.cell: bytes(r.blob) for r in cold.blobs.collect()}
+    cold.unpersist()
+    restored.unpersist()
+    serving.unpersist()
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(committed_skip_ok), bool(restore_excludes_uncommitted_ok),
+            bool(exactly_once_ok), bool(final_parity_ok), int(n),
+        )],
+        "committed_skip_ok boolean, restore_excludes_uncommitted_ok "
+        "boolean, exactly_once_ok boolean, final_parity_ok boolean, "
+        "n_rows int",
+    )
+
+
+def _gate_neardup_warning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 gate for the near-duplicate-density routing rule
+    (SCALE.md round 11, encoded as the _warn_if_neardup_dense probe): a
+    compressed handle over a corpus where >= candidate_factor*k rows
+    share one quantized code must warn exactly once on first query; a
+    distinct-vector corpus must stay silent."""
+    import warnings as _warnings
+
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    train, _test = _lsplit(spark, sf_dir)
+    base = train.select("id", "vec").limit(20)
+    dense = (
+        base.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("id") * 100 + F.col("rep")).alias("id"),
+            F.transform(
+                "vec", lambda x: x + F.col("rep") * F.lit(1e-6)
+            ).alias("vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probe = base.limit(3).select(F.col("id").alias("qid"), "vec")
+
+    books = train_pq(dense, n_subspaces=8, n_centroids=16)
+    handle = PqServingIndex(encode_pq(dense, books), dense, books).warm()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        handle.query(probe, 10, candidate_factor=8).count()
+    warned_dense_ok = any(
+        "near-duplicate-dense" in str(w.message) for w in caught
+    )
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        handle.query(probe, 10, candidate_factor=8).count()
+    warn_once_ok = not any(
+        "near-duplicate-dense" in str(w.message) for w in caught2
+    )
+    mult = int(getattr(handle, "_dup_multiplicity", 0))
+    handle.unpersist()
+
+    sparse = train.select("id", "vec").localCheckpoint(eager=True)
+    books2 = train_pq(sparse, n_subspaces=8, n_centroids=16)
+    quiet = PqServingIndex(
+        encode_pq(sparse, books2), sparse, books2
+    ).warm()
+    with _warnings.catch_warnings(record=True) as caught3:
+        _warnings.simplefilter("always")
+        quiet.query(probe, 10, candidate_factor=8).count()
+    quiet_sparse_ok = not any(
+        "near-duplicate-dense" in str(w.message) for w in caught3
+    )
+    quiet.unpersist()
+    return spark.createDataFrame(
+        [(
+            bool(warned_dense_ok), bool(warn_once_ok),
+            bool(quiet_sparse_ok), bool(mult > 80),
+        )],
+        "warned_dense_ok boolean, warn_once_ok boolean, "
+        "quiet_sparse_ok boolean, mult_exceeds_budget_ok boolean",
     )
 
 
@@ -1925,8 +2187,13 @@ def q105_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q106_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched recall + shape gate for the PQ/ADC route. Measured
-    0.978 at sf0.01."""
-    return _recall_gate(spark, sf_dir, _route_pq(spark, sf_dir), 0.9)
+    0.978 at sf0.01. Round 12 extends the gate with the near-duplicate-
+    density routing rule (_gate_neardup_warning): the compressed-route
+    warning must fire once on a dense corpus and stay silent on a
+    distinct-vector one."""
+    return _recall_gate(spark, sf_dir, _route_pq(spark, sf_dir), 0.9).crossJoin(
+        _gate_neardup_warning(spark, sf_dir)
+    )
 
 
 def q107_sq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1938,8 +2205,14 @@ def q107_sq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q108_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched recall + shape gate for the IVF-PQ route. Measured
-    0.948 at sf0.01."""
-    return _recall_gate(spark, sf_dir, _route_ivfpq(spark, sf_dir), 0.85)
+    0.948 at sf0.01. Round 12 extends the gate with the streaming
+    maintenance twin's exactly-once contract (_gate_stream_replay):
+    committed-wave replays skip, partial-wave replays dedup the corpus
+    through the wave-intent marker, and the final state byte-equals a
+    cold pack over the exactly-once corpus."""
+    return _recall_gate(
+        spark, sf_dir, _route_ivfpq(spark, sf_dir), 0.85
+    ).crossJoin(_gate_stream_replay(spark, sf_dir))
 
 
 def q109_pca_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4073,9 +4346,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q104_lsh_recall_gate": _recall_gate_oracle(0.9),
         "q105_ivf_recall_gate": _recall_gate_oracle(0.7),
-        "q106_pq_recall_gate": _recall_gate_oracle(0.9),
+        # round 12: + the near-duplicate-density warning contract
+        "q106_pq_recall_gate": _recall_gate_oracle(0.9).replace(
+            "FROM embeddings",
+            ''', true AS warned_dense_ok, true AS warn_once_ok,
+               true AS quiet_sparse_ok, true AS mult_exceeds_budget_ok
+            FROM embeddings''', 1,
+        ),
         "q107_sq_recall_gate": _recall_gate_oracle(0.98),
-        "q108_ivfpq_recall_gate": _recall_gate_oracle(0.85),
+        # round 12: + the streaming-maintenance exactly-once contract
+        "q108_ivfpq_recall_gate": _recall_gate_oracle(0.85).replace(
+            "FROM embeddings",
+            ''', true AS committed_skip_ok,
+               true AS restore_excludes_uncommitted_ok,
+               true AS exactly_once_ok, true AS final_parity_ok,
+               (SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0)::INT
+                 AS n_rows
+            FROM embeddings''', 1,
+        ),
         "q150_ivfpq_serving_parity_gate": """
             SELECT count(*) AS n_queries,
                    count(*) * 10 AS n_rows,
@@ -5034,8 +5322,17 @@ def oracle_sql() -> dict[str, str]:
         # snapshot_parity_ok (round 10) pins the restart contract: a
         # snapshot/restore round trip must answer the selective range
         # query byte-identically to brute force.
+        # round 12 extends q170 with the incremental-snapshot chain
+        # contract (waves bounded, fold to a fresh versioned base, old
+        # version GC'd, restore parity, generation-tip lineage guard)
         "q170_range_serving_gate": f"""
-            SELECT true AS graph_sel_range_ok,
+            SELECT true AS waves_bounded_ok,
+                   true AS chain_folded_ok,
+                   true AS old_base_gc_ok,
+                   true AS restore_parity_ok,
+                   true AS lineage_tip_ok,
+                   2 AS base_version,
+                   true AS graph_sel_range_ok,
                    true AS cell_sel_range_ok,
                    true AS broad_only_matching,
                    true AS broad_recall_ok,

@@ -82,32 +82,30 @@ def record(site: str, rows: int, dim: int, route: str) -> None:
 
 
 def hash_sample(df, n: int, seed: int = 42):
-    """Deterministic spread sample of ~``n`` rows in ONE pass, no
-    shuffle of the corpus (round 12): rank every row by a value hash,
-    keep each partition's ``n`` smallest, then take the global ``n``
-    smallest of that tiny union (<= n * partitions rows).
+    """Deterministic spread sample of ~``n`` rows (round 12): rows whose
+    value hash falls under ``n/total`` of the hash range are kept — one
+    cheap count plus one filtered scan, all JVM-side codegen (no
+    shuffle, no sort, no Python).
 
     Replaces the fit-sample ``limit(n)`` calls: limit takes the FIRST
     rows the scan produces — on a large corpus that is one file of one
     partition, so k-means / codebook / PCA fits saw a single shard of
     the data (fine at sf0.01 where the corpus is smaller than the
     sample, invisible to the gates, and a silent quality cliff at
-    scale). Hashing VALUES keeps the sample independent of partitioning
-    and file order, so fits are reproducible across layouts."""
-    import pandas as pd
+    scale). Hashing VALUES keeps membership independent of partitioning
+    and file order, so fits are reproducible across layouts. The hash
+    threshold is set ~2% over ``n/total`` and a final ``limit(n)`` trims
+    the binomial overshoot, so the byte caps (hard memory guards on the
+    driver fit) hold exactly; the trimmed rows are already a random
+    subset, so which of them drop is immaterial to the fit. When the
+    corpus is not larger than ``n`` the whole relation returns (the
+    pre-round-12 behavior at gate scale, byte-for-byte)."""
     from pyspark.sql import functions as F
 
-    w = df.withColumn(
-        "__h", F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns])
-    )
-    schema = w.schema
-
-    def head(batches):
-        best = None
-        for pdf in batches:
-            cat = pd.concat([best, pdf]) if best is not None else pdf
-            best = cat.nsmallest(n, "__h")
-        if best is not None:
-            yield best
-
-    return w.mapInPandas(head, schema).orderBy("__h").limit(n).drop("__h")
+    total = df.count()
+    if total <= n:
+        return df
+    frac = min(1.0, 1.02 * n / total)
+    cutoff = min((1 << 63) - 1, -(1 << 63) + int(frac * (1 << 64)))
+    h = F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns])
+    return df.filter(h < F.lit(cutoff)).limit(n)

@@ -70,15 +70,22 @@ def build_ivfpq(
     from vector_index_spark.index import fitcap
 
     _dim = int(C.shape[1])
+    # sample the RAW corpus (one cheap vec-column scan) and compute the
+    # primary assignment + residual in numpy on the driver: sampling
+    # `assigned` instead would re-execute the full distributed assign
+    # pass just to discard all but ~10k rows (round 12)
     sample = fitcap.hash_sample(
-        assigned.select("centroid_id", F.col("vec")),
+        train.select(F.col(vec_col).alias("vec")),
         fitcap.capped_rows(sample_size, _dim), seed=seed,
     ).toPandas()
     fitcap.record("ivfpq_codebooks", len(sample), _dim, "sample")
-    R = (
-        np.stack(sample["vec"].to_numpy()).astype(np.float64)
-        - C[sample["centroid_id"].to_numpy(dtype=np.int64)]
+    Xs = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    d2 = (
+        (Xs * Xs).sum(axis=1)[:, None]
+        - 2.0 * (Xs @ C.T)
+        + (C * C).sum(axis=1)[None, :]
     )
+    R = Xs - C[d2.argmin(axis=1)]
     dim = R.shape[1]
     if dim % n_subspaces:
         raise ValueError(f"dimension {dim} not divisible by {n_subspaces} subspaces")
