@@ -2458,6 +2458,28 @@ def test_all_class_snapshot_roundtrips(spark, ltrain, tmp_path):
                 lb = sorted(bytes(r.blob) for r in live.blobs.collect())
                 rb = sorted(bytes(r.blob) for r in restored.blobs.collect())
                 assert lb == rb, name
+                # round 12: re-snapshot over the existing snapshot FROM
+                # a handle restored from this very path — the versioned
+                # protocol means it never overwrites the dirs its plan
+                # reads, the manifest rewrite is the commit point, and
+                # the old version's dirs are GC'd only after
+                import os
+
+                from vector_index_spark.index.serving import (
+                    _read_manifest_any,
+                )
+
+                restored.snapshot(path)
+                m = _read_manifest_any(spark, path)
+                assert m["base_version"] == 2, name
+                assert not os.path.exists(f"{path}/blobs"), name
+                again = restore(path).warm()
+                try:
+                    a = sorted(map(tuple, plain(live).collect()))
+                    b = sorted(map(tuple, plain(again).collect()))
+                    assert a == b, name
+                finally:
+                    again.unpersist()
             finally:
                 restored.unpersist()
         finally:

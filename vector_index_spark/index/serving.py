@@ -171,26 +171,38 @@ def _vdir(name: str, version: int) -> str:
     return f"{stem}_v{version}{dot}{ext}"
 
 
+_LEGACY_BASE_NAMES = (
+    "blobs", "routing", "centroids.npy", "codebooks.npy",
+    "mins.npy", "span.npy", "normals.npy", "thresholds.npy",
+    "mean.npy", "components.npy",
+)
+
+
 def _gc_stale_snapshot_dirs(spark, path: str, old: "dict | None",
-                            new_version: int) -> None:
+                            new_manifest: dict) -> None:
     """Delete the PREVIOUS snapshot version's dirs AFTER the new
     manifest is committed (round 12, ADVICE): the manifest write is the
     atomic commit point, so a crash anywhere before it leaves the old
     base + generations fully intact and restorable, and a crash during
     this GC leaves only unreferenced garbage (the new manifest never
-    points at what's being deleted)."""
+    points at what's being deleted). Manifests record the exact dirs
+    they own (``base_dirs`` + ``routing_dir``); for pre-round-12
+    manifests the known legacy layout is reconstructed."""
     if not old:
         return
-    old_v = int(old.get("base_version", 1))
     for g in old.get("generations", []):
         _fs_delete(spark, f"{path}/blobs_gen_{g['gen']}")
-    rd = old.get("routing_dir", _vdir("routing", old_v))
-    if old_v != new_version:
-        _fs_delete(spark, f"{path}/{_vdir('blobs', old_v)}")
-        for aux in ("centroids.npy", "codebooks.npy"):
-            _fs_delete(spark, f"{path}/{_vdir(aux, old_v)}")
-    if rd != _vdir("routing", new_version):
-        _fs_delete(spark, f"{path}/{rd}")
+    old_v = int(old.get("base_version", 1))
+    olds = set(
+        old.get("base_dirs")
+        or [_vdir(n, old_v) for n in _LEGACY_BASE_NAMES]
+    )
+    olds.add(old.get("routing_dir") or _vdir("routing", old_v))
+    keep = set(new_manifest.get("base_dirs") or [])
+    if new_manifest.get("routing_dir"):
+        keep.add(new_manifest["routing_dir"])
+    for d in sorted(olds - keep):
+        _fs_delete(spark, f"{path}/{d}")
 
 
 def _lineage_token(manifest: dict) -> tuple:
@@ -1071,6 +1083,7 @@ class ServingIndex:
             "blobs": _blob_fingerprint(self.blobs),
             "snapshot_id": _uuid.uuid4().hex,
             "base_version": version,
+            "base_dirs": [_vdir("blobs", version)],
             "routing_dir": _vdir("routing", version),
             "generations": [],
             **_manifest_attr_fields(
@@ -1082,7 +1095,7 @@ class ServingIndex:
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_shards = set()
-        _gc_stale_snapshot_dirs(self._spark, path, old, version)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     def snapshot_incremental(
@@ -1822,18 +1835,31 @@ class CellServingIndex:
         """Persist the serving form (round 10): packed cell blobs, the
         centroid routing table, and a versioned manifest — the raw
         vectors live INSIDE the blobs, so the restore is self-contained
-        (no cold corpus argument)."""
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        self._cents_kv.write.mode("overwrite").parquet(f"{path}/routing")
+        (no cold corpus argument).
+
+        Crash-safe since round 12: versioned dirs + manifest-commit +
+        GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        self._cents_kv.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('routing', version)}"
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
+            "base_version": version,
+            "base_dirs": [_vdir("blobs", version)],
+            "routing_dir": _vdir("routing", version),
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     @classmethod
@@ -1855,15 +1881,16 @@ class CellServingIndex:
         # the strategy histogram was snapshotted; the live relation is
         # not needed for serving
         idx._assigned = None
+        base_v = int(manifest.get("base_version", 1))
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._cents_kv = spark.read.parquet(
-            f"{path}/routing"
+            f"{path}/{manifest.get('routing_dir', _vdir('routing', base_v))}"
         ).localCheckpoint(eager=True)
         idx._spark = spark
         idx._live_bcs = []
@@ -2544,12 +2571,26 @@ class PqServingIndex:
         codebook array, and a versioned manifest carrying the cold
         corpus FINGERPRINT — the raw vectors for the exact re-rank tail
         are NOT snapshotted (they live wherever they live; passed at
-        restore and validated against the fingerprint)."""
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        _fs_write_npy(self._spark, f"{path}/codebooks.npy", self._books)
+        restore and validated against the fingerprint).
+
+        Crash-safe since round 12: versioned dirs + manifest-commit +
+        GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('codebooks.npy', version)}",
+            self._books,
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
+            "base_version": version,
+            "base_dirs": [
+                _vdir("blobs", version), _vdir("codebooks.npy", version),
+            ],
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "blobs": _blob_fingerprint(self.blobs),
@@ -2566,6 +2607,7 @@ class PqServingIndex:
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     @classmethod
@@ -2588,9 +2630,12 @@ class PqServingIndex:
         idx._id_col = manifest["id_col"]
         idx._vec_col = manifest["vec_col"]
         _restore_attr_fields(idx, manifest)
-        idx._books = _fs_read_npy(spark, f"{path}/codebooks.npy")
+        base_v = int(manifest.get("base_version", 1))
+        idx._books = _fs_read_npy(
+            spark, f"{path}/{_vdir('codebooks.npy', base_v)}"
+        )
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
@@ -2967,13 +3012,29 @@ class SqServingIndex:
         """Persist the serving form (round 10): packed uint8 code blobs,
         the per-dimension scale arrays, and a versioned manifest with
         the cold corpus fingerprint (same contract as
-        :meth:`PqServingIndex.snapshot`)."""
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        _fs_write_npy(self._spark, f"{path}/mins.npy", self._mins)
-        _fs_write_npy(self._spark, f"{path}/span.npy", self._span)
+        :meth:`PqServingIndex.snapshot`).
+
+        Crash-safe since round 12: versioned dirs + manifest-commit +
+        GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('mins.npy', version)}", self._mins
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('span.npy', version)}", self._span
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
+            "base_version": version,
+            "base_dirs": [
+                _vdir("blobs", version), _vdir("mins.npy", version),
+                _vdir("span.npy", version),
+            ],
             "id_col": self._id_col,
             "vec_col": self._vec_col,
             "blobs": _blob_fingerprint(self.blobs),
@@ -2990,6 +3051,7 @@ class SqServingIndex:
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     @classmethod
@@ -3010,10 +3072,15 @@ class SqServingIndex:
         idx._id_col = manifest["id_col"]
         idx._vec_col = manifest["vec_col"]
         _restore_attr_fields(idx, manifest)
-        idx._mins = _fs_read_npy(spark, f"{path}/mins.npy")
-        idx._span = _fs_read_npy(spark, f"{path}/span.npy")
+        base_v = int(manifest.get("base_version", 1))
+        idx._mins = _fs_read_npy(
+            spark, f"{path}/{_vdir('mins.npy', base_v)}"
+        )
+        idx._span = _fs_read_npy(
+            spark, f"{path}/{_vdir('span.npy', base_v)}"
+        )
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
@@ -3569,6 +3636,11 @@ class IvfPqServingIndex:
             "vec_col": self._vec_col,
             "snapshot_id": _uuid.uuid4().hex,
             "base_version": version,
+            "base_dirs": [
+                _vdir("blobs", version),
+                _vdir("centroids.npy", version),
+                _vdir("codebooks.npy", version),
+            ],
             "routing_dir": _vdir("routing", version),
             "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
@@ -3589,7 +3661,7 @@ class IvfPqServingIndex:
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_cells = set()
-        _gc_stale_snapshot_dirs(self._spark, path, old, version)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     def snapshot_incremental(
@@ -4519,19 +4591,37 @@ class RptServingIndex:
         """Persist the serving form (round 10): packed leaf blobs plus
         the tree routing arrays (normals, thresholds — the kilobytes the
         driver walks per query), versioned manifest. Raw vectors live
-        inside the leaf blobs, so the restore is self-contained."""
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        _fs_write_npy(self._spark, f"{path}/normals.npy", self._W)
-        _fs_write_npy(self._spark, f"{path}/thresholds.npy", self._T)
+        inside the leaf blobs, so the restore is self-contained.
+
+        Crash-safe since round 12: versioned dirs + manifest-commit +
+        GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('normals.npy', version)}", self._W
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('thresholds.npy', version)}",
+            self._T,
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
+            "base_version": version,
+            "base_dirs": [
+                _vdir("blobs", version), _vdir("normals.npy", version),
+                _vdir("thresholds.npy", version),
+            ],
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     @classmethod
@@ -4547,13 +4637,18 @@ class RptServingIndex:
         manifest = _read_manifest(spark, path, cls.__name__)
         idx = cls.__new__(cls)
         idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
-        idx._W = _fs_read_npy(spark, f"{path}/normals.npy")
-        idx._T = _fs_read_npy(spark, f"{path}/thresholds.npy")
+        base_v = int(manifest.get("base_version", 1))
+        idx._W = _fs_read_npy(
+            spark, f"{path}/{_vdir('normals.npy', base_v)}"
+        )
+        idx._T = _fs_read_npy(
+            spark, f"{path}/{_vdir('thresholds.npy', base_v)}"
+        )
         idx._depth = int(np.log2(len(idx._W) + 1))
         _restore_attr_fields(idx, manifest)
         idx._assigned = None  # histogram restored from the manifest
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
@@ -4940,19 +5035,37 @@ class PcaServingIndex:
         """Persist the serving form (round 10): packed (ids, reduced,
         raw) blobs plus the projection basis (mean, components),
         versioned manifest. The raw vectors live inside the blobs, so
-        the restore is self-contained."""
-        self.blobs.write.mode("overwrite").parquet(f"{path}/blobs")
-        _fs_write_npy(self._spark, f"{path}/mean.npy", self._mean)
-        _fs_write_npy(self._spark, f"{path}/components.npy", self._comp)
+        the restore is self-contained.
+
+        Crash-safe since round 12: versioned dirs + manifest-commit +
+        GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        old = _read_manifest_any(self._spark, path)
+        version = int(old.get("base_version", 1)) + 1 if old else 1
+        self.blobs.write.mode("overwrite").parquet(
+            f"{path}/{_vdir('blobs', version)}"
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('mean.npy', version)}", self._mean
+        )
+        _fs_write_npy(
+            self._spark, f"{path}/{_vdir('components.npy', version)}",
+            self._comp,
+        )
         manifest = {
             "format_version": SNAPSHOT_FORMAT_VERSION,
             "class": type(self).__name__,
+            "base_version": version,
+            "base_dirs": [
+                _vdir("blobs", version), _vdir("mean.npy", version),
+                _vdir("components.npy", version),
+            ],
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
         _write_manifest(self._spark, path, manifest)
+        _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
     @classmethod
@@ -4968,12 +5081,15 @@ class PcaServingIndex:
         manifest = _read_manifest(spark, path, cls.__name__)
         idx = cls.__new__(cls)
         idx._n_serve = max(spark.sparkContext.defaultParallelism, 1)
-        idx._mean = _fs_read_npy(spark, f"{path}/mean.npy")
-        idx._comp = _fs_read_npy(spark, f"{path}/components.npy")
+        base_v = int(manifest.get("base_version", 1))
+        idx._mean = _fs_read_npy(spark, f"{path}/{_vdir('mean.npy', base_v)}")
+        idx._comp = _fs_read_npy(
+            spark, f"{path}/{_vdir('components.npy', base_v)}"
+        )
         _restore_attr_fields(idx, manifest)
         idx._projected = None  # histogram restored from the manifest
         idx.blobs = (
-            spark.read.parquet(f"{path}/blobs")
+            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
             .persist(storage_level)
         )
