@@ -192,7 +192,8 @@ def main() -> None:
     sections += [
         (
             "Warm graph serving (ServingIndex.query, routed): index side is "
-            "an InMemoryTableScan of resident blob rows with a probed-shard "
+            "a lineage-free checkpointed scan of resident blob rows (round 12: "
+            "warm() severs lineage into the mutable index files) with a probed-shard "
             "filter — NO exchange touches index data per batch",
             plan(g_sidx.query(test.limit(10), 10, nprobe=4)),
         ),
