@@ -3390,14 +3390,17 @@ def test_neardup_density_routing_warning(spark):
     base = emb.limit(20).select(
         F.col("vec_id").alias("bid"), F.col("embedding").alias("vec")
     )
-    # 20 base vectors x 100 near-identical variants (1e-4 apart): every
-    # variant quantizes to its base's code -> multiplicity ~100 > cf*k=80
+    # 20 base vectors x 100 near-identical variants (<=1e-7 apart):
+    # every variant quantizes to its base's code on BOTH the k-means
+    # (PQ) and per-dim-affine (SQ) quantizers -> multiplicity ~100 >
+    # cf*k=80 (at 1e-6 spacing SQ's step on its narrowest dimension
+    # already resolved some variants: multiplicity 73, under budget)
     dense = (
         base.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
         .select(
             (F.col("bid") * 100 + F.col("rep")).alias("id"),
             F.transform(
-                "vec", lambda x: x + F.col("rep") * F.lit(1e-6)
+                "vec", lambda x: x + F.col("rep") * F.lit(1e-9)
             ).alias("vec"),
         )
         .localCheckpoint(eager=True)
@@ -3430,3 +3433,28 @@ def test_neardup_density_routing_warning(spark):
             quiet.query(test, 10, candidate_factor=8).count()
     finally:
         quiet.unpersist()
+
+    # the probe also reads the SQ route's uint8 code payloads: dense
+    # corpus warns, sparse stays silent (same rule, different dtype)
+    from vector_index_spark.index.serving import SqServingIndex
+    from vector_index_spark.index.sq import encode_sq, train_sq
+
+    mins, maxs = train_sq(dense)
+    sq_dense = SqServingIndex(
+        encode_sq(dense, mins, maxs), dense, mins, maxs
+    ).warm()
+    try:
+        with pytest.warns(UserWarning, match="near-duplicate-dense"):
+            sq_dense.query(test, 10, candidate_factor=8).count()
+    finally:
+        sq_dense.unpersist()
+    mins2, maxs2 = train_sq(sparse)
+    sq_quiet = SqServingIndex(
+        encode_sq(sparse, mins2, maxs2), sparse, mins2, maxs2
+    ).warm()
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            sq_quiet.query(test, 10, candidate_factor=8).count()
+    finally:
+        sq_quiet.unpersist()

@@ -321,9 +321,78 @@ def cmd_recall500k():
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cmd_waves_ivfpq():
+    """Per-wave cost of the COMPRESSED maintenance twin at 500k
+    (round 12; the r11 verdict noted this path's wave cost was measured
+    only at test size): 10 waves of ~10k rows through the exact
+    stream_ivfpq_maintain transaction (_ivfpq_apply_wave: corpus append
+    -> affected-cell blob refresh -> incremental snapshot with the
+    committed batch id), a live 10-query batch between waves, and the
+    final restore."""
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.streaming.ingest import _ivfpq_apply_wave
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="r12-waves-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="r12wi_")
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = _corpus_copies(emb, 256)  # ~512k
+        corpus = f"{work}/corpus"
+        base.write.parquet(corpus)
+        train = spark.read.parquet(corpus)
+        test = emb.limit(10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        enc, cents, books = build_ivfpq(
+            train, n_centroids=64, n_pq_centroids=256, replicas=1
+        )
+        sidx = IvfPqServingIndex(enc, cents, books, train).warm()
+        snap = f"{work}/snap"
+        sidx.snapshot(snap, fingerprint_corpus=False)
+        print(json.dumps({"probe": "ivfpq_512k_build_warm_snapshot",
+                          "rows": train.count(),
+                          "sec": round(time.time() - t0, 1)}))
+        applied = {"batch": -1}
+        wave_src = _corpus_copies(emb, 50).select(
+            (F.col("id") + 10_000_000).alias("id"), "vec"
+        )
+        for w in range(10):
+            wave = wave_src.filter(
+                (F.col("id") % 10) == w
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            _ivfpq_apply_wave(sidx, corpus, snap, "id", "vec",
+                              applied, 8, wave, w)
+            t1 = time.time()
+            sidx.query(test, 100, nprobe=8).count()
+            t2 = time.time()
+            print(json.dumps({
+                "probe": "ivfpq_maintain_wave", "wave": w,
+                "rows": wave.count(), "n_cells": int(sidx.n_cells),
+                "wave_txn_sec": round(t1 - t0, 2),
+                "live_query10_sec": round(t2 - t1, 2),
+            }))
+        t0 = time.time()
+        r = IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        )
+        print(json.dumps({"probe": "ivfpq_restore_after_10_waves",
+                          "restore_sec": round(time.time() - t0, 2),
+                          "n_cells": r.blobs.count()}))
+        r.unpersist()
+        sidx.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     fn = {"gendepth": cmd_gendepth, "waves": cmd_waves,
+          "waves_ivfpq": cmd_waves_ivfpq,
           "fp5m": cmd_fp5m, "recall500k": cmd_recall500k}.get(cmd)
     if fn is None:
         print(__doc__)
