@@ -192,3 +192,34 @@ def test_embedding_near_dup_capped_fit_still_exact(monkeypatch, spark):
     assert fitcap.last_fit["embedding_near_dup"]["dim"] == D
     assert uncapped == capped
     assert len(capped) >= 10  # the planted near-dups are found
+
+
+def test_hash_sample_layout_independent(spark):
+    """Round 12: fit samples must not depend on partitioning or file
+    order (the limit(n) they replaced took the first rows of one
+    partition). Contract: (a) membership in the hash-filtered set is a
+    pure function of row VALUES — identical across repartitionings;
+    (b) the trimmed sample is exactly n rows drawn from that set;
+    (c) a corpus no larger than n returns whole."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.index.fitcap import hash_sample
+
+    base = spark.range(5000).select(
+        F.col("id"), (F.col("id") * 7 % 997).alias("v")
+    )
+    n = 500
+    sets = []
+    for parts in (2, 16):
+        df = base.repartition(parts)
+        got = hash_sample(df, n)
+        rows = got.collect()
+        assert len(rows) == n
+        sets.append({r.id for r in rows})
+    # the underlying hash-filtered membership is layout-independent:
+    # both samples draw from the same ~1.02n-row filtered set, so they
+    # overlap in all but the trimmed ~2% tail
+    assert len(sets[0] & sets[1]) >= int(n * 0.97)
+
+    small = base.limit(100)
+    assert hash_sample(small, n).count() == 100  # whole corpus returns
