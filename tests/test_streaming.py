@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECT
@@ -815,7 +816,9 @@ def test_ivfpq_wave_replay_safety(spark, tmp_path):
     serving = IvfPqServingIndex(
         enc_first, cents, books, spark.read.parquet(corpus)
     ).warm()
-    serving.snapshot(snap, fingerprint_corpus=False)
+    # stream posture (round 12): full fingerprint at the base, additive
+    # per-wave deltas after — drift detection with no per-wave scan
+    serving.snapshot(snap, fingerprint_corpus=True)
     applied = {"batch": -1}
 
     def corpus_ids():
@@ -827,6 +830,15 @@ def test_ivfpq_wave_replay_safety(spark, tmp_path):
                       wave1, 0)
     assert _committed_batch(spark, snap) == 0
     ids_after_1 = corpus_ids()
+    # the incrementally-maintained fingerprint matches the corpus at
+    # every committed state: a between-waves restore validates fully
+    from vector_index_spark.index.serving import _read_manifest_any
+
+    m = _read_manifest_any(spark, snap)
+    assert m["corpus"]["n_rows"] == len(ids_after_1)
+    IvfPqServingIndex.from_snapshot(
+        spark, snap, spark.read.parquet(corpus)
+    ).unpersist()  # validate=True default — corpus drift check passes
     blobs_after_1 = {
         r.cell: bytes(r.blob) for r in serving.blobs.collect()
     }
@@ -845,6 +857,15 @@ def test_ivfpq_wave_replay_safety(spark, tmp_path):
     _write_wave_intent(spark, snap, 1)
     wave2.write.mode("append").parquet(corpus)
     spark.catalog.refreshByPath(corpus)
+    # mid-wave crash state: the corpus is AHEAD of the committed
+    # fingerprint — validate=True must refuse (documented), the resume
+    # path restores with validate=False and the replay reconciles
+    from vector_index_spark.index.serving import SnapshotIntegrityError
+
+    with pytest.raises(SnapshotIntegrityError, match="drifted"):
+        IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        )
     restored = IvfPqServingIndex.from_snapshot(
         spark, snap, spark.read.parquet(corpus), validate=False
     ).warm()
@@ -859,6 +880,13 @@ def test_ivfpq_wave_replay_safety(spark, tmp_path):
         assert ids == sorted(r.id for r in full.select("id").collect())
         assert len(ids) == len(set(ids)), "duplicate ids in corpus"
         assert _committed_batch(spark, snap) == 1
+        # the replay's commit reconciled the fingerprint: a fresh
+        # restore validates fully again
+        m2 = _read_manifest_any(spark, snap)
+        assert m2["corpus"]["n_rows"] == len(ids)
+        IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        ).unpersist()
 
         # blobs == cold pack over the exactly-once corpus
         cold = IvfPqServingIndex(

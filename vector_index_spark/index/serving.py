@@ -3668,6 +3668,7 @@ class IvfPqServingIndex:
         self, path: str, fingerprint_corpus: bool = True,
         max_generations: int = 8,
         stream_batch_id: "int | None" = None,
+        corpus_fp_delta: "tuple[int, int] | None" = None,
     ) -> "IvfPqServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 11): write
         ONLY the cells touched since the last snapshot as a new blob
@@ -3679,17 +3680,41 @@ class IvfPqServingIndex:
         generation tip. When stacking would push the chain past
         ``max_generations``, the chain folds into a fresh full base
         instead (round 12 compaction — bounded restore depth, see
-        :meth:`ServingIndex.snapshot_incremental`)."""
+        :meth:`ServingIndex.snapshot_incremental`).
+
+        ``corpus_fp_delta=(wave_rows, wave_id_crc_sum)`` maintains the
+        cold-corpus fingerprint INCREMENTALLY when
+        ``fingerprint_corpus=False`` (round 12, ADVICE): the fingerprint
+        is additive (row count + order-independent id checksum; the
+        base's spot rows stay valid on an append-only corpus), so a
+        streaming fleet keeps full corpus-drift detection at restore
+        without any per-wave corpus scan. A fold re-anchors with a full
+        fingerprint scan (and fresh spot rows)."""
         spark = self._spark
         manifest = _read_manifest(spark, path, type(self).__name__)
         _check_incremental_lineage(self, path, manifest)
         pending = sorted(getattr(self, "_pending_snapshot_cells", set()))
         gens = manifest.get("generations", [])
+        delta_mode = (
+            corpus_fp_delta is not None
+            and manifest.get("corpus") is not None
+        )
         if pending and len(gens) >= max_generations:
             return self.snapshot(
-                path, fingerprint_corpus=fingerprint_corpus,
+                path,
+                fingerprint_corpus=fingerprint_corpus or delta_mode,
                 stream_batch_id=stream_batch_id,
             )
+        if fingerprint_corpus:
+            corpus_fp = _corpus_fingerprint(
+                self._train, self._id_col, self._vec_col
+            )
+        elif delta_mode:
+            corpus_fp = dict(manifest["corpus"])
+            corpus_fp["n_rows"] += int(corpus_fp_delta[0])
+            corpus_fp["id_crc_sum"] += int(corpus_fp_delta[1])
+        else:
+            corpus_fp = None
         if pending:
             gen = (max(g["gen"] for g in gens) + 1) if gens else 1
             self.blobs.filter(
@@ -3701,9 +3726,7 @@ class IvfPqServingIndex:
         manifest.update(
             {
                 "blobs": _blob_fingerprint(self.blobs),
-                "corpus": _corpus_fingerprint(
-                    self._train, self._id_col, self._vec_col
-                ) if fingerprint_corpus else None,
+                "corpus": corpus_fp,
                 "generations": gens,
                 **_manifest_attr_fields(
                     self._attr_cols, self._attribute_histogram

@@ -229,9 +229,19 @@ def _ivfpq_apply_wave(
             train,
         )
         applied["batch"] = batch_id
+    # the wave's additive fingerprint delta — over the FULL wave, not
+    # new_rows: on a partial replay the corpus already holds the
+    # pre-crash rows but the (uncommitted) manifest fingerprint doesn't
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.crc32(F.col(id_col).cast("string"))), F.lit(0)
+        ).alias("idsum"),
+    ).collect()[0]
     serving.snapshot_incremental(
         snapshot_path, fingerprint_corpus=False,
         max_generations=max_generations, stream_batch_id=batch_id,
+        corpus_fp_delta=(int(row["n"]), int(row["idsum"])),
     )
 
 
@@ -291,19 +301,29 @@ def stream_ivfpq_maintain(
     snapshot_path, spark.read.parquet(corpus_path), validate=False)``
     then call this function again with the SAME checkpoint dir — the
     committed batch counter carries forward through the handle's
-    snapshot lineage. Snapshots along the stream skip the cold-corpus
-    fingerprint (``fingerprint_corpus=False``): at fleet scale that
-    whole-corpus scan per wave would contradict the per-wave cost
-    contract; restore still validates the blob fingerprint
-    (``validate=False`` above skips only the corpus-drift check that
-    the opt-out makes undecidable). ``max_generations`` bounds the
-    generation chain exactly as in :func:`stream_index_maintain`."""
+    snapshot lineage. Corpus-drift detection survives the stream
+    (round 12): the base snapshot records a full corpus fingerprint and
+    every wave maintains it incrementally (additive count + id-crc
+    delta — no per-wave corpus scan, the cost contract holds), so
+    ``validate=True`` succeeds at every BETWEEN-WAVES state — a serving
+    fleet restoring after a clean drain gets the full drift check. Only
+    a crash INSIDE a wave window (corpus appended, snapshot commit
+    pending) leaves the corpus ahead of the fingerprint; there
+    ``validate=True`` correctly refuses, the resume uses
+    ``validate=False``, and the replayed wave's commit reconciles the
+    fingerprint. ``max_generations`` bounds the generation chain
+    exactly as in :func:`stream_index_maintain`."""
     spark0 = vectors.sparkSession
     carry = _carry_batch_id(
         spark0, snapshot_path, getattr(serving, "_snapshot_lineage", None)
     )
+    # base snapshot carries a FULL corpus fingerprint (one id-column
+    # scan, startup-class); every wave then maintains it incrementally
+    # (additive count + id-crc delta) at zero corpus-scan cost — so a
+    # fleet restart validates corpus drift with from_snapshot's default
+    # validate=True despite never re-scanning the corpus per wave
     serving.snapshot(
-        snapshot_path, fingerprint_corpus=False, stream_batch_id=carry,
+        snapshot_path, fingerprint_corpus=True, stream_batch_id=carry,
     )  # generation base
     applied = {"batch": carry if carry is not None else -1}
 
