@@ -902,3 +902,105 @@ def test_ivfpq_wave_replay_safety(spark, tmp_path):
     finally:
         restored.unpersist()
         serving.unpersist()
+
+
+def test_graph_wave_replay_safety(spark, tmp_path):
+    """Round 12: stream_index_maintain's transaction is exactly-once
+    under foreachBatch replays, same posture as the IVF-PQ twin: a
+    committed-wave replay is skipped (index and blobs untouched); a
+    PARTIAL replay (index appended, crash before the snapshot commit)
+    dedups against the index ids instead of tripping the id-clash
+    check, re-packs the full wave's shards, and converges to the
+    exactly-once state byte-equal to a cold rebuild."""
+    from vector_index_spark.index.builder import (
+        append_to_index,
+        build_graph_index,
+    )
+    from vector_index_spark.index.persistence import load_index, save_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+    from vector_index_spark.streaming.ingest import (
+        _committed_batch,
+        _graph_apply_wave,
+        _write_wave_intent,
+    )
+    from vector_index_spark.config import IndexParameters
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=250,
+    )
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 300)
+    wave1 = full.filter((F.col("id") >= 300) & (F.col("id") < 400))
+    wave2 = full.filter(F.col("id") >= 400)
+
+    path = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    save_index(
+        assign_shards(first, params.sub_index_bound),
+        build_graph_index(first, params),
+        params,
+        path,
+    )
+    v, e, _ = load_index(spark, path)
+    sidx = ServingIndex(v, e).warm()
+    sidx.snapshot(snap)
+    applied = {"batch": -1}
+
+    def index_ids():
+        return sorted(
+            r.id for r in spark.read.parquet(f"{path}/vectors")
+            .select("id").collect()
+        )
+
+    _graph_apply_wave(sidx, path, snap, "id", "vec", applied, 8,
+                      wave1, 0)
+    assert _committed_batch(spark, snap) == 0
+    ids_1 = index_ids()
+    blobs_1 = {r.shard: bytes(r.blob) for r in sidx.blobs.collect()}
+
+    # committed replay: a no-op (no id-clash, nothing re-appended)
+    _graph_apply_wave(sidx, path, snap, "id", "vec", applied, 8,
+                      wave1, 0)
+    assert index_ids() == ids_1
+    assert {
+        r.shard: bytes(r.blob) for r in sidx.blobs.collect()
+    } == blobs_1
+
+    # partial wave 2: index append landed, crash before snapshot commit
+    _write_wave_intent(spark, snap, 1)
+    append_to_index(spark, path, wave2)
+    restored = ServingIndex.from_snapshot(spark, snap)
+    assert {
+        r.shard: bytes(r.blob) for r in restored.blobs.collect()
+    } == blobs_1, "restore must exclude the uncommitted wave"
+    _graph_apply_wave(restored, path, snap, "id", "vec",
+                      {"batch": 0}, 8, wave2, 1)
+    ids = index_ids()
+    assert ids == sorted(r.id for r in full.select("id").collect())
+    assert len(ids) == len(set(ids)), "duplicate ids in index"
+    assert _committed_batch(spark, snap) == 1
+
+    vF, eF, _ = load_index(spark, path)
+    cold = ServingIndex(vF, eF).warm()
+    try:
+        want = {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+        assert {
+            r.shard: bytes(r.blob) for r in restored.blobs.collect()
+        } == want
+        # and the committed snapshot restores to the same state
+        again = ServingIndex.from_snapshot(spark, snap)
+        try:
+            assert {
+                r.shard: bytes(r.blob) for r in again.blobs.collect()
+            } == want
+        finally:
+            again.unpersist()
+    finally:
+        cold.unpersist()
+        restored.unpersist()
+        sidx.unpersist()

@@ -119,6 +119,65 @@ def stream_index_ingest(
     return writer.start()
 
 
+def _graph_apply_wave(
+    sidx, index_path: str, snapshot_path: str, id_col: str,
+    vec_col: str, applied: dict, max_generations: int,
+    batch_df: DataFrame, batch_id: int,
+) -> None:
+    """One micro-batch of :func:`stream_index_maintain`'s transaction,
+    module-level so the replay scenarios are directly testable — the
+    graph mirror of :func:`_ivfpq_apply_wave` (committed-wave skip,
+    partial-wave index dedup via the wave-intent marker, in-process
+    refresh latch)."""
+    from vector_index_spark.index.persistence import load_index
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    if batch_id <= _committed_batch(spark, snapshot_path):
+        return  # replay of a fully committed wave
+    if _read_wave_intent(spark, snapshot_path) == batch_id:
+        # a prior attempt of THIS wave may have appended to the index
+        # before crashing — dedup against the index's ids (the id scan
+        # is paid only on this rare crash-replay path)
+        existing = spark.read.parquet(f"{index_path}/vectors").select(
+            F.col(id_col).alias("id")
+        )
+        new_rows = batch_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).join(existing, "id", "left_anti")
+    else:
+        new_rows = None  # fast path: append the wave as-is
+    _write_wave_intent(spark, snapshot_path, batch_id)
+    if new_rows is None:
+        affected = append_to_index(
+            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        )
+    elif not new_rows.isEmpty():
+        affected = append_to_index(spark, index_path, new_rows)
+    else:
+        affected = []
+    v2, e2, _ = load_index(spark, index_path)
+    if new_rows is not None:
+        # the wave's shards, derived from the post-append index: the
+        # pre-crash attempt may have appended rows whose shards the
+        # partial re-append above didn't touch — the refresh must
+        # re-pack the FULL wave's shards into the resident blobs
+        wave_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
+        affected = sorted(
+            int(r["shard"])
+            for r in v2.join(F.broadcast(wave_ids), "id")
+            .select("shard").distinct().collect()
+        )
+    if applied["batch"] < batch_id and affected:
+        sidx.refresh(v2, e2, affected)
+        applied["batch"] = batch_id
+    sidx.snapshot_incremental(
+        snapshot_path, max_generations=max_generations,
+        stream_batch_id=batch_id,
+    )
+
+
 def stream_index_maintain(
     vectors: DataFrame,
     index_path: str,
@@ -147,11 +206,18 @@ def stream_index_maintain(
     generation chain (round 12): every ``max_generations`` waves the
     chain folds into a fresh full base, so restore depth — and with it
     fleet cold-start cost — stays bounded no matter how long the stream
-    runs. A micro-batch replayed after a crash past its snapshot commit
-    is skipped via the manifest's committed batch id; a replay of a
-    PARTIALLY-applied wave (index appended, snapshot not committed)
-    still fails loudly on ``append_to_index``'s id-primary-key check —
-    the documented at-least-once posture for this twin."""
+    runs.
+
+    EXACTLY-ONCE under replay (round 12, same posture as
+    :func:`stream_ivfpq_maintain`): a wave replayed past its snapshot
+    commit is skipped via the manifest's committed batch id; a replay
+    of a PARTIALLY-applied wave (index appended, crash before the
+    snapshot commit — flagged by the wave-intent marker) anti-joins the
+    wave against the index's existing ids before re-appending (the
+    id-column scan is paid only on that rare crash path) and re-packs
+    the wave's shards from the post-append index, so the resident blobs
+    and the snapshot converge to the exactly-once state instead of
+    tripping append_to_index's id-clash check."""
     from vector_index_spark.index.persistence import load_index
     from vector_index_spark.index.serving import ServingIndex
 
@@ -167,21 +233,12 @@ def stream_index_maintain(
     sidx.snapshot(
         snapshot_path, stream_batch_id=carry if carry >= 0 else None
     )  # generation base
+    applied = {"batch": carry if carry >= 0 else -1}
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        if batch_id <= _committed_batch(spark, snapshot_path):
-            return  # replay of a fully committed wave
-        affected = append_to_index(
-            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
-        )
-        v2, e2, _ = load_index(spark, index_path)
-        sidx.refresh(v2, e2, affected)
-        sidx.snapshot_incremental(
-            snapshot_path, max_generations=max_generations,
-            stream_batch_id=batch_id,
+        _graph_apply_wave(
+            sidx, index_path, snapshot_path, id_col, vec_col,
+            applied, max_generations, batch_df, batch_id,
         )
 
     writer = (
