@@ -1105,7 +1105,10 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving = IvfPqServingIndex(
         enc_first, cents, books, spark.read.parquet(corpus)
     ).warm()
-    serving.snapshot(snap, fingerprint_corpus=False)
+    # stream posture: full fingerprint at the base, additive per-wave
+    # deltas after (round 12) — corpus-drift detection at restore with
+    # zero per-wave corpus scans
+    serving.snapshot(snap, fingerprint_corpus=True)
     applied = {"batch": -1}
 
     def corpus_ids():
@@ -1125,11 +1128,31 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         == blobs1
         and _committed_batch(spark, snap) == 0
     )
+    # between committed waves the incrementally-maintained fingerprint
+    # matches the corpus: the default-validating restore succeeds
+    try:
+        IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        ).unpersist()
+        fp_between_waves_ok = True
+    except Exception:
+        fp_between_waves_ok = False
 
     # partial wave 2: corpus append landed, crash before snapshot commit
     _write_wave_intent(spark, snap, 1)
     wave2.write.mode("append").parquet(corpus)
     spark.catalog.refreshByPath(corpus)
+    # mid-wave the corpus is AHEAD of the fingerprint: validate=True
+    # must refuse (typed), the resume path uses validate=False
+    from vector_index_spark.index.serving import SnapshotIntegrityError
+
+    try:
+        IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        )
+        fp_midcrash_refuses_ok = False
+    except SnapshotIntegrityError:
+        fp_midcrash_refuses_ok = True
     restored = IvfPqServingIndex.from_snapshot(
         spark, snap, spark.read.parquet(corpus), validate=False
     ).warm()
@@ -1149,6 +1172,14 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_parity_ok = {
         r.cell: bytes(r.blob) for r in restored.blobs.collect()
     } == {r.cell: bytes(r.blob) for r in cold.blobs.collect()}
+    # the replayed wave's commit reconciled the fingerprint
+    try:
+        IvfPqServingIndex.from_snapshot(
+            spark, snap, spark.read.parquet(corpus)
+        ).unpersist()
+        fp_reconciled_ok = True
+    except Exception:
+        fp_reconciled_ok = False
     cold.unpersist()
     restored.unpersist()
     serving.unpersist()
@@ -1158,11 +1189,14 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(
             bool(committed_skip_ok), bool(restore_excludes_uncommitted_ok),
-            bool(exactly_once_ok), bool(final_parity_ok), int(n),
+            bool(exactly_once_ok), bool(final_parity_ok),
+            bool(fp_between_waves_ok), bool(fp_midcrash_refuses_ok),
+            bool(fp_reconciled_ok), int(n),
         )],
         "committed_skip_ok boolean, restore_excludes_uncommitted_ok "
         "boolean, exactly_once_ok boolean, final_parity_ok boolean, "
-        "n_rows int",
+        "fp_between_waves_ok boolean, fp_midcrash_refuses_ok boolean, "
+        "fp_reconciled_ok boolean, n_rows int",
     )
 
 
@@ -4360,6 +4394,9 @@ def oracle_sql() -> dict[str, str]:
             ''', true AS committed_skip_ok,
                true AS restore_excludes_uncommitted_ok,
                true AS exactly_once_ok, true AS final_parity_ok,
+               true AS fp_between_waves_ok,
+               true AS fp_midcrash_refuses_ok,
+               true AS fp_reconciled_ok,
                (SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0)::INT
                  AS n_rows
             FROM embeddings''', 1,
