@@ -99,7 +99,15 @@ def hash_sample(df, n: int, seed: int = 42):
     driver fit) hold exactly; the trimmed rows are already a random
     subset, so which of them drop is immaterial to the fit. When the
     corpus is not larger than ``n`` the whole relation returns (the
-    pre-round-12 behavior at gate scale, byte-for-byte)."""
+    pre-round-12 behavior at gate scale, byte-for-byte).
+
+    Exact-duplicate rows hash identically and therefore enter or leave
+    the sample as a GROUP: on duplicate-dense corpora the sample's
+    expectation is still the corpus distribution, but its variance is
+    inflated by the group sizes — strictly better than the limit(n)
+    this replaced (one partition's worth of rows, arbitrarily biased),
+    and the quantizer fits this feeds are distribution-level
+    statistics."""
     from pyspark.sql import functions as F
 
     total = df.count()
