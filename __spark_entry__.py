@@ -1254,13 +1254,45 @@ def _gate_neardup_warning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-duplicate-dense" in str(w.message) for w in caught3
     )
     quiet.unpersist()
+
+    # round 13 (VERDICT r12 item 4): with a graph-route fallback
+    # attached (reroute_dense_to), the dense corpus REROUTES instead of
+    # warning — answers equal the graph route's own, and the warning
+    # stays quiet (it remains the signal for bare handles only)
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import build_graph_index
+    from vector_index_spark.index.serving import ServingIndex
+    from vector_index_spark.operators.shard import assign_shards
+
+    params = IndexParameters(
+        dimension=64, minimum_connect_number=8, relaxed_monotonicity=64,
+        step=2, sub_index_bound=2000,
+    )
+    graph = ServingIndex(
+        assign_shards(dense, params.sub_index_bound),
+        build_graph_index(dense, params),
+    ).warm()
+    routed = PqServingIndex(encode_pq(dense, books), dense, books).warm()
+    routed.reroute_dense_to(graph)
+    with _warnings.catch_warnings(record=True) as caught4:
+        _warnings.simplefilter("always")
+        got = sorted(
+            map(tuple, routed.query(probe, 10, candidate_factor=8).collect())
+        )
+    want = sorted(map(tuple, graph.query(probe, 10).collect()))
+    rerouted_ok = got == want and not any(
+        "near-duplicate-dense" in str(w.message) for w in caught4
+    )
+    routed.unpersist()
+    graph.unpersist()
     return spark.createDataFrame(
         [(
             bool(warned_dense_ok), bool(warn_once_ok),
-            bool(quiet_sparse_ok), bool(mult > 80),
+            bool(quiet_sparse_ok), bool(mult > 80), bool(rerouted_ok),
         )],
         "warned_dense_ok boolean, warn_once_ok boolean, "
-        "quiet_sparse_ok boolean, mult_exceeds_budget_ok boolean",
+        "quiet_sparse_ok boolean, mult_exceeds_budget_ok boolean, "
+        "rerouted_ok boolean",
     )
 
 
@@ -2224,7 +2256,10 @@ def q106_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.978 at sf0.01. Round 12 extends the gate with the near-duplicate-
     density routing rule (_gate_neardup_warning): the compressed-route
     warning must fire once on a dense corpus and stay silent on a
-    distinct-vector one."""
+    distinct-vector one. Round 13 extends it with the reroute contract
+    (rerouted_ok): with a graph fallback attached via reroute_dense_to,
+    the dense corpus DISPATCHES to the graph route (answers equal the
+    graph route's own, no warning)."""
     return _recall_gate(spark, sf_dir, _route_pq(spark, sf_dir), 0.9).crossJoin(
         _gate_neardup_warning(spark, sf_dir)
     )
@@ -4384,7 +4419,8 @@ def oracle_sql() -> dict[str, str]:
         "q106_pq_recall_gate": _recall_gate_oracle(0.9).replace(
             "FROM embeddings",
             ''', true AS warned_dense_ok, true AS warn_once_ok,
-               true AS quiet_sparse_ok, true AS mult_exceeds_budget_ok
+               true AS quiet_sparse_ok, true AS mult_exceeds_budget_ok,
+               true AS rerouted_ok
             FROM embeddings''', 1,
         ),
         "q107_sq_recall_gate": _recall_gate_oracle(0.98),

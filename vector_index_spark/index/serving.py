@@ -236,7 +236,7 @@ def _check_incremental_lineage(idx, path: str, manifest: dict) -> None:
         )
 
 
-def _max_code_multiplicity(blobs: DataFrame) -> int:
+def _max_code_multiplicity(blobs: DataFrame, key_col: "str | None" = None) -> int:
     """Largest group of IDENTICAL code rows within any resident blob —
     the cheap near-duplicate-density probe behind the SCALE.md round-11
     routing rule. Near-duplicates quantize to the SAME code, so a large
@@ -248,14 +248,22 @@ def _max_code_multiplicity(blobs: DataFrame) -> int:
     pack repartition, so per-blob maxima alone undercount by the blob
     fan-out), the driver sums per hash — at most 64 tiny rows per blob
     cross the wire, no shuffle. Top-64-per-blob keeps it a lower bound,
-    which is what a warning threshold wants."""
+    which is what a warning threshold wants.
+
+    ``key_col`` scopes the duplicate group to a blob-key partition
+    (round 13, ADVICE): IVF-PQ codes are RESIDUALS against each cell's
+    own centroid, so identical code bytes in different cells encode
+    different vectors — only within-cell groups count there (the key
+    joins the hash); PQ/SQ codes are global, so cross-blob summation
+    under a key-free hash is the right semantics."""
     import hashlib as _hashlib
     import pickle as _pickle
 
     def probe(batches):
         for pdf in batches:
             hs, cs = [], []
-            for blob in pdf["blob"]:
+            keys = pdf[key_col] if key_col is not None else None
+            for j, blob in enumerate(pdf["blob"]):
                 codes = np.ascontiguousarray(
                     np.atleast_2d(_pickle.loads(bytes(blob))[1])
                 )
@@ -266,10 +274,14 @@ def _max_code_multiplicity(blobs: DataFrame) -> int:
                 ).ravel()
                 uniq, counts = np.unique(flat, return_counts=True)
                 top = np.argsort(counts)[::-1][:64]
+                prefix = (
+                    int(keys.iloc[j]).to_bytes(8, "big", signed=True)
+                    if keys is not None else b""
+                )
                 for i in top:
                     hs.append(int.from_bytes(
                         _hashlib.blake2b(
-                            uniq[i].tobytes(), digest_size=8
+                            prefix + uniq[i].tobytes(), digest_size=8
                         ).digest(), "big", signed=True,
                     ))
                     cs.append(int(counts[i]))
@@ -297,7 +309,9 @@ def _warn_if_neardup_dense(idx, k: int, candidate_factor: int) -> None:
         return
     m = getattr(idx, "_dup_multiplicity", None)
     if m is None:
-        m = _max_code_multiplicity(idx.blobs)
+        m = _max_code_multiplicity(
+            idx.blobs, key_col=getattr(idx, "_multiplicity_key", None)
+        )
         idx._dup_multiplicity = m
     if m > candidate_factor * k:
         idx._warned_neardup = True
@@ -311,6 +325,36 @@ def _warn_if_neardup_dense(idx, k: int, candidate_factor: int) -> None:
             "near-dup deduplicate first (operators/dedup), or scale "
             "candidate_factor toward the duplicate multiplicity."
         )
+
+
+def _dense_reroute(idx, k: int, candidate_factor: int):
+    """The SCALE.md near-dup routing rule as DISPATCH (round 13, VERDICT
+    r12 item 4): when the resident codes' duplicate multiplicity exceeds
+    the shortlist budget ``candidate_factor * k`` AND a graph-route
+    fallback handle is attached (:meth:`reroute_dense_to`), return that
+    handle — the query dispatches to the raw-vector beam, whose recall
+    is 1.0 on exactly the dup-dense corpora where compressed shortlists
+    collapse. Without a fallback, the round-12 warning fires instead
+    (direct handle users keep the loud signal). The multiplicity probe
+    runs once per handle contents, same as the warning path."""
+    fb = getattr(idx, "_dense_fallback", None)
+    if fb is None:
+        _warn_if_neardup_dense(idx, k, candidate_factor)
+        return None
+    m = getattr(idx, "_dup_multiplicity", None)
+    if m is None:
+        m = _max_code_multiplicity(
+            idx.blobs, key_col=getattr(idx, "_multiplicity_key", None)
+        )
+        idx._dup_multiplicity = m
+    return fb if m > candidate_factor * k else None
+
+
+def _attach_dense_fallback(idx, handle):
+    """Body of the ``reroute_dense_to`` methods: remember the graph-route
+    handle dense-corpus queries should dispatch to. ``None`` detaches."""
+    idx._dense_fallback = handle
+    return idx
 
 
 def _blob_fingerprint(blobs: DataFrame) -> dict:
@@ -1044,6 +1088,7 @@ class ServingIndex:
 
     def snapshot(
         self, path: str, stream_batch_id: "int | None" = None,
+        stream_epoch: "str | None" = None,
     ) -> "ServingIndex":
         """Persist the SERVING form itself (round 8): the packed blob
         relation, the routing table, and a manifest (dimension,
@@ -1092,6 +1137,8 @@ class ServingIndex:
         }
         if stream_batch_id is not None:
             manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_shards = set()
@@ -1103,6 +1150,7 @@ class ServingIndex:
         path: str,
         max_generations: int = 8,
         stream_batch_id: "int | None" = None,
+        stream_epoch: "str | None" = None,
     ) -> "ServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 11, VERDICT
         r10 item 7): write ONLY the shards re-packed since the last
@@ -1138,7 +1186,10 @@ class ServingIndex:
         )
         gens = manifest.get("generations", [])
         if pending and len(gens) >= max_generations:
-            return self.snapshot(path, stream_batch_id=stream_batch_id)
+            return self.snapshot(
+                path, stream_batch_id=stream_batch_id,
+                stream_epoch=stream_epoch,
+            )
         if pending:
             gen = (max(g["gen"] for g in gens) + 1) if gens else 1
             self.blobs.filter(
@@ -1177,6 +1228,8 @@ class ServingIndex:
         )
         if stream_batch_id is not None:
             manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_shards = set()
         self._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -1882,11 +1935,17 @@ class CellServingIndex:
         # not needed for serving
         idx._assigned = None
         base_v = int(manifest.get("base_version", 1))
+        # eager localCheckpoint, not persist (round 13, ADVICE): persist
+        # keeps lineage into the versioned snapshot dirs, and the NEXT
+        # snapshot() on this path GCs the previous version — a cache-block
+        # loss would then recompute from deleted files (FAILED_READ_FILE).
+        # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._cents_kv = spark.read.parquet(
@@ -2565,6 +2624,16 @@ class PqServingIndex:
         self.n_blobs = self.blobs.count()
         return self
 
+    def reroute_dense_to(self, handle) -> "PqServingIndex":
+        """Attach a graph-route :class:`ServingIndex` (same corpus; same
+        attr packing when ``query_by_*`` is used) as the dense-corpus
+        fallback: when the near-duplicate multiplicity exceeds the
+        shortlist budget ``candidate_factor*k``, queries DISPATCH to it
+        instead of warning (round 13, VERDICT r12 item 4 — the SCALE.md
+        routing rule as dispatch; raw-vector beam recall is 1.0 exactly
+        where compressed shortlists collapse). ``None`` detaches."""
+        return _attach_dense_fallback(self, handle)
+
     def snapshot(self, path: str,
                  fingerprint_corpus: bool = True) -> "PqServingIndex":
         """Persist the serving form (round 10): packed code blobs, the
@@ -2634,11 +2703,17 @@ class PqServingIndex:
         idx._books = _fs_read_npy(
             spark, f"{path}/{_vdir('codebooks.npy', base_v)}"
         )
+        # eager localCheckpoint, not persist (round 13, ADVICE): persist
+        # keeps lineage into the versioned snapshot dirs, and the NEXT
+        # snapshot() on this path GCs the previous version — a cache-block
+        # loss would then recompute from deleted files (FAILED_READ_FILE).
+        # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
             if manifest["corpus"] is not None:
@@ -2676,6 +2751,12 @@ class PqServingIndex:
         BEFORE its shortlist — no distinct-window cap (round 10's
         per-DISTINCT-window decomposition is gone); a row-unique-window
         batch costs one pass."""
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_window(
+                test, k, lo_col=lo_col, hi_col=hi_col,
+                qid_col=qid_col, vec_col=vec_col,
+            )
         return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -2702,6 +2783,12 @@ class PqServingIndex:
         corpus, the rest share a single ADC scan with per-tenant masks —
         no distinct-tenant cap (the tenant analogue of
         :meth:`query_by_window`)."""
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_attribute(
+                test, k, qattr_col=qattr_col,
+                qid_col=qid_col, vec_col=vec_col,
+            )
         return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -2806,7 +2893,11 @@ class PqServingIndex:
             raise ValueError(
                 "filtered query needs attr_col= at PqServingIndex construction"
             )
-        _warn_if_neardup_dense(self, k, candidate_factor)
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query(
+                test, k, qid_col=qid_col, vec_col=vec_col, allowed=allowed
+            )
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))
             if allowed is not None
@@ -3007,6 +3098,11 @@ class SqServingIndex:
         self.n_blobs = self.blobs.count()
         return self
 
+    def reroute_dense_to(self, handle) -> "SqServingIndex":
+        """Dense-corpus graph-route fallback — see
+        :meth:`PqServingIndex.reroute_dense_to`."""
+        return _attach_dense_fallback(self, handle)
+
     def snapshot(self, path: str,
                  fingerprint_corpus: bool = True) -> "SqServingIndex":
         """Persist the serving form (round 10): packed uint8 code blobs,
@@ -3079,11 +3175,17 @@ class SqServingIndex:
         idx._span = _fs_read_npy(
             spark, f"{path}/{_vdir('span.npy', base_v)}"
         )
+        # eager localCheckpoint, not persist (round 13, ADVICE): persist
+        # keeps lineage into the versioned snapshot dirs, and the NEXT
+        # snapshot() on this path GCs the previous version — a cache-block
+        # loss would then recompute from deleted files (FAILED_READ_FILE).
+        # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
             if manifest["corpus"] is not None:
@@ -3119,6 +3221,12 @@ class SqServingIndex:
         single dequantize + grouped-GEMM pass (one distance matrix per
         blob, each window group selecting its masked columns — the
         cellscan kernel) — no distinct-window cap."""
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_window(
+                test, k, lo_col=lo_col, hi_col=hi_col,
+                qid_col=qid_col, vec_col=vec_col,
+            )
         return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -3144,6 +3252,12 @@ class SqServingIndex:
         tenants on one equality-join exact pass against the cold corpus,
         the rest on a single dequantize + grouped-GEMM pass with
         per-tenant masks — no distinct-tenant cap."""
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_attribute(
+                test, k, qattr_col=qattr_col,
+                qid_col=qid_col, vec_col=vec_col,
+            )
         return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -3242,7 +3356,11 @@ class SqServingIndex:
             raise ValueError(
                 "filtered query needs attr_col= at SqServingIndex construction"
             )
-        _warn_if_neardup_dense(self, k, candidate_factor)
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query(
+                test, k, qid_col=qid_col, vec_col=vec_col, allowed=allowed
+            )
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))
             if allowed is not None
@@ -3356,6 +3474,10 @@ class IvfPqServingIndex:
     (small, by definition) matching subset of the cold corpus — the
     operators/filtered strategy rule on a resident histogram."""
 
+    # residual codes only collide WITHIN a cell (round 13, ADVICE):
+    # the near-dup multiplicity probe scopes duplicate groups by cell
+    _multiplicity_key = "cell"
+
     def __init__(
         self,
         encoded: DataFrame,
@@ -3436,6 +3558,11 @@ class IvfPqServingIndex:
             self._blobs_severed = True
         self.n_cells = self.blobs.count()
         return self
+
+    def reroute_dense_to(self, handle) -> "IvfPqServingIndex":
+        """Dense-corpus graph-route fallback — see
+        :meth:`PqServingIndex.reroute_dense_to`."""
+        return _attach_dense_fallback(self, handle)
 
     def refresh(
         self, new_rows: DataFrame, train: DataFrame,
@@ -3594,6 +3721,7 @@ class IvfPqServingIndex:
     def snapshot(self, path: str,
                  fingerprint_corpus: bool = True,
                  stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None,
                  ) -> "IvfPqServingIndex":
         """Persist the compressed serving form (round 8): the per-cell
         code blob relation, the centroid routing table, the driver-held
@@ -3658,6 +3786,8 @@ class IvfPqServingIndex:
         }
         if stream_batch_id is not None:
             manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_cells = set()
@@ -3669,6 +3799,7 @@ class IvfPqServingIndex:
         max_generations: int = 8,
         stream_batch_id: "int | None" = None,
         corpus_fp_delta: "tuple[int, int] | None" = None,
+        stream_epoch: "str | None" = None,
     ) -> "IvfPqServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 11): write
         ONLY the cells touched since the last snapshot as a new blob
@@ -3704,6 +3835,7 @@ class IvfPqServingIndex:
                 path,
                 fingerprint_corpus=fingerprint_corpus or delta_mode,
                 stream_batch_id=stream_batch_id,
+                stream_epoch=stream_epoch,
             )
         if fingerprint_corpus:
             corpus_fp = _corpus_fingerprint(
@@ -3735,6 +3867,8 @@ class IvfPqServingIndex:
         )
         if stream_batch_id is not None:
             manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_cells = set()
         self._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -3844,7 +3978,11 @@ class IvfPqServingIndex:
                 "filtered query needs attr_col= at IvfPqServingIndex "
                 "construction"
             )
-        _warn_if_neardup_dense(self, k, candidate_factor)
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query(
+                test, k, qid_col=qid_col, vec_col=vec_col, allowed=allowed
+            )
         eff_nprobe = nprobe
         allows = (
             normalize_allowed(allowed, len(self._attr_cols))
@@ -3941,6 +4079,12 @@ class IvfPqServingIndex:
             raise ValueError(
                 f"qattr_col must name {len(self._attr_cols)} column(s) "
                 f"(one per attr_col), got {qattr_col!r}"
+            )
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_attribute(
+                test, k, qattr_col=qattr_col,
+                qid_col=qid_col, vec_col=vec_col,
             )
         for b in self._live_bcs:
             b.unpersist(blocking=False)
@@ -4201,6 +4345,12 @@ class IvfPqServingIndex:
             raise ValueError(
                 "query_by_window needs exactly one attr_col= at "
                 "IvfPqServingIndex construction (the windowed attribute)"
+            )
+        fb = _dense_reroute(self, k, candidate_factor)
+        if fb is not None:
+            return fb.query_by_window(
+                test, k, lo_col=lo_col, hi_col=hi_col,
+                qid_col=qid_col, vec_col=vec_col,
             )
         for b in self._live_bcs:
             b.unpersist(blocking=False)
@@ -4670,11 +4820,17 @@ class RptServingIndex:
         idx._depth = int(np.log2(len(idx._W) + 1))
         _restore_attr_fields(idx, manifest)
         idx._assigned = None  # histogram restored from the manifest
+        # eager localCheckpoint, not persist (round 13, ADVICE): persist
+        # keeps lineage into the versioned snapshot dirs, and the NEXT
+        # snapshot() on this path GCs the previous version — a cache-block
+        # loss would then recompute from deleted files (FAILED_READ_FILE).
+        # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._spark = spark
@@ -5111,11 +5267,17 @@ class PcaServingIndex:
         )
         _restore_attr_fields(idx, manifest)
         idx._projected = None  # histogram restored from the manifest
+        # eager localCheckpoint, not persist (round 13, ADVICE): persist
+        # keeps lineage into the versioned snapshot dirs, and the NEXT
+        # snapshot() on this path GCs the previous version — a cache-block
+        # loss would then recompute from deleted files (FAILED_READ_FILE).
+        # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
             spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
             .repartition(idx._n_serve)
-            .persist(storage_level)
+            .localCheckpoint(eager=True)
         )
+        idx._blobs_severed = True
         if validate:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._spark = spark

@@ -37,20 +37,84 @@ def _committed_batch(spark, snapshot_path: str) -> int:
     in the snapshot manifest by ``snapshot_incremental(...,
     stream_batch_id=)``, whose manifest write is the atomic commit
     point. -1 when the manifest is absent or was never stream-written."""
+    return _committed_state(spark, snapshot_path)[0]
+
+
+def _committed_state(spark, snapshot_path: str) -> "tuple[int, str | None]":
+    """(last committed batch id, the stream epoch it belongs to)."""
     from vector_index_spark.index.serving import _read_manifest_any
 
     m = _read_manifest_any(spark, snapshot_path)
-    return int(m.get("last_batch_id", -1)) if m else -1
+    if not m:
+        return -1, None
+    return int(m.get("last_batch_id", -1)), m.get("stream_epoch")
 
 
-def _carry_batch_id(spark, snapshot_path: str, serving_lineage) -> "int | None":
+def _stream_epoch(spark, checkpoint_dir: "str | None") -> "str | None":
+    """Identity of the stream lineage at ``checkpoint_dir`` (round 13,
+    ADVICE): Structured Streaming's query id from the checkpoint's
+    ``metadata`` file — stable across restarts of the SAME checkpoint,
+    fresh when the checkpoint is new or was wiped. Batch ids only order
+    waves WITHIN one such lineage (a fresh checkpoint restarts them at
+    0), so the committed-batch skip must be scoped to it. None before
+    the query has ever started (no metadata yet) or without a
+    checkpoint dir (direct transaction-body calls in tests)."""
+    import json as _json
+
+    from vector_index_spark.index.serving import _fs_read_bytes
+
+    if checkpoint_dir is None:
+        return None
+    try:
+        raw = _fs_read_bytes(spark, f"{checkpoint_dir}/metadata")
+        return str(_json.loads(raw.decode("utf-8"))["id"])
+    except Exception:
+        return None
+
+
+def _epoch_ok(manifest_epoch: "str | None", epoch: "str | None") -> bool:
+    """Whether a manifest's committed-batch counter applies to the
+    current stream: either side unrecorded (legacy manifests, direct
+    calls) keeps the round-12 behavior; both recorded must match."""
+    return manifest_epoch is None or epoch is None or manifest_epoch == epoch
+
+
+def _skip_committed(spark, snapshot_path: str, batch_id: int,
+                    epoch: "str | None") -> bool:
+    """True when ``batch_id`` replays a wave this snapshot already
+    committed IN THE SAME stream epoch. A batch id at or below the
+    counter from a DIFFERENT epoch is a fresh stream whose ids restarted
+    at 0 — silently skipping it would drop its data (round 13, ADVICE),
+    so it applies normally (with a loud note; true duplicates still die
+    on append's id-primary-key check)."""
+    import warnings as _warnings
+
+    committed, m_epoch = _committed_state(spark, snapshot_path)
+    if batch_id > committed:
+        return False
+    if _epoch_ok(m_epoch, epoch):
+        return True
+    _warnings.warn(
+        f"snapshot at {snapshot_path!r} carries committed batch "
+        f"{committed} from a different stream epoch ({m_epoch!r}); "
+        f"treating batch {batch_id} as a NEW stream's wave and applying "
+        "it — replays within one stream keep the same checkpoint dir"
+    )
+    return False
+
+
+def _carry_batch_id(spark, snapshot_path: str, serving_lineage,
+                    checkpoint_dir: "str | None" = None) -> "int | None":
     """At maintain-loop start the base snapshot is rewritten; carry the
     previous manifest's last committed batch id forward IFF the handle's
-    resident state descends from that manifest (it wrote or restored
-    it) — otherwise the caller started a new stream epoch and the
-    counter resets. Without the carry, a wave replayed after a crash
-    between the snapshot commit and the checkpoint commit would re-merge
-    into blobs that already contain it."""
+    resident state descends from that manifest (it wrote or restored it)
+    AND the manifest's stream epoch matches the checkpoint's (round 13,
+    ADVICE: a fresh checkpoint restarts batch ids at 0, so carrying an
+    old counter would silently skip every early wave) — otherwise the
+    caller started a new stream epoch and the counter resets. Without
+    the carry, a wave replayed after a crash between the snapshot commit
+    and the checkpoint commit would re-merge into blobs that already
+    contain it."""
     from vector_index_spark.index.serving import (
         _lineage_token, _read_manifest_any,
     )
@@ -59,6 +123,9 @@ def _carry_batch_id(spark, snapshot_path: str, serving_lineage) -> "int | None":
     if not m or "last_batch_id" not in m:
         return None
     if serving_lineage != (snapshot_path, *_lineage_token(m)):
+        return None
+    m_epoch = m.get("stream_epoch")
+    if m_epoch is not None and m_epoch != _stream_epoch(spark, checkpoint_dir):
         return None
     return int(m["last_batch_id"])
 
@@ -123,19 +190,23 @@ def _graph_apply_wave(
     sidx, index_path: str, snapshot_path: str, id_col: str,
     vec_col: str, applied: dict, max_generations: int,
     batch_df: DataFrame, batch_id: int,
+    checkpoint_dir: "str | None" = None,
 ) -> None:
     """One micro-batch of :func:`stream_index_maintain`'s transaction,
     module-level so the replay scenarios are directly testable — the
-    graph mirror of :func:`_ivfpq_apply_wave` (committed-wave skip,
-    partial-wave index dedup via the wave-intent marker, in-process
-    refresh latch)."""
+    graph mirror of :func:`_ivfpq_apply_wave` (committed-wave skip
+    scoped to the stream epoch, partial-wave index dedup via the
+    wave-intent marker, in-process refresh latch)."""
     from vector_index_spark.index.persistence import load_index
 
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    if batch_id <= _committed_batch(spark, snapshot_path):
-        return  # replay of a fully committed wave
+    if "epoch" not in applied:
+        applied["epoch"] = _stream_epoch(spark, checkpoint_dir)
+    epoch = applied["epoch"]
+    if _skip_committed(spark, snapshot_path, batch_id, epoch):
+        return  # replay of a fully committed wave (same stream epoch)
     if _read_wave_intent(spark, snapshot_path) == batch_id:
         # a prior attempt of THIS wave may have appended to the index
         # before crashing — dedup against the index's ids (the id scan
@@ -169,12 +240,18 @@ def _graph_apply_wave(
             for r in v2.join(F.broadcast(wave_ids), "id")
             .select("shard").distinct().collect()
         )
-    if applied["batch"] < batch_id and affected:
-        sidx.refresh(v2, e2, affected)
+    if applied["batch"] < batch_id:
+        if affected:
+            sidx.refresh(v2, e2, affected)
+        # advance even with no affected shards (round 13, ADVICE): the
+        # commit below records the batch either way, and the in-process
+        # latch must mirror the committed counter — it guards the
+        # refresh's idempotence on in-process retries, where a lagging
+        # latch would re-merge an already-refreshed wave
         applied["batch"] = batch_id
     sidx.snapshot_incremental(
         snapshot_path, max_generations=max_generations,
-        stream_batch_id=batch_id,
+        stream_batch_id=batch_id, stream_epoch=epoch,
     )
 
 
@@ -224,14 +301,21 @@ def stream_index_maintain(
     spark0 = vectors.sparkSession
     v0, e0, _params = load_index(spark0, index_path)
     sidx = ServingIndex(v0, e0).warm()
-    # carry the committed batch counter across restarts unconditionally:
+    # carry the committed batch counter across restarts of the SAME
+    # stream (round 13, ADVICE: same checkpoint lineage — the epoch):
     # the persisted index at index_path is the source of truth and
     # monotonically contains every committed wave, and the handle was
     # just rebuilt from it — so a replayed committed wave must be
-    # skipped, never re-appended (it would trip the id-clash check)
-    carry = _committed_batch(spark0, snapshot_path)
+    # skipped, never re-appended (it would trip the id-clash check).
+    # A FRESH checkpoint restarts batch ids at 0; carrying the old
+    # counter there would silently drop every early wave.
+    carry, m_epoch = _committed_state(spark0, snapshot_path)
+    start_epoch = _stream_epoch(spark0, checkpoint_dir)
+    if m_epoch is not None and m_epoch != start_epoch:
+        carry = -1
     sidx.snapshot(
-        snapshot_path, stream_batch_id=carry if carry >= 0 else None
+        snapshot_path, stream_batch_id=carry if carry >= 0 else None,
+        stream_epoch=start_epoch,
     )  # generation base
     applied = {"batch": carry if carry >= 0 else -1}
 
@@ -239,6 +323,7 @@ def stream_index_maintain(
         _graph_apply_wave(
             sidx, index_path, snapshot_path, id_col, vec_col,
             applied, max_generations, batch_df, batch_id,
+            checkpoint_dir=checkpoint_dir,
         )
 
     writer = (
@@ -254,6 +339,7 @@ def _ivfpq_apply_wave(
     serving, corpus_path: str, snapshot_path: str, id_col: str,
     vec_col: str, applied: dict, max_generations: int,
     batch_df: DataFrame, batch_id: int,
+    checkpoint_dir: "str | None" = None,
 ) -> None:
     """One micro-batch of :func:`stream_ivfpq_maintain`'s transaction,
     module-level so the replay scenarios (committed-wave skip,
@@ -262,9 +348,13 @@ def _ivfpq_apply_wave(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    if batch_id <= _committed_batch(spark, snapshot_path):
-        return  # replay of a fully committed wave
-    if _read_wave_intent(spark, snapshot_path) == batch_id:
+    if "epoch" not in applied:
+        applied["epoch"] = _stream_epoch(spark, checkpoint_dir)
+    epoch = applied["epoch"]
+    if _skip_committed(spark, snapshot_path, batch_id, epoch):
+        return  # replay of a fully committed wave (same stream epoch)
+    replay = _read_wave_intent(spark, snapshot_path) == batch_id
+    if replay:
         # a prior attempt of THIS wave may have appended to the
         # corpus before crashing — dedup before re-appending
         existing = spark.read.parquet(corpus_path).select(F.col(id_col))
@@ -286,9 +376,23 @@ def _ivfpq_apply_wave(
             train,
         )
         applied["batch"] = batch_id
-    # the wave's additive fingerprint delta — over the FULL wave, not
-    # new_rows: on a partial replay the corpus already holds the
-    # pre-crash rows but the (uncommitted) manifest fingerprint doesn't
+    if replay:
+        # crash-replay path (round 13, ADVICE): the additive delta is
+        # ambiguous here — an uncommitted pre-crash attempt may have
+        # appended SOME of the wave without fingerprinting it, and a
+        # restart's re-anchoring base snapshot may have fingerprinted
+        # the partial rows already. This path pays a corpus-sized scan
+        # for the anti-join anyway, so reconcile with a FULL corpus
+        # re-fingerprint at the commit — the per-wave cost contract
+        # (no corpus scans on the fast path) is untouched.
+        serving.snapshot_incremental(
+            snapshot_path, fingerprint_corpus=True,
+            max_generations=max_generations, stream_batch_id=batch_id,
+            stream_epoch=epoch,
+        )
+        return
+    # fast path: the wave's rows are all new, so the fingerprint
+    # advances by the wave's additive delta — zero corpus scans
     row = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
@@ -299,6 +403,7 @@ def _ivfpq_apply_wave(
         snapshot_path, fingerprint_corpus=False,
         max_generations=max_generations, stream_batch_id=batch_id,
         corpus_fp_delta=(int(row["n"]), int(row["idsum"])),
+        stream_epoch=epoch,
     )
 
 
@@ -368,11 +473,19 @@ def stream_ivfpq_maintain(
     pending) leaves the corpus ahead of the fingerprint; there
     ``validate=True`` correctly refuses, the resume uses
     ``validate=False``, and the replayed wave's commit reconciles the
-    fingerprint. ``max_generations`` bounds the generation chain
-    exactly as in :func:`stream_index_maintain`."""
+    fingerprint with a FULL corpus re-fingerprint (round 13, ADVICE:
+    the additive delta is ambiguous on that path — the restart's
+    re-anchoring base snapshot may already count the partial rows — and
+    the crash-replay path pays a corpus scan for its anti-join anyway).
+    The committed-batch counter is bound to the STREAM EPOCH (the
+    checkpoint's query id, round 13): a fresh checkpoint restarts batch
+    ids at 0 and must not inherit the old counter — its waves apply
+    instead of silently skipping. ``max_generations`` bounds the
+    generation chain exactly as in :func:`stream_index_maintain`."""
     spark0 = vectors.sparkSession
     carry = _carry_batch_id(
-        spark0, snapshot_path, getattr(serving, "_snapshot_lineage", None)
+        spark0, snapshot_path, getattr(serving, "_snapshot_lineage", None),
+        checkpoint_dir=checkpoint_dir,
     )
     # base snapshot carries a FULL corpus fingerprint (one id-column
     # scan, startup-class); every wave then maintains it incrementally
@@ -381,6 +494,7 @@ def stream_ivfpq_maintain(
     # validate=True despite never re-scanning the corpus per wave
     serving.snapshot(
         snapshot_path, fingerprint_corpus=True, stream_batch_id=carry,
+        stream_epoch=_stream_epoch(spark0, checkpoint_dir),
     )  # generation base
     applied = {"batch": carry if carry is not None else -1}
 
@@ -388,6 +502,7 @@ def stream_ivfpq_maintain(
         _ivfpq_apply_wave(
             serving, corpus_path, snapshot_path, id_col, vec_col,
             applied, max_generations, batch_df, batch_id,
+            checkpoint_dir=checkpoint_dir,
         )
 
     writer = (
