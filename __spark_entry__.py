@@ -2265,11 +2265,74 @@ def q106_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_sq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 gate for incremental maintenance on the flat compressed
+    routes (VERDICT r12 item 5, SqServingIndex.refresh +
+    snapshot_incremental): a wave ingested through refresh must answer
+    exactly like a cold build over the union corpus (full candidate
+    coverage — both exact), and a from_snapshot restore of the
+    incremental chain must match the live handle."""
+    import tempfile as _tempfile
+
+    from vector_index_spark.index.serving import SqServingIndex
+    from vector_index_spark.index.sq import encode_sq, train_sq
+
+    train, test = _lsplit(spark, sf_dir)
+    first = train.filter(F.col("id") < 300).select("id", "vec")
+    wave = train.filter(F.col("id") >= 300).select("id", "vec")
+    union = first.unionByName(wave).localCheckpoint(eager=True)
+    probe = test.limit(10).select("qid", "vec")
+    n = union.count()
+    cf_full = (n + 9) // 10
+    mins, maxs = train_sq(first)  # bounds frozen at the first corpus
+    work = _tempfile.mkdtemp(prefix="q107_maintain_")
+    snap = f"{work}/snap"
+    idx = SqServingIndex(
+        encode_sq(first, mins, maxs).localCheckpoint(eager=True),
+        first, mins, maxs,
+    ).warm()
+    idx.snapshot(snap)
+    idx.refresh(wave, union)
+    idx.snapshot_incremental(snap)
+    cold = SqServingIndex(
+        encode_sq(union, mins, maxs).localCheckpoint(eager=True),
+        union, mins, maxs,
+    ).warm()
+    want = sorted(
+        map(tuple, cold.query(probe, 10, candidate_factor=cf_full).collect())
+    )
+    live = sorted(
+        map(tuple, idx.query(probe, 10, candidate_factor=cf_full).collect())
+    )
+    restored = SqServingIndex.from_snapshot(spark, snap, union)
+    back = sorted(
+        map(tuple,
+            restored.query(probe, 10, candidate_factor=cf_full).collect())
+    )
+    maintain_parity_ok = live == want
+    restore_parity_ok = back == want
+    idx.unpersist()
+    cold.unpersist()
+    restored.unpersist()
+    import shutil as _shutil
+
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(maintain_parity_ok), bool(restore_parity_ok))],
+        "maintain_parity_ok boolean, maintain_restore_parity_ok boolean",
+    )
+
+
 def q107_sq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-matched recall + shape gate for the SQ8 route. Measured 1.0 at
     sf0.01 (uint8 quantization loses nothing at candidate_factor=3 on
-    64-dim data)."""
-    return _recall_gate(spark, sf_dir, _route_sq(spark, sf_dir), 0.98)
+    64-dim data). Round 13 extends the gate with the incremental-
+    maintenance contract (_gate_sq_maintain): a refresh-ingested wave
+    answers exactly like a cold build over the union corpus, and the
+    incremental snapshot restores to the same answers."""
+    return _recall_gate(
+        spark, sf_dir, _route_sq(spark, sf_dir), 0.98
+    ).crossJoin(_gate_sq_maintain(spark, sf_dir))
 
 
 def q108_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4423,7 +4486,13 @@ def oracle_sql() -> dict[str, str]:
                true AS rerouted_ok
             FROM embeddings''', 1,
         ),
-        "q107_sq_recall_gate": _recall_gate_oracle(0.98),
+        # round 13: + the compressed-route incremental-maintenance contract
+        "q107_sq_recall_gate": _recall_gate_oracle(0.98).replace(
+            "FROM embeddings",
+            ''', true AS maintain_parity_ok,
+               true AS maintain_restore_parity_ok
+            FROM embeddings''', 1,
+        ),
         # round 12: + the streaming-maintenance exactly-once contract
         "q108_ivfpq_recall_gate": _recall_gate_oracle(0.85).replace(
             "FROM embeddings",

@@ -339,6 +339,51 @@ def test_dense_reroute_dispatches_to_graph(spark):
     graph.unpersist()
 
 
+def test_concurrent_snapshot_writer_raises(spark, vecs, tmp_path, monkeypatch):
+    """VERDICT r12 item 7: two handles full-snapshotting the same path
+    concurrently interleave versioned-dir writes; the round-13
+    writer-intent token turns that into a typed SnapshotIntegrityError
+    at commit for the writer that was cut in on — and the previously
+    committed snapshot stays restorable."""
+    from vector_index_spark.index import serving as S
+
+    # the mechanism: a second staking invalidates the first
+    p = str(tmp_path / "race")
+    (tmp_path / "race").mkdir()
+    t1 = S._acquire_snapshot_write(spark, p)
+    t2 = S._acquire_snapshot_write(spark, p)
+    with pytest.raises(S.SnapshotIntegrityError, match="concurrent"):
+        S._commit_snapshot_write(spark, p, t1)
+    S._commit_snapshot_write(spark, p, t2)  # the cutter-in commits fine
+
+    # end-to-end: a second writer stakes its intent DURING the first
+    # handle's snapshot dir writes (injected through the npy hook) —
+    # the first handle's commit raises, the old snapshot restores
+    from vector_index_spark.index.pq import encode_pq, train_pq
+
+    train, _ = vecs
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    enc = encode_pq(train, books).localCheckpoint(eager=True)
+    h1 = S.PqServingIndex(enc, train, books).warm()
+    path = str(tmp_path / "snap")
+    h1.snapshot(path)  # committed v1
+    orig = S._fs_write_npy
+
+    def cut_in(spark_, fp, arr):
+        orig(spark_, fp, arr)
+        S._fs_write_bytes(
+            spark_, f"{path}/writer_intent", b"second-writer-token"
+        )
+
+    monkeypatch.setattr(S, "_fs_write_npy", cut_in)
+    with pytest.raises(S.SnapshotIntegrityError, match="concurrent"):
+        h1.snapshot(path)
+    monkeypatch.setattr(S, "_fs_write_npy", orig)
+    # the aborted v2 never committed: the v1 manifest + dirs restore
+    S.PqServingIndex.from_snapshot(spark, path, train).unpersist()
+    h1.unpersist()
+
+
 def test_compressed_from_snapshot_severs_lineage(spark, vecs, tmp_path):
     """ADVICE r12 medium: all five compressed/spatial serving classes
     restore blobs as an eager localCheckpoint (Scan ExistingRDD, zero

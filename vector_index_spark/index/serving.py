@@ -205,6 +205,49 @@ def _gc_stale_snapshot_dirs(spark, path: str, old: "dict | None",
         _fs_delete(spark, f"{path}/{d}")
 
 
+def _acquire_snapshot_write(spark, path: str) -> str:
+    """Stake a writer-intent token at ``path`` (round 13, VERDICT r12
+    item 7). Two handles full-snapshotting the SAME path concurrently
+    both derive base_version N+1 from the same old manifest and
+    interleave writes into the same versioned dirs; the loser's
+    restore then fails fingerprint validation — loud but confusing.
+    The token makes the race a TYPED error at commit time instead:
+    each writer stakes a fresh token before its dir writes and
+    verifies it is still the staked token immediately before the
+    manifest commit (:func:`_commit_snapshot_write`) — a second writer
+    having cut in replaces the token, so the first writer refuses to
+    commit a manifest over dirs it no longer exclusively wrote.
+    Best-effort single-writer detection (no distributed lock service
+    at this layer): the residual check-to-commit window stays covered
+    by restore-time fingerprint validation."""
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
+    _fs_write_bytes(spark, f"{path}/writer_intent", token.encode("utf-8"))
+    return token
+
+
+def _commit_snapshot_write(spark, path: str, token: str) -> None:
+    """Verify this writer's intent token survived the snapshot's dir
+    writes — called immediately before the manifest commit. Raises
+    :class:`SnapshotIntegrityError` when a concurrent writer staked a
+    newer token (see :func:`_acquire_snapshot_write`)."""
+    try:
+        got = _fs_read_bytes(spark, f"{path}/writer_intent").decode("utf-8")
+    except Exception:
+        got = None
+    if got != token:
+        raise SnapshotIntegrityError(
+            f"concurrent snapshot writer detected at {path!r}: another "
+            "handle staked a writer-intent token during this snapshot's "
+            "dir writes, so the versioned dirs may interleave both "
+            "writers' data — this snapshot is ABORTED (not committed; "
+            "the previous committed snapshot remains restorable). "
+            "Snapshot paths are single-writer: serialize snapshots per "
+            "path, or give each writer its own path"
+        )
+
+
 def _lineage_token(manifest: dict) -> tuple:
     """What a handle must have observed to stack a generation on this
     snapshot: the base snapshot id AND the current chain tip (round 12,
@@ -1115,6 +1158,9 @@ class ServingIndex:
 
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -1139,6 +1185,7 @@ class ServingIndex:
             manifest["last_batch_id"] = int(stream_batch_id)
         if stream_epoch is not None:
             manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_shards = set()
@@ -1884,7 +1931,188 @@ class CellServingIndex:
         self.n_cells = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "CellServingIndex":
+    def refresh(self, new_rows: DataFrame) -> "CellServingIndex":
+        """Incremental ingest on the resident IVF route (round 13,
+        VERDICT r12 item 5): the wave routes to its nearest EXISTING
+        cell (cells never refit on append — builder.append_to_index's
+        ivf_cell rule) and merges into only the affected cells'
+        resident blobs; every other cell's blob carries over without
+        recomputation. ``new_rows`` carries (id, vec) plus the
+        attribute columns when the handle was built with ``attr_col``.
+        New ids must be NEW (id-primary-key). With a replicated layout
+        (``replicas > 1``) appended rows land in their primary cell
+        only — boundary replication is a build-time recall device, so
+        per-cell parity with a cold pack holds at replicas=1 (tested).
+
+        Parity: per-cell payloads are id-sorted arrays, so a merged
+        blob byte-equals a cold pack over the union relation. Cost
+        tracks the wave's affected cells; the touched cells queue for
+        :meth:`snapshot_incremental`."""
+        spark = self._spark
+        cols = [F.col("id"), F.col("vec")]
+        if self._attr_cols is not None:
+            cols.extend(_attr_code_exprs(new_rows, self._attr_cols))
+        wave = new_rows.select(*cols).toPandas()  # bounded: one wave
+        if len(wave) == 0:
+            return self
+        ids = wave["id"].to_numpy(dtype=np.int64)
+        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+        cent = self._cents_kv.orderBy("id").collect()
+        cids = np.array([r["id"] for r in cent], dtype=np.int64)
+        C = np.stack(
+            [np.asarray(r["vec"], dtype=np.float64) for r in cent]
+        )
+        d = (
+            (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        )
+        cells = cids[d.argmin(axis=1)]
+        attrs = _stack_attrs(wave)
+        per_cell: dict = {}
+        for i, c in enumerate(cells):
+            per_cell.setdefault(int(c), []).append(i)
+        affected = sorted(per_cell)
+        add = {
+            c: (
+                ids[np.asarray(ix, dtype=np.int64)],
+                X[np.asarray(ix, dtype=np.int64)],
+                attrs[np.asarray(ix, dtype=np.int64)]
+                if attrs is not None else None,
+            )
+            for c, ix in per_cell.items()
+        }
+        bc = spark.sparkContext.broadcast(add)
+        self._live_bcs.append(bc)
+
+        def merge(batches):
+            for pdf_b in batches:
+                cells_o, nvec_o, blob_o = [], [], []
+                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
+                    payload = pickle.loads(blob)
+                    a_ids, a_X, a_attrs = bc.value[int(cell)]
+                    u_ids = np.concatenate([payload[0], a_ids])
+                    u_X = np.concatenate([payload[1], a_X], axis=0)
+                    order = np.argsort(u_ids, kind="stable")
+                    new_payload: tuple = (u_ids[order], u_X[order])
+                    if len(payload) > 2:
+                        u_attrs = np.concatenate(
+                            [payload[2], a_attrs], axis=0
+                        )
+                        new_payload = (*new_payload, u_attrs[order])
+                    cells_o.append(int(cell))
+                    nvec_o.append(len(u_ids))
+                    blob_o.append(
+                        pickle.dumps(
+                            new_payload, protocol=pickle.HIGHEST_PROTOCOL
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"cell": cells_o, "n_vectors": nvec_o, "blob": blob_o}
+                )
+
+        present = {
+            int(r["cell"])
+            for r in self.blobs.filter(F.col("cell").isin(affected))
+            .select("cell").collect()
+        }
+        merged = (
+            self.blobs.filter(F.col("cell").isin(sorted(present)))
+            .mapInPandas(merge, CELL_BLOB_SCHEMA)
+        )
+        parts = [self.blobs.filter(~F.col("cell").isin(affected)), merged]
+        missing = [c for c in affected if c not in present]
+        if missing:
+            rows_new = []
+            for c in missing:
+                a_ids, a_X, a_attrs = add[c]
+                order = np.argsort(a_ids, kind="stable")
+                payload: tuple = (a_ids[order], a_X[order])
+                if a_attrs is not None:
+                    payload = (*payload, a_attrs[order])
+                rows_new.append(
+                    (int(c), int(len(a_ids)),
+                     bytearray(pickle.dumps(
+                         payload, protocol=pickle.HIGHEST_PROTOCOL
+                     )))
+                )
+            parts.append(spark.createDataFrame(rows_new, CELL_BLOB_SCHEMA))
+        new_blobs = parts[0]
+        for p in parts[1:]:
+            new_blobs = new_blobs.unionByName(p)
+        # eager localCheckpoint (not persist): severs lineage into the
+        # wave's source files — see ServingIndex.warm()
+        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
+            eager=True
+        )
+        self.n_cells = new_blobs.count()
+        old_blobs = self.blobs
+        self.blobs = new_blobs
+        self._blobs_severed = True
+        old_blobs.unpersist()
+        if self._attr_cols is not None:
+            # the histogram counts distinct ids per attr tuple; wave ids
+            # are new, so it advances by the wave's tuple counts — no
+            # rescan of an (already-stale) assigned relation
+            hist = dict(self._attribute_histogram())
+            uniq, counts = np.unique(attrs, axis=0, return_counts=True)
+            for tup, cnt in zip(uniq, counts):
+                key = tuple(int(v) for v in tup)
+                hist[key] = hist.get(key, 0) + int(cnt)
+            self._attr_hist = hist
+        self._pending_snapshot_cells = (
+            getattr(self, "_pending_snapshot_cells", set()) | set(affected)
+        )
+        return self
+
+    def snapshot_incremental(
+        self, path: str, max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+        stream_epoch: "str | None" = None,
+    ) -> "CellServingIndex":
+        """Incremental snapshot after :meth:`refresh` (round 13): write
+        ONLY the cells touched since the last snapshot as a new blob
+        generation — the routing table never changes on append (waves
+        route to existing cells), so only the manifest refreshes
+        alongside. Same lineage + fold contract as
+        :meth:`ServingIndex.snapshot_incremental`; the restore is
+        self-contained (raw vectors live inside the blobs), so there is
+        no corpus fingerprint to maintain."""
+        spark = self._spark
+        manifest = _read_manifest(spark, path, type(self).__name__)
+        _check_incremental_lineage(self, path, manifest)
+        pending = sorted(getattr(self, "_pending_snapshot_cells", set()))
+        gens = manifest.get("generations", [])
+        if pending and len(gens) >= max_generations:
+            return self.snapshot(
+                path, stream_batch_id=stream_batch_id,
+                stream_epoch=stream_epoch,
+            )
+        if pending:
+            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+            self.blobs.filter(
+                F.col("cell").isin(pending)
+            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+            gens = gens + [{"gen": gen, "shards": [int(c) for c in pending]}]
+        manifest.update(
+            {
+                "blobs": _blob_fingerprint(self.blobs),
+                "generations": gens,
+                **_manifest_attr_fields(
+                    self._attr_cols, self._attribute_histogram
+                ),
+            }
+        )
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
+        _write_manifest(spark, path, manifest)
+        self._pending_snapshot_cells = set()
+        self._snapshot_lineage = (path, *_lineage_token(manifest))
+        return self
+
+    def snapshot(self, path: str,
+                 stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None) -> "CellServingIndex":
         """Persist the serving form (round 10): packed cell blobs, the
         centroid routing table, and a versioned manifest — the raw
         vectors live INSIDE the blobs, so the restore is self-contained
@@ -1892,8 +2120,13 @@ class CellServingIndex:
 
         Crash-safe since round 12: versioned dirs + manifest-commit +
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        import uuid as _uuid
+
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -1906,12 +2139,21 @@ class CellServingIndex:
             "base_version": version,
             "base_dirs": [_vdir("blobs", version)],
             "routing_dir": _vdir("routing", version),
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
+        self._pending_snapshot_cells = set()
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
@@ -1941,7 +2183,11 @@ class CellServingIndex:
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
-            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
+            _resolve_generations(
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+                "cell", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .localCheckpoint(eager=True)
         )
@@ -1953,6 +2199,7 @@ class CellServingIndex:
         ).localCheckpoint(eager=True)
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:
@@ -2432,6 +2679,191 @@ class CellServingIndex:
 CODE_BLOB_SCHEMA = "part long, n_vectors long, blob binary"
 
 
+def _collect_wave(idx, new_rows: DataFrame, train: DataFrame):
+    """Driver-side wave materialization shared by the compressed-route
+    refresh paths (round 13, VERDICT r12 item 5): select (id, vec[,
+    attr codes joined from ``train``]), toPandas (bounded: one ingest
+    wave), return (ids int64, X float64, attrs or None) — or None for
+    an empty wave. Mirrors IvfPqServingIndex.refresh's intake."""
+    rows = new_rows.select(
+        F.col(idx._id_col).alias("id"),
+        F.col(idx._vec_col).alias("vec"),
+    )
+    if idx._attr_cols is not None:
+        rows = rows.join(
+            train.select(
+                F.col(idx._id_col).alias("id"),
+                *_attr_code_exprs(train, idx._attr_cols),
+            ),
+            "id",
+        )
+        idx._attr_hist = None  # contents changed; histogram is stale
+    wave = rows.toPandas()
+    if len(wave) == 0:
+        return None
+    ids = wave["id"].to_numpy(dtype=np.int64)
+    X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+    return ids, X, _stack_attrs(wave)
+
+
+def _flat_refresh(idx, new_rows: DataFrame, train: DataFrame,
+                  codes_of) -> None:
+    """Incremental ingest body for the FLAT compressed routes (PQ / SQ,
+    round 13): the wave encodes with the handle's FROZEN model
+    (``codes_of(X)`` — codebooks / bounds never refit on append, the
+    snapshot contract) and lands as ONE NEW resident blob row. These
+    routes scan every blob with per-blob shortlists, so appending a
+    blob is the wave-cost-proportional refresh — there is no keyed
+    re-pack on an unpartitioned scan route, and recall is monotone in
+    blob count (each blob contributes its own top candidates).
+    Blob-count growth is bounded by the snapshot fold, which compacts
+    the resident relation back to ``n_serve`` blobs
+    (:func:`_flat_compact_blobs`). The new blob's ``part`` key is
+    ``max(existing)+1`` — unique, so the generation-claim resolve
+    (:func:`_resolve_generations` on ``part``) stays sound."""
+    got = _collect_wave(idx, new_rows, train)
+    idx._train = train
+    if got is None:
+        return
+    ids, X, attrs = got
+    order = np.argsort(ids, kind="stable")
+    codes = codes_of(X)
+    payload: tuple = (ids[order], codes[order])
+    if attrs is not None:
+        payload = (*payload, attrs[order])
+    next_part = int(
+        idx.blobs.agg(F.coalesce(F.max("part"), F.lit(-1))).collect()[0][0]
+    ) + 1
+    new_blob = idx._spark.createDataFrame(
+        [(next_part, int(len(ids)),
+          bytearray(pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)))],
+        CODE_BLOB_SCHEMA,
+    )
+    old_blobs = idx.blobs
+    # eager localCheckpoint (not persist): severs lineage into the
+    # wave's source files — see ServingIndex.warm()
+    idx.blobs = old_blobs.unionByName(new_blob).localCheckpoint(eager=True)
+    idx.n_blobs = idx.blobs.count()
+    idx._blobs_severed = True
+    old_blobs.unpersist()
+    idx._dup_multiplicity = None  # contents changed; re-probe lazily
+    idx._pending_snapshot_parts = (
+        getattr(idx, "_pending_snapshot_parts", set()) | {next_part}
+    )
+
+
+def _flat_compact_blobs(idx) -> None:
+    """Merge the resident flat-route blob relation back to ``n_serve``
+    blobs (round 13): repeated waves each append a small blob
+    (:func:`_flat_refresh`); every per-batch scan then pays one
+    unpickle + small kernel per blob row. Run at the snapshot FOLD
+    (every ``max_generations`` waves — amortized corpus-sized, exactly
+    like the fold's full base write): payloads concatenate id-sorted
+    within each of ``n_serve`` partitions, parts keyed by the
+    partition's min part (disjoint groups of unique parts stay
+    unique)."""
+
+    def merge(batches):
+        ids_l, code_l, attr_l, parts = [], [], [], []
+        for pdf in batches:
+            for p, blob in zip(pdf["part"], pdf["blob"]):
+                payload = pickle.loads(bytes(blob))
+                ids_l.append(payload[0])
+                code_l.append(payload[1])
+                if len(payload) > 2:
+                    attr_l.append(payload[2])
+                parts.append(int(p))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        codes = np.concatenate(code_l, axis=0)
+        order = np.argsort(ids, kind="stable")
+        payload: tuple = (ids[order], codes[order])
+        if attr_l:
+            payload = (*payload, np.concatenate(attr_l, axis=0)[order])
+        yield pd.DataFrame(
+            {
+                "part": [min(parts)],
+                "n_vectors": [len(ids)],
+                "blob": [pickle.dumps(payload,
+                                      protocol=pickle.HIGHEST_PROTOCOL)],
+            }
+        )
+
+    old_blobs = idx.blobs
+    idx.blobs = (
+        old_blobs.repartition(idx._n_serve)
+        .mapInPandas(merge, CODE_BLOB_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    idx.n_blobs = idx.blobs.count()
+    idx._blobs_severed = True
+    old_blobs.unpersist()
+
+
+def _flat_snapshot_incremental(
+    idx, path: str, fingerprint_corpus: bool = True,
+    max_generations: int = 8,
+    stream_batch_id: "int | None" = None,
+    corpus_fp_delta: "tuple[int, int] | None" = None,
+    stream_epoch: "str | None" = None,
+):
+    """Incremental snapshot body for the flat compressed routes (PQ /
+    SQ, round 13): write ONLY the wave blobs appended since the last
+    snapshot as a new generation keyed by ``part`` — the model arrays
+    never refit on append so they are not rewritten. Folds past
+    ``max_generations`` COMPACT the resident blobs to ``n_serve`` and
+    rewrite a full base (bounded restore depth AND bounded blob count).
+    Same lineage / corpus-fingerprint-delta contract as
+    :meth:`IvfPqServingIndex.snapshot_incremental`."""
+    spark = idx._spark
+    manifest = _read_manifest(spark, path, type(idx).__name__)
+    _check_incremental_lineage(idx, path, manifest)
+    pending = sorted(getattr(idx, "_pending_snapshot_parts", set()))
+    gens = manifest.get("generations", [])
+    delta_mode = (
+        corpus_fp_delta is not None and manifest.get("corpus") is not None
+    )
+    if pending and len(gens) >= max_generations:
+        _flat_compact_blobs(idx)
+        return idx.snapshot(
+            path,
+            fingerprint_corpus=fingerprint_corpus or delta_mode,
+            stream_batch_id=stream_batch_id,
+            stream_epoch=stream_epoch,
+        )
+    if fingerprint_corpus:
+        corpus_fp = _corpus_fingerprint(idx._train, idx._id_col, idx._vec_col)
+    elif delta_mode:
+        corpus_fp = dict(manifest["corpus"])
+        corpus_fp["n_rows"] += int(corpus_fp_delta[0])
+        corpus_fp["id_crc_sum"] += int(corpus_fp_delta[1])
+    else:
+        corpus_fp = None
+    if pending:
+        gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+        idx.blobs.filter(
+            F.col("part").isin(pending)
+        ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+        gens = gens + [{"gen": gen, "shards": [int(p) for p in pending]}]
+    manifest.update(
+        {
+            "blobs": _blob_fingerprint(idx.blobs),
+            "corpus": corpus_fp,
+            "generations": gens,
+            **_manifest_attr_fields(idx._attr_cols, idx._attribute_histogram),
+        }
+    )
+    if stream_batch_id is not None:
+        manifest["last_batch_id"] = int(stream_batch_id)
+    if stream_epoch is not None:
+        manifest["stream_epoch"] = str(stream_epoch)
+    _write_manifest(spark, path, manifest)
+    idx._pending_snapshot_parts = set()
+    idx._snapshot_lineage = (path, *_lineage_token(manifest))
+    return idx
+
+
 def _translate_positions(ranked: DataFrame, spark, pos_ix, real_qids) -> DataFrame:
     """Map a positional-qid result frame back to real qids.
 
@@ -2634,8 +3066,56 @@ class PqServingIndex:
         where compressed shortlists collapse). ``None`` detaches."""
         return _attach_dense_fallback(self, handle)
 
+    def refresh(self, new_rows: DataFrame,
+                train: DataFrame) -> "PqServingIndex":
+        """Incremental ingest on the flat PQ route (round 13, VERDICT
+        r12 item 5): the wave encodes with the FROZEN codebooks (never
+        refit on append — the snapshot contract) and lands as one NEW
+        resident blob; every other blob carries over untouched. The
+        route scans every blob with per-blob shortlists, so per-wave
+        cost tracks the wave and recall is monotone in blob count —
+        blob-count growth is compacted at the snapshot fold. ``train``
+        is the post-append cold corpus (re-rank tail + attribute
+        source); new ids must be NEW (id-primary-key)."""
+        m, _, sub = self._books.shape
+
+        def codes_of(X):
+            codes = np.empty((len(X), m), dtype=np.int32)
+            # identical math to pq.encode_pq — merged answers equal a
+            # cold encode over the union corpus
+            for s in range(m):
+                seg = X[:, s * sub : (s + 1) * sub]
+                d = (
+                    (seg[:, None, :] - self._books[s][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            return codes
+
+        _flat_refresh(self, new_rows, train, codes_of)
+        return self
+
+    def snapshot_incremental(
+        self, path: str, fingerprint_corpus: bool = True,
+        max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+        corpus_fp_delta: "tuple[int, int] | None" = None,
+        stream_epoch: "str | None" = None,
+    ) -> "PqServingIndex":
+        """Incremental snapshot after :meth:`refresh` — wave blobs only,
+        as a generation keyed by ``part``; folds compact the resident
+        blobs and rewrite a full base. See
+        :func:`_flat_snapshot_incremental`."""
+        return _flat_snapshot_incremental(
+            self, path, fingerprint_corpus=fingerprint_corpus,
+            max_generations=max_generations,
+            stream_batch_id=stream_batch_id,
+            corpus_fp_delta=corpus_fp_delta, stream_epoch=stream_epoch,
+        )
+
     def snapshot(self, path: str,
-                 fingerprint_corpus: bool = True) -> "PqServingIndex":
+                 fingerprint_corpus: bool = True,
+                 stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None) -> "PqServingIndex":
         """Persist the serving form (round 10): packed code blobs, the
         codebook array, and a versioned manifest carrying the cold
         corpus FINGERPRINT — the raw vectors for the exact re-rank tail
@@ -2644,8 +3124,13 @@ class PqServingIndex:
 
         Crash-safe since round 12: versioned dirs + manifest-commit +
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        import uuid as _uuid
+
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -2662,6 +3147,8 @@ class PqServingIndex:
             ],
             "id_col": self._id_col,
             "vec_col": self._vec_col,
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             # fingerprint_corpus=False skips the raw-corpus scan (count
             # + id checksum + spot vectors) — at 5M rows that scan
@@ -2675,7 +3162,14 @@ class PqServingIndex:
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
+        self._pending_snapshot_parts = set()
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
@@ -2709,7 +3203,11 @@ class PqServingIndex:
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
-            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
+            _resolve_generations(
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+                "part", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .localCheckpoint(eager=True)
         )
@@ -2724,6 +3222,7 @@ class PqServingIndex:
                 )
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:
@@ -3103,8 +3602,45 @@ class SqServingIndex:
         :meth:`PqServingIndex.reroute_dense_to`."""
         return _attach_dense_fallback(self, handle)
 
+    def refresh(self, new_rows: DataFrame,
+                train: DataFrame) -> "SqServingIndex":
+        """Incremental ingest on the flat SQ8 route (round 13, VERDICT
+        r12 item 5): the wave encodes with the FROZEN min/span bounds
+        (never refit on append — a refit would silently re-scale every
+        existing code) and lands as one NEW resident blob — see
+        :meth:`PqServingIndex.refresh` for the flat-route contract."""
+
+        def codes_of(X):
+            # identical math to sq.encode_sq over the frozen bounds
+            return np.clip(
+                np.rint(
+                    (X - self._mins[None, :]) / self._span[None, :] * 255.0
+                ), 0, 255,
+            ).astype(np.uint8)
+
+        _flat_refresh(self, new_rows, train, codes_of)
+        return self
+
+    def snapshot_incremental(
+        self, path: str, fingerprint_corpus: bool = True,
+        max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+        corpus_fp_delta: "tuple[int, int] | None" = None,
+        stream_epoch: "str | None" = None,
+    ) -> "SqServingIndex":
+        """Incremental snapshot after :meth:`refresh` — see
+        :func:`_flat_snapshot_incremental`."""
+        return _flat_snapshot_incremental(
+            self, path, fingerprint_corpus=fingerprint_corpus,
+            max_generations=max_generations,
+            stream_batch_id=stream_batch_id,
+            corpus_fp_delta=corpus_fp_delta, stream_epoch=stream_epoch,
+        )
+
     def snapshot(self, path: str,
-                 fingerprint_corpus: bool = True) -> "SqServingIndex":
+                 fingerprint_corpus: bool = True,
+                 stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None) -> "SqServingIndex":
         """Persist the serving form (round 10): packed uint8 code blobs,
         the per-dimension scale arrays, and a versioned manifest with
         the cold corpus fingerprint (same contract as
@@ -3112,8 +3648,13 @@ class SqServingIndex:
 
         Crash-safe since round 12: versioned dirs + manifest-commit +
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        import uuid as _uuid
+
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -3133,6 +3674,8 @@ class SqServingIndex:
             ],
             "id_col": self._id_col,
             "vec_col": self._vec_col,
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             # fingerprint_corpus=False skips the raw-corpus scan (count
             # + id checksum + spot vectors) — at 5M rows that scan
@@ -3146,7 +3689,14 @@ class SqServingIndex:
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
+        self._pending_snapshot_parts = set()
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
@@ -3181,7 +3731,11 @@ class SqServingIndex:
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
-            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
+            _resolve_generations(
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+                "part", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .localCheckpoint(eager=True)
         )
@@ -3196,6 +3750,7 @@ class SqServingIndex:
                 )
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:
@@ -3743,6 +4298,9 @@ class IvfPqServingIndex:
 
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -3788,6 +4346,7 @@ class IvfPqServingIndex:
             manifest["last_batch_id"] = int(stream_batch_id)
         if stream_epoch is not None:
             manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
         self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
         self._pending_snapshot_cells = set()
@@ -4770,6 +5329,9 @@ class RptServingIndex:
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -4793,6 +5355,7 @@ class RptServingIndex:
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
@@ -5220,6 +5783,9 @@ class PcaServingIndex:
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
+        # single-writer guard (round 13): stake intent before dir writes,
+        # verify at commit — a concurrent writer turns into a typed error
+        _wtoken = _acquire_snapshot_write(self._spark, path)
         self.blobs.write.mode("overwrite").parquet(
             f"{path}/{_vdir('blobs', version)}"
         )
@@ -5243,6 +5809,7 @@ class PcaServingIndex:
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
