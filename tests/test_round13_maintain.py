@@ -174,6 +174,49 @@ def test_cell_refresh_blob_parity_and_restore(spark, waves, tmp_path):
     idx.unpersist()
 
 
+def test_refresh_after_corpus_append_no_duplicates(spark, waves, tmp_path):
+    """The round-13 512k probe caught this: a handle whose blob plan
+    still carried lineage into the corpus PARQUET PATH would, after the
+    maintain loop's corpus append invalidates the plan cache, silently
+    RE-ENCODE from the post-append corpus — duplicating the wave into
+    the resident blobs (and paying a corpus-sized recompute per wave).
+    warm() now severs lineage on every serving class. Build directly
+    over a parquet read (no intermediate checkpoint — the production
+    shape), append to the path, refresh, and assert exactly-once
+    residency."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    full, first, wave1, _wave2, test = waves
+    corpus = str(tmp_path / "corpus")
+    first.write.parquet(corpus)
+    train = spark.read.parquet(corpus)
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    # NO localCheckpoint between encode and pack: blob lineage reaches
+    # the corpus path unless warm() severs it
+    idx = PqServingIndex(encode_pq(train, books), train, books).warm()
+
+    wave1.write.mode("append").parquet(corpus)
+    spark.catalog.refreshByPath(corpus)
+    union = spark.read.parquet(corpus)
+    idx.refresh(wave1, union)
+
+    n_resident = sum(
+        r.n_vectors for r in idx.blobs.select("n_vectors").collect()
+    )
+    assert n_resident == union.count(), (
+        "wave duplicated into resident blobs — blob lineage reached the "
+        "appended corpus path"
+    )
+    resident_ids = []
+    import pickle
+
+    for r in idx.blobs.select("blob").collect():
+        resident_ids.extend(pickle.loads(bytes(r.blob))[0].tolist())
+    assert len(resident_ids) == len(set(resident_ids))
+    idx.unpersist()
+
+
 def test_pq_wave_replay_safety(spark, waves, tmp_path):
     """The generic compressed wave transaction (_ivfpq_apply_wave, the
     stream_compressed_maintain body) is exactly-once for a Pq handle:

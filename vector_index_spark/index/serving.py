@@ -1928,6 +1928,13 @@ class CellServingIndex:
         self._live_bcs: list = []
 
     def warm(self) -> "CellServingIndex":
+        # sever lineage into the assigned relation's source files — see
+        # PqServingIndex.warm()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_cells = self.blobs.count()
         return self
 
@@ -3053,6 +3060,19 @@ class PqServingIndex:
         return self._attr_hist
 
     def warm(self) -> "PqServingIndex":
+        # eager localCheckpoint severs lineage into the encode relation's
+        # source files (round 13): a maintain-loop wave APPENDS to the
+        # corpus path, Spark auto-invalidates plan caches on writes to
+        # their source paths, and a persist-backed blob relation would
+        # silently RE-ENCODE from the post-append corpus — slow at best,
+        # wave rows duplicated into the resident blobs at worst (the
+        # round-12 ServingIndex/IvfPqServingIndex lesson, now on all
+        # serving classes).
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_blobs = self.blobs.count()
         return self
 
@@ -3594,6 +3614,13 @@ class SqServingIndex:
         return self._attr_hist
 
     def warm(self) -> "SqServingIndex":
+        # sever lineage into the encode relation's source files — see
+        # PqServingIndex.warm()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_blobs = self.blobs.count()
         return self
 
@@ -5316,6 +5343,13 @@ class RptServingIndex:
         return self._attr_hist
 
     def warm(self) -> "RptServingIndex":
+        # sever lineage into the assigned relation's source files — see
+        # PqServingIndex.warm()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_leaves = self.blobs.count()
         return self
 
@@ -5770,6 +5804,13 @@ class PcaServingIndex:
         return self._attr_hist
 
     def warm(self) -> "PcaServingIndex":
+        # sever lineage into the projected relation's source files — see
+        # PqServingIndex.warm()
+        if not getattr(self, "_blobs_severed", False):
+            plan = self.blobs
+            self.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
+            self._blobs_severed = True
         self.n_blobs = self.blobs.count()
         return self
 
