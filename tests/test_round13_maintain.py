@@ -217,6 +217,91 @@ def test_refresh_after_corpus_append_no_duplicates(spark, waves, tmp_path):
     idx.unpersist()
 
 
+def test_rpt_refresh_blob_parity_and_restore(spark, waves, tmp_path):
+    """RptServingIndex.refresh walks the wave through the FROZEN tree
+    (exact _leaves math) and merges into affected leaves only: blobs
+    byte-equal a cold pack over the union assignment, and the
+    incremental snapshot restores byte-identically."""
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import RptServingIndex
+
+    full, first, wave1, wave2, test = waves
+    W, T = train_rpt(first, depth=3)
+    snap = str(tmp_path / "snap_rpt")
+    idx = RptServingIndex(
+        assign_rpt(first, W, T).localCheckpoint(eager=True), W, T
+    ).warm()
+    idx.snapshot(snap)
+    for wave in (wave1, wave2):
+        idx.refresh(wave)
+        idx.snapshot_incremental(snap)
+
+    union = first.unionByName(wave1).unionByName(wave2)
+    cold = RptServingIndex(
+        assign_rpt(union, W, T).localCheckpoint(eager=True), W, T
+    ).warm()
+    want = {r.leaf: bytes(r.blob) for r in cold.blobs.collect()}
+    assert {r.leaf: bytes(r.blob) for r in idx.blobs.collect()} == want
+    restored = RptServingIndex.from_snapshot(spark, snap)
+    assert {
+        r.leaf: bytes(r.blob) for r in restored.blobs.collect()
+    } == want
+    wq = _rows(cold.query(test, K, probes=4))
+    assert _rows(idx.query(test, K, probes=4)) == wq
+    assert _rows(restored.query(test, K, probes=4)) == wq
+    restored.unpersist()
+    cold.unpersist()
+    idx.unpersist()
+
+
+def test_pca_refresh_matches_cold_build(spark, waves, tmp_path):
+    """PcaServingIndex.refresh projects the wave with the FROZEN basis
+    and appends it as a new blob (flat-route contract, two-matrix
+    payload): answers at full candidate coverage equal a cold build
+    over the union, the incremental snapshot restores to the same, and
+    the fold compacts (exercising the multi-matrix blob merge)."""
+    from vector_index_spark.index.pca import project_pca, train_pca
+    from vector_index_spark.index.serving import PcaServingIndex
+
+    full, first, wave1, wave2, test = waves
+    n = full.count()
+    cf_full = (n + K - 1) // K
+    mean, comp = train_pca(first, 16)  # basis FROZEN at the first corpus
+    snap = str(tmp_path / "snap_pca")
+    idx = PcaServingIndex(
+        project_pca(first, mean, comp).localCheckpoint(eager=True),
+        mean, comp,
+    ).warm()
+    idx.snapshot(snap)
+    for wave in (wave1, wave2):
+        idx.refresh(wave)
+        idx.snapshot_incremental(snap)
+
+    union = first.unionByName(wave1).unionByName(wave2)
+    cold = PcaServingIndex(
+        project_pca(union, mean, comp).localCheckpoint(eager=True),
+        mean, comp,
+    ).warm()
+    want = _rows(cold.query(test, K, candidate_factor=cf_full))
+    assert _rows(idx.query(test, K, candidate_factor=cf_full)) == want
+    restored = PcaServingIndex.from_snapshot(spark, snap)
+    assert _rows(restored.query(test, K, candidate_factor=cf_full)) == want
+    restored.unpersist()
+
+    # fold with the 2-matrix payload: blob count bounded, answers hold
+    idx._pending_snapshot_parts = {
+        int(r["part"]) for r in idx.blobs.select("part").collect()
+    }
+    idx.snapshot_incremental(snap, max_generations=1)
+    assert idx.n_blobs <= idx._n_serve
+    assert _rows(idx.query(test, K, candidate_factor=cf_full)) == want
+    folded = PcaServingIndex.from_snapshot(spark, snap)
+    assert _rows(folded.query(test, K, candidate_factor=cf_full)) == want
+    folded.unpersist()
+    cold.unpersist()
+    idx.unpersist()
+
+
 def test_pq_wave_replay_safety(spark, waves, tmp_path):
     """The generic compressed wave transaction (_ivfpq_apply_wave, the
     stream_compressed_maintain body) is exactly-once for a Pq handle:

@@ -2055,16 +2055,7 @@ class CellServingIndex:
         self.blobs = new_blobs
         self._blobs_severed = True
         old_blobs.unpersist()
-        if self._attr_cols is not None:
-            # the histogram counts distinct ids per attr tuple; wave ids
-            # are new, so it advances by the wave's tuple counts — no
-            # rescan of an (already-stale) assigned relation
-            hist = dict(self._attribute_histogram())
-            uniq, counts = np.unique(attrs, axis=0, return_counts=True)
-            for tup, cnt in zip(uniq, counts):
-                key = tuple(int(v) for v in tup)
-                hist[key] = hist.get(key, 0) + int(cnt)
-            self._attr_hist = hist
+        _bump_hist_with_wave(self, attrs)
         self._pending_snapshot_cells = (
             getattr(self, "_pending_snapshot_cells", set()) | set(affected)
         )
@@ -2686,25 +2677,36 @@ class CellServingIndex:
 CODE_BLOB_SCHEMA = "part long, n_vectors long, blob binary"
 
 
-def _collect_wave(idx, new_rows: DataFrame, train: DataFrame):
+def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
+                  reset_hist: bool = True):
     """Driver-side wave materialization shared by the compressed-route
     refresh paths (round 13, VERDICT r12 item 5): select (id, vec[,
-    attr codes joined from ``train``]), toPandas (bounded: one ingest
+    attr codes — joined from ``attr_source`` when given, read off
+    ``new_rows`` itself otherwise]), toPandas (bounded: one ingest
     wave), return (ids int64, X float64, attrs or None) — or None for
-    an empty wave. Mirrors IvfPqServingIndex.refresh's intake."""
+    an empty wave. Mirrors IvfPqServingIndex.refresh's intake.
+    ``reset_hist=False`` leaves the strategy histogram for the caller
+    to advance incrementally (the self-contained classes, whose source
+    relation is gone after a restore)."""
     rows = new_rows.select(
         F.col(idx._id_col).alias("id"),
         F.col(idx._vec_col).alias("vec"),
+        *(
+            _attr_code_exprs(new_rows, idx._attr_cols)
+            if idx._attr_cols is not None and attr_source is None else ()
+        ),
     )
     if idx._attr_cols is not None:
-        rows = rows.join(
-            train.select(
-                F.col(idx._id_col).alias("id"),
-                *_attr_code_exprs(train, idx._attr_cols),
-            ),
-            "id",
-        )
-        idx._attr_hist = None  # contents changed; histogram is stale
+        if attr_source is not None:
+            rows = rows.join(
+                attr_source.select(
+                    F.col(idx._id_col).alias("id"),
+                    *_attr_code_exprs(attr_source, idx._attr_cols),
+                ),
+                "id",
+            )
+        if reset_hist:
+            idx._attr_hist = None  # contents changed; histogram is stale
     wave = rows.toPandas()
     if len(wave) == 0:
         return None
@@ -2713,29 +2715,45 @@ def _collect_wave(idx, new_rows: DataFrame, train: DataFrame):
     return ids, X, _stack_attrs(wave)
 
 
-def _flat_refresh(idx, new_rows: DataFrame, train: DataFrame,
-                  codes_of) -> None:
-    """Incremental ingest body for the FLAT compressed routes (PQ / SQ,
+def _bump_hist_with_wave(idx, attrs) -> None:
+    """Advance a self-contained class's strategy histogram by the
+    wave's attribute tuple counts (wave ids are NEW, and the histogram
+    counts distinct ids per tuple) — no rescan of a source relation
+    that is stale or gone after restore."""
+    if idx._attr_cols is None or attrs is None:
+        return
+    hist = dict(idx._attribute_histogram())
+    uniq, counts = np.unique(attrs, axis=0, return_counts=True)
+    for tup, cnt in zip(uniq, counts):
+        key = tuple(int(v) for v in tup)
+        hist[key] = hist.get(key, 0) + int(cnt)
+    idx._attr_hist = hist
+
+
+def _flat_refresh(idx, new_rows: DataFrame, attr_source, mats_of,
+                  reset_hist: bool = True):
+    """Incremental ingest body for the FLAT scan routes (PQ / SQ / PCA,
     round 13): the wave encodes with the handle's FROZEN model
-    (``codes_of(X)`` — codebooks / bounds never refit on append, the
-    snapshot contract) and lands as ONE NEW resident blob row. These
-    routes scan every blob with per-blob shortlists, so appending a
-    blob is the wave-cost-proportional refresh — there is no keyed
-    re-pack on an unpartitioned scan route, and recall is monotone in
-    blob count (each blob contributes its own top candidates).
-    Blob-count growth is bounded by the snapshot fold, which compacts
-    the resident relation back to ``n_serve`` blobs
+    (``mats_of(X)`` — a tuple of per-row matrices: PQ/SQ codes, PCA
+    (projection, raw); codebooks / bounds / basis never refit on
+    append, the snapshot contract) and lands as ONE NEW resident blob
+    row. These routes scan every blob with per-blob shortlists, so
+    appending a blob is the wave-cost-proportional refresh — there is
+    no keyed re-pack on an unpartitioned scan route, and recall is
+    monotone in blob count (each blob contributes its own top
+    candidates). Blob-count growth is bounded by the snapshot fold,
+    which compacts the resident relation back to ``n_serve`` blobs
     (:func:`_flat_compact_blobs`). The new blob's ``part`` key is
     ``max(existing)+1`` — unique, so the generation-claim resolve
-    (:func:`_resolve_generations` on ``part``) stays sound."""
-    got = _collect_wave(idx, new_rows, train)
-    idx._train = train
+    (:func:`_resolve_generations` on ``part``) stays sound. Returns
+    the collected wave (or None) for callers that advance their
+    histogram incrementally."""
+    got = _collect_wave(idx, new_rows, attr_source, reset_hist=reset_hist)
     if got is None:
-        return
+        return None
     ids, X, attrs = got
     order = np.argsort(ids, kind="stable")
-    codes = codes_of(X)
-    payload: tuple = (ids[order], codes[order])
+    payload: tuple = (ids[order], *(m[order] for m in mats_of(X)))
     if attrs is not None:
         payload = (*payload, attrs[order])
     next_part = int(
@@ -2757,6 +2775,7 @@ def _flat_refresh(idx, new_rows: DataFrame, train: DataFrame,
     idx._pending_snapshot_parts = (
         getattr(idx, "_pending_snapshot_parts", set()) | {next_part}
     )
+    return got
 
 
 def _flat_compact_blobs(idx) -> None:
@@ -2771,23 +2790,25 @@ def _flat_compact_blobs(idx) -> None:
     unique)."""
 
     def merge(batches):
-        ids_l, code_l, attr_l, parts = [], [], [], []
+        payloads, parts = [], []
         for pdf in batches:
             for p, blob in zip(pdf["part"], pdf["blob"]):
-                payload = pickle.loads(bytes(blob))
-                ids_l.append(payload[0])
-                code_l.append(payload[1])
-                if len(payload) > 2:
-                    attr_l.append(payload[2])
+                payloads.append(pickle.loads(bytes(blob)))
                 parts.append(int(p))
-        if not ids_l:
+        if not payloads:
             return
-        ids = np.concatenate(ids_l)
-        codes = np.concatenate(code_l, axis=0)
+        # field-generic: (ids, codes[, attrs]) on PQ/SQ, (ids, P, X
+        # [, attrs]) on PCA — concatenate every field, id-sorted
+        n_fields = len(payloads[0])
+        ids = np.concatenate([pl[0] for pl in payloads])
         order = np.argsort(ids, kind="stable")
-        payload: tuple = (ids[order], codes[order])
-        if attr_l:
-            payload = (*payload, np.concatenate(attr_l, axis=0)[order])
+        payload = tuple(
+            [ids[order]]
+            + [
+                np.concatenate([pl[f] for pl in payloads], axis=0)[order]
+                for f in range(1, n_fields)
+            ]
+        )
         yield pd.DataFrame(
             {
                 "part": [min(parts)],
@@ -2814,32 +2835,44 @@ def _flat_snapshot_incremental(
     stream_batch_id: "int | None" = None,
     corpus_fp_delta: "tuple[int, int] | None" = None,
     stream_epoch: "str | None" = None,
+    self_contained: bool = False,
 ):
-    """Incremental snapshot body for the flat compressed routes (PQ /
-    SQ, round 13): write ONLY the wave blobs appended since the last
+    """Incremental snapshot body for the flat scan routes (PQ / SQ /
+    PCA, round 13): write ONLY the wave blobs appended since the last
     snapshot as a new generation keyed by ``part`` — the model arrays
     never refit on append so they are not rewritten. Folds past
     ``max_generations`` COMPACT the resident blobs to ``n_serve`` and
     rewrite a full base (bounded restore depth AND bounded blob count).
     Same lineage / corpus-fingerprint-delta contract as
-    :meth:`IvfPqServingIndex.snapshot_incremental`."""
+    :meth:`IvfPqServingIndex.snapshot_incremental`; ``self_contained``
+    (PCA — raw vectors live inside the blobs) skips the cold-corpus
+    fingerprint machinery entirely."""
     spark = idx._spark
     manifest = _read_manifest(spark, path, type(idx).__name__)
     _check_incremental_lineage(idx, path, manifest)
     pending = sorted(getattr(idx, "_pending_snapshot_parts", set()))
     gens = manifest.get("generations", [])
     delta_mode = (
-        corpus_fp_delta is not None and manifest.get("corpus") is not None
+        not self_contained
+        and corpus_fp_delta is not None
+        and manifest.get("corpus") is not None
     )
     if pending and len(gens) >= max_generations:
         _flat_compact_blobs(idx)
+        if self_contained:
+            return idx.snapshot(
+                path, stream_batch_id=stream_batch_id,
+                stream_epoch=stream_epoch,
+            )
         return idx.snapshot(
             path,
             fingerprint_corpus=fingerprint_corpus or delta_mode,
             stream_batch_id=stream_batch_id,
             stream_epoch=stream_epoch,
         )
-    if fingerprint_corpus:
+    if self_contained:
+        corpus_fp = None
+    elif fingerprint_corpus:
         corpus_fp = _corpus_fingerprint(idx._train, idx._id_col, idx._vec_col)
     elif delta_mode:
         corpus_fp = dict(manifest["corpus"])
@@ -2856,9 +2889,9 @@ def _flat_snapshot_incremental(
     manifest.update(
         {
             "blobs": _blob_fingerprint(idx.blobs),
-            "corpus": corpus_fp,
             "generations": gens,
             **_manifest_attr_fields(idx._attr_cols, idx._attribute_histogram),
+            **({} if self_contained else {"corpus": corpus_fp}),
         }
     )
     if stream_batch_id is not None:
@@ -3099,7 +3132,7 @@ class PqServingIndex:
         source); new ids must be NEW (id-primary-key)."""
         m, _, sub = self._books.shape
 
-        def codes_of(X):
+        def mats_of(X):
             codes = np.empty((len(X), m), dtype=np.int32)
             # identical math to pq.encode_pq — merged answers equal a
             # cold encode over the union corpus
@@ -3109,9 +3142,10 @@ class PqServingIndex:
                     (seg[:, None, :] - self._books[s][None, :, :]) ** 2
                 ).sum(axis=2)
                 codes[:, s] = d.argmin(axis=1)
-            return codes
+            return (codes,)
 
-        _flat_refresh(self, new_rows, train, codes_of)
+        self._train = train
+        _flat_refresh(self, new_rows, train, mats_of)
         return self
 
     def snapshot_incremental(
@@ -3637,15 +3671,16 @@ class SqServingIndex:
         existing code) and lands as one NEW resident blob — see
         :meth:`PqServingIndex.refresh` for the flat-route contract."""
 
-        def codes_of(X):
+        def mats_of(X):
             # identical math to sq.encode_sq over the frozen bounds
-            return np.clip(
+            return (np.clip(
                 np.rint(
                     (X - self._mins[None, :]) / self._span[None, :] * 255.0
                 ), 0, 255,
-            ).astype(np.uint8)
+            ).astype(np.uint8),)
 
-        _flat_refresh(self, new_rows, train, codes_of)
+        self._train = train
+        _flat_refresh(self, new_rows, train, mats_of)
         return self
 
     def snapshot_incremental(
@@ -5353,7 +5388,162 @@ class RptServingIndex:
         self.n_leaves = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "RptServingIndex":
+    def refresh(self, new_rows: DataFrame) -> "RptServingIndex":
+        """Incremental ingest on the RP-tree route (round 13, VERDICT
+        r12 item 5): the wave walks the FROZEN tree (normals/thresholds
+        never refit on append — a refit would re-leaf every existing
+        row) to its leaves with the exact :func:`~vector_index_spark.
+        index.rpt._leaves` math, then merges into only the affected
+        leaves' resident blobs — the CellServingIndex shape keyed by
+        leaf. ``new_rows`` carries (id, vec) plus the handle's
+        attribute columns when built with ``attr_col``; new ids must be
+        NEW. Merged blobs byte-equal a cold pack over the union
+        assignment (leaves partition the corpus, no replicas)."""
+        from vector_index_spark.index.rpt import _leaves
+
+        spark = self._spark
+        cols = [F.col("id"), F.col("vec")]
+        if self._attr_cols is not None:
+            cols.extend(_attr_code_exprs(new_rows, self._attr_cols))
+        wave = new_rows.select(*cols).toPandas()  # bounded: one wave
+        if len(wave) == 0:
+            return self
+        ids = wave["id"].to_numpy(dtype=np.int64)
+        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+        leaves = _leaves(X, self._W, self._T, self._depth)
+        attrs = _stack_attrs(wave)
+        per_leaf: dict = {}
+        for i, c in enumerate(leaves):
+            per_leaf.setdefault(int(c), []).append(i)
+        affected = sorted(per_leaf)
+        add = {
+            c: (
+                ids[np.asarray(ix, dtype=np.int64)],
+                X[np.asarray(ix, dtype=np.int64)],
+                attrs[np.asarray(ix, dtype=np.int64)]
+                if attrs is not None else None,
+            )
+            for c, ix in per_leaf.items()
+        }
+        bc = spark.sparkContext.broadcast(add)
+        self._live_bcs.append(bc)
+
+        def merge(batches):
+            for pdf_b in batches:
+                leaf_o, nvec_o, blob_o = [], [], []
+                for leaf, blob in zip(pdf_b["leaf"], pdf_b["blob"]):
+                    payload = pickle.loads(blob)
+                    a_ids, a_X, a_attrs = bc.value[int(leaf)]
+                    u_ids = np.concatenate([payload[0], a_ids])
+                    u_X = np.concatenate([payload[1], a_X], axis=0)
+                    order = np.argsort(u_ids, kind="stable")
+                    new_payload: tuple = (u_ids[order], u_X[order])
+                    if len(payload) > 2:
+                        u_attrs = np.concatenate(
+                            [payload[2], a_attrs], axis=0
+                        )
+                        new_payload = (*new_payload, u_attrs[order])
+                    leaf_o.append(int(leaf))
+                    nvec_o.append(len(u_ids))
+                    blob_o.append(
+                        pickle.dumps(
+                            new_payload, protocol=pickle.HIGHEST_PROTOCOL
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"leaf": leaf_o, "n_vectors": nvec_o, "blob": blob_o}
+                )
+
+        present = {
+            int(r["leaf"])
+            for r in self.blobs.filter(F.col("leaf").isin(affected))
+            .select("leaf").collect()
+        }
+        merged = (
+            self.blobs.filter(F.col("leaf").isin(sorted(present)))
+            .mapInPandas(merge, LEAF_BLOB_SCHEMA)
+        )
+        parts = [self.blobs.filter(~F.col("leaf").isin(affected)), merged]
+        missing = [c for c in affected if c not in present]
+        if missing:
+            rows_new = []
+            for c in missing:
+                a_ids, a_X, a_attrs = add[c]
+                order = np.argsort(a_ids, kind="stable")
+                payload: tuple = (a_ids[order], a_X[order])
+                if a_attrs is not None:
+                    payload = (*payload, a_attrs[order])
+                rows_new.append(
+                    (int(c), int(len(a_ids)),
+                     bytearray(pickle.dumps(
+                         payload, protocol=pickle.HIGHEST_PROTOCOL
+                     )))
+                )
+            parts.append(spark.createDataFrame(rows_new, LEAF_BLOB_SCHEMA))
+        new_blobs = parts[0]
+        for p in parts[1:]:
+            new_blobs = new_blobs.unionByName(p)
+        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
+            eager=True
+        )
+        self.n_leaves = new_blobs.count()
+        old_blobs = self.blobs
+        self.blobs = new_blobs
+        self._blobs_severed = True
+        old_blobs.unpersist()
+        _bump_hist_with_wave(self, attrs)
+        self._pending_snapshot_leaves = (
+            getattr(self, "_pending_snapshot_leaves", set()) | set(affected)
+        )
+        return self
+
+    def snapshot_incremental(
+        self, path: str, max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+        stream_epoch: "str | None" = None,
+    ) -> "RptServingIndex":
+        """Incremental snapshot after :meth:`refresh` (round 13): only
+        the leaves touched since the last snapshot, as a generation —
+        the tree arrays never refit on append. Self-contained restore;
+        same lineage + fold contract as
+        :meth:`CellServingIndex.snapshot_incremental`."""
+        spark = self._spark
+        manifest = _read_manifest(spark, path, type(self).__name__)
+        _check_incremental_lineage(self, path, manifest)
+        pending = sorted(getattr(self, "_pending_snapshot_leaves", set()))
+        gens = manifest.get("generations", [])
+        if pending and len(gens) >= max_generations:
+            return self.snapshot(
+                path, stream_batch_id=stream_batch_id,
+                stream_epoch=stream_epoch,
+            )
+        if pending:
+            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+            self.blobs.filter(
+                F.col("leaf").isin(pending)
+            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+            gens = gens + [{"gen": gen, "shards": [int(c) for c in pending]}]
+        manifest.update(
+            {
+                "blobs": _blob_fingerprint(self.blobs),
+                "generations": gens,
+                **_manifest_attr_fields(
+                    self._attr_cols, self._attribute_histogram
+                ),
+            }
+        )
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
+        _write_manifest(spark, path, manifest)
+        self._pending_snapshot_leaves = set()
+        self._snapshot_lineage = (path, *_lineage_token(manifest))
+        return self
+
+    def snapshot(self, path: str,
+                 stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None) -> "RptServingIndex":
         """Persist the serving form (round 10): packed leaf blobs plus
         the tree routing arrays (normals, thresholds — the kilobytes the
         driver walks per query), versioned manifest. Raw vectors live
@@ -5361,6 +5551,8 @@ class RptServingIndex:
 
         Crash-safe since round 12: versioned dirs + manifest-commit +
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        import uuid as _uuid
+
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
         # single-writer guard (round 13): stake intent before dir writes,
@@ -5384,13 +5576,21 @@ class RptServingIndex:
                 _vdir("blobs", version), _vdir("normals.npy", version),
                 _vdir("thresholds.npy", version),
             ],
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
+        self._pending_snapshot_leaves = set()
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
@@ -5423,7 +5623,11 @@ class RptServingIndex:
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
-            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
+            _resolve_generations(
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+                "leaf", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .localCheckpoint(eager=True)
         )
@@ -5432,6 +5636,7 @@ class RptServingIndex:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:
@@ -5803,6 +6008,11 @@ class PcaServingIndex:
             )
         return self._attr_hist
 
+    # _collect_wave's fixed column contract on this class (the
+    # projected relation is always (id, vec, pvec))
+    _id_col = "id"
+    _vec_col = "vec"
+
     def warm(self) -> "PcaServingIndex":
         # sever lineage into the projected relation's source files — see
         # PqServingIndex.warm()
@@ -5814,7 +6024,42 @@ class PcaServingIndex:
         self.n_blobs = self.blobs.count()
         return self
 
-    def snapshot(self, path: str) -> "PcaServingIndex":
+    def refresh(self, new_rows: DataFrame) -> "PcaServingIndex":
+        """Incremental ingest on the PCA filter-and-refine route (round
+        13, VERDICT r12 item 5): the wave projects with the FROZEN basis
+        (mean/components never refit on append — a refit would silently
+        re-project every existing row) and lands as one NEW resident
+        (ids, reduced, raw) blob — the flat-route contract
+        (:meth:`PqServingIndex.refresh`). Self-contained: ``new_rows``
+        carries (id, vec) plus the handle's attribute columns when it
+        was built with ``attr_col``; new ids must be NEW."""
+
+        def mats_of(X):
+            # identical math to pca.project_pca over the frozen basis
+            return ((X - self._mean[None, :]) @ self._comp.T, X)
+
+        got = _flat_refresh(self, new_rows, None, mats_of, reset_hist=False)
+        if got is not None:
+            _bump_hist_with_wave(self, got[2])
+        return self
+
+    def snapshot_incremental(
+        self, path: str, max_generations: int = 8,
+        stream_batch_id: "int | None" = None,
+        stream_epoch: "str | None" = None,
+    ) -> "PcaServingIndex":
+        """Incremental snapshot after :meth:`refresh` — wave blobs only;
+        folds compact and rewrite a full base. Self-contained (no
+        corpus fingerprint). See :func:`_flat_snapshot_incremental`."""
+        return _flat_snapshot_incremental(
+            self, path, max_generations=max_generations,
+            stream_batch_id=stream_batch_id, stream_epoch=stream_epoch,
+            self_contained=True,
+        )
+
+    def snapshot(self, path: str,
+                 stream_batch_id: "int | None" = None,
+                 stream_epoch: "str | None" = None) -> "PcaServingIndex":
         """Persist the serving form (round 10): packed (ids, reduced,
         raw) blobs plus the projection basis (mean, components),
         versioned manifest. The raw vectors live inside the blobs, so
@@ -5822,6 +6067,8 @@ class PcaServingIndex:
 
         Crash-safe since round 12: versioned dirs + manifest-commit +
         GC-last, same protocol as :meth:`ServingIndex.snapshot`."""
+        import uuid as _uuid
+
         old = _read_manifest_any(self._spark, path)
         version = int(old.get("base_version", 1)) + 1 if old else 1
         # single-writer guard (round 13): stake intent before dir writes,
@@ -5845,13 +6092,21 @@ class PcaServingIndex:
                 _vdir("blobs", version), _vdir("mean.npy", version),
                 _vdir("components.npy", version),
             ],
+            "snapshot_id": _uuid.uuid4().hex,
+            "generations": [],
             "blobs": _blob_fingerprint(self.blobs),
             **_manifest_attr_fields(
                 self._attr_cols, self._attribute_histogram
             ),
         }
+        if stream_batch_id is not None:
+            manifest["last_batch_id"] = int(stream_batch_id)
+        if stream_epoch is not None:
+            manifest["stream_epoch"] = str(stream_epoch)
         _commit_snapshot_write(self._spark, path, _wtoken)
         _write_manifest(self._spark, path, manifest)
+        self._snapshot_lineage = (path, manifest["snapshot_id"], 0)
+        self._pending_snapshot_parts = set()
         _gc_stale_snapshot_dirs(self._spark, path, old, manifest)
         return self
 
@@ -5881,7 +6136,11 @@ class PcaServingIndex:
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
         idx.blobs = (
-            spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}")
+            _resolve_generations(
+                spark, path,
+                spark.read.parquet(f"{path}/{_vdir('blobs', base_v)}"),
+                "part", manifest.get("generations", []),
+            )
             .repartition(idx._n_serve)
             .localCheckpoint(eager=True)
         )
@@ -5890,6 +6149,7 @@ class PcaServingIndex:
             _check_blob_fingerprint(idx.blobs, manifest["blobs"], path)
         idx._spark = spark
         idx._live_bcs = []
+        idx._snapshot_lineage = (path, *_lineage_token(manifest))
         return idx
 
     def bytes_resident(self) -> dict:

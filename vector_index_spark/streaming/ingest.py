@@ -601,12 +601,15 @@ def stream_cell_maintain(
     available_now: bool = True,
     max_generations: int = 8,
 ):
-    """Streaming maintenance twin for the resident IVF route (round 13,
-    VERDICT r12 item 5): each micro-batch (1) merges into only the
-    affected cells' resident blobs (:meth:`CellServingIndex.refresh` —
-    waves route to existing cells, never refit) and (2) stacks a blob
-    generation at ``snapshot_path``. The wave rows carry (id, vec) plus
-    the handle's attribute columns when it was built with ``attr_col``.
+    """Streaming maintenance twin for the SELF-CONTAINED serving routes
+    (round 13, VERDICT r12 item 5) — any handle with a
+    ``refresh(new_rows)`` + ``snapshot_incremental`` pair whose raw
+    vectors live inside the blobs: CellServingIndex (affected-cell
+    merge), RptServingIndex (affected-leaf merge through the frozen
+    tree), PcaServingIndex (appended projection blob). Each micro-batch
+    (1) refreshes the resident blobs and (2) stacks a blob generation
+    at ``snapshot_path``. The wave rows carry (id, vec) plus the
+    handle's attribute columns when it was built with ``attr_col``.
     The route is self-contained, so the SNAPSHOT is the durable store:
     a wave is durable exactly when its snapshot commit lands, and
     Structured Streaming's checkpoint commits strictly after — a crash
