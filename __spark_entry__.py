@@ -1077,7 +1077,13 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     resident blobs untouched); a replay of a PARTIALLY applied wave
     (corpus appended, crash before the snapshot commit) dedups the
     corpus through the wave-intent marker and ends byte-equal to a
-    cold pack over the exactly-once corpus."""
+    cold pack over the exactly-once corpus. Round 13 drives the replay
+    through the REAL restart recipe (validate=False restore + the
+    re-anchoring full-fingerprint base snapshot stream_ivfpq_maintain's
+    re-entry writes) — the fp_reconciled boolean now discriminates the
+    ADVICE r12 double-count: the commit re-fingerprints in full on the
+    intent-matched path instead of adding the wave's delta to a base
+    fingerprint that already counted the pre-crash rows."""
     import tempfile as _tempfile
 
     from vector_index_spark.index.ivfpq import build_ivfpq
@@ -1159,8 +1165,21 @@ def _gate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore_excludes_uncommitted_ok = {
         r.cell: bytes(r.blob) for r in restored.blobs.collect()
     } == blobs1
+    # round 13 (ADVICE r12 high): drive the REAL restart recipe — the
+    # maintain loop's re-entry writes a re-anchoring base snapshot with
+    # a FULL corpus fingerprint over a corpus that ALREADY holds the
+    # pre-crash rows; the replayed wave's commit must then reconcile
+    # (full re-fingerprint on the intent-matched path), not
+    # double-count the partial rows through the additive delta
+    from vector_index_spark.streaming.ingest import _carry_batch_id
+
+    carry = _carry_batch_id(
+        spark, snap, getattr(restored, "_snapshot_lineage", None)
+    )
+    restored.snapshot(snap, fingerprint_corpus=True, stream_batch_id=carry)
     _ivfpq_apply_wave(restored, corpus, snap, "id", "vec",
-                      {"batch": 0}, 8, wave2, 1)
+                      {"batch": carry if carry is not None else -1},
+                      8, wave2, 1)
     ids = corpus_ids()
     exactly_once_ok = (
         len(ids) == len(set(ids)) == n
