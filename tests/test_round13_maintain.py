@@ -360,6 +360,23 @@ def test_pq_wave_replay_safety(spark, waves, tmp_path):
     idx.unpersist()
 
 
+def test_compressed_maintain_example_end_to_end(spark):
+    """examples/compressed_maintain.py — seed -> streamed waves through
+    stream_compressed_maintain -> validate=True restore -> parity with
+    a cold build -> same-checkpoint restart replays nothing — runs in
+    CI so the deployment-shaped example can't rot (the script asserts
+    its own invariants)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    try:
+        from compressed_maintain import main
+    finally:
+        sys.path.pop(0)
+    assert main(SF_CORRECT, spark=spark)
+
+
 def test_stream_cell_maintain_end_to_end(spark, waves, tmp_path):
     """stream_cell_maintain drains a backlog wave-by-wave; the handle
     and its snapshot converge to the cold-build state, and the
