@@ -360,6 +360,48 @@ def test_pq_wave_replay_safety(spark, waves, tmp_path):
     idx.unpersist()
 
 
+def test_stream_cell_maintain_serves_rpt_end_to_end(spark, waves, tmp_path):
+    """The self-contained twin is generic (stream_cell_maintain's claim):
+    an RptServingIndex drained through it converges to the cold-build
+    state and restores identically."""
+    from vector_index_spark.index.rpt import assign_rpt, train_rpt
+    from vector_index_spark.index.serving import RptServingIndex
+    from vector_index_spark.streaming.ingest import (
+        _committed_batch,
+        stream_cell_maintain,
+    )
+
+    full, first, wave1, wave2, test = waves
+    W, T = train_rpt(first, depth=3)
+    idx = RptServingIndex(
+        assign_rpt(first, W, T).localCheckpoint(eager=True), W, T
+    ).warm()
+    snap = str(tmp_path / "snap")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wave1.unionByName(wave2).write.parquet(src)
+    q = stream_cell_maintain(
+        spark.readStream.schema("id long, vec array<double>").parquet(src),
+        idx, snap, ckpt,
+    )
+    q.awaitTermination(120)
+    assert _committed_batch(spark, snap) >= 0
+
+    union = first.unionByName(wave1).unionByName(wave2)
+    cold = RptServingIndex(
+        assign_rpt(union, W, T).localCheckpoint(eager=True), W, T
+    ).warm()
+    want = {r.leaf: bytes(r.blob) for r in cold.blobs.collect()}
+    assert {r.leaf: bytes(r.blob) for r in idx.blobs.collect()} == want
+    restored = RptServingIndex.from_snapshot(spark, snap)
+    assert _rows(restored.query(test, K, probes=4)) == _rows(
+        cold.query(test, K, probes=4)
+    )
+    restored.unpersist()
+    cold.unpersist()
+    idx.unpersist()
+
+
 def test_compressed_maintain_example_end_to_end(spark):
     """examples/compressed_maintain.py — seed -> streamed waves through
     stream_compressed_maintain -> validate=True restore -> parity with

@@ -1987,6 +1987,13 @@ class CellServingIndex:
             )
             for c, ix in per_cell.items()
         }
+        # recycle the previous call's broadcasts first (the same posture
+        # as the query paths): the prior wave's merge was materialized by
+        # its eager localCheckpoint, so its broadcast is consumed — a
+        # long pure-maintain stream must not accumulate one per wave
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
         bc = spark.sparkContext.broadcast(add)
         self._live_bcs.append(bc)
 
@@ -4259,6 +4266,13 @@ class IvfPqServingIndex:
             )
             for c, ix in per_cell.items()
         }
+        # recycle the previous call's broadcasts first (the same posture
+        # as the query paths): the prior wave's merge was materialized by
+        # its eager localCheckpoint, so its broadcast is consumed — a
+        # long pure-maintain stream must not accumulate one per wave
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
         bc = spark.sparkContext.broadcast(add)
         self._live_bcs.append(bc)
 
@@ -5425,6 +5439,13 @@ class RptServingIndex:
             )
             for c, ix in per_leaf.items()
         }
+        # recycle the previous call's broadcasts first (the same posture
+        # as the query paths): the prior wave's merge was materialized by
+        # its eager localCheckpoint, so its broadcast is consumed — a
+        # long pure-maintain stream must not accumulate one per wave
+        for b in self._live_bcs:
+            b.unpersist(blocking=False)
+        self._live_bcs = []
         bc = spark.sparkContext.broadcast(add)
         self._live_bcs.append(bc)
 
