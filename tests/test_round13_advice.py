@@ -203,6 +203,120 @@ def test_fresh_stream_epoch_applies_instead_of_skipping(spark, tmp_path):
     serving.unpersist()
 
 
+def test_new_epoch_duplicate_wave_raises(spark, tmp_path):
+    """Round-13 review: on the epoch-mismatch apply path the
+    compressed/cell twins have NO downstream id check (unlike the graph
+    route's append), so an OLD stream's wave re-delivered under a fresh
+    checkpoint must die on an explicit id-primary-key error instead of
+    silently duplicating corpus rows and advancing the fingerprint
+    consistently with the corruption. A stale old-epoch wave-intent
+    marker must likewise not route a new stream's same-numbered batch
+    onto the anti-join crash-replay path (silent row loss)."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        IvfPqServingIndex,
+    )
+    from vector_index_spark.streaming.ingest import (
+        _cell_apply_wave,
+        _ivfpq_apply_wave,
+        _write_wave_intent,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 300)
+    wave1 = full.filter((F.col("id") >= 300) & (F.col("id") < 400))
+    wave2 = full.filter(F.col("id") >= 400)
+
+    ckpt_a = _write_checkpoint_metadata(tmp_path, "ck_a", "epoch-a")
+    ckpt_b = _write_checkpoint_metadata(tmp_path, "ck_b", "epoch-b")
+
+    # compressed twin
+    enc, cents, books = build_ivfpq(full, n_centroids=8, replicas=1)
+    enc_first = enc.localCheckpoint(eager=True).join(
+        F.broadcast(first.select("id")), "id"
+    )
+    corpus = str(tmp_path / "corpus")
+    snap = str(tmp_path / "snap")
+    first.write.parquet(corpus)
+    serving = IvfPqServingIndex(
+        enc_first, cents, books, spark.read.parquet(corpus)
+    ).warm()
+    serving.snapshot(snap, fingerprint_corpus=True, stream_epoch="epoch-a")
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec", {"batch": -1},
+                      8, wave1, 0, checkpoint_dir=ckpt_a)
+    n1 = spark.read.parquet(corpus).count()
+    # the SAME wave re-delivered as a fresh stream's batch 0: loud error
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="id-primary-key|duplicate"):
+            _ivfpq_apply_wave(serving, corpus, snap, "id", "vec",
+                              {"batch": -1}, 8, wave1, 0,
+                              checkpoint_dir=ckpt_b)
+    assert spark.read.parquet(corpus).count() == n1, "duplicated corpus"
+
+    # a stale OLD-epoch intent must not route the new stream's
+    # same-numbered batch (NEW data) onto the anti-join replay path —
+    # the full wave must land
+    _write_wave_intent(spark, snap, 0, epoch="epoch-a")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _ivfpq_apply_wave(serving, corpus, snap, "id", "vec",
+                          {"batch": -1}, 8, wave2, 0,
+                          checkpoint_dir=ckpt_b)
+    assert spark.read.parquet(corpus).count() == n1 + wave2.count()
+    serving.unpersist()
+
+    # cell twin: same duplicate shape dies loudly too
+    assigned, ccents = build_ivf(first, n_centroids=8, replicas=1)
+    cell = CellServingIndex(
+        assigned.localCheckpoint(eager=True), ccents
+    ).warm()
+    snap2 = str(tmp_path / "snap_cell")
+    cell.snapshot(snap2, stream_epoch="epoch-a")
+    _cell_apply_wave(cell, snap2, {"batch": -1}, 8, wave1, 0,
+                     checkpoint_dir=ckpt_a)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="id-primary-key|duplicate"):
+            _cell_apply_wave(cell, snap2, {"batch": -1}, 8, wave1, 0,
+                             checkpoint_dir=ckpt_b)
+    cell.unpersist()
+
+
+def test_refresh_requires_post_append_train(spark, tmp_path):
+    """Round-13 review: an attr-packed flat-route refresh whose train
+    relation is missing wave ids (the post-append precondition) must
+    raise instead of silently dropping those rows from the serving
+    blobs forever."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"),
+        (F.col("vec_id") % 5).alias("label"),
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 400)
+    wave = full.filter(F.col("id") >= 400)
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    idx = PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True),
+        first, books, attr_col="label",
+    ).warm()
+    with pytest.raises(ValueError, match="POST-APPEND"):
+        idx.refresh(wave, first)  # train WITHOUT the wave's rows
+    # the honest call works
+    idx.refresh(wave, full)
+    idx.unpersist()
+
+
 def test_carry_batch_id_resets_on_new_epoch(spark, tmp_path):
     """The maintain-loop carry at restart: same checkpoint lineage
     carries the counter; a fresh checkpoint (no metadata yet, or a new

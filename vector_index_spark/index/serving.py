@@ -234,8 +234,17 @@ def _commit_snapshot_write(spark, path: str, token: str) -> None:
     newer token (see :func:`_acquire_snapshot_write`)."""
     try:
         got = _fs_read_bytes(spark, f"{path}/writer_intent").decode("utf-8")
-    except Exception:
-        got = None
+    except Exception as e:
+        # an unreadable token is NOT evidence of a second writer (round
+        # 13 review): blame the filesystem, not a phantom concurrent
+        # writer — the snapshot still aborts (commit safety first)
+        raise SnapshotIntegrityError(
+            f"could not read back the writer-intent token at "
+            f"{path!r}/writer_intent before the manifest commit — the "
+            "snapshot is ABORTED (the previous committed snapshot "
+            "remains restorable); check filesystem health/consistency "
+            "and retry"
+        ) from e
     if got != token:
         raise SnapshotIntegrityError(
             f"concurrent snapshot writer detected at {path!r}: another "
@@ -395,9 +404,41 @@ def _dense_reroute(idx, k: int, candidate_factor: int):
 
 def _attach_dense_fallback(idx, handle):
     """Body of the ``reroute_dense_to`` methods: remember the graph-route
-    handle dense-corpus queries should dispatch to. ``None`` detaches."""
+    handle dense-corpus queries should dispatch to. ``None`` detaches.
+
+    Attr packing must MATCH (round 13 review): a dispatch forwards
+    ``allowed`` / ``query_by_*`` constraints verbatim, so a fallback
+    packed without (or with differently-ordered) attribute columns
+    would fail only when the corpus crosses the density threshold — a
+    data-dependent runtime error, or worse, differently-filtered
+    answers. Validated here, at attach time."""
+    if handle is not None and idx._attr_cols is not None:
+        fb_cols = getattr(handle, "_attr_cols", None)
+        if fb_cols != idx._attr_cols:
+            raise ValueError(
+                f"reroute_dense_to: this handle packs attribute columns "
+                f"{list(idx._attr_cols)} but the fallback packs "
+                f"{list(fb_cols) if fb_cols else None} — build the graph "
+                "fallback with the SAME attr_col (same order) so "
+                "filtered/constrained queries dispatch equivalently"
+            )
     idx._dense_fallback = handle
     return idx
+
+
+def _blob_ids(blobs: DataFrame) -> DataFrame:
+    """Resident ids as a (id long) relation — one unpickling pass over
+    the blob payloads. Used only on rare guard paths (the streaming
+    twins' new-epoch id-primary-key check), never per wave."""
+    import pickle as _pickle
+
+    def ids_of(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                ids = _pickle.loads(bytes(blob))[0]
+                yield pd.DataFrame({"id": np.asarray(ids, dtype=np.int64)})
+
+    return blobs.mapInPandas(ids_of, "id long")
 
 
 def _blob_fingerprint(blobs: DataFrame) -> dict:
@@ -1955,116 +1996,23 @@ class CellServingIndex:
         blob byte-equals a cold pack over the union relation. Cost
         tracks the wave's affected cells; the touched cells queue for
         :meth:`snapshot_incremental`."""
-        spark = self._spark
-        cols = [F.col("id"), F.col("vec")]
-        if self._attr_cols is not None:
-            cols.extend(_attr_code_exprs(new_rows, self._attr_cols))
-        wave = new_rows.select(*cols).toPandas()  # bounded: one wave
-        if len(wave) == 0:
-            return self
-        ids = wave["id"].to_numpy(dtype=np.int64)
-        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
-        cent = self._cents_kv.orderBy("id").collect()
-        cids = np.array([r["id"] for r in cent], dtype=np.int64)
-        C = np.stack(
-            [np.asarray(r["vec"], dtype=np.float64) for r in cent]
-        )
-        d = (
-            (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
-        )
-        cells = cids[d.argmin(axis=1)]
-        attrs = _stack_attrs(wave)
-        per_cell: dict = {}
-        for i, c in enumerate(cells):
-            per_cell.setdefault(int(c), []).append(i)
-        affected = sorted(per_cell)
-        add = {
-            c: (
-                ids[np.asarray(ix, dtype=np.int64)],
-                X[np.asarray(ix, dtype=np.int64)],
-                attrs[np.asarray(ix, dtype=np.int64)]
-                if attrs is not None else None,
+
+        def route_of(X):
+            # nearest existing cell — identical math to the build
+            cent = self._cents_kv.orderBy("id").collect()
+            cids = np.array([r["id"] for r in cent], dtype=np.int64)
+            C = np.stack(
+                [np.asarray(r["vec"], dtype=np.float64) for r in cent]
             )
-            for c, ix in per_cell.items()
-        }
-        # recycle the previous call's broadcasts first (the same posture
-        # as the query paths): the prior wave's merge was materialized by
-        # its eager localCheckpoint, so its broadcast is consumed — a
-        # long pure-maintain stream must not accumulate one per wave
-        for b in self._live_bcs:
-            b.unpersist(blocking=False)
-        self._live_bcs = []
-        bc = spark.sparkContext.broadcast(add)
-        self._live_bcs.append(bc)
+            d = (
+                (X * X).sum(1)[:, None] - 2.0 * X @ C.T
+                + (C * C).sum(1)[None, :]
+            )
+            return cids[d.argmin(axis=1)]
 
-        def merge(batches):
-            for pdf_b in batches:
-                cells_o, nvec_o, blob_o = [], [], []
-                for cell, blob in zip(pdf_b["cell"], pdf_b["blob"]):
-                    payload = pickle.loads(blob)
-                    a_ids, a_X, a_attrs = bc.value[int(cell)]
-                    u_ids = np.concatenate([payload[0], a_ids])
-                    u_X = np.concatenate([payload[1], a_X], axis=0)
-                    order = np.argsort(u_ids, kind="stable")
-                    new_payload: tuple = (u_ids[order], u_X[order])
-                    if len(payload) > 2:
-                        u_attrs = np.concatenate(
-                            [payload[2], a_attrs], axis=0
-                        )
-                        new_payload = (*new_payload, u_attrs[order])
-                    cells_o.append(int(cell))
-                    nvec_o.append(len(u_ids))
-                    blob_o.append(
-                        pickle.dumps(
-                            new_payload, protocol=pickle.HIGHEST_PROTOCOL
-                        )
-                    )
-                yield pd.DataFrame(
-                    {"cell": cells_o, "n_vectors": nvec_o, "blob": blob_o}
-                )
-
-        present = {
-            int(r["cell"])
-            for r in self.blobs.filter(F.col("cell").isin(affected))
-            .select("cell").collect()
-        }
-        merged = (
-            self.blobs.filter(F.col("cell").isin(sorted(present)))
-            .mapInPandas(merge, CELL_BLOB_SCHEMA)
-        )
-        parts = [self.blobs.filter(~F.col("cell").isin(affected)), merged]
-        missing = [c for c in affected if c not in present]
-        if missing:
-            rows_new = []
-            for c in missing:
-                a_ids, a_X, a_attrs = add[c]
-                order = np.argsort(a_ids, kind="stable")
-                payload: tuple = (a_ids[order], a_X[order])
-                if a_attrs is not None:
-                    payload = (*payload, a_attrs[order])
-                rows_new.append(
-                    (int(c), int(len(a_ids)),
-                     bytearray(pickle.dumps(
-                         payload, protocol=pickle.HIGHEST_PROTOCOL
-                     )))
-                )
-            parts.append(spark.createDataFrame(rows_new, CELL_BLOB_SCHEMA))
-        new_blobs = parts[0]
-        for p in parts[1:]:
-            new_blobs = new_blobs.unionByName(p)
-        # eager localCheckpoint (not persist): severs lineage into the
-        # wave's source files — see ServingIndex.warm()
-        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
-            eager=True
-        )
-        self.n_cells = new_blobs.count()
-        old_blobs = self.blobs
-        self.blobs = new_blobs
-        self._blobs_severed = True
-        old_blobs.unpersist()
-        _bump_hist_with_wave(self, attrs)
-        self._pending_snapshot_cells = (
-            getattr(self, "_pending_snapshot_cells", set()) | set(affected)
+        _keyed_refresh(
+            self, new_rows, "cell", CELL_BLOB_SCHEMA, route_of,
+            "_pending_snapshot_cells", "n_cells",
         )
         return self
 
@@ -2073,47 +2021,15 @@ class CellServingIndex:
         stream_batch_id: "int | None" = None,
         stream_epoch: "str | None" = None,
     ) -> "CellServingIndex":
-        """Incremental snapshot after :meth:`refresh` (round 13): write
-        ONLY the cells touched since the last snapshot as a new blob
-        generation — the routing table never changes on append (waves
-        route to existing cells), so only the manifest refreshes
-        alongside. Same lineage + fold contract as
-        :meth:`ServingIndex.snapshot_incremental`; the restore is
-        self-contained (raw vectors live inside the blobs), so there is
-        no corpus fingerprint to maintain."""
-        spark = self._spark
-        manifest = _read_manifest(spark, path, type(self).__name__)
-        _check_incremental_lineage(self, path, manifest)
-        pending = sorted(getattr(self, "_pending_snapshot_cells", set()))
-        gens = manifest.get("generations", [])
-        if pending and len(gens) >= max_generations:
-            return self.snapshot(
-                path, stream_batch_id=stream_batch_id,
-                stream_epoch=stream_epoch,
-            )
-        if pending:
-            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
-            self.blobs.filter(
-                F.col("cell").isin(pending)
-            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
-            gens = gens + [{"gen": gen, "shards": [int(c) for c in pending]}]
-        manifest.update(
-            {
-                "blobs": _blob_fingerprint(self.blobs),
-                "generations": gens,
-                **_manifest_attr_fields(
-                    self._attr_cols, self._attribute_histogram
-                ),
-            }
+        """Incremental snapshot after :meth:`refresh` (round 13): only
+        the cells touched since the last snapshot, as a generation —
+        the routing table never changes on append (waves route to
+        existing cells). See :func:`_keyed_snapshot_incremental`."""
+        return _keyed_snapshot_incremental(
+            self, path, "cell", "_pending_snapshot_cells",
+            max_generations=max_generations,
+            stream_batch_id=stream_batch_id, stream_epoch=stream_epoch,
         )
-        if stream_batch_id is not None:
-            manifest["last_batch_id"] = int(stream_batch_id)
-        if stream_epoch is not None:
-            manifest["stream_epoch"] = str(stream_epoch)
-        _write_manifest(spark, path, manifest)
-        self._pending_snapshot_cells = set()
-        self._snapshot_lineage = (path, *_lineage_token(manifest))
-        return self
 
     def snapshot(self, path: str,
                  stream_batch_id: "int | None" = None,
@@ -2187,6 +2103,9 @@ class CellServingIndex:
         # snapshot() on this path GCs the previous version — a cache-block
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
+        # storage_level is retained for API compatibility only: the
+        # checkpointed restore materializes at Spark's local-checkpoint
+        # default (MEMORY_AND_DISK), the same level as the old default.
         idx.blobs = (
             _resolve_generations(
                 spark, path,
@@ -2703,6 +2622,7 @@ def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
             if idx._attr_cols is not None and attr_source is None else ()
         ),
     )
+    joined_attrs = False
     if idx._attr_cols is not None:
         if attr_source is not None:
             rows = rows.join(
@@ -2712,9 +2632,22 @@ def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
                 ),
                 "id",
             )
+            joined_attrs = True
         if reset_hist:
             idx._attr_hist = None  # contents changed; histogram is stale
     wave = rows.toPandas()
+    if joined_attrs and len(wave) != new_rows.count():
+        # the docstring precondition ("train is the POST-APPEND corpus;
+        # the wave's ids must already be in it") enforced loudly (round
+        # 13 review): the attribute id-join would otherwise silently
+        # drop the missing rows from the serving blobs forever while
+        # the snapshot advances — one wave-sized count on this path
+        raise ValueError(
+            "refresh(new_rows, train): some wave ids are missing from "
+            "the passed train relation — train must be the POST-APPEND "
+            "cold corpus containing every wave row (its attribute "
+            "columns ride the id-join into the resident blobs)"
+        )
     if len(wave) == 0:
         return None
     ids = wave["id"].to_numpy(dtype=np.int64)
@@ -2834,6 +2767,168 @@ def _flat_compact_blobs(idx) -> None:
     idx.n_blobs = idx.blobs.count()
     idx._blobs_severed = True
     old_blobs.unpersist()
+
+
+def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
+                   route_of, pending_attr: str, count_attr: str) -> None:
+    """Incremental ingest body for the KEYED self-contained routes
+    (Cell / RPT, round 13): the wave routes through the handle's FROZEN
+    model (``route_of(X)`` -> one key per row: nearest cell / tree
+    leaf — never refit on append) and merges into only the affected
+    keys' resident blobs; every other blob carries over. Per-blob
+    payloads are id-sorted (ids, X[, attrs]) arrays, so a merged blob
+    byte-equals a cold pack over the union relation. Cost tracks the
+    wave's affected keys; they queue on ``pending_attr`` for the
+    incremental snapshot."""
+    spark = idx._spark
+    cols = [F.col("id"), F.col("vec")]
+    if idx._attr_cols is not None:
+        cols.extend(_attr_code_exprs(new_rows, idx._attr_cols))
+    wave = new_rows.select(*cols).toPandas()  # bounded: one ingest wave
+    if len(wave) == 0:
+        return
+    ids = wave["id"].to_numpy(dtype=np.int64)
+    X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+    keys = route_of(X)
+    attrs = _stack_attrs(wave)
+    per_key: dict = {}
+    for i, c in enumerate(keys):
+        per_key.setdefault(int(c), []).append(i)
+    affected = sorted(per_key)
+    add = {
+        c: (
+            ids[np.asarray(ix, dtype=np.int64)],
+            X[np.asarray(ix, dtype=np.int64)],
+            attrs[np.asarray(ix, dtype=np.int64)]
+            if attrs is not None else None,
+        )
+        for c, ix in per_key.items()
+    }
+    # recycle the previous call's broadcasts first (the same posture
+    # as the query paths): the prior wave's merge was materialized by
+    # its eager localCheckpoint, so its broadcast is consumed — a
+    # long pure-maintain stream must not accumulate one per wave
+    for b in idx._live_bcs:
+        b.unpersist(blocking=False)
+    idx._live_bcs = []
+    bc = spark.sparkContext.broadcast(add)
+    idx._live_bcs.append(bc)
+
+    def merge(batches):
+        for pdf_b in batches:
+            keys_o, nvec_o, blob_o = [], [], []
+            for key, blob in zip(pdf_b[key_col], pdf_b["blob"]):
+                payload = pickle.loads(blob)
+                a_ids, a_X, a_attrs = bc.value[int(key)]
+                u_ids = np.concatenate([payload[0], a_ids])
+                u_X = np.concatenate([payload[1], a_X], axis=0)
+                order = np.argsort(u_ids, kind="stable")
+                new_payload: tuple = (u_ids[order], u_X[order])
+                if len(payload) > 2:
+                    u_attrs = np.concatenate([payload[2], a_attrs], axis=0)
+                    new_payload = (*new_payload, u_attrs[order])
+                keys_o.append(int(key))
+                nvec_o.append(len(u_ids))
+                blob_o.append(
+                    pickle.dumps(
+                        new_payload, protocol=pickle.HIGHEST_PROTOCOL
+                    )
+                )
+            yield pd.DataFrame(
+                {key_col: keys_o, "n_vectors": nvec_o, "blob": blob_o}
+            )
+
+    present = {
+        int(r[key_col])
+        for r in idx.blobs.filter(F.col(key_col).isin(affected))
+        .select(key_col).collect()
+    }
+    merged = (
+        idx.blobs.filter(F.col(key_col).isin(sorted(present)))
+        .mapInPandas(merge, schema)
+    )
+    parts = [idx.blobs.filter(~F.col(key_col).isin(affected)), merged]
+    missing = [c for c in affected if c not in present]
+    if missing:
+        # a key whose blob row didn't exist (it had zero rows): the
+        # wave creates it from scratch
+        rows_new = []
+        for c in missing:
+            a_ids, a_X, a_attrs = add[c]
+            order = np.argsort(a_ids, kind="stable")
+            payload: tuple = (a_ids[order], a_X[order])
+            if a_attrs is not None:
+                payload = (*payload, a_attrs[order])
+            rows_new.append(
+                (int(c), int(len(a_ids)),
+                 bytearray(pickle.dumps(
+                     payload, protocol=pickle.HIGHEST_PROTOCOL
+                 )))
+            )
+        parts.append(spark.createDataFrame(rows_new, schema))
+    new_blobs = parts[0]
+    for p in parts[1:]:
+        new_blobs = new_blobs.unionByName(p)
+    # eager localCheckpoint (not persist): severs lineage into the
+    # wave's source files — see ServingIndex.warm()
+    new_blobs = new_blobs.repartition(idx._n_serve).localCheckpoint(
+        eager=True
+    )
+    setattr(idx, count_attr, new_blobs.count())
+    old_blobs = idx.blobs
+    idx.blobs = new_blobs
+    idx._blobs_severed = True
+    old_blobs.unpersist()
+    _bump_hist_with_wave(idx, attrs)
+    setattr(
+        idx, pending_attr,
+        getattr(idx, pending_attr, set()) | set(affected),
+    )
+
+
+def _keyed_snapshot_incremental(
+    idx, path: str, key_col: str, pending_attr: str,
+    max_generations: int = 8,
+    stream_batch_id: "int | None" = None,
+    stream_epoch: "str | None" = None,
+):
+    """Incremental snapshot body for the keyed self-contained routes
+    (Cell / RPT): only the keys touched since the last snapshot, as a
+    generation — the routing model never refits on append. Same
+    lineage + fold contract as
+    :meth:`ServingIndex.snapshot_incremental`; the restore is
+    self-contained, so there is no corpus fingerprint to maintain."""
+    spark = idx._spark
+    manifest = _read_manifest(spark, path, type(idx).__name__)
+    _check_incremental_lineage(idx, path, manifest)
+    pending = sorted(getattr(idx, pending_attr, set()))
+    gens = manifest.get("generations", [])
+    if pending and len(gens) >= max_generations:
+        return idx.snapshot(
+            path, stream_batch_id=stream_batch_id,
+            stream_epoch=stream_epoch,
+        )
+    if pending:
+        gen = (max(g["gen"] for g in gens) + 1) if gens else 1
+        idx.blobs.filter(
+            F.col(key_col).isin(pending)
+        ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
+        gens = gens + [{"gen": gen, "shards": [int(c) for c in pending]}]
+    manifest.update(
+        {
+            "blobs": _blob_fingerprint(idx.blobs),
+            "generations": gens,
+            **_manifest_attr_fields(idx._attr_cols, idx._attribute_histogram),
+        }
+    )
+    if stream_batch_id is not None:
+        manifest["last_batch_id"] = int(stream_batch_id)
+    if stream_epoch is not None:
+        manifest["stream_epoch"] = str(stream_epoch)
+    _write_manifest(spark, path, manifest)
+    setattr(idx, pending_attr, set())
+    idx._snapshot_lineage = (path, *_lineage_token(manifest))
+    return idx
 
 
 def _flat_snapshot_incremental(
@@ -3263,6 +3358,9 @@ class PqServingIndex:
         # snapshot() on this path GCs the previous version — a cache-block
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
+        # storage_level is retained for API compatibility only: the
+        # checkpointed restore materializes at Spark's local-checkpoint
+        # default (MEMORY_AND_DISK), the same level as the old default.
         idx.blobs = (
             _resolve_generations(
                 spark, path,
@@ -3799,6 +3897,9 @@ class SqServingIndex:
         # snapshot() on this path GCs the previous version — a cache-block
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
+        # storage_level is retained for API compatibility only: the
+        # checkpointed restore materializes at Spark's local-checkpoint
+        # default (MEMORY_AND_DISK), the same level as the old default.
         idx.blobs = (
             _resolve_generations(
                 spark, path,
@@ -4214,6 +4315,7 @@ class IvfPqServingIndex:
             F.col(self._id_col).alias("id"),
             F.col(self._vec_col).alias("vec"),
         )
+        joined_attrs = False
         if self._attr_cols is not None:
             rows = rows.join(
                 train.select(
@@ -4222,9 +4324,18 @@ class IvfPqServingIndex:
                 ),
                 "id",
             )
+            joined_attrs = True
             self._attr_hist = None  # contents changed
         wave = rows.toPandas()  # bounded: one ingest wave
         self._train = train
+        if joined_attrs and len(wave) != new_rows.count():
+            # post-append-corpus precondition enforced loudly (round 13
+            # review) — see _collect_wave
+            raise ValueError(
+                "refresh(new_rows, train): some wave ids are missing "
+                "from the passed train relation — train must be the "
+                "POST-APPEND cold corpus containing every wave row"
+            )
         if len(wave) == 0:
             return self
         ids = wave["id"].to_numpy(dtype=np.int64)
@@ -5415,106 +5526,10 @@ class RptServingIndex:
         assignment (leaves partition the corpus, no replicas)."""
         from vector_index_spark.index.rpt import _leaves
 
-        spark = self._spark
-        cols = [F.col("id"), F.col("vec")]
-        if self._attr_cols is not None:
-            cols.extend(_attr_code_exprs(new_rows, self._attr_cols))
-        wave = new_rows.select(*cols).toPandas()  # bounded: one wave
-        if len(wave) == 0:
-            return self
-        ids = wave["id"].to_numpy(dtype=np.int64)
-        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
-        leaves = _leaves(X, self._W, self._T, self._depth)
-        attrs = _stack_attrs(wave)
-        per_leaf: dict = {}
-        for i, c in enumerate(leaves):
-            per_leaf.setdefault(int(c), []).append(i)
-        affected = sorted(per_leaf)
-        add = {
-            c: (
-                ids[np.asarray(ix, dtype=np.int64)],
-                X[np.asarray(ix, dtype=np.int64)],
-                attrs[np.asarray(ix, dtype=np.int64)]
-                if attrs is not None else None,
-            )
-            for c, ix in per_leaf.items()
-        }
-        # recycle the previous call's broadcasts first (the same posture
-        # as the query paths): the prior wave's merge was materialized by
-        # its eager localCheckpoint, so its broadcast is consumed — a
-        # long pure-maintain stream must not accumulate one per wave
-        for b in self._live_bcs:
-            b.unpersist(blocking=False)
-        self._live_bcs = []
-        bc = spark.sparkContext.broadcast(add)
-        self._live_bcs.append(bc)
-
-        def merge(batches):
-            for pdf_b in batches:
-                leaf_o, nvec_o, blob_o = [], [], []
-                for leaf, blob in zip(pdf_b["leaf"], pdf_b["blob"]):
-                    payload = pickle.loads(blob)
-                    a_ids, a_X, a_attrs = bc.value[int(leaf)]
-                    u_ids = np.concatenate([payload[0], a_ids])
-                    u_X = np.concatenate([payload[1], a_X], axis=0)
-                    order = np.argsort(u_ids, kind="stable")
-                    new_payload: tuple = (u_ids[order], u_X[order])
-                    if len(payload) > 2:
-                        u_attrs = np.concatenate(
-                            [payload[2], a_attrs], axis=0
-                        )
-                        new_payload = (*new_payload, u_attrs[order])
-                    leaf_o.append(int(leaf))
-                    nvec_o.append(len(u_ids))
-                    blob_o.append(
-                        pickle.dumps(
-                            new_payload, protocol=pickle.HIGHEST_PROTOCOL
-                        )
-                    )
-                yield pd.DataFrame(
-                    {"leaf": leaf_o, "n_vectors": nvec_o, "blob": blob_o}
-                )
-
-        present = {
-            int(r["leaf"])
-            for r in self.blobs.filter(F.col("leaf").isin(affected))
-            .select("leaf").collect()
-        }
-        merged = (
-            self.blobs.filter(F.col("leaf").isin(sorted(present)))
-            .mapInPandas(merge, LEAF_BLOB_SCHEMA)
-        )
-        parts = [self.blobs.filter(~F.col("leaf").isin(affected)), merged]
-        missing = [c for c in affected if c not in present]
-        if missing:
-            rows_new = []
-            for c in missing:
-                a_ids, a_X, a_attrs = add[c]
-                order = np.argsort(a_ids, kind="stable")
-                payload: tuple = (a_ids[order], a_X[order])
-                if a_attrs is not None:
-                    payload = (*payload, a_attrs[order])
-                rows_new.append(
-                    (int(c), int(len(a_ids)),
-                     bytearray(pickle.dumps(
-                         payload, protocol=pickle.HIGHEST_PROTOCOL
-                     )))
-                )
-            parts.append(spark.createDataFrame(rows_new, LEAF_BLOB_SCHEMA))
-        new_blobs = parts[0]
-        for p in parts[1:]:
-            new_blobs = new_blobs.unionByName(p)
-        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
-            eager=True
-        )
-        self.n_leaves = new_blobs.count()
-        old_blobs = self.blobs
-        self.blobs = new_blobs
-        self._blobs_severed = True
-        old_blobs.unpersist()
-        _bump_hist_with_wave(self, attrs)
-        self._pending_snapshot_leaves = (
-            getattr(self, "_pending_snapshot_leaves", set()) | set(affected)
+        _keyed_refresh(
+            self, new_rows, "leaf", LEAF_BLOB_SCHEMA,
+            lambda X: _leaves(X, self._W, self._T, self._depth),
+            "_pending_snapshot_leaves", "n_leaves",
         )
         return self
 
@@ -5525,42 +5540,13 @@ class RptServingIndex:
     ) -> "RptServingIndex":
         """Incremental snapshot after :meth:`refresh` (round 13): only
         the leaves touched since the last snapshot, as a generation —
-        the tree arrays never refit on append. Self-contained restore;
-        same lineage + fold contract as
-        :meth:`CellServingIndex.snapshot_incremental`."""
-        spark = self._spark
-        manifest = _read_manifest(spark, path, type(self).__name__)
-        _check_incremental_lineage(self, path, manifest)
-        pending = sorted(getattr(self, "_pending_snapshot_leaves", set()))
-        gens = manifest.get("generations", [])
-        if pending and len(gens) >= max_generations:
-            return self.snapshot(
-                path, stream_batch_id=stream_batch_id,
-                stream_epoch=stream_epoch,
-            )
-        if pending:
-            gen = (max(g["gen"] for g in gens) + 1) if gens else 1
-            self.blobs.filter(
-                F.col("leaf").isin(pending)
-            ).write.mode("overwrite").parquet(f"{path}/blobs_gen_{gen}")
-            gens = gens + [{"gen": gen, "shards": [int(c) for c in pending]}]
-        manifest.update(
-            {
-                "blobs": _blob_fingerprint(self.blobs),
-                "generations": gens,
-                **_manifest_attr_fields(
-                    self._attr_cols, self._attribute_histogram
-                ),
-            }
+        the tree arrays never refit on append. See
+        :func:`_keyed_snapshot_incremental`."""
+        return _keyed_snapshot_incremental(
+            self, path, "leaf", "_pending_snapshot_leaves",
+            max_generations=max_generations,
+            stream_batch_id=stream_batch_id, stream_epoch=stream_epoch,
         )
-        if stream_batch_id is not None:
-            manifest["last_batch_id"] = int(stream_batch_id)
-        if stream_epoch is not None:
-            manifest["stream_epoch"] = str(stream_epoch)
-        _write_manifest(spark, path, manifest)
-        self._pending_snapshot_leaves = set()
-        self._snapshot_lineage = (path, *_lineage_token(manifest))
-        return self
 
     def snapshot(self, path: str,
                  stream_batch_id: "int | None" = None,
@@ -5643,6 +5629,9 @@ class RptServingIndex:
         # snapshot() on this path GCs the previous version — a cache-block
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
+        # storage_level is retained for API compatibility only: the
+        # checkpointed restore materializes at Spark's local-checkpoint
+        # default (MEMORY_AND_DISK), the same level as the old default.
         idx.blobs = (
             _resolve_generations(
                 spark, path,
@@ -6156,6 +6145,9 @@ class PcaServingIndex:
         # snapshot() on this path GCs the previous version — a cache-block
         # loss would then recompute from deleted files (FAILED_READ_FILE).
         # Same hazard ServingIndex/IvfPqServingIndex already sever.
+        # storage_level is retained for API compatibility only: the
+        # checkpointed restore materializes at Spark's local-checkpoint
+        # default (MEMORY_AND_DISK), the same level as the old default.
         idx.blobs = (
             _resolve_generations(
                 spark, path,

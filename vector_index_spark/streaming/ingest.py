@@ -80,27 +80,53 @@ def _epoch_ok(manifest_epoch: "str | None", epoch: "str | None") -> bool:
 
 
 def _skip_committed(spark, snapshot_path: str, batch_id: int,
-                    epoch: "str | None") -> bool:
-    """True when ``batch_id`` replays a wave this snapshot already
-    committed IN THE SAME stream epoch. A batch id at or below the
-    counter from a DIFFERENT epoch is a fresh stream whose ids restarted
-    at 0 — silently skipping it would drop its data (round 13, ADVICE),
-    so it applies normally (with a loud note; true duplicates still die
-    on append's id-primary-key check)."""
+                    epoch: "str | None") -> "tuple[bool, bool]":
+    """(skip, new_epoch): skip=True when ``batch_id`` replays a wave
+    this snapshot already committed IN THE SAME stream epoch. A batch
+    id at or below the counter from a DIFFERENT epoch is a fresh
+    stream whose ids restarted at 0 — silently skipping it would drop
+    its data (round 13, ADVICE), so it applies (with a loud note) and
+    ``new_epoch=True`` tells the caller to enforce the id-primary-key
+    contract explicitly: the graph route's append checks ids anyway,
+    but the compressed/cell twins append/merge unchecked and would
+    otherwise silently DUPLICATE a re-delivered old wave."""
     import warnings as _warnings
 
     committed, m_epoch = _committed_state(spark, snapshot_path)
     if batch_id > committed:
-        return False
+        return False, False
     if _epoch_ok(m_epoch, epoch):
-        return True
+        return True, False
     _warnings.warn(
         f"snapshot at {snapshot_path!r} carries committed batch "
         f"{committed} from a different stream epoch ({m_epoch!r}); "
         f"treating batch {batch_id} as a NEW stream's wave and applying "
         "it — replays within one stream keep the same checkpoint dir"
     )
-    return False
+    return False, True
+
+
+def _require_new_ids(wave: DataFrame, existing_ids: DataFrame,
+                     id_col: str, context: str) -> None:
+    """Raise the id-primary-key contract loudly (round 13 review): on
+    the epoch-mismatch apply path the compressed/cell twins must not
+    merge a wave whose ids already exist — that is an OLD stream's wave
+    re-delivered under a fresh checkpoint, and appending it would
+    silently duplicate corpus rows AND advance the fingerprint
+    consistently with the corruption. Paid only on that rare path."""
+    clash = wave.select(F.col(id_col).alias("id")).join(
+        existing_ids.select(F.col(id_col).alias("id")), "id", "semi"
+    ).limit(1).count()
+    if clash:
+        raise ValueError(
+            f"{context}: this wave's ids already exist in the maintained "
+            "state, but the wave arrived under a NEW stream epoch (fresh "
+            "checkpoint dir) with a batch id at or below the previously "
+            "committed counter — appending would duplicate rows. If this "
+            "is the SAME logical stream, restart it with the ORIGINAL "
+            "checkpoint dir; if it is genuinely new data, its ids must "
+            "be new (id-primary-key), or start a fresh snapshot path"
+        )
 
 
 def _carry_batch_id(spark, snapshot_path: str, serving_lineage,
@@ -134,23 +160,40 @@ def _wave_intent_path(snapshot_path: str) -> str:
     return f"{snapshot_path}/wave_intent"
 
 
-def _read_wave_intent(spark, snapshot_path: str) -> int:
+def _read_wave_intent(spark, snapshot_path: str) -> "tuple[int, str | None]":
+    """(batch id, stream epoch) of the last staked wave intent — epoch
+    None on legacy markers (round 12 wrote the bare batch id)."""
     from vector_index_spark.index.serving import _fs_read_bytes
 
     try:
-        return int(_fs_read_bytes(
+        raw = _fs_read_bytes(
             spark, _wave_intent_path(snapshot_path)
-        ).decode("utf-8"))
+        ).decode("utf-8")
     except Exception:
-        return -1
+        return -1, None
+    head, _, tail = raw.partition("\n")
+    return int(head), (tail or None)
 
 
-def _write_wave_intent(spark, snapshot_path: str, batch_id: int) -> None:
+def _intent_matches(spark, snapshot_path: str, batch_id: int,
+                    epoch: "str | None") -> bool:
+    """Whether a prior attempt of THIS wave may have partially applied:
+    the intent's batch id matches AND it belongs to the same stream
+    epoch (round 13 review: a stale intent from a crashed OLD-epoch
+    wave must not route a new stream's same-numbered batch onto the
+    crash-replay path, whose anti-join would silently drop colliding
+    rows). Legacy / epoch-less markers keep the round-12 behavior."""
+    got_batch, got_epoch = _read_wave_intent(spark, snapshot_path)
+    return got_batch == batch_id and _epoch_ok(got_epoch, epoch)
+
+
+def _write_wave_intent(spark, snapshot_path: str, batch_id: int,
+                       epoch: "str | None" = None) -> None:
     from vector_index_spark.index.serving import _fs_write_bytes
 
+    body = str(int(batch_id)) + (f"\n{epoch}" if epoch is not None else "")
     _fs_write_bytes(
-        spark, _wave_intent_path(snapshot_path),
-        str(int(batch_id)).encode("utf-8"),
+        spark, _wave_intent_path(snapshot_path), body.encode("utf-8"),
     )
 
 
@@ -205,9 +248,12 @@ def _graph_apply_wave(
     if "epoch" not in applied:
         applied["epoch"] = _stream_epoch(spark, checkpoint_dir)
     epoch = applied["epoch"]
-    if _skip_committed(spark, snapshot_path, batch_id, epoch):
+    skip, _new_epoch = _skip_committed(spark, snapshot_path, batch_id, epoch)
+    if skip:
         return  # replay of a fully committed wave (same stream epoch)
-    if _read_wave_intent(spark, snapshot_path) == batch_id:
+    # (a new-epoch wave whose ids collide dies loudly on
+    # append_to_index's id-primary-key check — no extra guard needed)
+    if _intent_matches(spark, snapshot_path, batch_id, epoch):
         # a prior attempt of THIS wave may have appended to the index
         # before crashing — dedup against the index's ids (the id scan
         # is paid only on this rare crash-replay path)
@@ -219,7 +265,7 @@ def _graph_apply_wave(
         ).join(existing, "id", "left_anti")
     else:
         new_rows = None  # fast path: append the wave as-is
-    _write_wave_intent(spark, snapshot_path, batch_id)
+    _write_wave_intent(spark, snapshot_path, batch_id, epoch)
     if new_rows is None:
         affected = append_to_index(
             spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
@@ -351,9 +397,19 @@ def _ivfpq_apply_wave(
     if "epoch" not in applied:
         applied["epoch"] = _stream_epoch(spark, checkpoint_dir)
     epoch = applied["epoch"]
-    if _skip_committed(spark, snapshot_path, batch_id, epoch):
+    skip, new_epoch = _skip_committed(spark, snapshot_path, batch_id, epoch)
+    if skip:
         return  # replay of a fully committed wave (same stream epoch)
-    replay = _read_wave_intent(spark, snapshot_path) == batch_id
+    if new_epoch:
+        # a fresh stream's wave applying over an old counter: enforce
+        # the id-primary-key contract loudly — this twin's corpus
+        # append has no downstream id check, so an OLD stream's wave
+        # re-delivered here would otherwise silently duplicate rows
+        _require_new_ids(
+            batch_df, spark.read.parquet(corpus_path), id_col,
+            "stream_compressed_maintain",
+        )
+    replay = _intent_matches(spark, snapshot_path, batch_id, epoch)
     if replay:
         # a prior attempt of THIS wave may have appended to the
         # corpus before crashing — dedup before re-appending
@@ -361,7 +417,7 @@ def _ivfpq_apply_wave(
         new_rows = batch_df.join(existing, id_col, "left_anti")
     else:
         new_rows = batch_df
-    _write_wave_intent(spark, snapshot_path, batch_id)
+    _write_wave_intent(spark, snapshot_path, batch_id, epoch)
     if not new_rows.isEmpty():
         new_rows.write.mode("append").parquet(corpus_path)
     spark.catalog.refreshByPath(corpus_path)
@@ -567,6 +623,8 @@ def _cell_apply_wave(
     serving, snapshot_path: str, applied: dict, max_generations: int,
     batch_df: DataFrame, batch_id: int,
     checkpoint_dir: "str | None" = None,
+    id_col: str = "id",
+    vec_col: str = "vec",
 ) -> None:
     """One micro-batch of :func:`stream_cell_maintain`'s transaction,
     module-level so the replay scenarios are directly testable. The
@@ -582,10 +640,25 @@ def _cell_apply_wave(
     if "epoch" not in applied:
         applied["epoch"] = _stream_epoch(spark, checkpoint_dir)
     epoch = applied["epoch"]
-    if _skip_committed(spark, snapshot_path, batch_id, epoch):
+    skip, new_epoch = _skip_committed(spark, snapshot_path, batch_id, epoch)
+    if skip:
         return  # replay of a fully committed wave (same stream epoch)
+    wave = batch_df
+    if (id_col, vec_col) != ("id", "vec"):
+        wave = batch_df.withColumnRenamed(id_col, "id").withColumnRenamed(
+            vec_col, "vec"
+        )
+    if new_epoch:
+        # a fresh stream's wave applying over an old counter: the merge
+        # path has no id check, so enforce id-primary-key loudly (the
+        # resident-id unpickling pass is paid only on this rare path)
+        from vector_index_spark.index.serving import _blob_ids
+
+        _require_new_ids(
+            wave, _blob_ids(serving.blobs), "id", "stream_cell_maintain",
+        )
     if applied["batch"] < batch_id:
-        serving.refresh(batch_df)
+        serving.refresh(wave)
         applied["batch"] = batch_id
     serving.snapshot_incremental(
         snapshot_path, max_generations=max_generations,
@@ -598,6 +671,8 @@ def stream_cell_maintain(
     serving,
     snapshot_path: str,
     checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
     available_now: bool = True,
     max_generations: int = 8,
 ):
@@ -633,6 +708,7 @@ def stream_cell_maintain(
         _cell_apply_wave(
             serving, snapshot_path, applied, max_generations,
             batch_df, batch_id, checkpoint_dir=checkpoint_dir,
+            id_col=id_col, vec_col=vec_col,
         )
 
     writer = (
