@@ -198,10 +198,72 @@ def cmd_waves_pq():
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cmd_waves_cell():
+    """Per-wave cost of the SELF-CONTAINED twin at ~512k: 10 waves of
+    ~10k rows through stream_cell_maintain's transaction
+    (_cell_apply_wave: affected-cell raw-vector merge -> incremental
+    snapshot), live queries between waves, restore after. The raw
+    float64 payloads are the largest of any route — the wave cost must
+    still track the wave's affected cells, never corpus size."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+    from vector_index_spark.streaming.ingest import _cell_apply_wave
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="r13-waves-cell")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="r13wc_")
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = _corpus_copies(emb, 256)  # ~512k
+        base.write.parquet(f"{work}/corpus")
+        train = spark.read.parquet(f"{work}/corpus")
+        test = emb.limit(10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        assigned, cents = build_ivf(train, n_centroids=64, replicas=1)
+        sidx = CellServingIndex(assigned, cents).warm()
+        snap = f"{work}/snap"
+        sidx.snapshot(snap)
+        print(json.dumps({"probe": "cell_512k_build_warm_snapshot",
+                          "rows": train.count(),
+                          "sec": round(time.time() - t0, 1)}), flush=True)
+        applied = {"batch": -1}
+        wave_src = _corpus_copies(emb, 50).select(
+            (F.col("id") + 10_000_000).alias("id"), "vec"
+        )
+        for w in range(10):
+            wave = wave_src.filter(
+                (F.col("id") % 10) == w
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            _cell_apply_wave(sidx, snap, applied, 8, wave, w)
+            t1 = time.time()
+            sidx.query(test, 100, nprobe=8).count()
+            t2 = time.time()
+            print(json.dumps({
+                "probe": "cell_maintain_wave", "wave": w,
+                "rows": wave.count(), "n_cells": int(sidx.n_cells),
+                "wave_txn_sec": round(t1 - t0, 2),
+                "live_query10_sec": round(t2 - t1, 2),
+            }), flush=True)
+        t0 = time.time()
+        r = CellServingIndex.from_snapshot(spark, snap)
+        print(json.dumps({"probe": "cell_restore_after_10_waves",
+                          "restore_sec": round(time.time() - t0, 2),
+                          "n_cells": r.blobs.count()}), flush=True)
+        r.unpersist()
+        sidx.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     cmds = {
         "recall500k_srp": cmd_recall500k_srp,
         "waves_pq": cmd_waves_pq,
+        "waves_cell": cmd_waves_cell,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         sys.exit(f"usage: stress_round13.py {{{'|'.join(cmds)}}}")
