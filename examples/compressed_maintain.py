@@ -46,8 +46,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", spark=None) -> bool:
         spark.sparkContext.setLogLevel("ERROR")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # cast once up front: the wave stream declares array<double>, and a
+    # corpus dir must hold ONE parquet type (the twin also aligns each
+    # wave to the corpus schema before appending, belt-and-suspenders)
     full = emb.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
     ).localCheckpoint(eager=True)
     k = 10
     n = full.count()

@@ -402,6 +402,40 @@ def test_stream_cell_maintain_serves_rpt_end_to_end(spark, waves, tmp_path):
     idx.unpersist()
 
 
+def test_wave_schema_aligns_to_corpus(spark, waves, tmp_path):
+    """Round-13 example-run find: a stream schema declared array<double>
+    over a FLOAT-seeded corpus wrote mixed-type parquet into one dir —
+    reads then failed nondeterministically depending on which footer
+    got sampled. The wave transaction now casts the wave to the corpus
+    files' types before appending."""
+    from pyspark.sql.types import ArrayType, FloatType
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+    from vector_index_spark.streaming.ingest import _ivfpq_apply_wave
+
+    full, first, wave1, _wave2, _test = waves
+    # seed the corpus as FLOAT (the raw-embedding storage type)
+    corpus = str(tmp_path / "corpus")
+    first.select(
+        "id", F.col("vec").cast("array<float>").alias("vec")
+    ).write.parquet(corpus)
+    enc, cents, books = build_ivfpq(first, n_centroids=8, replicas=1)
+    serving = IvfPqServingIndex(
+        enc.localCheckpoint(eager=True), cents, books,
+        spark.read.parquet(corpus),
+    ).warm()
+    snap = str(tmp_path / "snap")
+    serving.snapshot(snap, fingerprint_corpus=True)
+    # the wave arrives as array<double> (the stream-schema default)
+    _ivfpq_apply_wave(serving, corpus, snap, "id", "vec",
+                      {"batch": -1}, 8, wave1, 0)
+    back = spark.read.parquet(corpus)
+    assert isinstance(back.schema["vec"].dataType, ArrayType)
+    assert isinstance(back.schema["vec"].dataType.elementType, FloatType)
+    assert back.count() == first.count() + wave1.count()
+    serving.unpersist()
+
+
 def test_compressed_maintain_example_end_to_end(spark):
     """examples/compressed_maintain.py — seed -> streamed waves through
     stream_compressed_maintain -> validate=True restore -> parity with

@@ -409,6 +409,22 @@ def _ivfpq_apply_wave(
             batch_df, spark.read.parquet(corpus_path), id_col,
             "stream_compressed_maintain",
         )
+    # align the wave's column types to the corpus files' before the
+    # append (round 13): a stream schema declared array<double> over a
+    # float-seeded corpus would otherwise write MIXED-TYPE parquet into
+    # one directory — subsequent reads fail nondeterministically
+    # depending on which footer the reader samples (one footer read,
+    # cheap, once per wave)
+    cschema = {
+        f.name: f.dataType
+        for f in spark.read.parquet(corpus_path).schema.fields
+    }
+    batch_df = batch_df.select(
+        *(
+            F.col(c).cast(cschema[c]).alias(c) if c in cschema else F.col(c)
+            for c in batch_df.columns
+        )
+    )
     replay = _intent_matches(spark, snapshot_path, batch_id, epoch)
     if replay:
         # a prior attempt of THIS wave may have appended to the
