@@ -1,0 +1,451 @@
+"""Round-14 contracts.
+
+VERDICT r13 items: (3) segmented-checkpoint refresh — per-wave
+materialization is wave-sized, the lazy segment stack compacts at a
+bounded depth; (4) the one-ingest-wave convention on the refresh intake
+is ENFORCED (WaveCapExceeded, not a driver OOM); (5) scale-aware RPT
+probe default; (6) vectorized Misra-Gries pass 1 (guarantee unchanged —
+tests/test_heavy.py pins it).
+
+ADVICE r13: (medium) _skip_committed flags EVERY epoch-mismatched apply
+as new_epoch, independent of the batch-id comparison; (medium) the
+incremental snapshot paths stake/verify the writer-intent token;
+(low) the cell twin dedups a live-handle replayed wave via the
+wave-intent marker; (low) _collect_wave distinguishes missing vs
+duplicated train ids without a second action over new_rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def waves(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    full = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    first = full.filter(F.col("id") < 300).localCheckpoint(eager=True)
+    wave1 = full.filter(
+        (F.col("id") >= 300) & (F.col("id") < 400)
+    ).localCheckpoint(eager=True)
+    wave2 = full.filter(F.col("id") >= 400).localCheckpoint(eager=True)
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    ).limit(20).localCheckpoint(eager=True)
+    return full, first, wave1, wave2, test
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium 1: epoch-mismatch past the old counter still id-checks
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_mismatch_past_counter_flags_new_epoch(spark, tmp_path):
+    """_skip_committed: a wave under a DIFFERENT stream epoch whose
+    batch id EXCEEDS the old committed counter must still report
+    new_epoch=True — the caller's _require_new_ids is the only thing
+    between a re-delivered old-stream wave and silent duplication, and
+    the first commit adopts the new epoch, permanently masking the
+    gap."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.streaming.ingest import _skip_committed
+
+    p = str(tmp_path / "snap")
+    (tmp_path / "snap").mkdir()
+    S._fs_write_bytes(
+        spark, f"{p}/serving_manifest.json",
+        b'{"format_version": 1, "last_batch_id": 3, '
+        b'"stream_epoch": "old-epoch"}',
+    )
+    # same epoch: committed replay skips, fresh wave applies quietly
+    assert _skip_committed(spark, p, 3, "old-epoch") == (True, False)
+    assert _skip_committed(spark, p, 4, "old-epoch") == (False, False)
+    # new epoch at-or-below the counter: apply + id-check (round 13)
+    with pytest.warns(UserWarning, match="different stream epoch"):
+        assert _skip_committed(spark, p, 2, "new-epoch") == (False, True)
+    # new epoch PAST the counter: must ALSO apply + id-check (round 14,
+    # ADVICE) — this was the unguarded path
+    with pytest.warns(UserWarning, match="different stream epoch"):
+        assert _skip_committed(spark, p, 4, "new-epoch") == (False, True)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium 2: writer-intent token on the incremental snapshot paths
+# ---------------------------------------------------------------------------
+
+
+def _cut_in_during_fingerprint(monkeypatch, path):
+    """Stake a second writer's token between the generation-dir write
+    and the manifest commit (the _blob_fingerprint call sits exactly
+    there on every incremental path)."""
+    from vector_index_spark.index import serving as S
+
+    orig = S._blob_fingerprint
+
+    def cut_in(blobs):
+        out = orig(blobs)
+        S._fs_write_bytes(
+            spark_holder[0], f"{path}/writer_intent", b"second-writer"
+        )
+        return out
+
+    spark_holder = [None]
+    monkeypatch.setattr(S, "_blob_fingerprint", cut_in)
+    return spark_holder
+
+
+def test_incremental_snapshot_writer_race_raises(
+    spark, waves, tmp_path, monkeypatch
+):
+    """Two same-tip handles pass _check_incremental_lineage; the
+    round-14 token makes the interleaved generation-dir/manifest race a
+    typed SnapshotIntegrityError for the writer that was cut in on —
+    and the prior committed chain stays restorable."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.pq import encode_pq, train_pq
+
+    full, first, wave1, wave2, test = waves
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    idx = S.PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True), first, books
+    ).warm()
+    snap = str(tmp_path / "snap_pq_race")
+    idx.snapshot(snap)
+    union1 = first.unionByName(wave1).localCheckpoint(eager=True)
+    idx.refresh(wave1, union1)
+
+    holder = _cut_in_during_fingerprint(monkeypatch, snap)
+    holder[0] = spark
+    with pytest.raises(S.SnapshotIntegrityError, match="concurrent"):
+        idx.snapshot_incremental(snap)
+    monkeypatch.undo()
+    # the aborted generation never committed: the base restores and
+    # answers like a cold handle over the BASE corpus
+    restored = S.PqServingIndex.from_snapshot(spark, snap, first)
+    cold = S.PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True), first, books
+    ).warm()
+    assert _rows(restored.query(test, K)) == _rows(cold.query(test, K))
+    restored.unpersist()
+    cold.unpersist()
+    idx.unpersist()
+
+
+def test_keyed_incremental_writer_race_raises(
+    spark, waves, tmp_path, monkeypatch
+):
+    """Same contract on the keyed (self-contained) incremental path —
+    CellServingIndex has no restore-time corpus fingerprint to catch an
+    interleaved writer after the fact, so the token is the only
+    guard."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    snap = str(tmp_path / "snap_cell_race")
+    idx.snapshot(snap)
+    idx.refresh(wave1)
+
+    holder = _cut_in_during_fingerprint(monkeypatch, snap)
+    holder[0] = spark
+    with pytest.raises(S.SnapshotIntegrityError, match="concurrent"):
+        idx.snapshot_incremental(snap)
+    monkeypatch.undo()
+    S.CellServingIndex.from_snapshot(spark, snap).unpersist()
+    idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low 3: cell twin live-handle replay dedups via the wave intent
+# ---------------------------------------------------------------------------
+
+
+def test_cell_twin_live_handle_replay_no_duplicates(
+    spark, waves, tmp_path, monkeypatch
+):
+    """Refresh succeeded, snapshot commit failed, user restarts
+    stream_cell_maintain with the STILL-LIVE handle: _carry_batch_id
+    passes (lineage matches the committed manifest) and the replayed
+    wave would re-merge into blobs that already contain it. The
+    round-14 wave-intent marker routes the replay through an anti-join
+    against the resident ids — zero duplicates, and the commit then
+    lands."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.streaming import ingest as I
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    snap = str(tmp_path / "snap_cell_replay")
+    idx.snapshot(snap)
+    applied = {"batch": -1, "epoch": "epoch-A"}
+
+    # wave 0 applies; its snapshot commit CRASHES after the refresh
+    def boom(*a, **kw):
+        raise RuntimeError("injected commit crash")
+
+    monkeypatch.setattr(type(idx), "snapshot_incremental", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        I._cell_apply_wave(idx, snap, applied, 8, wave1, 0)
+    monkeypatch.undo()
+    n_after_refresh = sum(
+        r["n_vectors"] for r in idx.blobs.select("n_vectors").collect()
+    )
+    assert n_after_refresh == first.count() + wave1.count()
+
+    # live-handle restart: the maintain loop re-anchors a base snapshot
+    # with the carried counter, then Structured Streaming replays wave 0
+    carry = I._carry_batch_id(
+        spark, snap, getattr(idx, "_snapshot_lineage", None)
+    )
+    idx.snapshot(snap, stream_batch_id=carry, stream_epoch="epoch-A")
+    applied2 = {"batch": carry if carry is not None else -1,
+                "epoch": "epoch-A"}
+    I._cell_apply_wave(idx, snap, applied2, 8, wave1, 0)
+
+    n_after_replay = sum(
+        r["n_vectors"] for r in idx.blobs.select("n_vectors").collect()
+    )
+    assert n_after_replay == n_after_refresh  # no duplicates
+    # the commit landed: batch 0 now skips as committed
+    assert I._skip_committed(spark, snap, 0, "epoch-A") == (True, False)
+    # and the snapshot restores to the deduped state
+    restored = S.CellServingIndex.from_snapshot(spark, snap)
+    assert sum(
+        r["n_vectors"] for r in restored.blobs.select("n_vectors").collect()
+    ) == n_after_refresh
+    restored.unpersist()
+    idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low 4: _collect_wave distinguishes missing vs duplicated train ids
+# ---------------------------------------------------------------------------
+
+
+def test_collect_wave_missing_vs_duplicate_train_ids(spark, waves):
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.operators.filtered import dict_encode
+
+    full, first, wave1, wave2, test = waves
+    tagged = dict_encode(
+        first.withColumn("lang", (F.col("id") % 3).cast("string")), "lang"
+    )[0].localCheckpoint(eager=True)
+    wave_tagged = dict_encode(
+        wave1.withColumn("lang", (F.col("id") % 3).cast("string")), "lang"
+    )[0].localCheckpoint(eager=True)
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    idx = S.PqServingIndex(
+        encode_pq(tagged, books).localCheckpoint(eager=True), tagged, books,
+        attr_col="lang_code",
+    ).warm()
+
+    # train MISSING the wave's rows (not post-append): loud, named cause
+    with pytest.raises(ValueError, match="missing"):
+        idx.refresh(wave_tagged, tagged)
+
+    # train with DUPLICATED wave ids: the other cause, named distinctly
+    union = tagged.unionByName(wave_tagged)
+    dup_train = union.unionByName(wave_tagged)
+    with pytest.raises(ValueError, match="DUPLICATE"):
+        idx.refresh(wave_tagged, dup_train)
+
+    # and the correct post-append train still works
+    idx.refresh(wave_tagged, union.localCheckpoint(eager=True))
+    idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 4: the wave cap is enforced, typed
+# ---------------------------------------------------------------------------
+
+
+def test_wave_cap_enforced_flat_and_keyed(spark, waves):
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.pq import encode_pq, train_pq
+
+    full, first, wave1, wave2, test = waves
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    pq = S.PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True), first, books
+    ).warm()
+    pq.wave_row_cap = 10  # wave1 has 100 rows
+    union1 = first.unionByName(wave1).localCheckpoint(eager=True)
+    with pytest.raises(S.WaveCapExceeded, match="wave_row_cap"):
+        pq.refresh(wave1, union1)
+    pq.wave_row_cap = 100_000
+    pq.refresh(wave1, union1)  # under the cap: applies
+    pq.unpersist()
+
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    cell = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    cell.wave_row_cap = 10
+    with pytest.raises(S.WaveCapExceeded, match="wave_row_cap"):
+        cell.refresh(wave1)
+    cell.wave_row_cap = 100_000
+    cell.refresh(wave1)
+    cell.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 3: segmented-checkpoint refresh
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_refresh_is_segmented_and_compacts(spark, waves):
+    """Per-wave refresh checkpoints ONLY the wave-affected keys'
+    blobs (the segment stack grows by one leaf per wave); at the
+    resident-segment cap the stack compacts back to one checkpointed
+    relation — and answers stay byte-identical to a cold pack
+    throughout (test_round13_maintain pins the byte parity; this pins
+    the SHAPE of the materialization)."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    idx.max_resident_segments = 4
+    base_answers = None
+
+    w1a = wave1.filter(F.col("id") < 350)
+    w1b = wave1.filter(F.col("id") >= 350)
+    idx.refresh(w1a)
+    assert len(idx._seg_stack) == 2  # base leaf + wave segment
+    idx.refresh(w1b)
+    assert len(idx._seg_stack) == 3
+    idx.refresh(wave2)  # 4th leaf -> hits the cap -> compacts
+    assert idx._seg_stack == []
+    base_answers = _rows(idx.query(test, K, nprobe=8))
+
+    # cold pack over the union with the same frozen centroids
+    cent_rows = cents.orderBy("centroid_id").collect()
+    cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r["vec"], dtype=np.float64) for r in cent_rows]
+    )
+    union = full.toPandas()
+    X = np.stack(union["vec"].to_numpy()).astype(np.float64)
+    d = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+    union["centroid_id"] = cids[d.argmin(axis=1)]
+    cold = S.CellServingIndex(
+        spark.createDataFrame(
+            union[["id", "vec", "centroid_id"]]
+        ).localCheckpoint(eager=True),
+        cents,
+    ).warm()
+    assert base_answers == _rows(cold.query(test, K, nprobe=8))
+    cold.unpersist()
+    idx.unpersist()
+
+
+def test_flat_refresh_is_segmented(spark, waves, tmp_path):
+    """Flat routes checkpoint only the wave's single new blob; the
+    fold's compaction resets the stack and frees the leaves."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.pq import encode_pq, train_pq
+
+    full, first, wave1, wave2, test = waves
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    idx = S.PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True), first, books
+    ).warm()
+    union1 = first.unionByName(wave1).localCheckpoint(eager=True)
+    union2 = full
+    idx.refresh(wave1, union1)
+    assert len(idx._seg_stack) == 2  # base leaf + wave blob
+    idx.refresh(wave2, union2)
+    assert len(idx._seg_stack) == 3
+    # fold: snapshot_incremental past max_generations compacts
+    snap = str(tmp_path / "snap_flat_seg")
+    idx.snapshot(snap)
+    idx._pending_snapshot_parts = {
+        int(r["part"]) for r in idx.blobs.select("part").collect()
+    }
+    idx.snapshot_incremental(snap, max_generations=0)  # force the fold
+    assert idx._seg_stack == []  # compaction reset the stack
+    assert idx.n_blobs <= idx._n_serve
+    # answers unchanged after the fold
+    cold = S.PqServingIndex(
+        encode_pq(full, books).localCheckpoint(eager=True), full, books
+    ).warm()
+    assert _rows(idx.query(test, K)) == _rows(cold.query(test, K))
+    cold.unpersist()
+    idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 5: scale-aware RPT probe default
+# ---------------------------------------------------------------------------
+
+
+def test_rpt_default_probes_scales_with_leaves(spark):
+    """probes=None resolves scale-aware: a quarter of the leaves,
+    floored at 8 (the depth-4 recall gate's 0.95 point). On clustered
+    data (the regime tree indexes serve) DEFAULTS hold >= 0.95 recall
+    at BOTH depth 4 and depth 6 — a fixed probes=4 decays with depth
+    (0.712 at 128 leaves in the 500k probe, SCALE.md)."""
+    from vector_index_spark.index.rpt import (
+        assign_rpt,
+        default_probes,
+        rpt_knn,
+        train_rpt,
+    )
+    from vector_index_spark.operators.knn import knn_join
+
+    assert default_probes(8) == 8
+    assert default_probes(16) == 8
+    assert default_probes(128) == 32
+    assert default_probes(1024) == 256
+
+    rng = np.random.default_rng(11)
+    d, n_clusters = 32, 20
+    centers = rng.standard_normal((n_clusters, d)) * 4.0
+    X = np.concatenate(
+        [centers[i] + rng.standard_normal((100, d))
+         for i in range(n_clusters)]
+    )
+    Qm = centers[rng.integers(0, n_clusters, 60)] + rng.standard_normal(
+        (60, d)
+    )
+    train = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "id long, vec array<double>",
+    )
+    test = spark.createDataFrame(
+        [(int(i), [float(x) for x in Qm[i]]) for i in range(len(Qm))],
+        "qid long, vec array<double>",
+    )
+    exact = knn_join(test, train, K).select("qid", "id")
+    n_exact = exact.count()
+    for depth in (4, 6):
+        W, T = train_rpt(train, depth=depth, seed=7)
+        assigned = assign_rpt(train, W, T).localCheckpoint(eager=True)
+        got = rpt_knn(test, assigned, W, T, K)  # probes=None -> default
+        hits = got.select("qid", "id").intersect(exact).count()
+        assert hits / n_exact >= 0.95, f"depth={depth}"

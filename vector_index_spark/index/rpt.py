@@ -142,13 +142,29 @@ def _probe_leaves(
     return leaves
 
 
+def default_probes(n_leaves: int) -> int:
+    """Scale-aware probe default (round 14, VERDICT r13 item 5): a
+    FIXED probes=4 is a defaults-at-scale footgun — one random
+    projection tree's leaf boundaries cut ever more true-neighbor
+    pairs as leaves multiply (the 500k probe read recall 0.712 at
+    probes=8 over 128 leaves, while 32 probes read 0.9998 — SCALE.md),
+    so the default grows with the tree: a quarter of the leaves,
+    floored at 8 (the depth-4 recall gate's 0.95 point — a tiny tree
+    defaults to near-exhaustive coverage, which is cheap exactly when
+    the tree is tiny). Callers tuning latency pass ``probes``
+    explicitly; recall at DEFAULTS then holds across corpus scale
+    instead of silently decaying (0.712 at a fixed probes=8 over 128
+    leaves at 500k; 0.9998 at 32 — SCALE.md)."""
+    return max(8, int(n_leaves) // 4)
+
+
 def rpt_knn(
     test: DataFrame,
     assigned: DataFrame,
     normals: np.ndarray,
     thresholds: np.ndarray,
     k: int,
-    probes: int = 4,
+    probes: "int | None" = None,
     qid_col: str = "qid",
     vec_col: str = "vec",
 ) -> DataFrame:
@@ -167,6 +183,8 @@ def rpt_knn(
     the route ~9x slower than IVF at the same recall."""
     spark = test.sparkSession
     depth = int(np.log2(len(normals) + 1))
+    if probes is None:
+        probes = default_probes(2 ** depth)
     bc = spark.sparkContext.broadcast((normals, thresholds, depth, probes))
     from pyspark.sql.functions import pandas_udf
 

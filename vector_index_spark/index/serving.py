@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from vector_index_spark.index.graph import graph_from_rows, query_shard
+from vector_index_spark.index.rpt import default_probes as _rpt_default_probes
 from vector_index_spark.index.searcher import (
     RESULT_SCHEMA,
     _merge_topk,
@@ -62,6 +63,93 @@ class SnapshotIntegrityError(ValueError):
     relation, or a cold corpus that drifted since the snapshot was
     taken. Raised INSTEAD of silently re-ranking against mismatched
     vectors (wrong ids, no error — the round-9 verdict's hazard)."""
+
+
+# refresh() materializes the ingest wave on the driver (ids + vectors,
+# numpy-side encode with the handle's frozen model). The cap makes the
+# "one micro-batch wave" convention an ENFORCED contract (round 14,
+# VERDICT r13 item 4): an oversized wave raises WaveCapExceeded instead
+# of OOMing the driver. Override per handle via ``wave_row_cap``.
+WAVE_ROW_CAP = 2_000_000
+
+
+class WaveCapExceeded(ValueError):
+    """refresh(new_rows, ...) was handed more rows than the wave cap —
+    the refresh intake is a driver-side materialization sized for one
+    ingest micro-batch. Split the relation into micro-batch waves (the
+    streaming maintain twins do this), or rebuild cold with the bulk
+    builder (pack_*/warm()), or raise ``handle.wave_row_cap``."""
+
+
+def _require_wave_cap(idx, n_rows: int, cap: int) -> None:
+    if n_rows > cap:
+        raise WaveCapExceeded(
+            f"refresh wave exceeds the {cap}-row cap "
+            f"({type(idx).__name__}.wave_row_cap): the refresh intake "
+            "materializes one ingest micro-batch on the driver. Split "
+            "the input into micro-batch waves (see the streaming "
+            "maintain twins), rebuild cold with the bulk builder, or "
+            "raise wave_row_cap explicitly if the driver can hold it"
+        )
+
+
+# resident-blob segment stack (round 14, VERDICT r13 item 3): refresh
+# checkpoints ONLY the wave's merged/new segment and stacks it lazily
+# over the prior (already-checkpointed, immutable) leaves, so per-wave
+# materialization cost is wave-sized instead of corpus-sized. The lazy
+# stack compacts back to one checkpointed relation every
+# MAX_RESIDENT_SEGMENTS waves (full-corpus copy, amortized) — bounding
+# plan depth, task-count growth, and the stale-row memory the replaced
+# cells/keys accumulate between compactions.
+MAX_RESIDENT_SEGMENTS = 16
+
+
+def _track_segment(idx, seg) -> None:
+    """Record a freshly-checkpointed blob segment as a live leaf of
+    ``idx.blobs``; compact when the stack hits the cap. The PREVIOUS
+    ``idx.blobs`` must already be a leaf of the new plan (the caller
+    unions over it), so the first call adopts it as the base leaf."""
+    stack = getattr(idx, "_seg_stack", None)
+    if not stack:
+        stack = []
+        idx._seg_stack = stack
+    stack.append(seg)
+    if len(stack) >= getattr(
+        idx, "max_resident_segments", MAX_RESIDENT_SEGMENTS
+    ):
+        _compact_resident(idx)
+
+
+def _compact_resident(idx) -> None:
+    """Fold the lazy segment stack back into ONE checkpointed relation
+    (corpus-sized copy — paid every MAX_RESIDENT_SEGMENTS waves, the
+    same amortization class as the snapshot fold) and free every old
+    leaf's blocks."""
+    old_leaves = list(getattr(idx, "_seg_stack", []))
+    idx.blobs = idx.blobs.repartition(idx._n_serve).localCheckpoint(
+        eager=True
+    )
+    for leaf in old_leaves:
+        leaf.unpersist()
+    idx._seg_stack = []
+
+
+def _adopt_base_leaf(idx) -> None:
+    """Make the CURRENT (checkpointed) ``idx.blobs`` the segment
+    stack's base leaf before a refresh stacks a lazy union over it —
+    so compaction/unpersist can free its blocks later."""
+    if not getattr(idx, "_seg_stack", None):
+        idx._seg_stack = [idx.blobs]
+
+
+def _unpersist_blobs(idx) -> None:
+    """Free the resident blob relation AND every checkpointed segment
+    leaf beneath it (``blobs.unpersist()`` alone is a no-op once blobs
+    is a lazy union over checkpointed segments)."""
+    idx.blobs.unpersist()
+    for leaf in getattr(idx, "_seg_stack", []):
+        leaf.unpersist()
+    idx._seg_stack = []
 
 
 def _fs_write_bytes(spark, path: str, data: bytes) -> None:
@@ -1165,7 +1253,7 @@ class ServingIndex:
         return self
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -1278,6 +1366,13 @@ class ServingIndex:
                 path, stream_batch_id=stream_batch_id,
                 stream_epoch=stream_epoch,
             )
+        # stake the writer-intent token on the INCREMENTAL path too
+        # (round 14, ADVICE): two handles restored from the same
+        # manifest tip carry identical lineage tokens and would both
+        # pass the lineage check, then race the same blobs_gen_N dir
+        # and the manifest — same interleaved-writer corruption the
+        # full-snapshot guard covers, same typed-error fix
+        _wtoken = _acquire_snapshot_write(spark, path)
         if pending:
             gen = (max(g["gen"] for g in gens) + 1) if gens else 1
             self.blobs.filter(
@@ -1318,6 +1413,7 @@ class ServingIndex:
             manifest["last_batch_id"] = int(stream_batch_id)
         if stream_epoch is not None:
             manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(spark, path, _wtoken)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_shards = set()
         self._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -2132,7 +2228,7 @@ class CellServingIndex:
         return _bytes_resident(self.blobs)
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -2608,9 +2704,11 @@ def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
     """Driver-side wave materialization shared by the compressed-route
     refresh paths (round 13, VERDICT r12 item 5): select (id, vec[,
     attr codes — joined from ``attr_source`` when given, read off
-    ``new_rows`` itself otherwise]), toPandas (bounded: one ingest
-    wave), return (ids int64, X float64, attrs or None) — or None for
-    an empty wave. Mirrors IvfPqServingIndex.refresh's intake.
+    ``new_rows`` itself otherwise]), toPandas capped at
+    ``idx.wave_row_cap`` rows (round 14: the one-ingest-wave bound is
+    ENFORCED — an oversized wave raises :class:`WaveCapExceeded`
+    instead of OOMing the driver), return (ids int64, X float64,
+    attrs or None) — or None for an empty wave. Mirrors IvfPqServingIndex.refresh's intake.
     ``reset_hist=False`` leaves the strategy histogram for the caller
     to advance incrementally (the self-contained classes, whose source
     relation is gone after a restore)."""
@@ -2625,29 +2723,48 @@ def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
     joined_attrs = False
     if idx._attr_cols is not None:
         if attr_source is not None:
+            # LEFT join (round 14, ADVICE): the precondition checks
+            # ("train is the POST-APPEND corpus; ids unique in it")
+            # then read off the collected wave itself — a missing
+            # train id surfaces as a NULL attr code (the build-side
+            # code is never null: NULL attrs map to a sentinel), a
+            # duplicated train id as a duplicated wave id. No second
+            # action over new_rows, and the two causes report
+            # distinctly instead of both blaming "missing" rows.
             rows = rows.join(
                 attr_source.select(
                     F.col(idx._id_col).alias("id"),
                     *_attr_code_exprs(attr_source, idx._attr_cols),
                 ),
                 "id",
+                "left",
             )
             joined_attrs = True
         if reset_hist:
             idx._attr_hist = None  # contents changed; histogram is stale
-    wave = rows.toPandas()
-    if joined_attrs and len(wave) != new_rows.count():
-        # the docstring precondition ("train is the POST-APPEND corpus;
-        # the wave's ids must already be in it") enforced loudly (round
-        # 13 review): the attribute id-join would otherwise silently
-        # drop the missing rows from the serving blobs forever while
-        # the snapshot advances — one wave-sized count on this path
-        raise ValueError(
-            "refresh(new_rows, train): some wave ids are missing from "
-            "the passed train relation — train must be the POST-APPEND "
-            "cold corpus containing every wave row (its attribute "
-            "columns ride the id-join into the resident blobs)"
-        )
+    cap = int(getattr(idx, "wave_row_cap", WAVE_ROW_CAP))
+    wave = rows.limit(cap + 1).toPandas()  # bounded collect, ONE action
+    _require_wave_cap(idx, len(wave), cap)
+    if joined_attrs and len(wave):
+        if wave["__attr0"].isna().any():
+            # enforced loudly (round 13 review): the id-join would
+            # otherwise silently drop the missing rows from the
+            # serving blobs forever while the snapshot advances
+            raise ValueError(
+                "refresh(new_rows, train): some wave ids are missing "
+                "from the passed train relation — train must be the "
+                "POST-APPEND cold corpus containing every wave row "
+                "(its attribute columns ride the id-join into the "
+                "resident blobs)"
+            )
+        if wave["id"].duplicated().any():
+            raise ValueError(
+                "refresh(new_rows, train): the passed train relation "
+                "carries DUPLICATE rows for some wave ids — the "
+                "attribute id-join would multiply those wave rows "
+                "into the resident blobs; ids must be unique in train "
+                "(id-primary-key)"
+            )
     if len(wave) == 0:
         return None
     ids = wave["id"].to_numpy(dtype=np.int64)
@@ -2704,13 +2821,18 @@ def _flat_refresh(idx, new_rows: DataFrame, attr_source, mats_of,
           bytearray(pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)))],
         CODE_BLOB_SCHEMA,
     )
-    old_blobs = idx.blobs
-    # eager localCheckpoint (not persist): severs lineage into the
-    # wave's source files — see ServingIndex.warm()
-    idx.blobs = old_blobs.unionByName(new_blob).localCheckpoint(eager=True)
+    # segmented checkpoint (round 14, VERDICT r13 item 3): checkpoint
+    # ONLY the wave's blob (severs lineage into the wave's source
+    # files — see ServingIndex.warm()) and stack it lazily over the
+    # prior immutable leaves, so the per-wave copy is wave-sized, not
+    # corpus-sized; the stack compacts every MAX_RESIDENT_SEGMENTS
+    # waves (_track_segment) and at the snapshot fold
+    _adopt_base_leaf(idx)
+    seg = new_blob.coalesce(1).localCheckpoint(eager=True)
+    idx.blobs = idx.blobs.unionByName(seg)
+    _track_segment(idx, seg)
     idx.n_blobs = idx.blobs.count()
     idx._blobs_severed = True
-    old_blobs.unpersist()
     idx._dup_multiplicity = None  # contents changed; re-probe lazily
     idx._pending_snapshot_parts = (
         getattr(idx, "_pending_snapshot_parts", set()) | {next_part}
@@ -2759,6 +2881,7 @@ def _flat_compact_blobs(idx) -> None:
         )
 
     old_blobs = idx.blobs
+    old_leaves = list(getattr(idx, "_seg_stack", []))
     idx.blobs = (
         old_blobs.repartition(idx._n_serve)
         .mapInPandas(merge, CODE_BLOB_SCHEMA)
@@ -2767,6 +2890,9 @@ def _flat_compact_blobs(idx) -> None:
     idx.n_blobs = idx.blobs.count()
     idx._blobs_severed = True
     old_blobs.unpersist()
+    for leaf in old_leaves:  # free the lazy union's segment leaves too
+        leaf.unpersist()
+    idx._seg_stack = []
 
 
 def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
@@ -2784,7 +2910,11 @@ def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
     cols = [F.col("id"), F.col("vec")]
     if idx._attr_cols is not None:
         cols.extend(_attr_code_exprs(new_rows, idx._attr_cols))
-    wave = new_rows.select(*cols).toPandas()  # bounded: one ingest wave
+    cap = int(getattr(idx, "wave_row_cap", WAVE_ROW_CAP))
+    # bounded collect, one action: the one-ingest-wave convention is
+    # ENFORCED (round 14) — an oversized wave raises instead of OOMing
+    wave = new_rows.select(*cols).limit(cap + 1).toPandas()
+    _require_wave_cap(idx, len(wave), cap)
     if len(wave) == 0:
         return
     ids = wave["id"].to_numpy(dtype=np.int64)
@@ -2847,7 +2977,7 @@ def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
         idx.blobs.filter(F.col(key_col).isin(sorted(present)))
         .mapInPandas(merge, schema)
     )
-    parts = [idx.blobs.filter(~F.col(key_col).isin(affected)), merged]
+    parts = [merged]
     missing = [c for c in affected if c not in present]
     if missing:
         # a key whose blob row didn't exist (it had zero rows): the
@@ -2866,19 +2996,26 @@ def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
                  )))
             )
         parts.append(spark.createDataFrame(rows_new, schema))
-    new_blobs = parts[0]
+    seg_plan = parts[0]
     for p in parts[1:]:
-        new_blobs = new_blobs.unionByName(p)
-    # eager localCheckpoint (not persist): severs lineage into the
-    # wave's source files — see ServingIndex.warm()
-    new_blobs = new_blobs.repartition(idx._n_serve).localCheckpoint(
-        eager=True
-    )
-    setattr(idx, count_attr, new_blobs.count())
-    old_blobs = idx.blobs
-    idx.blobs = new_blobs
+        seg_plan = seg_plan.unionByName(p)
+    # segmented checkpoint (round 14, VERDICT r13 item 3): materialize
+    # ONLY the wave-affected keys' merged/new blobs (an eager
+    # localCheckpoint — severs lineage into the wave's source files,
+    # see ServingIndex.warm()); every unaffected blob carries over as
+    # a lazy filter of the prior immutable leaves, so the per-wave
+    # copy is affected-key-sized, not corpus-sized. The stack compacts
+    # every MAX_RESIDENT_SEGMENTS waves (_track_segment).
+    seg = seg_plan.coalesce(
+        max(1, min(idx._n_serve, len(affected)))
+    ).localCheckpoint(eager=True)
+    _adopt_base_leaf(idx)
+    idx.blobs = idx.blobs.filter(
+        ~F.col(key_col).isin(affected)
+    ).unionByName(seg)
+    _track_segment(idx, seg)
+    setattr(idx, count_attr, idx.blobs.count())
     idx._blobs_severed = True
-    old_blobs.unpersist()
     _bump_hist_with_wave(idx, attrs)
     setattr(
         idx, pending_attr,
@@ -2908,6 +3045,11 @@ def _keyed_snapshot_incremental(
             path, stream_batch_id=stream_batch_id,
             stream_epoch=stream_epoch,
         )
+    # writer-intent token on the incremental path (round 14, ADVICE):
+    # two same-tip handles pass the lineage check and would race the
+    # generation dir + manifest — stake before the dir write, verify
+    # before the manifest commit (see _acquire_snapshot_write)
+    _wtoken = _acquire_snapshot_write(spark, path)
     if pending:
         gen = (max(g["gen"] for g in gens) + 1) if gens else 1
         idx.blobs.filter(
@@ -2925,6 +3067,7 @@ def _keyed_snapshot_incremental(
         manifest["last_batch_id"] = int(stream_batch_id)
     if stream_epoch is not None:
         manifest["stream_epoch"] = str(stream_epoch)
+    _commit_snapshot_write(spark, path, _wtoken)
     _write_manifest(spark, path, manifest)
     setattr(idx, pending_attr, set())
     idx._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -2972,6 +3115,9 @@ def _flat_snapshot_incremental(
             stream_batch_id=stream_batch_id,
             stream_epoch=stream_epoch,
         )
+    # writer-intent token on the incremental path (round 14, ADVICE) —
+    # see _keyed_snapshot_incremental
+    _wtoken = _acquire_snapshot_write(spark, path)
     if self_contained:
         corpus_fp = None
     elif fingerprint_corpus:
@@ -3000,6 +3146,7 @@ def _flat_snapshot_incremental(
         manifest["last_batch_id"] = int(stream_batch_id)
     if stream_epoch is not None:
         manifest["stream_epoch"] = str(stream_epoch)
+    _commit_snapshot_write(spark, path, _wtoken)
     _write_manifest(spark, path, manifest)
     idx._pending_snapshot_parts = set()
     idx._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -3528,7 +3675,7 @@ class PqServingIndex:
         )
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -4058,7 +4205,7 @@ class SqServingIndex:
         )
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -4583,6 +4730,9 @@ class IvfPqServingIndex:
                 stream_batch_id=stream_batch_id,
                 stream_epoch=stream_epoch,
             )
+        # writer-intent token on the incremental path (round 14,
+        # ADVICE) — see _keyed_snapshot_incremental
+        _wtoken = _acquire_snapshot_write(spark, path)
         if fingerprint_corpus:
             corpus_fp = _corpus_fingerprint(
                 self._train, self._id_col, self._vec_col
@@ -4615,6 +4765,7 @@ class IvfPqServingIndex:
             manifest["last_batch_id"] = int(stream_batch_id)
         if stream_epoch is not None:
             manifest["stream_epoch"] = str(stream_epoch)
+        _commit_snapshot_write(spark, path, _wtoken)
         _write_manifest(spark, path, manifest)
         self._pending_snapshot_cells = set()
         self._snapshot_lineage = (path, *_lineage_token(manifest))
@@ -4685,7 +4836,7 @@ class IvfPqServingIndex:
         return _bytes_resident(self.blobs, (self._C, self._books))
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -5660,7 +5811,7 @@ class RptServingIndex:
         k: int,
         lo_col: str = "lo",
         hi_col: str = "hi",
-        probes: int = 4,
+        probes: "int | None" = None,
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
@@ -5672,7 +5823,10 @@ class RptServingIndex:
         resident and leaves partition the corpus, so full coverage is
         exact — no cold-corpus pass needed), all groups sharing each
         leaf's unpickle and one grouped-GEMM kernel call — no
-        distinct-window cap."""
+        distinct-window cap. ``probes`` defaults scale-aware
+        (:func:`vector_index_spark.index.rpt.default_probes`)."""
+        if probes is None:
+            probes = _rpt_default_probes(2 ** self._depth)
         return _single_pass_window_query(
             self, test, k, lo_col, hi_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -5688,7 +5842,7 @@ class RptServingIndex:
         test: DataFrame,
         k: int,
         qattr_col="attr",
-        probes: int = 4,
+        probes: "int | None" = None,
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 65_536,
@@ -5699,6 +5853,8 @@ class RptServingIndex:
         (exact), large tenants probe boosted leaf sets — no
         distinct-tenant cap (the tenant analogue of
         :meth:`query_by_window`)."""
+        if probes is None:
+            probes = _rpt_default_probes(2 ** self._depth)
         return _single_pass_attr_query(
             self, test, k, qattr_col, qid_col, vec_col,
             max_queries_per_batch, auto_boost,
@@ -5813,7 +5969,7 @@ class RptServingIndex:
         )
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []
@@ -5822,7 +5978,7 @@ class RptServingIndex:
         self,
         test: DataFrame,
         k: int,
-        probes: int = 4,
+        probes: "int | None" = None,
         qid_col: str = "qid",
         vec_col: str = "vec",
         max_queries_per_batch: int = 100_000,
@@ -5848,6 +6004,8 @@ class RptServingIndex:
             if allowed is not None
             else None
         )
+        if probes is None:
+            probes = _rpt_default_probes(2 ** self._depth)
         eff_probes = probes
         if allows is not None and auto_boost:
             from vector_index_spark.operators.filtered import (
@@ -6314,7 +6472,7 @@ class PcaServingIndex:
         )
 
     def unpersist(self) -> None:
-        self.blobs.unpersist()
+        _unpersist_blobs(self)
         for b in self._live_bcs:
             b.unpersist(blocking=False)
         self._live_bcs = []

@@ -293,6 +293,95 @@ class NotIn:
         self.excluded = state
 
 
+class TupleIn:
+    """Explicit allow-list of attribute TUPLES (round 14, VERDICT r13
+    item 8): ``TupleIn((en, web), (fr, book), ...)`` matches rows whose
+    attribute tuple is IN the set — the entity-allow-list predicate
+    real filtered-ANN users hit ("these 10k (tenant, shard) pairs").
+    Expressible as :class:`AnyOf` with one singleton conjunction per
+    tuple, but that evaluates D masks per row batch (O(D*n)); this
+    spec packs the m attribute columns into one structured view and
+    answers membership with a SINGLE vectorized ``np.isin`` over the
+    sorted tuple array (O(n log D)) — and the exact/pushdown side is
+    one broadcast IN over a packed struct instead of a D-term OR
+    plan. Accepted everywhere ``allowed`` is: exact paths, the facade,
+    the graph beam, and all seven serving classes' resident masks.
+    NULL-attributed rows never match (sentinel-coded tuples are
+    refused, same as :class:`NotIn`)."""
+
+    __slots__ = ("tuples", "arity", "_arr")
+
+    def __init__(self, *tuples):
+        if len(tuples) == 1 and not isinstance(
+            tuples[0], (tuple, list)
+        ):
+            raise ValueError(
+                "TupleIn takes attribute tuples: TupleIn((a, b), (c, d))"
+            )
+        if len(tuples) == 1 and isinstance(tuples[0], (list, set, frozenset)):
+            tuples = tuple(tuples[0])  # TupleIn([...]) collection form
+        if not tuples:
+            raise ValueError("TupleIn needs at least one tuple")
+        norm = set()
+        arity = None
+        for t in tuples:
+            tt = tuple(int(v) for v in t)
+            if arity is None:
+                arity = len(tt)
+            elif len(tt) != arity:
+                raise ValueError(
+                    f"TupleIn tuples must share one arity, got {len(tt)} "
+                    f"and {arity}"
+                )
+            if NULL_ATTR_CODE in tt:
+                raise ValueError(
+                    "TupleIn cannot name the NULL-attribute sentinel; "
+                    "NULL rows never match any filter"
+                )
+            norm.add(tt)
+        self.tuples = frozenset(norm)
+        self.arity = arity
+        self._arr = None
+
+    def sorted_array(self):
+        """The allow-list as a lexicographically sorted (D, arity)
+        int64 array (cached — built once, broadcast with the spec)."""
+        if self._arr is None:
+            import numpy as np
+
+            arr = np.array(sorted(self.tuples), dtype=np.int64)
+            self._arr = np.ascontiguousarray(arr)
+        return self._arr
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, TupleIn) and self.tuples == other.tuples
+
+    def __hash__(self) -> int:
+        return hash((TupleIn, self.tuples))
+
+    def __repr__(self) -> str:
+        return f"TupleIn({sorted(self.tuples)!r})"
+
+    def __getstate__(self):
+        # ship the sorted array when already built, so executors skip
+        # the per-task D log D rebuild from the frozenset
+        return (self.tuples, self.arity, self._arr)
+
+    def __setstate__(self, state):
+        self.tuples, self.arity, self._arr = state
+
+
+def _tuple_view(arr):
+    """A contiguous (n, m) int64 array as a 1-D structured view — rows
+    compare as whole tuples, so ``np.isin`` answers m-column tuple
+    membership in one vectorized pass."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.int64)
+    fields = [(f"f{i}", np.int64) for i in range(arr.shape[1])]
+    return arr.view(fields).ravel()
+
+
 class AnyOf:
     """OR of conjunctions (round 8): ``AnyOf(conj1, conj2, ...)`` where
     each conjunction is anything :func:`normalize_allowed` accepts for
@@ -390,6 +479,16 @@ def normalize_allowed(allowed, n_attrs: int):
     conjunction_predicate / the histogram match count)."""
     if isinstance(allowed, DnfSpec):
         return allowed  # already normalized (idempotent re-entry)
+    if isinstance(allowed, TupleIn):
+        # first-class normalized spec (round 14): arity must match the
+        # index's attribute count — a mismatch silently matching
+        # nothing is the failure mode this check exists for
+        if allowed.arity != n_attrs:
+            raise ValueError(
+                f"TupleIn tuples have arity {allowed.arity} but the "
+                f"index filters {n_attrs} attribute(s)"
+            )
+        return allowed
     if isinstance(allowed, AnyOf):
         return DnfSpec(
             normalize_allowed(c, n_attrs) for c in allowed.conjunctions
@@ -492,6 +591,13 @@ def conjunction_mask(attrs, allows) -> "object":
         for conj in allows.disjuncts[1:]:
             mask |= conjunction_mask(attrs, conj)
         return mask
+    if isinstance(allows, TupleIn):
+        # one vectorized structured-view membership test — O(n log D),
+        # not the O(D*n) of the equivalent D-disjunct DNF mask
+        a = np.asarray(attrs)
+        if a.ndim == 1:
+            a = a[:, None]
+        return np.isin(_tuple_view(a), _tuple_view(allows.sorted_array()))
     a = np.asarray(attrs)
     if a.ndim == 1:
         a = a[:, None]
@@ -509,6 +615,9 @@ def allow_arrays(allows):
 
     if isinstance(allows, DnfSpec):
         return DnfSpec(allow_arrays(c) for c in allows.disjuncts)
+    if isinstance(allows, TupleIn):
+        allows.sorted_array()  # materialize the cache pre-broadcast
+        return allows
     return tuple(
         vs
         if isinstance(vs, (RangeSpec, NotIn))
@@ -523,6 +632,8 @@ def conjunction_matches(key, allows) -> bool:
     alike)."""
     if isinstance(allows, DnfSpec):
         return any(conjunction_matches(key, c) for c in allows.disjuncts)
+    if isinstance(allows, TupleIn):
+        return tuple(int(v) for v in key) in allows.tuples
     return all(key[j] in allows[j] for j in range(len(allows)))
 
 
@@ -551,6 +662,20 @@ def conjunction_predicate(attr_cols, allows) -> Column:
         for conj in allows.disjuncts[1:]:
             pred = pred | conjunction_predicate(attr_cols, conj)
         return pred
+    if isinstance(allows, TupleIn):
+        # ONE struct-IN node instead of a D-term OR plan tree — the
+        # analyzer folds it to a hash-set lookup; a 10k-tuple allow
+        # list stays one predicate, not 10k plan nodes
+        packed = F.struct(
+            *(F.col(c).cast("long").alias(f"f{i}")
+              for i, c in enumerate(attr_cols))
+        )
+        return packed.isin([
+            F.struct(
+                *(F.lit(int(v)).alias(f"f{i}") for i, v in enumerate(t))
+            )
+            for t in sorted(allows.tuples)
+        ])
     pred = _predicate_one(attr_cols[0], allows[0])
     for c, vs in zip(attr_cols[1:], allows[1:]):
         pred = pred & _predicate_one(c, vs)

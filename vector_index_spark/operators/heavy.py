@@ -40,22 +40,30 @@ def _mg_summaries(items: DataFrame, capacity: int) -> DataFrame:
     def summarize(batches):
         import pandas as pd
 
-        counts: dict[str, int] = {}
+        # vectorized pass (round 14, VERDICT r13 item 6): per Arrow
+        # batch, an exact ``value_counts`` summary, then the standard
+        # Misra-Gries MERGE (Agarwal et al. 2013): pointwise-sum the
+        # summaries and, past capacity, subtract the (capacity+1)-th
+        # largest count from every key and drop the non-positives.
+        # Each such decrement of d removes >= d*(capacity+1) total
+        # count, so the summed undercount stays <= n_p/(capacity+1) —
+        # the identical guarantee as the per-row update, ~10x cheaper
+        # (no per-row Python loop on this bench-headline path).
+        summary = None
         for pdf in batches:
-            for w in pdf["item"]:
-                if w in counts:
-                    counts[w] += 1
-                elif len(counts) < capacity:
-                    counts[w] = 1
-                else:
-                    dead = [k for k in counts if counts[k] == 1]
-                    for k in counts:
-                        counts[k] -= 1
-                    for k in dead:
-                        del counts[k]
-        if counts:
+            vc = pdf["item"].value_counts()
+            summary = vc if summary is None else summary.add(
+                vc, fill_value=0
+            )
+            if len(summary) > capacity:
+                d = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary[summary > d] - d
+        if summary is not None and len(summary):
             yield pd.DataFrame(
-                {"item": list(counts.keys()), "est": list(counts.values())}
+                {
+                    "item": summary.index.to_numpy(),
+                    "est": summary.to_numpy(dtype="int64"),
+                }
             )
 
     return items.mapInPandas(summarize, "item string, est long")

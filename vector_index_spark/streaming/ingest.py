@@ -93,10 +93,15 @@ def _skip_committed(spark, snapshot_path: str, batch_id: int,
     import warnings as _warnings
 
     committed, m_epoch = _committed_state(spark, snapshot_path)
-    if batch_id > committed:
-        return False, False
     if _epoch_ok(m_epoch, epoch):
-        return True, False
+        return (batch_id <= committed), False
+    # manifest epoch != stream epoch: EVERY first-wave-under-a-new-epoch
+    # apply gets new_epoch=True, independent of the batch-id comparison
+    # (round 14, ADVICE): a re-delivered old-stream wave numbered PAST
+    # the old counter would otherwise apply without the id check and
+    # silently duplicate rows — and the commit would adopt the new
+    # epoch, permanently masking the gap. Cost: one id scan per epoch
+    # change (the manifest adopts the new epoch at the first commit).
     _warnings.warn(
         f"snapshot at {snapshot_path!r} carries committed batch "
         f"{committed} from a different stream epoch ({m_epoch!r}); "
@@ -647,9 +652,18 @@ def _cell_apply_wave(
     cell route is SELF-CONTAINED (raw vectors live inside the blobs;
     no corpus path), so the transaction is two steps — refresh (an
     atomic resident-relation swap) then the incremental-snapshot
-    commit — and needs no wave-intent marker: a replay past the commit
-    skips via the manifest batch id; a replay before it re-applies
-    against restored blobs that by definition exclude the wave."""
+    commit. A replay past the commit skips via the manifest batch id;
+    a replay before it usually re-applies against restored blobs that
+    exclude the wave (the from_snapshot restart recipe). The
+    WAVE-INTENT marker covers the remaining case (round 14, ADVICE):
+    a restart with the STILL-LIVE handle after the refresh succeeded
+    but the snapshot commit failed — `_carry_batch_id` passes (the
+    lineage matches the committed manifest) yet the resident blobs
+    already contain the wave, so the replay would silently re-merge
+    it. When the intent marker matches the replayed wave, the wave
+    anti-joins against the resident blob ids first (refresh is an
+    atomic swap, so the remainder is all-or-nothing); the id scan is
+    paid only on that rare replay path."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -674,6 +688,14 @@ def _cell_apply_wave(
             wave, _blob_ids(serving.blobs), "id", "stream_cell_maintain",
         )
     if applied["batch"] < batch_id:
+        if _intent_matches(spark, snapshot_path, batch_id, epoch):
+            # a prior attempt of THIS wave may have refreshed the
+            # resident blobs before its snapshot commit failed — drop
+            # the already-merged rows before re-applying
+            from vector_index_spark.index.serving import _blob_ids
+
+            wave = wave.join(_blob_ids(serving.blobs), "id", "left_anti")
+        _write_wave_intent(spark, snapshot_path, batch_id, epoch)
         serving.refresh(wave)
         applied["batch"] = batch_id
     serving.snapshot_incremental(
