@@ -1856,16 +1856,36 @@ def q167_conjunction_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     hits = len(set(rows(got)) & truth)
     recall_ok = hits / len(truth) >= 0.9
     n_broad = got.count()
+
+    # round 14 (VERDICT r13 item 8): TupleIn — an explicit allow-list
+    # of attribute TUPLES (the entity-allow-list predicate) evaluated
+    # as ONE vectorized structured-isin mask in the serving kernels
+    # (no per-disjunct loop) and one struct-IN Catalyst predicate on
+    # the exact side. Selective tuple set -> both classes EQUAL the
+    # brute-force tuple-filtered kNN.
+    from vector_index_spark.operators.filtered import (
+        TupleIn,
+        conjunction_predicate,
+    )
+
+    tup_spec = TupleIn((3, 0), (5, 1), (7, 2))
+    tup_pred = conjunction_predicate(("label", "label2"), tup_spec)
+    tup_exact = rows(knn_join(test, train.filter(tup_pred), K))
+    g_tup_ok = rows(gidx.query(test, K, allowed=tup_spec)) == tup_exact
+    p_tup_ok = rows(pidx.query(test, K, nprobe=3, allowed=tup_spec)) \
+        == tup_exact
     gidx.unpersist()
     pidx.unpersist()
     return spark.createDataFrame(
         [(
             bool(g_sel_ok), bool(p_sel_ok), bool(bad == 0),
             bool(recall_ok), int(n_broad),
+            bool(g_tup_ok), bool(p_tup_ok),
         )],
         "graph_sel_parity_ok boolean, ivfpq_sel_parity_ok boolean, "
         "broad_only_matching boolean, broad_recall_ok boolean, "
-        "n_broad_rows long",
+        "n_broad_rows long, graph_tuplein_parity_ok boolean, "
+        "ivfpq_tuplein_parity_ok boolean",
     )
 
 
@@ -4615,7 +4635,9 @@ def oracle_sql() -> dict[str, str]:
                    true AS ivfpq_sel_parity_ok,
                    true AS broad_only_matching,
                    true AS broad_recall_ok,
-                   count(*) * {K} AS n_broad_rows
+                   count(*) * {K} AS n_broad_rows,
+                   true AS graph_tuplein_parity_ok,
+                   true AS ivfpq_tuplein_parity_ok
             FROM embeddings WHERE vec_id % 10 = 0
         """,
         "q155_filtered_revenue": """

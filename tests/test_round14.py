@@ -400,6 +400,203 @@ def test_flat_refresh_is_segmented(spark, waves, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT item 8: TupleIn — allow-list-of-tuples filtered serving
+# ---------------------------------------------------------------------------
+
+
+def test_tuplein_mask_predicate_and_histogram_agree(spark):
+    """TupleIn through every evaluation surface: the vectorized
+    structured-isin mask, the Catalyst struct-IN predicate, and the
+    histogram membership all agree with the equivalent (but O(D*n))
+    AnyOf DNF — and normalization validates arity / refuses the NULL
+    sentinel."""
+    from vector_index_spark.operators.filtered import (
+        NULL_ATTR_CODE,
+        AnyOf,
+        TupleIn,
+        conjunction_mask,
+        conjunction_matches,
+        conjunction_predicate,
+        normalize_allowed,
+    )
+
+    spec = TupleIn((0, 2), (1, 0), (3, 3))
+    dnf = normalize_allowed(
+        AnyOf([[0], [2]], [[1], [0]], [[3], [3]]), 2
+    )
+    assert normalize_allowed(spec, 2) is spec  # first-class, idempotent
+    with pytest.raises(ValueError, match="arity"):
+        normalize_allowed(spec, 3)
+    with pytest.raises(ValueError, match="sentinel"):
+        TupleIn((0, NULL_ATTR_CODE))
+    with pytest.raises(ValueError, match="arity"):
+        TupleIn((0, 1), (2,))
+
+    attrs = np.array(
+        [[0, 2], [1, 0], [3, 3], [0, 0], [2, 2], [1, 2], [3, 0]],
+        dtype=np.int64,
+    )
+    want = conjunction_mask(attrs, dnf)
+    got = conjunction_mask(attrs, spec)
+    assert got.tolist() == want.tolist() == [
+        True, True, True, False, False, False, False,
+    ]
+    for key in map(tuple, attrs):
+        assert conjunction_matches(key, spec) == conjunction_matches(
+            key, dnf
+        )
+
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in enumerate(attrs)],
+        "id long, x long, y long",
+    )
+    got_ids = sorted(
+        r["id"]
+        for r in df.filter(
+            conjunction_predicate(("x", "y"), spec)
+        ).collect()
+    )
+    assert got_ids == [0, 1, 2]
+    # ONE predicate node (struct-IN), not a D-term OR tree
+    plan = df.filter(
+        conjunction_predicate(("x", "y"), spec)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count(" OR ") == 0
+
+
+def test_tuplein_serving_parity_vs_exact(spark, waves):
+    """A TupleIn-filtered serving query equals the exact filtered kNN
+    over the same predicate (full-coverage regime: raw vectors resident,
+    every cell probed) — the masked-GEMM path, no per-query loop."""
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.serving import CellServingIndex
+    from vector_index_spark.operators.filtered import (
+        TupleIn,
+        conjunction_predicate,
+        filtered_knn,
+    )
+
+    full, first, wave1, wave2, test = waves
+    tagged = full.withColumn("lang", F.col("id") % 3).withColumn(
+        "src", F.col("id") % 4
+    ).localCheckpoint(eager=True)
+    assigned, cents = build_ivf(tagged, n_centroids=8, replicas=1)
+    assigned = assigned.join(
+        tagged.select("id", "lang", "src"), "id"
+    ).localCheckpoint(eager=True)
+    idx = CellServingIndex(
+        assigned, cents, attr_col=["lang", "src"],
+    ).warm()
+    spec = TupleIn((0, 1), (2, 3), (1, 0))
+
+    def rows9(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in df.collect()
+        )
+
+    got = rows9(idx.query(test, K, nprobe=8, allowed=spec))
+    want = rows9(
+        filtered_knn(
+            test, tagged, K,
+            conjunction_predicate(("lang", "src"), spec),
+        )
+    )
+    assert got == want  # numpy vs SQL kernels agree to the 9th decimal
+    idx.unpersist()
+
+
+def test_tuplein_facade_composite_path(spark, waves):
+    """The graph facade's filtered_query accepts TupleIn over a
+    multi-column attr relation: tuples composite-encode DIRECTLY (no
+    cross-product enumeration) and answers match the exact filtered
+    kNN."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.operators.filtered import (
+        TupleIn,
+        conjunction_predicate,
+        filtered_knn,
+    )
+
+    full, first, wave1, wave2, test = waves
+    corpus = first.localCheckpoint(eager=True)
+    attrs = corpus.select(
+        "id", (F.col("id") % 3).alias("lang"), (F.col("id") % 4).alias("src")
+    ).localCheckpoint(eager=True)
+    dim = len(corpus.first()["vec"])
+    idx = VectorIndex.build(corpus, IndexParameters(dimension=dim))
+    spec = TupleIn((0, 1), (2, 3))
+    # composite encoding is direct (no cross product): a TupleIn far
+    # bigger than any per-attribute product stays under the guard
+    expr, codes = VectorIndex._composite_attr(
+        attrs, ["lang", "src"], spec
+    )
+    assert len(codes) == 2
+    got = idx.filtered_query(
+        test.limit(8), K, attrs, spec, attr_col=["lang", "src"],
+        mode="exact",
+    )
+    want = filtered_knn(
+        test.limit(8),
+        corpus.join(attrs, "id").select("id", "vec", "lang", "src"),
+        K,
+        conjunction_predicate(("lang", "src"), spec),
+    )
+    assert _rows(got) == _rows(want)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 9: inner-product (MIPS) serving dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_mips_serving_dispatch_and_snapshot(spark, waves, tmp_path):
+    """serving() now dispatches inner_product (round 14): the resident
+    path serves MIPS over the norm-augmented stored vectors, distances
+    equal the facade query()'s ip_dist (which joins back through the
+    stored vectors — the adapter recovers it algebraically instead),
+    top-k matches exact MIPS ground truth, and the snapshot restores
+    the SAME adapter (metric + M^2 stamped in the manifest)."""
+    from vector_index_spark.api import VectorIndex, _MipsServing
+    from vector_index_spark.config import IndexParameters
+
+    full, first, wave1, wave2, test = waves
+    corpus = first.localCheckpoint(eager=True)
+    dim = len(corpus.first()["vec"])
+    t = test.limit(12).localCheckpoint(eager=True)
+    idx = VectorIndex.build(
+        corpus,
+        IndexParameters(dimension=dim, distance_type="inner_product"),
+    )
+
+    def rows6(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+            for r in df.collect()
+        )
+
+    want = rows6(idx.query(t, K))
+    exact = rows6(idx.exact_query(t, K))
+    sv = idx.serving().warm()
+    got = rows6(sv.query(t, K))
+    # byte parity with the facade query (same beam, algebraic ip
+    # recovery == the facade's join-back recovery at 6 decimals) …
+    assert got == want
+    # … and the beam itself holds recall vs exact MIPS ground truth
+    hits = len({r[:3] for r in got} & {r[:3] for r in exact})
+    assert hits / len(exact) >= 0.95
+
+    snap = str(tmp_path / "snap_mips")
+    sv.snapshot(snap)
+    restored = VectorIndex.serving_from_snapshot(spark, snap)
+    assert isinstance(restored, _MipsServing)
+    assert rows6(restored.query(t, K)) == want
+    restored.unpersist()
+    sv.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # VERDICT item 5: scale-aware RPT probe default
 # ---------------------------------------------------------------------------
 

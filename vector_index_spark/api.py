@@ -145,6 +145,88 @@ class _CosineServing:
         )
 
 
+class _MipsServing:
+    """Metric adapter over :class:`~vector_index_spark.index.serving.
+    ServingIndex` for inner-product indexes (round 14, VERDICT r13
+    item 9): the stored vectors carry the norm-augmentation in their
+    last slot (x -> [x, sqrt(M^2-|x|^2)], so augmented-L2 order =
+    descending dot product), queries augment with a literal 0 inside
+    the RESIDENT path, and ip_dist recovers algebraically from the
+    returned augmented-L2 distance — no join back through the stored
+    vectors: |x_aug|^2 = M^2 identically, so
+    ``dot(q, x) = (|q|^2 + M^2 - l2_aug) / 2`` and
+    ``ip_dist = 1 - dot``. ``m2`` is captured once at construction
+    (one scalar aggregate, startup-class)."""
+
+    def __init__(self, inner, m2: float):
+        self._inner = inner
+        self._m2 = float(m2)
+
+    def warm(self) -> "_MipsServing":
+        self._inner.warm()
+        return self
+
+    def unpersist(self) -> None:
+        self._inner.unpersist()
+
+    def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        aug, qn = self._augmented(test, kwargs)
+        res = self._inner.query(aug, k, **kwargs)
+        # ip_dist = 1 - (|q|^2 + M^2 - l2_aug)/2, per-query |q|^2 via a
+        # tiny broadcast (Q rows)
+        return res.join(F.broadcast(qn), "qid").select(
+            "qid", "rank", "id",
+            (
+                F.lit(1.0)
+                - (F.col("__qn2") + F.lit(self._m2) - F.col("dist"))
+                / F.lit(2.0)
+            ).alias("dist"),
+        )
+
+    def snapshot(self, path: str) -> "_MipsServing":
+        """Stamp metric + M^2 into the manifest so
+        :meth:`VectorIndex.serving_from_snapshot` restores the SAME
+        adapter — a MIPS snapshot restored bare would serve
+        augmented-L2 distances (right ids, wrong dist scale) with no
+        error."""
+        import json as _json
+
+        from vector_index_spark.index.serving import (
+            _fs_read_bytes,
+            _fs_write_bytes,
+        )
+
+        self._inner.snapshot(path)
+        spark = self._inner._spark
+        mpath = f"{path}/serving_manifest.json"
+        manifest = _json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
+        manifest["metric"] = "inner_product"
+        manifest["mips_m2"] = self._m2
+        _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
+        return self
+
+    def _augmented(self, test: DataFrame, kwargs: dict):
+        """(augmented query batch, (qid, |q|^2) broadcast side)."""
+        from vector_index_spark.functions.distance import l2_norm
+
+        qid_col = kwargs.pop("qid_col", "qid")
+        vec_col = kwargs.pop("vec_col", "vec")
+        t = test.select(
+            F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
+        )  # tiny query batch: re-deriving it for the norm side is free
+        aug = t.select(
+            "qid",
+            F.concat(
+                F.transform("vec", lambda x: x.cast("double")),
+                F.array(F.lit(0.0)),
+            ).alias("vec"),
+        )
+        qn = t.select(
+            "qid", (l2_norm(F.col("vec")) ** 2).alias("__qn2")
+        )
+        return aug, qn
+
+
 class VectorIndex:
     def __init__(
         self,
@@ -480,6 +562,7 @@ class VectorIndex:
             DnfSpec,
             NotIn,
             RangeSpec,
+            TupleIn,
             normalize_allowed,
         )
 
@@ -517,6 +600,32 @@ class VectorIndex:
         expr = F.col(cols[0]).cast("long")
         for c, card in zip(cols[1:], cards[1:]):
             expr = expr * F.lit(card) + F.col(c).cast("long")
+        if isinstance(allowed, TupleIn):
+            # the allow-list-of-tuples spec (round 14) IS the composite
+            # code set — encode each in-domain tuple directly, no cross
+            # product to enumerate (out-of-domain tuples can never
+            # match a row; dropping them keeps the encoding injective)
+            if allowed.arity != len(cols):
+                raise ValueError(
+                    f"TupleIn tuples have arity {allowed.arity} but "
+                    f"attr_col names {len(cols)} columns"
+                )
+            if len(allowed.tuples) > 10_000:
+                raise ValueError(
+                    f"TupleIn allow list too large for composite "
+                    f"encoding ({len(allowed.tuples)} > 10000); use "
+                    "serving(attrs=..., attr_col=[...]) — resident "
+                    "masks evaluate tuple membership without "
+                    "enumeration"
+                )
+            tcodes: set = set()
+            for t in allowed.tuples:
+                if all(0 <= v < card for v, card in zip(t, cards)):
+                    code = t[0]
+                    for v, card in zip(t[1:], cards[1:]):
+                        code = code * card + v
+                    tcodes.add(int(code))
+            return expr, sorted(tcodes)
         codes: set = set()
         n_total = 0
         for conj in conjs:
@@ -602,9 +711,12 @@ class VectorIndex:
         persisted relation once and serve micro-batches from it with no
         per-batch index shuffle (index/serving.ServingIndex — the
         steady-state regime of stream_ann_query; SCALE.md serving
-        section). Supported for the euclidean2 and cosine metrics (cosine
-        serves over the build-time normalized vectors with the same
-        normalize + dist/2 transform as query()).
+        section). All three metrics serve (round 14): cosine over the
+        build-time normalized vectors with the same normalize + dist/2
+        transform as query(); inner_product over the build-time
+        norm-augmented vectors with a 0-augmented query and an
+        algebraic augmented-L2 -> ip_dist map (no join back through
+        the stored vectors).
 
         ``attrs`` (optional) is an attribute relation keyed by ``id``;
         ``attr_col`` names one of its INTEGRAL columns — or a sequence
@@ -651,10 +763,25 @@ class VectorIndex:
                     vectors, self.edges, dimension=dim, attr_col=attr_col
                 )
             )
-        raise NotImplementedError(
-            "serving() serves euclidean2 and cosine_similarity; for "
-            "inner_product use query() (its augmentation undo joins back "
-            "through the stored vectors, outside the resident-shard path)"
+        # inner_product (round 14, VERDICT r13 item 9): the stored
+        # vectors already carry the norm augmentation (dim+1 slots,
+        # |x_aug|^2 = M^2 identically), so the resident path serves
+        # MIPS directly — the adapter augments queries with 0 and maps
+        # the augmented-L2 distances back to ip_dist algebraically (no
+        # join through the stored vectors). M^2 comes from one stored
+        # row (a one-row scalar lookup, startup-class).
+        from vector_index_spark.functions.distance import l2_norm
+
+        m2 = float(
+            self.vectors.select(
+                (l2_norm(F.col("vec")) ** 2).alias("m2")
+            ).first()["m2"]
+        )
+        return _MipsServing(
+            ServingIndex(
+                vectors, self.edges, dimension=dim + 1, attr_col=attr_col
+            ),
+            m2,
         )
 
     @staticmethod
@@ -681,6 +808,8 @@ class VectorIndex:
         inner = ServingIndex.from_snapshot(spark, path, validate=validate)
         if manifest.get("metric") == "cosine_similarity":
             return _CosineServing(inner)
+        if manifest.get("metric") == "inner_product":
+            return _MipsServing(inner, float(manifest["mips_m2"]))
         return inner
 
     def _constrained_serving(self, attrs, attr_col):
