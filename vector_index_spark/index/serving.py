@@ -1225,19 +1225,23 @@ class ServingIndex:
         packed = cg.applyInPandas(_pack_shard, BLOB_SCHEMA)
         # kept for the touches-only-affected-shards plan assertion in tests
         self._last_refresh_packed = packed
-        old_blobs = self.blobs
-        # eager localCheckpoint (not persist): severs lineage into the
-        # just-overwritten index files — see warm()
-        new_blobs = (
-            old_blobs.filter(~F.col("shard").isin(shards))
-            .unionByName(packed)
-            .repartition(self._n_serve)
-            .localCheckpoint(eager=True)
-        )
-        self.n_shards = new_blobs.count()
-        self.blobs = new_blobs
+        # segmented checkpoint (round 14): materialize ONLY the
+        # re-packed shards' blobs (eager localCheckpoint — severs
+        # lineage into the just-overwritten index files, see warm());
+        # every unaffected blob carries over as a lazy filter of the
+        # prior immutable leaves, so per-wave copy cost tracks the
+        # appended shards' bytes, not the corpus. The stack compacts
+        # every MAX_RESIDENT_SEGMENTS waves (_track_segment).
+        seg = packed.coalesce(
+            max(1, min(self._n_serve, len(shards)))
+        ).localCheckpoint(eager=True)
+        _adopt_base_leaf(self)
+        self.blobs = self.blobs.filter(
+            ~F.col("shard").isin(shards)
+        ).unionByName(seg)
+        _track_segment(self, seg)
+        self.n_shards = self.blobs.count()
         self._blobs_severed = True
-        old_blobs.unpersist()
         # routing table: carry over unaffected shards, recompute affected
         if self._centroids is None and self._cents_kv is not None:
             old_kv = self._cents_kv
@@ -4458,35 +4462,16 @@ class IvfPqServingIndex:
         size; the touched cells queue for :meth:`snapshot_incremental`.
         """
         spark = self._spark
-        rows = new_rows.select(
-            F.col(self._id_col).alias("id"),
-            F.col(self._vec_col).alias("vec"),
-        )
-        joined_attrs = False
-        if self._attr_cols is not None:
-            rows = rows.join(
-                train.select(
-                    F.col(self._id_col).alias("id"),
-                    *_attr_code_exprs(train, self._attr_cols),
-                ),
-                "id",
-            )
-            joined_attrs = True
-            self._attr_hist = None  # contents changed
-        wave = rows.toPandas()  # bounded: one ingest wave
         self._train = train
-        if joined_attrs and len(wave) != new_rows.count():
-            # post-append-corpus precondition enforced loudly (round 13
-            # review) — see _collect_wave
-            raise ValueError(
-                "refresh(new_rows, train): some wave ids are missing "
-                "from the passed train relation — train must be the "
-                "POST-APPEND cold corpus containing every wave row"
-            )
-        if len(wave) == 0:
+        # shared intake (round 14): wave cap enforced, attr codes via a
+        # LEFT join off train with distinct missing-vs-duplicate errors
+        got = _collect_wave(
+            self, new_rows,
+            train if self._attr_cols is not None else None,
+        )
+        if got is None:
             return self
-        ids = wave["id"].to_numpy(dtype=np.int64)
-        X = np.stack(wave["vec"].to_numpy()).astype(np.float64)
+        ids, X, _wave_attrs = got
         # nearest existing cell — the routing table is the bounded side
         cent = self._cents_kv.orderBy("id").collect()
         cids = np.array([r["id"] for r in cent], dtype=np.int64)
@@ -4510,7 +4495,7 @@ class IvfPqServingIndex:
                 (seg[:, None, :] - self._books[s][None, :, :]) ** 2
             ).sum(axis=2)
             codes[:, s] = dd.argmin(axis=1)
-        attrs = _stack_attrs(wave)
+        attrs = _wave_attrs
         per_cell: dict = {}
         for i, c in enumerate(cells):
             per_cell.setdefault(int(c), []).append(i)
@@ -4569,7 +4554,7 @@ class IvfPqServingIndex:
             self.blobs.filter(F.col("cell").isin(sorted(present)))
             .mapInPandas(merge, CELL_BLOB_SCHEMA)
         )
-        parts = [self.blobs.filter(~F.col("cell").isin(affected)), merged]
+        seg_plan = merged
         missing = [c for c in affected if c not in present]
         if missing:
             # a cell whose blob row didn't exist (it had zero rows):
@@ -4587,20 +4572,25 @@ class IvfPqServingIndex:
                          payload, protocol=pickle.HIGHEST_PROTOCOL
                      )))
                 )
-            parts.append(spark.createDataFrame(rows_new, CELL_BLOB_SCHEMA))
-        new_blobs = parts[0]
-        for p in parts[1:]:
-            new_blobs = new_blobs.unionByName(p)
-        # eager localCheckpoint (not persist): severs lineage into the
-        # wave's source files — see ServingIndex.warm()
-        new_blobs = new_blobs.repartition(self._n_serve).localCheckpoint(
-            eager=True
-        )
-        self.n_cells = new_blobs.count()
-        old_blobs = self.blobs
-        self.blobs = new_blobs
+            seg_plan = seg_plan.unionByName(
+                spark.createDataFrame(rows_new, CELL_BLOB_SCHEMA)
+            )
+        # segmented checkpoint (round 14): materialize ONLY the
+        # wave-affected cells' merged/new blobs (eager localCheckpoint —
+        # severs lineage into the wave's source files, see warm());
+        # unaffected blobs carry over as a lazy filter of the prior
+        # immutable leaves; the stack compacts every
+        # MAX_RESIDENT_SEGMENTS waves (_track_segment)
+        seg = seg_plan.coalesce(
+            max(1, min(self._n_serve, len(affected)))
+        ).localCheckpoint(eager=True)
+        _adopt_base_leaf(self)
+        self.blobs = self.blobs.filter(
+            ~F.col("cell").isin(affected)
+        ).unionByName(seg)
+        _track_segment(self, seg)
+        self.n_cells = self.blobs.count()
         self._blobs_severed = True
-        old_blobs.unpersist()
         self._dup_multiplicity = None  # contents changed; re-probe lazily
         self._pending_snapshot_cells = (
             getattr(self, "_pending_snapshot_cells", set()) | set(affected)
