@@ -69,8 +69,11 @@ def _cell_twin_probe(spark, work: str, n_copies: int, tag: str,
         assigned.groupBy("centroid_id").count()
         .orderBy(F.col("count").desc()).first()["centroid_id"]
     )
+    # a SMALL one-cell wave (~1/32 of the cell): the claim under test
+    # is that txn cost tracks the wave's affected bytes, so the wave
+    # must be small relative to the corpus AND to the cell
     local_src = assigned.filter(
-        F.col("centroid_id") == one_cell
+        (F.col("centroid_id") == one_cell) & (F.col("id") % 32 == 0)
     ).select("id", "vec").localCheckpoint(eager=True)
     n_cell_rows = local_src.count()
     applied = {"batch": -1}
