@@ -597,6 +597,236 @@ def test_mips_serving_dispatch_and_snapshot(spark, waves, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Round-14 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_before_warm_severs_base_lineage(spark, waves, tmp_path):
+    """Review finding 1: a never-warmed handle's blobs carry live
+    lineage into mutable source files; the segmented refresh must
+    sever the base leaf itself (it sets _blobs_severed, which would
+    otherwise make warm() skip its sever forever). Production shape:
+    build from parquet, refresh BEFORE warm, then overwrite the source
+    path — answers must stay correct (no recompute through mutated
+    files, no duplicates)."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+
+    full, first, wave1, wave2, test = waves
+    src = str(tmp_path / "cell_src")
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    assigned.write.parquet(src)
+    idx = S.CellServingIndex(spark.read.parquet(src), cents)  # NO warm
+    idx.refresh(wave1)
+    assert idx._blobs_severed
+    # the base leaf must be checkpoint-backed (Scan ExistingRDD), not
+    # a live parquet plan
+    base_plan = idx._seg_stack[0]._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert (
+        "LogicalRDD" in base_plan or "ExistingRDD" in base_plan
+    ) and "Relation" not in base_plan
+    n_before = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
+    # overwrite the source path: a lineage-bearing cache would now
+    # recompute through changed files
+    assigned.limit(10).write.mode("overwrite").parquet(src)
+    n_after = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
+    assert n_after == n_before == first.count() + wave1.count()
+    idx.unpersist()
+
+
+def test_cell_twin_new_epoch_crash_replay_recovers(
+    spark, waves, tmp_path, monkeypatch
+):
+    """Review finding 2: refresh succeeded + snapshot commit failed,
+    on a wave applied under a NEW stream epoch (manifest still carries
+    the old epoch + counter). The replay dedups via the wave intent
+    BEFORE the new-epoch id check — it must recover (no wedge, no
+    duplicates), and the commit then adopts the new epoch."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.streaming import ingest as I
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    snap = str(tmp_path / "snap_cell_epoch")
+    # the OLD stream committed through batch 3 under epoch-OLD
+    idx.snapshot(snap, stream_batch_id=3, stream_epoch="epoch-OLD")
+    applied = {"batch": -1, "epoch": "epoch-NEW"}
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected commit crash")
+
+    # batch 5 under epoch-NEW (PAST the old counter — the round-14
+    # _skip_committed change flags this new_epoch=True): refresh
+    # lands, commit crashes
+    monkeypatch.setattr(type(idx), "snapshot_incremental", boom)
+    with pytest.warns(UserWarning, match="different stream epoch"):
+        with pytest.raises(RuntimeError, match="injected"):
+            I._cell_apply_wave(idx, snap, applied, 8, wave1, 5)
+    monkeypatch.undo()
+    n_after_refresh = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
+
+    # replay of batch 5: must NOT raise "ids must be new" (the intent
+    # anti-join runs first), must not duplicate, and must commit
+    applied2 = {"batch": -1, "epoch": "epoch-NEW"}
+    with pytest.warns(UserWarning, match="different stream epoch"):
+        I._cell_apply_wave(idx, snap, applied2, 8, wave1, 5)
+    assert int(
+        idx.blobs.agg(F.sum("n_vectors")).first()[0]
+    ) == n_after_refresh
+    assert I._skip_committed(spark, snap, 5, "epoch-NEW") == (True, False)
+    idx.unpersist()
+
+
+def test_compressed_twin_live_handle_replay_no_duplicates(
+    spark, waves, tmp_path, monkeypatch
+):
+    """Review finding 2 (compressed side): the live-handle replay of a
+    refresh-succeeded/commit-failed wave anti-joins the RESIDENT blob
+    ids before re-merging — no silent duplicates in the flat blobs."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.streaming import ingest as I
+
+    full, first, wave1, wave2, test = waves
+    corpus = str(tmp_path / "pq_corpus")
+    first.write.parquet(corpus)
+    train = spark.read.parquet(corpus)
+    books = train_pq(train, n_subspaces=8, n_centroids=16)
+    idx = S.PqServingIndex(
+        encode_pq(train, books).localCheckpoint(eager=True), train, books
+    ).warm()
+    snap = str(tmp_path / "snap_pq_replay")
+    idx.snapshot(snap, fingerprint_corpus=False)
+    applied = {"batch": -1, "epoch": "epoch-A"}
+
+    calls = {"n": 0}
+    orig = type(idx).snapshot_incremental
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected commit crash")
+
+    monkeypatch.setattr(type(idx), "snapshot_incremental", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        I._ivfpq_apply_wave(idx, corpus, snap, "id", "vec",
+                            applied, 8, wave1, 0)
+    monkeypatch.setattr(type(idx), "snapshot_incremental", orig)
+    n_resident = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
+    assert n_resident == first.count() + wave1.count()
+
+    # live-handle restart replay: resident rows must not re-merge
+    applied2 = {"batch": -1, "epoch": "epoch-A"}
+    I._ivfpq_apply_wave(idx, corpus, snap, "id", "vec",
+                        applied2, 8, wave1, 0)
+    assert int(
+        idx.blobs.agg(F.sum("n_vectors")).first()[0]
+    ) == n_resident
+    # and the corpus path holds exactly one copy of the wave
+    assert spark.read.parquet(corpus).count() == n_resident
+    idx.unpersist()
+
+
+def test_tuplein_collection_forms(spark):
+    """Review finding 3: the documented collection forms construct."""
+    from vector_index_spark.operators.filtered import TupleIn
+
+    want = TupleIn((1, 2), (3, 4))
+    assert TupleIn({(1, 2), (3, 4)}) == want
+    assert TupleIn(frozenset({(1, 2), (3, 4)})) == want
+    assert TupleIn([(1, 2), (3, 4)]) == want
+    with pytest.raises(ValueError, match="attribute tuples"):
+        TupleIn([1, 2])
+
+
+def test_heavy_hitters_null_items_excluded(spark):
+    """Review finding 5: NULL items are excluded explicitly (SQL join
+    semantics made intentional) and do not inflate the threshold
+    denominator."""
+    from vector_index_spark.operators.heavy import heavy_hitters
+
+    rows = [("a",)] * 60 + [("b",)] * 5 + [(None,)] * 40
+    df = spark.createDataFrame(rows, "item string")
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, 0.5).collect()}
+    # denominator = 65 non-null items: 'a' (60) clears 32.5, 'b' not;
+    # null never surfaces
+    assert got == {"a": 60}
+
+
+def test_mips_constrained_serving_forms(spark, waves):
+    """Review finding 6: the MIPS adapter serves the windowed and
+    multi-tenant forms with exact ip-space semantics (per-query affine
+    bound transform), matching brute-force oracles."""
+    from vector_index_spark.api import VectorIndex
+    from vector_index_spark.config import IndexParameters
+    from vector_index_spark.functions.distance import ip_dist
+
+    full, first, wave1, wave2, test = waves
+    corpus = first.localCheckpoint(eager=True)
+    dim = len(corpus.first()["vec"])
+    idx = VectorIndex.build(
+        corpus,
+        IndexParameters(dimension=dim, distance_type="inner_product",
+                        sub_index_bound=100),
+    )
+    attrs = corpus.select("id", (F.col("id") % 7).alias("label"))
+    t = test.limit(8).localCheckpoint(eager=True)
+
+    def rows6(df):
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 6))
+            for r in df.collect()
+        )
+
+    # windowed: per-query label window [2, 5) — bounds pass through
+    # untouched (attribute windows), distances map to ip_dist
+    sv = idx.serving(attrs=attrs, attr_col="label").warm()
+    tw = t.select(
+        "qid", "vec", F.lit(2).alias("lo"), F.lit(5).alias("hi")
+    )
+    got_w = rows6(sv.query_by_window(tw, K))
+    brute = (
+        corpus.join(attrs, "id")
+        .filter((F.col("label") >= 2) & (F.col("label") < 5))
+        .crossJoin(
+            F.broadcast(t.select(F.col("qid"), F.col("vec").alias("__qv")))
+        )
+        .select(
+            "qid", "id",
+            ip_dist(F.col("__qv"), F.col("vec")).alias("dist"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    want_w = rows6(
+        brute.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("qid", "rank", "id", "dist")
+    )
+    # window serving may be beam-approximate; demand high overlap +
+    # exact ip distances on every matched pair
+    got_pairs = {g[:3]: g[3] for g in got_w}
+    want_pairs = {g[:3]: g[3] for g in want_w}
+    hits = len(set(got_pairs) & set(want_pairs))
+    assert want_pairs and hits / len(want_pairs) >= 0.9
+    for key in set(got_pairs) & set(want_pairs):
+        assert abs(got_pairs[key] - want_pairs[key]) < 1e-6
+
+    # multi-tenant: neighbors share the query's label, ip distances
+    sv2 = sv
+    tq = t.select("qid", "vec", (F.col("qid") % 7).alias("attr"))
+    got_a = rows6(sv2.query_by_attribute(tq, K))
+    lab = {r["id"]: r["label"] for r in attrs.collect()}
+    qlab = {r["qid"]: r["attr"] for r in tq.collect()}
+    assert got_a and all(lab[i] == qlab[q] for q, _, i, _ in got_a)
+    sv2.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # VERDICT item 5: scale-aware RPT probe default
 # ---------------------------------------------------------------------------
 

@@ -60,6 +60,24 @@ def _auto_nprobe(n_shards: int) -> int:
     return max(8, int(round(n_shards ** 0.5)))
 
 
+def _stamp_manifest(inner, path: str, **extra) -> None:
+    """Merge metric-adapter keys into an already-committed serving
+    manifest (shared by the cosine and MIPS adapters — round 14
+    review: one copy of the read/mutate/rewrite protocol)."""
+    import json as _json
+
+    from vector_index_spark.index.serving import (
+        _fs_read_bytes,
+        _fs_write_bytes,
+    )
+
+    spark = inner._spark
+    mpath = f"{path}/serving_manifest.json"
+    manifest = _json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
+    manifest.update(extra)
+    _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
+
+
 class _CosineServing:
     """Metric adapter over :class:`~vector_index_spark.index.serving.
     ServingIndex` for cosine indexes: the stored vectors are unit-
@@ -118,19 +136,8 @@ class _CosineServing:
         restores the SAME adapter (round 10): a cosine snapshot restored
         bare would serve l2sq-on-normalized distances — right ids,
         wrong dist scale — with no error."""
-        import json as _json
-
-        from vector_index_spark.index.serving import (
-            _fs_read_bytes,
-            _fs_write_bytes,
-        )
-
         self._inner.snapshot(path)
-        spark = self._inner._spark
-        mpath = f"{path}/serving_manifest.json"
-        manifest = _json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
-        manifest["metric"] = "cosine_similarity"
-        _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
+        _stamp_manifest(self._inner, path, metric="cosine_similarity")
         return self
 
     def _normed(self, test: DataFrame, kwargs: dict, extra=()):
@@ -172,6 +179,44 @@ class _MipsServing:
     def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
         aug, qn = self._augmented(test, kwargs)
         res = self._inner.query(aug, k, **kwargs)
+        return self._ip_dist(res, qn)
+
+    def query_by_attribute(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        """Multi-tenant MIPS serving: qattr columns pass through
+        untouched; distances map augmented-L2 -> ip_dist per query,
+        same as :meth:`query`."""
+        qcols = kwargs.get("qattr_col", "attr")
+        qcols = [qcols] if isinstance(qcols, str) else list(qcols)
+        aug, qn = self._augmented(test, kwargs, extra=qcols)
+        res = self._inner.query_by_attribute(aug, k, **kwargs)
+        return self._ip_dist(res, qn)
+
+    def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        """Per-query [lo, hi) ATTRIBUTE-window serving with the MIPS
+        transform: the bound columns window the handle's attribute and
+        pass through untouched (same as the cosine adapter); distances
+        map augmented-L2 -> ip_dist per query, same as
+        :meth:`query`."""
+        bounds = [
+            kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
+        ]
+        aug, qn = self._augmented(test, kwargs, extra=bounds)
+        res = self._inner.query_by_window(aug, k, **kwargs)
+        return self._ip_dist(res, qn)
+
+    def snapshot(self, path: str) -> "_MipsServing":
+        """Stamp metric + M^2 into the manifest so
+        :meth:`VectorIndex.serving_from_snapshot` restores the SAME
+        adapter — a MIPS snapshot restored bare would serve
+        augmented-L2 distances (right ids, wrong dist scale) with no
+        error."""
+        self._inner.snapshot(path)
+        _stamp_manifest(
+            self._inner, path, metric="inner_product", mips_m2=self._m2
+        )
+        return self
+
+    def _ip_dist(self, res: DataFrame, qn: DataFrame) -> DataFrame:
         # ip_dist = 1 - (|q|^2 + M^2 - l2_aug)/2, per-query |q|^2 via a
         # tiny broadcast (Q rows)
         return res.join(F.broadcast(qn), "qid").select(
@@ -183,36 +228,16 @@ class _MipsServing:
             ).alias("dist"),
         )
 
-    def snapshot(self, path: str) -> "_MipsServing":
-        """Stamp metric + M^2 into the manifest so
-        :meth:`VectorIndex.serving_from_snapshot` restores the SAME
-        adapter — a MIPS snapshot restored bare would serve
-        augmented-L2 distances (right ids, wrong dist scale) with no
-        error."""
-        import json as _json
-
-        from vector_index_spark.index.serving import (
-            _fs_read_bytes,
-            _fs_write_bytes,
-        )
-
-        self._inner.snapshot(path)
-        spark = self._inner._spark
-        mpath = f"{path}/serving_manifest.json"
-        manifest = _json.loads(_fs_read_bytes(spark, mpath).decode("utf-8"))
-        manifest["metric"] = "inner_product"
-        manifest["mips_m2"] = self._m2
-        _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
-        return self
-
-    def _augmented(self, test: DataFrame, kwargs: dict):
+    def _augmented(self, test: DataFrame, kwargs: dict, extra=()):
         """(augmented query batch, (qid, |q|^2) broadcast side)."""
         from vector_index_spark.functions.distance import l2_norm
 
         qid_col = kwargs.pop("qid_col", "qid")
         vec_col = kwargs.pop("vec_col", "vec")
         t = test.select(
-            F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
+            F.col(qid_col).alias("qid"),
+            F.col(vec_col).alias("vec"),
+            *(F.col(c) for c in extra),
         )  # tiny query batch: re-deriving it for the norm side is free
         aug = t.select(
             "qid",
@@ -220,6 +245,7 @@ class _MipsServing:
                 F.transform("vec", lambda x: x.cast("double")),
                 F.array(F.lit(0.0)),
             ).alias("vec"),
+            *(F.col(c) for c in extra),
         )
         qn = t.select(
             "qid", (l2_norm(F.col("vec")) ** 2).alias("__qn2")

@@ -89,7 +89,10 @@ def _require_wave_cap(idx, n_rows: int, cap: int) -> None:
             "materializes one ingest micro-batch on the driver. Split "
             "the input into micro-batch waves (see the streaming "
             "maintain twins), rebuild cold with the bulk builder, or "
-            "raise wave_row_cap explicitly if the driver can hold it"
+            "raise wave_row_cap explicitly if the driver can hold it. "
+            "(If the wave SHOULD be small: a duplicated id in new_rows "
+            "or duplicate train rows inflate the attribute id-join — "
+            "check id uniqueness on both sides)"
         )
 
 
@@ -135,10 +138,21 @@ def _compact_resident(idx) -> None:
 
 
 def _adopt_base_leaf(idx) -> None:
-    """Make the CURRENT (checkpointed) ``idx.blobs`` the segment
-    stack's base leaf before a refresh stacks a lazy union over it —
-    so compaction/unpersist can free its blocks later."""
+    """Make the CURRENT ``idx.blobs`` the segment stack's base leaf
+    before a refresh stacks a lazy union over it — so compaction /
+    unpersist can free its blocks later. refresh-before-warm guard
+    (round 14 review): a never-warmed handle's blobs are a bare
+    persist with LIVE LINEAGE into mutable source files, and the
+    stacked union sets ``_blobs_severed`` — which would make a later
+    ``warm()`` skip its sever forever. Sever the base HERE in that
+    case (the same eager localCheckpoint warm() would have done), so
+    the 'resident state is lineage-free' invariant holds on every
+    refresh path regardless of call order."""
     if not getattr(idx, "_seg_stack", None):
+        if not getattr(idx, "_blobs_severed", False):
+            plan = idx.blobs
+            idx.blobs = plan.localCheckpoint(eager=True)
+            plan.unpersist()
         idx._seg_stack = [idx.blobs]
 
 
@@ -2763,10 +2777,11 @@ def _collect_wave(idx, new_rows: DataFrame, attr_source: "DataFrame | None",
             )
         if wave["id"].duplicated().any():
             raise ValueError(
-                "refresh(new_rows, train): the passed train relation "
-                "carries DUPLICATE rows for some wave ids — the "
-                "attribute id-join would multiply those wave rows "
-                "into the resident blobs; ids must be unique in train "
+                "refresh(new_rows, train): DUPLICATE ids in the "
+                "collected wave — either new_rows carries the same id "
+                "twice, or train has duplicate rows for some wave ids "
+                "(the attribute id-join would multiply those rows into "
+                "the resident blobs). Ids must be unique on BOTH sides "
                 "(id-primary-key)"
             )
     if len(wave) == 0:

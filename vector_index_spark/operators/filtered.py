@@ -312,16 +312,15 @@ class TupleIn:
     __slots__ = ("tuples", "arity", "_arr")
 
     def __init__(self, *tuples):
-        if len(tuples) == 1 and not isinstance(
-            tuples[0], (tuple, list)
-        ):
-            raise ValueError(
-                "TupleIn takes attribute tuples: TupleIn((a, b), (c, d))"
-            )
         if len(tuples) == 1 and isinstance(tuples[0], (list, set, frozenset)):
             tuples = tuple(tuples[0])  # TupleIn([...]) collection form
         if not tuples:
             raise ValueError("TupleIn needs at least one tuple")
+        if any(not isinstance(t, (tuple, list)) for t in tuples):
+            raise ValueError(
+                "TupleIn takes attribute tuples: TupleIn((a, b), (c, d)) "
+                "or TupleIn([(a, b), (c, d)])"
+            )
         norm = set()
         arity = None
         for t in tuples:

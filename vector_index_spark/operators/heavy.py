@@ -83,7 +83,14 @@ def heavy_hitters(
     if not 0.0 < threshold_frac < 1.0:
         raise ValueError(f"threshold_frac must be in (0,1), got {threshold_frac}")
     capacity = max(int(slack / threshold_frac), 8)
-    src = items.select(F.col(item_col).alias("item"))
+    # NULL items are excluded EXPLICITLY (round 14 review): pass 2's
+    # semi-join on item could never match them anyway (SQL null
+    # equality), so they were silently uncountable before; filtering
+    # here makes the semantics intentional AND keeps n (the threshold
+    # denominator) consistent with the countable population.
+    src = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     cand = _mg_summaries(src, capacity).select("item").distinct()
     n = src.count()
     thresh = threshold_frac * n

@@ -405,15 +405,6 @@ def _ivfpq_apply_wave(
     skip, new_epoch = _skip_committed(spark, snapshot_path, batch_id, epoch)
     if skip:
         return  # replay of a fully committed wave (same stream epoch)
-    if new_epoch:
-        # a fresh stream's wave applying over an old counter: enforce
-        # the id-primary-key contract loudly — this twin's corpus
-        # append has no downstream id check, so an OLD stream's wave
-        # re-delivered here would otherwise silently duplicate rows
-        _require_new_ids(
-            batch_df, spark.read.parquet(corpus_path), id_col,
-            "stream_compressed_maintain",
-        )
     # align the wave's column types to the corpus files' before the
     # append (round 13): a stream schema declared array<double> over a
     # float-seeded corpus would otherwise write MIXED-TYPE parquet into
@@ -438,18 +429,49 @@ def _ivfpq_apply_wave(
         new_rows = batch_df.join(existing, id_col, "left_anti")
     else:
         new_rows = batch_df
+    if new_epoch:
+        # a fresh stream's wave applying over an old counter: enforce
+        # the id-primary-key contract loudly — this twin's corpus
+        # append has no downstream id check, so an OLD stream's wave
+        # re-delivered here would otherwise silently duplicate rows.
+        # Checked on the POST-dedup remainder (round 14 review): a
+        # crash-replayed wave's ids are legitimately in the corpus,
+        # and checking the raw wave first would wedge the stream with
+        # a misleading "ids must be new" error on every retry.
+        _require_new_ids(
+            new_rows, spark.read.parquet(corpus_path), id_col,
+            "stream_compressed_maintain",
+        )
     _write_wave_intent(spark, snapshot_path, batch_id, epoch)
     if not new_rows.isEmpty():
         new_rows.write.mode("append").parquet(corpus_path)
     spark.catalog.refreshByPath(corpus_path)
     train = spark.read.parquet(corpus_path)
     if applied["batch"] < batch_id:
+        refresh_rows = batch_df
+        if replay:
+            # the live-handle restart analogue of the cell twin's
+            # anti-join (round 14): a prior attempt's refresh may have
+            # already merged this wave into the RESIDENT blobs before
+            # the snapshot commit failed — re-merging would silently
+            # duplicate rows there (and into the restart's re-anchored
+            # base). The resident-id unpickling pass is paid only on
+            # the replay path.
+            from vector_index_spark.index.serving import _blob_ids
+
+            refresh_rows = batch_df.join(
+                _blob_ids(serving.blobs).select(
+                    F.col("id").alias(id_col)
+                ),
+                id_col,
+                "left_anti",
+            )
         serving.refresh(
-            batch_df.select(
+            refresh_rows.select(
                 F.col(id_col).alias(serving._id_col),
                 F.col(vec_col).alias(serving._vec_col),
             ) if (id_col, vec_col) != (serving._id_col, serving._vec_col)
-            else batch_df,
+            else refresh_rows,
             train,
         )
         applied["batch"] = batch_id
@@ -678,23 +700,29 @@ def _cell_apply_wave(
         wave = batch_df.withColumnRenamed(id_col, "id").withColumnRenamed(
             vec_col, "vec"
         )
-    if new_epoch:
-        # a fresh stream's wave applying over an old counter: the merge
-        # path has no id check, so enforce id-primary-key loudly (the
-        # resident-id unpickling pass is paid only on this rare path)
-        from vector_index_spark.index.serving import _blob_ids
-
-        _require_new_ids(
-            wave, _blob_ids(serving.blobs), "id", "stream_cell_maintain",
-        )
     if applied["batch"] < batch_id:
         if _intent_matches(spark, snapshot_path, batch_id, epoch):
             # a prior attempt of THIS wave may have refreshed the
             # resident blobs before its snapshot commit failed — drop
-            # the already-merged rows before re-applying
+            # the already-merged rows before re-applying. This MUST
+            # run before the new-epoch id check (round 14 review): a
+            # crash-replayed wave's ids are legitimately resident, and
+            # checking them first would wedge the stream with a
+            # misleading "ids must be new" error on every retry.
             from vector_index_spark.index.serving import _blob_ids
 
             wave = wave.join(_blob_ids(serving.blobs), "id", "left_anti")
+        if new_epoch:
+            # a fresh stream's wave applying over an old counter: the
+            # merge path has no id check, so enforce id-primary-key
+            # loudly on the post-dedup remainder (the resident-id
+            # unpickling pass is paid only on this rare path)
+            from vector_index_spark.index.serving import _blob_ids
+
+            _require_new_ids(
+                wave, _blob_ids(serving.blobs), "id",
+                "stream_cell_maintain",
+            )
         _write_wave_intent(spark, snapshot_path, batch_id, epoch)
         serving.refresh(wave)
         applied["batch"] = batch_id
