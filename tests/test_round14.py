@@ -826,6 +826,38 @@ def test_mips_constrained_serving_forms(spark, waves):
     sv2.unpersist()
 
 
+def test_bytes_resident_accounts_stale_segments(spark, waves):
+    """With the segmented refresh, the blocks actually pinned are the
+    segment leaves (old copies of merged keys included);
+    bytes_resident reports pinned_bytes >= blob_bytes plus the
+    reclaimable stale_bytes, and compaction zeroes the difference."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    cold = idx.bytes_resident()
+    assert cold["n_resident_segments"] == 0
+    assert cold["pinned_bytes"] == cold["blob_bytes"]
+    idx.refresh(wave1)
+    after = idx.bytes_resident()
+    assert after["n_resident_segments"] == 2  # base leaf + wave segment
+    # the merged cells' OLD copies still pin blocks in the base leaf
+    assert after["pinned_bytes"] > after["blob_bytes"]
+    assert after["stale_bytes"] == (
+        after["pinned_bytes"] - after["blob_bytes"]
+    )
+    S._compact_resident(idx)
+    compacted = idx.bytes_resident()
+    assert compacted["n_resident_segments"] == 0
+    assert compacted["stale_bytes"] == 0
+    assert compacted["blob_bytes"] == after["blob_bytes"]
+    idx.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # VERDICT item 5: scale-aware RPT probe default
 # ---------------------------------------------------------------------------

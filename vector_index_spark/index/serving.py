@@ -1046,19 +1046,25 @@ def _allow_arrays(allows):
     return allow_arrays(allows)
 
 
-def _bytes_resident(blobs: DataFrame, driver_arrays=()) -> dict:
+def _bytes_resident(blobs: DataFrame, driver_arrays=(),
+                    seg_stack=None) -> dict:
     """Serving-memory accounting (VERDICT r6 item 7): what this index
     pins per executor fleet (the persisted blob relation) and per driver
     (codebooks / centroids / tree params held as numpy arrays). One
     aggregate job over the cached blob rows — at 100 TB this is the
-    capacity-planning number: executors_needed ~= blob_bytes /
+    capacity-planning number: executors_needed ~= pinned_bytes /
     per-executor storage memory.
 
     Returns ``{"blob_bytes", "driver_bytes", "n_vectors",
-    "blob_bytes_per_vector"}``. ``blob_bytes`` measures the pickled
-    payloads as persisted (for compressed routes this shows the
-    compression ratio vs rows x dim x 8 raw float64 bytes — SCALE.md
-    tabulates it per route)."""
+    "blob_bytes_per_vector", "pinned_bytes", "stale_bytes",
+    "n_resident_segments"}``. ``blob_bytes`` measures the pickled
+    payloads the CURRENT plan serves (for compressed routes this shows
+    the compression ratio vs rows x dim x 8 raw float64 bytes —
+    SCALE.md tabulates it per route). With the round-14 segmented
+    refresh, the blocks actually pinned are the segment LEAVES — they
+    include stale copies of merged keys that accumulate between
+    compactions — so ``pinned_bytes`` sums the leaves (>= blob_bytes)
+    and ``stale_bytes`` is the reclaimable-at-compaction difference."""
     row = blobs.agg(
         F.sum(F.length("blob")).alias("__b"),
         F.sum("n_vectors").alias("__n"),
@@ -1066,6 +1072,17 @@ def _bytes_resident(blobs: DataFrame, driver_arrays=()) -> dict:
     blob_bytes = int(row["__b"] or 0)
     n_vectors = int(row["__n"] or 0)
     driver_bytes = int(sum(int(a.nbytes) for a in driver_arrays))
+    pinned = blob_bytes
+    n_segs = 0
+    if seg_stack:
+        n_segs = len(seg_stack)
+        pinned = sum(
+            int(
+                leaf.agg(F.sum(F.length("blob")).alias("__b"))
+                .collect()[0]["__b"] or 0
+            )
+            for leaf in seg_stack
+        )
     return {
         "blob_bytes": blob_bytes,
         "driver_bytes": driver_bytes,
@@ -1073,6 +1090,9 @@ def _bytes_resident(blobs: DataFrame, driver_arrays=()) -> dict:
         "blob_bytes_per_vector": (
             blob_bytes / n_vectors if n_vectors else 0.0
         ),
+        "pinned_bytes": pinned,
+        "stale_bytes": max(0, pinned - blob_bytes),
+        "n_resident_segments": n_segs,
     }
 
 
@@ -1192,7 +1212,9 @@ class ServingIndex:
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (pickled shard graphs incl. raw
         vectors, CSR edges and any attrs) — see _bytes_resident."""
-        return _bytes_resident(self.blobs)
+        return _bytes_resident(
+            self.blobs, seg_stack=getattr(self, "_seg_stack", None)
+        )
 
     def refresh(
         self,
@@ -2243,7 +2265,9 @@ class CellServingIndex:
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (raw float64 cell matrices + ids +
         attrs; replicas>1 count each copy) — see _bytes_resident."""
-        return _bytes_resident(self.blobs)
+        return _bytes_resident(
+            self.blobs, seg_stack=getattr(self, "_seg_stack", None)
+        )
 
     def unpersist(self) -> None:
         _unpersist_blobs(self)
@@ -3554,7 +3578,10 @@ class PqServingIndex:
         """Executor-resident bytes (int32 code matrices — the PQ
         compression ratio vs raw shows up here) plus the driver-held
         codebooks — see _bytes_resident."""
-        return _bytes_resident(self.blobs, (self._books,))
+        return _bytes_resident(
+            self.blobs, (self._books,),
+            seg_stack=getattr(self, "_seg_stack", None),
+        )
 
     def query_by_window(
         self,
@@ -4092,7 +4119,10 @@ class SqServingIndex:
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (uint8 code matrices — ~8x below raw
         float64) plus the driver-held bounds — see _bytes_resident."""
-        return _bytes_resident(self.blobs, (self._mins, self._span))
+        return _bytes_resident(
+            self.blobs, (self._mins, self._span),
+            seg_stack=getattr(self, "_seg_stack", None),
+        )
 
     def query_by_window(
         self,
@@ -4838,7 +4868,10 @@ class IvfPqServingIndex:
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (per-cell int32 code blobs) plus the
         driver-held centroids + codebooks — see _bytes_resident."""
-        return _bytes_resident(self.blobs, (self._C, self._books))
+        return _bytes_resident(
+            self.blobs, (self._C, self._books),
+            seg_stack=getattr(self, "_seg_stack", None),
+        )
 
     def unpersist(self) -> None:
         _unpersist_blobs(self)
@@ -5808,7 +5841,10 @@ class RptServingIndex:
     def bytes_resident(self) -> dict:
         """Executor-resident bytes (raw float64 leaf matrices) plus the
         driver-held tree (normals, thresholds) — see _bytes_resident."""
-        return _bytes_resident(self.blobs, (self._W, self._T))
+        return _bytes_resident(
+            self.blobs, (self._W, self._T),
+            seg_stack=getattr(self, "_seg_stack", None),
+        )
 
     def query_by_window(
         self,
@@ -6332,7 +6368,10 @@ class PcaServingIndex:
         """Executor-resident bytes (reduced + RAW float64 matrices —
         this route trades memory for its exact in-blob refine) plus the
         driver-held basis — see _bytes_resident."""
-        return _bytes_resident(self.blobs, (self._mean, self._comp))
+        return _bytes_resident(
+            self.blobs, (self._mean, self._comp),
+            seg_stack=getattr(self, "_seg_stack", None),
+        )
 
     def query_by_window(
         self,
