@@ -704,7 +704,6 @@ def test_compressed_twin_live_handle_replay_no_duplicates(
     idx.snapshot(snap, fingerprint_corpus=False)
     applied = {"batch": -1, "epoch": "epoch-A"}
 
-    calls = {"n": 0}
     orig = type(idx).snapshot_incremental
 
     def boom(self, *a, **kw):
@@ -727,6 +726,47 @@ def test_compressed_twin_live_handle_replay_no_duplicates(
     ) == n_resident
     # and the corpus path holds exactly one copy of the wave
     assert spark.read.parquet(corpus).count() == n_resident
+    idx.unpersist()
+
+
+def test_legacy_intent_marker_does_not_waive_id_check(
+    spark, waves, tmp_path
+):
+    """Second review pass: a LEGACY (epoch-less) wave-intent marker at
+    the replayed batch id is a lenient match (the dedup keeps legacy
+    crash-replays recoverable) but NOT a strict one — it must not
+    waive the new-epoch id-primary-key check, or a new stream's
+    id-clashing rows (different vectors!) would be silently
+    anti-joined away instead of raising."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.streaming import ingest as I
+
+    full, first, wave1, wave2, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    snap = str(tmp_path / "snap_cell_legacy")
+    idx.snapshot(snap, stream_batch_id=7, stream_epoch="epoch-OLD")
+    # legacy marker: bare batch id, no epoch line (the round-12 format)
+    I._write_wave_intent(spark, snap, 5, None)
+    assert I._intent_state(spark, snap, 5, "epoch-NEW") == (True, False)
+
+    # a NEW stream delivers batch 5 whose ids ALREADY EXIST in the
+    # resident blobs (with different vectors — data a silent anti-join
+    # would destroy): must raise, not dedup
+    clash = first.limit(50)
+    n_before = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
+    with pytest.warns(UserWarning, match="different stream epoch"):
+        with pytest.raises(ValueError, match="ids already exist"):
+            I._cell_apply_wave(
+                idx, snap, {"batch": -1, "epoch": "epoch-NEW"}, 8,
+                clash, 5,
+            )
+    assert int(
+        idx.blobs.agg(F.sum("n_vectors")).first()[0]
+    ) == n_before  # nothing merged
     idx.unpersist()
 
 

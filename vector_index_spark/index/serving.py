@@ -153,6 +153,10 @@ def _adopt_base_leaf(idx) -> None:
             plan = idx.blobs
             idx.blobs = plan.localCheckpoint(eager=True)
             plan.unpersist()
+            # flag it here, not only at the caller's tail: a refresh
+            # that fails mid-way must not leave a severed-but-unflagged
+            # handle whose warm() re-checkpoints the corpus redundantly
+            idx._blobs_severed = True
         idx._seg_stack = [idx.blobs]
 
 
@@ -1076,12 +1080,14 @@ def _bytes_resident(blobs: DataFrame, driver_arrays=(),
     n_segs = 0
     if seg_stack:
         n_segs = len(seg_stack)
-        pinned = sum(
-            int(
-                leaf.agg(F.sum(F.length("blob")).alias("__b"))
-                .collect()[0]["__b"] or 0
+        stacked = seg_stack[0].select(F.length("blob").alias("__l"))
+        for leaf in seg_stack[1:]:
+            stacked = stacked.unionByName(
+                leaf.select(F.length("blob").alias("__l"))
             )
-            for leaf in seg_stack
+        # ONE aggregate job over all leaves (not one per leaf)
+        pinned = int(
+            stacked.agg(F.sum("__l").alias("__b")).collect()[0]["__b"] or 0
         )
     return {
         "blob_bytes": blob_bytes,

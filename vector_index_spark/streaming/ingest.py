@@ -188,8 +188,24 @@ def _intent_matches(spark, snapshot_path: str, batch_id: int,
     wave must not route a new stream's same-numbered batch onto the
     crash-replay path, whose anti-join would silently drop colliding
     rows). Legacy / epoch-less markers keep the round-12 behavior."""
+    return _intent_state(spark, snapshot_path, batch_id, epoch)[0]
+
+
+def _intent_state(spark, snapshot_path: str, batch_id: int,
+                  epoch: "str | None") -> "tuple[bool, bool]":
+    """(lenient, strict) intent match (round 14, second review pass):
+    ``lenient`` drives the replay DEDUP (anti-join against existing
+    state — epoch-less legacy markers keep working); ``strict``
+    additionally requires the intent's epoch to EQUAL the wave's (both
+    None counts), i.e. the marker provably belongs to this stream's
+    own prior attempt. Only a strict match may waive the new-epoch
+    id-primary-key check: waiving it on a lenient match would let a
+    legacy epoch-less marker silently anti-join away a NEW stream's
+    id-clashing rows (data loss) where the check should raise."""
     got_batch, got_epoch = _read_wave_intent(spark, snapshot_path)
-    return got_batch == batch_id and _epoch_ok(got_epoch, epoch)
+    if got_batch != batch_id:
+        return False, False
+    return _epoch_ok(got_epoch, epoch), got_epoch == epoch
 
 
 def _write_wave_intent(spark, snapshot_path: str, batch_id: int,
@@ -421,7 +437,7 @@ def _ivfpq_apply_wave(
             for c in batch_df.columns
         )
     )
-    replay = _intent_matches(spark, snapshot_path, batch_id, epoch)
+    replay, strict = _intent_state(spark, snapshot_path, batch_id, epoch)
     if replay:
         # a prior attempt of THIS wave may have appended to the
         # corpus before crashing — dedup before re-appending
@@ -429,17 +445,19 @@ def _ivfpq_apply_wave(
         new_rows = batch_df.join(existing, id_col, "left_anti")
     else:
         new_rows = batch_df
-    if new_epoch:
+    if new_epoch and not strict:
         # a fresh stream's wave applying over an old counter: enforce
-        # the id-primary-key contract loudly — this twin's corpus
-        # append has no downstream id check, so an OLD stream's wave
-        # re-delivered here would otherwise silently duplicate rows.
-        # Checked on the POST-dedup remainder (round 14 review): a
-        # crash-replayed wave's ids are legitimately in the corpus,
-        # and checking the raw wave first would wedge the stream with
-        # a misleading "ids must be new" error on every retry.
+        # the id-primary-key contract loudly on the RAW wave — this
+        # twin's corpus append has no downstream id check, so an OLD
+        # stream's wave re-delivered here would otherwise silently
+        # duplicate rows. Only a STRICT intent match (the marker
+        # provably written by this stream's own prior attempt of this
+        # wave) waives the check so crash-replays recover; a lenient
+        # legacy-marker match must not, or the dedup would silently
+        # drop a new stream's id-clashing rows (round 14, second
+        # review pass).
         _require_new_ids(
-            new_rows, spark.read.parquet(corpus_path), id_col,
+            batch_df, spark.read.parquet(corpus_path), id_col,
             "stream_compressed_maintain",
         )
     _write_wave_intent(spark, snapshot_path, batch_id, epoch)
@@ -701,31 +719,40 @@ def _cell_apply_wave(
             vec_col, "vec"
         )
     if applied["batch"] < batch_id:
-        if _intent_matches(spark, snapshot_path, batch_id, epoch):
-            # a prior attempt of THIS wave may have refreshed the
-            # resident blobs before its snapshot commit failed — drop
-            # the already-merged rows before re-applying. This MUST
-            # run before the new-epoch id check (round 14 review): a
-            # crash-replayed wave's ids are legitimately resident, and
-            # checking them first would wedge the stream with a
-            # misleading "ids must be new" error on every retry.
+        lenient, strict = _intent_state(spark, snapshot_path, batch_id, epoch)
+        resident_ids = None
+        if lenient or new_epoch:
+            # ONE resident-id unpickling pass feeds both the replay
+            # dedup and the id check (rare paths only)
             from vector_index_spark.index.serving import _blob_ids
 
-            wave = wave.join(_blob_ids(serving.blobs), "id", "left_anti")
-        if new_epoch:
+            resident_ids = _blob_ids(serving.blobs).localCheckpoint(
+                eager=True
+            )
+        if new_epoch and not strict:
             # a fresh stream's wave applying over an old counter: the
             # merge path has no id check, so enforce id-primary-key
-            # loudly on the post-dedup remainder (the resident-id
-            # unpickling pass is paid only on this rare path)
-            from vector_index_spark.index.serving import _blob_ids
-
+            # loudly on the RAW wave. Only a STRICT intent match (the
+            # marker provably written by this stream's own prior
+            # attempt of this wave) waives it — a lenient legacy-marker
+            # match must not, or the anti-join below would silently
+            # drop a new stream's id-clashing rows (round 14, second
+            # review pass).
             _require_new_ids(
-                wave, _blob_ids(serving.blobs), "id",
-                "stream_cell_maintain",
+                wave, resident_ids, "id", "stream_cell_maintain",
             )
+        if lenient:
+            # a prior attempt of THIS wave may have refreshed the
+            # resident blobs before its snapshot commit failed — drop
+            # the already-merged rows before re-applying (round 14
+            # review: this recovery must not be blocked by the id
+            # check, which the strict-match waiver above guarantees)
+            wave = wave.join(resident_ids, "id", "left_anti")
         _write_wave_intent(spark, snapshot_path, batch_id, epoch)
         serving.refresh(wave)
         applied["batch"] = batch_id
+        if resident_ids is not None:
+            resident_ids.unpersist()
     serving.snapshot_incremental(
         snapshot_path, max_generations=max_generations,
         stream_batch_id=batch_id, stream_epoch=epoch,
