@@ -427,6 +427,50 @@ def test_conjunction_mask_agrees_with_tuple_membership(
     assert mask.tolist() == slow
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    tuples=st.sets(
+        st.tuples(
+            st.integers(-3, 6), st.integers(-3, 6)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rows=st.lists(
+        st.tuples(st.integers(-3, 6), st.integers(-3, 6)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_tuplein_equals_dnf_of_singleton_conjunctions(tuples, rows):
+    """Round 14: TupleIn (one structured-isin pass) must agree with
+    the equivalent AnyOf DNF of singleton conjunctions (D per-disjunct
+    masks) on EVERY row — the vectorized mask, the per-tuple
+    membership, and idempotent normalization. (The generated domain
+    never reaches the NULL sentinel, which both forms refuse at
+    construction.)"""
+    from vector_index_spark.operators.filtered import (
+        AnyOf,
+        TupleIn,
+        allow_arrays,
+        conjunction_mask,
+        conjunction_matches,
+        normalize_allowed,
+    )
+
+    spec = normalize_allowed(TupleIn(tuples), 2)
+    dnf = normalize_allowed(
+        AnyOf(*[[[a], [b]] for a, b in sorted(tuples)]), 2
+    )
+    a = np.asarray([list(r) for r in rows], dtype=np.int64)
+    got = conjunction_mask(a, allow_arrays(spec))
+    want = conjunction_mask(a, allow_arrays(dnf))
+    assert got.tolist() == want.tolist()
+    for r in rows:
+        assert conjunction_matches(r, spec) == conjunction_matches(r, dnf)
+    assert normalize_allowed(spec, 2) is spec  # idempotent
+
+
 @settings(max_examples=50, deadline=None)
 @given(matrices(), st.integers(min_value=0, max_value=2**31 - 1))
 def test_grouped_masked_topk_equals_per_group_kernel(X, seed):
