@@ -273,8 +273,10 @@ def _graph_apply_wave(
     if skip:
         return  # replay of a fully committed wave (same stream epoch)
     # (a new-epoch wave whose ids collide dies loudly on
-    # append_to_index's id-primary-key check — no extra guard needed)
-    if _intent_matches(spark, snapshot_path, batch_id, epoch):
+    # append_to_index's id-primary-key check — no extra guard needed
+    # on the fast path)
+    lenient, strict = _intent_state(spark, snapshot_path, batch_id, epoch)
+    if lenient:
         # a prior attempt of THIS wave may have appended to the index
         # before crashing — dedup against the index's ids (the id scan
         # is paid only on this rare crash-replay path)
@@ -284,6 +286,22 @@ def _graph_apply_wave(
         new_rows = batch_df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).join(existing, "id", "left_anti")
+        if not strict and new_rows.count() != batch_df.count():
+            # a LEGACY (epoch-less) marker matched a wave that is NOT
+            # provably this stream's own prior attempt, and the
+            # anti-join dropped rows — those would be a different
+            # stream's id-clashing vectors silently discarded (round
+            # 14, second review pass); the loud id-clash posture
+            # append_to_index gives the fast path applies here too
+            raise ValueError(
+                "stream_index_maintain: this wave matches a legacy "
+                "(epoch-less) wave-intent marker but carries ids that "
+                "already exist in the index — cannot distinguish a "
+                "crash replay from a different stream's colliding "
+                "wave. If this is the SAME logical stream, restart it "
+                "with the ORIGINAL checkpoint dir; if it is new data, "
+                "its ids must be new (id-primary-key)"
+            )
     else:
         new_rows = None  # fast path: append the wave as-is
     _write_wave_intent(spark, snapshot_path, batch_id, epoch)
