@@ -729,15 +729,18 @@ def test_compressed_twin_live_handle_replay_no_duplicates(
     idx.unpersist()
 
 
-def test_legacy_intent_marker_does_not_waive_id_check(
+def test_legacy_intent_marker_disambiguates_by_value(
     spark, waves, tmp_path
 ):
-    """Second review pass: a LEGACY (epoch-less) wave-intent marker at
-    the replayed batch id is a lenient match (the dedup keeps legacy
-    crash-replays recoverable) but NOT a strict one — it must not
-    waive the new-epoch id-primary-key check, or a new stream's
-    id-clashing rows (different vectors!) would be silently
-    anti-joined away instead of raising."""
+    """Second+third review passes: a LEGACY (epoch-less) wave-intent
+    marker at the replayed batch id is a lenient match but not a
+    strict one — the twins disambiguate BY VALUE. Colliding ids with
+    DIFFERENT vectors (a different stream's data the anti-join would
+    silently destroy) raise loudly; byte-identical collisions (a true
+    round-12 crash replay) recover via the dedup, no duplicates —
+    the legacy recovery path keeps working. This is the REALISTIC
+    legacy state (no epoch anywhere, so new_epoch never flags) plus
+    the epoched-manifest corner."""
     from vector_index_spark.index import serving as S
     from vector_index_spark.index.ivf import build_ivf
     from vector_index_spark.streaming import ingest as I
@@ -748,25 +751,35 @@ def test_legacy_intent_marker_does_not_waive_id_check(
         assigned.localCheckpoint(eager=True), cents
     ).warm()
     snap = str(tmp_path / "snap_cell_legacy")
-    idx.snapshot(snap, stream_batch_id=7, stream_epoch="epoch-OLD")
-    # legacy marker: bare batch id, no epoch line (the round-12 format)
+    # REALISTIC legacy state: round-12 manifest (no stream_epoch) and
+    # a bare batch-id marker — new_epoch never flags on this path
+    idx.snapshot(snap, stream_batch_id=3)
     I._write_wave_intent(spark, snap, 5, None)
     assert I._intent_state(spark, snap, 5, "epoch-NEW") == (True, False)
 
-    # a NEW stream delivers batch 5 whose ids ALREADY EXIST in the
-    # resident blobs (with different vectors — data a silent anti-join
-    # would destroy): must raise, not dedup
-    clash = first.limit(50)
+    # different VECTORS under colliding ids: must raise, not dedup
+    clash = first.limit(50).select(
+        "id", F.transform("vec", lambda x: x + F.lit(1.0)).alias("vec")
+    )
     n_before = int(idx.blobs.agg(F.sum("n_vectors")).first()[0])
-    with pytest.warns(UserWarning, match="different stream epoch"):
-        with pytest.raises(ValueError, match="ids already exist"):
-            I._cell_apply_wave(
-                idx, snap, {"batch": -1, "epoch": "epoch-NEW"}, 8,
-                clash, 5,
-            )
+    with pytest.raises(ValueError, match="VECTORS differ"):
+        I._cell_apply_wave(
+            idx, snap, {"batch": -1, "epoch": "epoch-NEW"}, 8, clash, 5,
+        )
     assert int(
         idx.blobs.agg(F.sum("n_vectors")).first()[0]
     ) == n_before  # nothing merged
+
+    # byte-identical collisions (the true round-12 crash replay, e.g.
+    # the wave partially merged before the crash): recovers silently
+    replay = first.limit(50)  # vectors equal the resident rows
+    I._cell_apply_wave(
+        idx, snap, {"batch": -1, "epoch": "epoch-NEW"}, 8, replay, 5,
+    )
+    assert int(
+        idx.blobs.agg(F.sum("n_vectors")).first()[0]
+    ) == n_before  # deduped, no duplicates; commit landed
+    assert I._skip_committed(spark, snap, 5, "epoch-NEW") == (True, False)
     idx.unpersist()
 
 

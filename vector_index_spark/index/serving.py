@@ -547,6 +547,27 @@ def _blob_ids(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(ids_of, "id long")
 
 
+def _blob_id_vecs(blobs: DataFrame, vec_field: int = 1) -> DataFrame:
+    """Resident (id, vec) pairs as a relation — one unpickling pass
+    over RAW-PAYLOAD blob relations (Cell/RPT payloads carry X at
+    field 1, PCA at field 2 — ``PcaServingIndex._RAW_VEC_FIELD``).
+    Used only on rare replay-disambiguation guard paths, never per
+    wave."""
+    import pickle as _pickle
+
+    def kv(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                payload = _pickle.loads(bytes(blob))
+                ids = np.asarray(payload[0], dtype=np.int64)
+                X = np.asarray(payload[vec_field], dtype=np.float64)
+                yield pd.DataFrame(
+                    {"id": ids, "vec": [row.tolist() for row in X]}
+                )
+
+    return blobs.mapInPandas(kv, "id long, vec array<double>")
+
+
 def _blob_fingerprint(blobs: DataFrame) -> dict:
     """(blob count, total packed vectors) — one tiny agg over the blob
     relation; restore re-derives it and refuses a truncated copy."""
@@ -6158,6 +6179,10 @@ class PcaServingIndex:
     byte-identical whenever the candidate coverage matches; at partial
     coverage the candidate set is blob- vs Arrow-batch-granular (same
     contract as the PQ/SQ serving classes; recall-floored in tests)."""
+
+    # blob payload = (ids, reduced, RAW[, attrs]) — the raw vectors sit
+    # at field 2 (Cell/RPT carry them at 1); see _blob_id_vecs
+    _RAW_VEC_FIELD = 2
 
     def __init__(
         self,

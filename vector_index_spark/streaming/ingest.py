@@ -180,15 +180,38 @@ def _read_wave_intent(spark, snapshot_path: str) -> "tuple[int, str | None]":
     return int(head), (tail or None)
 
 
-def _intent_matches(spark, snapshot_path: str, batch_id: int,
-                    epoch: "str | None") -> bool:
-    """Whether a prior attempt of THIS wave may have partially applied:
-    the intent's batch id matches AND it belongs to the same stream
-    epoch (round 13 review: a stale intent from a crashed OLD-epoch
-    wave must not route a new stream's same-numbered batch onto the
-    crash-replay path, whose anti-join would silently drop colliding
-    rows). Legacy / epoch-less markers keep the round-12 behavior."""
-    return _intent_state(spark, snapshot_path, batch_id, epoch)[0]
+def _assert_replay_collisions_identical(wave_kv: DataFrame,
+                                        existing_kv: DataFrame,
+                                        context: str) -> None:
+    """Disambiguate a LENIENT-but-not-strict (legacy epoch-less
+    wave-intent marker) replay match BY VALUE (round 14, third review
+    pass): colliding ids may be the prior attempt's own rows (a true
+    round-12 crash replay — vectors byte-identical after the write
+    round-trip) or a different stream's colliding data (different
+    vectors — the rows an id-only anti-join would silently destroy).
+    Any colliding id whose vector differs raises; all-identical
+    collisions return so the caller's dedup recovers the replay. Both
+    frames are (id, vec); the scan is paid only on this rare ambiguous
+    path."""
+    clash = wave_kv.select("id", "vec").join(
+        existing_kv.select(
+            F.col("id"), F.col("vec").alias("__evec")
+        ),
+        "id",
+    )
+    bad = clash.filter(
+        ~(F.col("vec") == F.col("__evec"))
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"{context}: this wave matches a legacy (epoch-less) "
+            "wave-intent marker but carries ids whose VECTORS differ "
+            "from the existing rows — it cannot be this stream's own "
+            "crash replay. If this is the SAME logical stream, restart "
+            "it with the ORIGINAL checkpoint dir; if it is genuinely "
+            "new data, its ids must be new (id-primary-key), or start "
+            "a fresh snapshot path"
+        )
 
 
 def _intent_state(spark, snapshot_path: str, batch_id: int,
@@ -280,28 +303,25 @@ def _graph_apply_wave(
         # a prior attempt of THIS wave may have appended to the index
         # before crashing — dedup against the index's ids (the id scan
         # is paid only on this rare crash-replay path)
-        existing = spark.read.parquet(f"{index_path}/vectors").select(
-            F.col(id_col).alias("id")
-        )
-        new_rows = batch_df.select(
+        wave_kv = batch_df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).join(existing, "id", "left_anti")
-        if not strict and new_rows.count() != batch_df.count():
-            # a LEGACY (epoch-less) marker matched a wave that is NOT
-            # provably this stream's own prior attempt, and the
-            # anti-join dropped rows — those would be a different
-            # stream's id-clashing vectors silently discarded (round
-            # 14, second review pass); the loud id-clash posture
-            # append_to_index gives the fast path applies here too
-            raise ValueError(
-                "stream_index_maintain: this wave matches a legacy "
-                "(epoch-less) wave-intent marker but carries ids that "
-                "already exist in the index — cannot distinguish a "
-                "crash replay from a different stream's colliding "
-                "wave. If this is the SAME logical stream, restart it "
-                "with the ORIGINAL checkpoint dir; if it is new data, "
-                "its ids must be new (id-primary-key)"
+        )
+        existing_kv = spark.read.parquet(f"{index_path}/vectors").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        if not strict:
+            # a LEGACY (epoch-less) marker is not provably this
+            # stream's own prior attempt: disambiguate BY VALUE —
+            # byte-identical collisions are a true round-12 crash
+            # replay (dedup recovers it, same as before the upgrade),
+            # differing vectors raise loudly instead of being
+            # anti-joined away (round 14, third review pass)
+            _assert_replay_collisions_identical(
+                wave_kv, existing_kv, "stream_index_maintain"
             )
+        new_rows = wave_kv.join(
+            existing_kv.select("id"), "id", "left_anti"
+        )
     else:
         new_rows = None  # fast path: append the wave as-is
     _write_wave_intent(spark, snapshot_path, batch_id, epoch)
@@ -459,21 +479,38 @@ def _ivfpq_apply_wave(
     if replay:
         # a prior attempt of THIS wave may have appended to the
         # corpus before crashing — dedup before re-appending
+        if not strict:
+            # a LEGACY (epoch-less) marker is not provably this
+            # stream's own prior attempt — and the realistic legacy
+            # state (round-12 manifest, no stream_epoch) never flags
+            # new_epoch, so this is the ONLY gate on that path (round
+            # 14, third review pass): disambiguate BY VALUE — a true
+            # crash replay's colliding rows are byte-identical (the
+            # schema-cast above matches the corpus's types), differing
+            # vectors raise instead of being anti-joined away
+            _assert_replay_collisions_identical(
+                batch_df.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                ),
+                spark.read.parquet(corpus_path).select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                ),
+                "stream_compressed_maintain",
+            )
         existing = spark.read.parquet(corpus_path).select(F.col(id_col))
         new_rows = batch_df.join(existing, id_col, "left_anti")
     else:
         new_rows = batch_df
-    if new_epoch and not strict:
-        # a fresh stream's wave applying over an old counter: enforce
-        # the id-primary-key contract loudly on the RAW wave — this
-        # twin's corpus append has no downstream id check, so an OLD
-        # stream's wave re-delivered here would otherwise silently
-        # duplicate rows. Only a STRICT intent match (the marker
-        # provably written by this stream's own prior attempt of this
-        # wave) waives the check so crash-replays recover; a lenient
-        # legacy-marker match must not, or the dedup would silently
-        # drop a new stream's id-clashing rows (round 14, second
-        # review pass).
+    if new_epoch and not replay:
+        # a fresh stream's wave applying over an old counter with NO
+        # intent match: enforce the id-primary-key contract loudly on
+        # the raw wave — this twin's corpus append has no downstream
+        # id check, so an OLD stream's wave re-delivered here would
+        # otherwise silently duplicate rows. (Replay matches are
+        # covered above: strict waives — the first attempt already
+        # checked — and lenient disambiguates by value.)
         _require_new_ids(
             batch_df, spark.read.parquet(corpus_path), id_col,
             "stream_compressed_maintain",
@@ -738,39 +775,54 @@ def _cell_apply_wave(
         )
     if applied["batch"] < batch_id:
         lenient, strict = _intent_state(spark, snapshot_path, batch_id, epoch)
-        resident_ids = None
-        if lenient or new_epoch:
-            # ONE resident-id unpickling pass feeds both the replay
-            # dedup and the id check (rare paths only)
-            from vector_index_spark.index.serving import _blob_ids
+        resident_kv = None
+        try:
+            if lenient or new_epoch:
+                # ONE resident unpickling pass feeds the replay
+                # disambiguation, the id check, and the dedup (rare
+                # paths only; raw-payload routes, so the vectors ride
+                # along — PCA carries them at field 2)
+                from vector_index_spark.index.serving import _blob_id_vecs
 
-            resident_ids = _blob_ids(serving.blobs).localCheckpoint(
-                eager=True
-            )
-        if new_epoch and not strict:
-            # a fresh stream's wave applying over an old counter: the
-            # merge path has no id check, so enforce id-primary-key
-            # loudly on the RAW wave. Only a STRICT intent match (the
-            # marker provably written by this stream's own prior
-            # attempt of this wave) waives it — a lenient legacy-marker
-            # match must not, or the anti-join below would silently
-            # drop a new stream's id-clashing rows (round 14, second
-            # review pass).
-            _require_new_ids(
-                wave, resident_ids, "id", "stream_cell_maintain",
-            )
-        if lenient:
-            # a prior attempt of THIS wave may have refreshed the
-            # resident blobs before its snapshot commit failed — drop
-            # the already-merged rows before re-applying (round 14
-            # review: this recovery must not be blocked by the id
-            # check, which the strict-match waiver above guarantees)
-            wave = wave.join(resident_ids, "id", "left_anti")
-        _write_wave_intent(spark, snapshot_path, batch_id, epoch)
-        serving.refresh(wave)
-        applied["batch"] = batch_id
-        if resident_ids is not None:
-            resident_ids.unpersist()
+                resident_kv = _blob_id_vecs(
+                    serving.blobs,
+                    vec_field=getattr(serving, "_RAW_VEC_FIELD", 1),
+                ).localCheckpoint(eager=True)
+            if lenient and not strict:
+                # a LEGACY (epoch-less) marker is not provably this
+                # stream's own prior attempt — and the realistic
+                # legacy state (round-12 manifest without an epoch)
+                # never flags new_epoch, so this is the ONLY gate on
+                # that path (round 14, third review pass):
+                # disambiguate BY VALUE — byte-identical collisions
+                # are a true crash replay (the dedup below recovers
+                # it), differing vectors raise loudly instead of
+                # being anti-joined away
+                _assert_replay_collisions_identical(
+                    wave, resident_kv, "stream_cell_maintain"
+                )
+            elif new_epoch and not lenient:
+                # a fresh stream's wave applying over an old counter
+                # with NO intent match: the merge path has no id
+                # check, so enforce id-primary-key loudly on the raw
+                # wave (strict matches are waived — the first attempt
+                # already ran this check)
+                _require_new_ids(
+                    wave, resident_kv, "id", "stream_cell_maintain",
+                )
+            if lenient:
+                # a prior attempt of THIS wave may have refreshed the
+                # resident blobs before its snapshot commit failed —
+                # drop the already-merged rows before re-applying
+                wave = wave.join(
+                    resident_kv.select("id"), "id", "left_anti"
+                )
+            _write_wave_intent(spark, snapshot_path, batch_id, epoch)
+            serving.refresh(wave)
+            applied["batch"] = batch_id
+        finally:
+            if resident_kv is not None:
+                resident_kv.unpersist()
     serving.snapshot_incremental(
         snapshot_path, max_generations=max_generations,
         stream_batch_id=batch_id, stream_epoch=epoch,
