@@ -4337,56 +4337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q144/q113/q114 and the raw relations stay pytest-gated
     # (test_sketches) — bringing the registry to 150 all-hash-matched
     # entries within the window guarantee.
-        "q168_multi_tenant_serving": q168_multi_tenant_serving,
-        "q165_dict_encode_tables": q165_dict_encode_tables,
-        "q166_string_filtered_knn": q166_string_filtered_knn,
-        "q167_conjunction_serving_gate": q167_conjunction_serving_gate,
-        "q09_dedup_exact": q09_dedup_exact,
-        "q10_threshold_join": q10_threshold_join,
-        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
-        "q106_pq_recall_gate": q106_pq_recall_gate,
-        "q107_sq_recall_gate": q107_sq_recall_gate,
-        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
-        "q22_graph_recall_gate": q22_graph_recall_gate,
-        "q104_lsh_recall_gate": q104_lsh_recall_gate,
-        "q105_ivf_recall_gate": q105_ivf_recall_gate,
-        "q109_pca_recall_gate": q109_pca_recall_gate,
-        "q110_rpt_recall_gate": q110_rpt_recall_gate,
-        "q111_hamming_recall_gate": q111_hamming_recall_gate,
-        "q135_binary_format_ingest": q135_binary_format_ingest,
-        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
-        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
-        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
-        "q97_bpe_vocab": q97_bpe_vocab,
-        "q103_sketch_rollup": q103_sketch_rollup,
-        "q137_waiting_suppliers": q137_waiting_suppliers,
-        "q138_quiet_high_balance": q138_quiet_high_balance,
-        "q139_min_cost_supplier": q139_min_cost_supplier,
-        "q140_large_volume_orders": q140_large_volume_orders,
-        "q142_take_n_per_source": q142_take_n_per_source,
-        "q11_star_agg": q11_star_agg,
-        "q12_token_topn": q12_token_topn,
-        "q13_minhash_pairs": q13_minhash_pairs,
-        "q15_text_profile": q15_text_profile,
-        "q16_langid": q16_langid,
-        "q17_fingerprint_dedup": q17_fingerprint_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q24_events_hourly": q24_events_hourly,
-        "q25_event_sessions": q25_event_sessions,
-        "q26_payload_stats": q26_payload_stats,
-        "q28_cosine_knn": q28_cosine_knn,
-        "q29_set_ops": q29_set_ops,
-        "q30_top_orders": q30_top_orders,
-        "q31_token_counts": q31_token_counts,
-        "q33_event_props_json": q33_event_props_json,
-        "q34_orders_monthly": q34_orders_monthly,
-        "q35_pricing_summary": q35_pricing_summary,
-        "q36_shipping_priority": q36_shipping_priority,
-        "q37_vec_dedup": q37_vec_dedup,
-        "q38_clean_pipeline": q38_clean_pipeline,
-        "q40_distinct_users": q40_distinct_users,
-        "q42_value_percentiles": q42_value_percentiles,
-        "q44_label_centroids": q44_label_centroids,
         "q169_range_filtered_knn": q169_range_filtered_knn,
         "q170_range_serving_gate": q170_range_serving_gate,
         "q45_rolling_hash": q45_rolling_hash,
@@ -4487,6 +4437,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_merge_upsert": q132_merge_upsert,
         "q133_scd2_history": q133_scd2_history,
         "q08_index_roundtrip": q08_index_roundtrip,
+        "q168_multi_tenant_serving": q168_multi_tenant_serving,
+        "q165_dict_encode_tables": q165_dict_encode_tables,
+        "q166_string_filtered_knn": q166_string_filtered_knn,
+        "q167_conjunction_serving_gate": q167_conjunction_serving_gate,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_threshold_join": q10_threshold_join,
+        "q108_ivfpq_recall_gate": q108_ivfpq_recall_gate,
+        "q106_pq_recall_gate": q106_pq_recall_gate,
+        "q107_sq_recall_gate": q107_sq_recall_gate,
+        "q118_cell_routed_recall_gate": q118_cell_routed_recall_gate,
+        "q22_graph_recall_gate": q22_graph_recall_gate,
+        "q104_lsh_recall_gate": q104_lsh_recall_gate,
+        "q105_ivf_recall_gate": q105_ivf_recall_gate,
+        "q109_pca_recall_gate": q109_pca_recall_gate,
+        "q110_rpt_recall_gate": q110_rpt_recall_gate,
+        "q111_hamming_recall_gate": q111_hamming_recall_gate,
+        "q135_binary_format_ingest": q135_binary_format_ingest,
+        "q136_hdf5_roundtrip": q136_hdf5_roundtrip,
+        "q119_mmr_first_pick_gate": q119_mmr_first_pick_gate,
+        "q127_append_remove_recall_gate": q127_append_remove_recall_gate,
+        "q97_bpe_vocab": q97_bpe_vocab,
+        "q103_sketch_rollup": q103_sketch_rollup,
+        "q137_waiting_suppliers": q137_waiting_suppliers,
+        "q138_quiet_high_balance": q138_quiet_high_balance,
+        "q139_min_cost_supplier": q139_min_cost_supplier,
+        "q140_large_volume_orders": q140_large_volume_orders,
+        "q142_take_n_per_source": q142_take_n_per_source,
+        "q11_star_agg": q11_star_agg,
+        "q12_token_topn": q12_token_topn,
+        "q13_minhash_pairs": q13_minhash_pairs,
+        "q15_text_profile": q15_text_profile,
+        "q16_langid": q16_langid,
+        "q17_fingerprint_dedup": q17_fingerprint_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q24_events_hourly": q24_events_hourly,
+        "q25_event_sessions": q25_event_sessions,
+        "q26_payload_stats": q26_payload_stats,
+        "q28_cosine_knn": q28_cosine_knn,
+        "q29_set_ops": q29_set_ops,
+        "q30_top_orders": q30_top_orders,
+        "q31_token_counts": q31_token_counts,
+        "q33_event_props_json": q33_event_props_json,
+        "q34_orders_monthly": q34_orders_monthly,
+        "q35_pricing_summary": q35_pricing_summary,
+        "q36_shipping_priority": q36_shipping_priority,
+        "q37_vec_dedup": q37_vec_dedup,
+        "q38_clean_pipeline": q38_clean_pipeline,
+        "q40_distinct_users": q40_distinct_users,
+        "q42_value_percentiles": q42_value_percentiles,
+        "q44_label_centroids": q44_label_centroids,
     }
 
 
