@@ -933,7 +933,12 @@ def test_rpt_default_probes_scales_with_leaves(spark):
     assert default_probes(8) == 8
     assert default_probes(16) == 8
     assert default_probes(128) == 32
-    assert default_probes(1024) == 256
+    # round 15 (ADVICE): capped at 64 — unbounded leaves/4 growth made
+    # default query cost linear in tree size (a 4096-leaf tree would
+    # probe 1024 leaves); past 256 leaves pass probes explicitly
+    assert default_probes(256) == 64
+    assert default_probes(1024) == 64
+    assert default_probes(4096) == 64
 
     rng = np.random.default_rng(11)
     d, n_clusters = 32, 20

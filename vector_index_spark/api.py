@@ -177,8 +177,8 @@ class _MipsServing:
         self._inner.unpersist()
 
     def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        aug, qn = self._augmented(test, kwargs)
-        res = self._inner.query(aug, k, **kwargs)
+        aug, qn, rest = self._augmented(test, kwargs)
+        res = self._inner.query(aug, k, **rest)
         return self._ip_dist(res, qn)
 
     def query_by_attribute(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
@@ -187,8 +187,8 @@ class _MipsServing:
         same as :meth:`query`."""
         qcols = kwargs.get("qattr_col", "attr")
         qcols = [qcols] if isinstance(qcols, str) else list(qcols)
-        aug, qn = self._augmented(test, kwargs, extra=qcols)
-        res = self._inner.query_by_attribute(aug, k, **kwargs)
+        aug, qn, rest = self._augmented(test, kwargs, extra=qcols)
+        res = self._inner.query_by_attribute(aug, k, **rest)
         return self._ip_dist(res, qn)
 
     def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
@@ -200,8 +200,8 @@ class _MipsServing:
         bounds = [
             kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
         ]
-        aug, qn = self._augmented(test, kwargs, extra=bounds)
-        res = self._inner.query_by_window(aug, k, **kwargs)
+        aug, qn, rest = self._augmented(test, kwargs, extra=bounds)
+        res = self._inner.query_by_window(aug, k, **rest)
         return self._ip_dist(res, qn)
 
     def snapshot(self, path: str) -> "_MipsServing":
@@ -229,9 +229,13 @@ class _MipsServing:
         )
 
     def _augmented(self, test: DataFrame, kwargs: dict, extra=()):
-        """(augmented query batch, (qid, |q|^2) broadcast side)."""
+        """(augmented query batch, (qid, |q|^2) broadcast side, and the
+        remaining kwargs for the inner call — the caller's dict is never
+        mutated, so a retry wrapper reusing one dict keeps its
+        qid_col/vec_col)."""
         from vector_index_spark.functions.distance import l2_norm
 
+        kwargs = dict(kwargs)
         qid_col = kwargs.pop("qid_col", "qid")
         vec_col = kwargs.pop("vec_col", "vec")
         t = test.select(
@@ -250,7 +254,7 @@ class _MipsServing:
         qn = t.select(
             "qid", (l2_norm(F.col("vec")) ** 2).alias("__qn2")
         )
-        return aug, qn
+        return aug, qn, kwargs
 
 
 class VectorIndex:
@@ -798,11 +802,16 @@ class VectorIndex:
         # row (a one-row scalar lookup, startup-class).
         from vector_index_spark.functions.distance import l2_norm
 
-        m2 = float(
-            self.vectors.select(
-                (l2_norm(F.col("vec")) ** 2).alias("m2")
-            ).first()["m2"]
-        )
+        m2_row = self.vectors.select(
+            (l2_norm(F.col("vec")) ** 2).alias("m2")
+        ).first()
+        if m2_row is None:
+            raise ValueError(
+                "serving() needs a non-empty index: an inner_product "
+                "index recovers its MIPS bound M^2 from a stored row, "
+                "and this index has none"
+            )
+        m2 = float(m2_row["m2"])
         return _MipsServing(
             ServingIndex(
                 vectors, self.edges, dimension=dim + 1, attr_col=attr_col

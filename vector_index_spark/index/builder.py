@@ -151,14 +151,20 @@ def _apply_metric_transform(
 
 
 def remove_from_index(spark, path: str, ids: DataFrame,
-                      id_col: str = "id") -> None:
+                      id_col: str = "id") -> "list[int]":
     """Batch delete: drop rows and rebuild ONLY the shards they lived in
     (the reference has no deletes at all — 'no deletes and no updates',
     SURVEY §1.3 — this is strictly added capability, kept batch-shaped per
     the north star's no-real-time-updates scope).
 
     Like append, determinism makes the result bit-identical to a
-    from-scratch build over the surviving rows."""
+    from-scratch build over the surviving rows. Returns the affected
+    shard list (round 15) so serving loops can pass it straight to
+    ``ServingIndex.refresh`` / ``snapshot_incremental`` — the delete
+    mirror of ``append_to_index``'s return; a fully-emptied shard stays
+    in the list, and the refresh re-pack drops its blob row (no rows ->
+    no cogroup group), which the incremental snapshot then records as a
+    claimed-but-absent key (removed at restore)."""
     from vector_index_spark.index.persistence import load_index
 
     vectors, _edges, params = load_index(spark, path)
@@ -168,7 +174,7 @@ def remove_from_index(spark, path: str, ids: DataFrame,
         for r in vectors.join(doomed, "id").select("shard").distinct().collect()
     ]
     if not affected:
-        return
+        return []
     # materialize BEFORE overwriting: the lazy plan reads the same files
     # the writes below replace (read-overwrite hazard)
     survivors = (
@@ -205,6 +211,7 @@ def remove_from_index(spark, path: str, ids: DataFrame,
     # FAILED_READ_FILE.FILE_NOT_EXIST. Invalidate the cached listing.
     spark.catalog.refreshByPath(f"{path}/vectors")
     spark.catalog.refreshByPath(f"{path}/edges")
+    return sorted(int(s) for s in affected)
 
 
 def append_to_index(spark, path: str, new_vectors: DataFrame,
@@ -227,6 +234,16 @@ def append_to_index(spark, path: str, new_vectors: DataFrame,
     vectors, _edges, params = load_index(spark, path)
     rows = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     rows = _apply_metric_transform(rows, vectors, params)
+    # align the appended rows' vector dtype to the stored files' (round
+    # 15): a double-typed wave over a float-stored index would otherwise
+    # widen through the union below and dynamic-overwrite the affected
+    # partitions as array<double> next to untouched array<float> ones —
+    # MIXED-TYPE parquet in one directory, which fails nondeterministically
+    # depending on which footer the reader samples (the same hazard the
+    # compressed twin's wave cast closed in round 13)
+    rows = rows.select(
+        "id", F.col("vec").cast(vectors.schema["vec"].dataType).alias("vec")
+    )
     if params.shard_by == "ivf_cell":
         # route new rows to their NEAREST existing shard centroid (the
         # cell layout must not re-fit on append; shards may grow past

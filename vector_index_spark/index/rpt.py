@@ -154,8 +154,17 @@ def default_probes(n_leaves: int) -> int:
     the tree is tiny). Callers tuning latency pass ``probes``
     explicitly; recall at DEFAULTS then holds across corpus scale
     instead of silently decaying (0.712 at a fixed probes=8 over 128
-    leaves at 500k; 0.9998 at 32 — SCALE.md)."""
-    return max(8, int(n_leaves) // 4)
+    leaves at 500k; 0.9998 at 32 — SCALE.md).
+
+    CAPPED at 64 (round 15, ADVICE): unbounded leaves/4 growth made
+    default query cost linear in tree size — a 4096-leaf tree would
+    probe 1024 leaves, an orders-of-magnitude latency cliff for
+    defaults-relying callers. 64 is 2x the SCALE.md-verified 0.9998
+    point (32 probes over 128 leaves at 500k); past 256 leaves the
+    default covers a shrinking leaf fraction, so recall-sensitive
+    callers at that scale should pass ``probes`` (or prefer the IVF/
+    graph routes, which the routing rules already recommend there)."""
+    return min(max(8, int(n_leaves) // 4), 64)
 
 
 def rpt_knn(

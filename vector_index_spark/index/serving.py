@@ -106,28 +106,68 @@ def _require_wave_cap(idx, n_rows: int, cap: int) -> None:
 # cells/keys accumulate between compactions.
 MAX_RESIDENT_SEGMENTS = 16
 
+# byte-bound compaction trigger (round 15, VERDICT r14 item 2): segment
+# COUNT alone is the wrong bound for SPREAD waves — a wave touching
+# every key checkpoints a corpus-sized segment, so 16 such waves pin
+# ~16x the live blob bytes in stale leaf copies before the count
+# trigger fires (a fleet OOM at 100 TB churn). The stack therefore
+# also compacts whenever the pinned leaf bytes exceed
+# MAX_PINNED_RATIO x the LIVE plan's blob bytes: worst-case executor
+# storage for a serving class is then bounded at MAX_PINNED_RATIO x
+# resident bytes regardless of wave shape. Narrow waves never trip it
+# (their segments are tiny), so the wave-sized refresh cost contract
+# is untouched; per-wave trigger accounting is one metadata-cheap
+# aggregate over the blob ROWS (one row per shard/cell/part — never
+# per vector).
+MAX_PINNED_RATIO = 3.0
+
+
+def _leaf_blob_bytes(df: DataFrame) -> int:
+    """Total pickled-blob bytes of one blob relation — O(#blob rows)."""
+    return int(
+        df.agg(F.sum(F.length("blob")).alias("__b")).collect()[0]["__b"]
+        or 0
+    )
+
 
 def _track_segment(idx, seg) -> None:
     """Record a freshly-checkpointed blob segment as a live leaf of
-    ``idx.blobs``; compact when the stack hits the cap. The PREVIOUS
+    ``idx.blobs``; compact when the stack hits the count cap OR when
+    the pinned leaf bytes exceed ``max_pinned_ratio`` x the live plan's
+    blob bytes (round 15 — the spread-wave memory bound). The PREVIOUS
     ``idx.blobs`` must already be a leaf of the new plan (the caller
     unions over it), so the first call adopts it as the base leaf."""
     stack = getattr(idx, "_seg_stack", None)
     if not stack:
         stack = []
         idx._seg_stack = stack
+        idx._seg_bytes = []
     stack.append(seg)
+    seg_bytes = getattr(idx, "_seg_bytes", None)
+    if seg_bytes is None or len(seg_bytes) != len(stack) - 1:
+        # stack adopted before byte tracking existed: re-measure leaves
+        seg_bytes = [_leaf_blob_bytes(leaf) for leaf in stack[:-1]]
+    seg_bytes.append(_leaf_blob_bytes(seg))
+    idx._seg_bytes = seg_bytes
     if len(stack) >= getattr(
         idx, "max_resident_segments", MAX_RESIDENT_SEGMENTS
     ):
         _compact_resident(idx)
+        return
+    if len(stack) >= 2:
+        pinned = sum(seg_bytes)
+        live = _leaf_blob_bytes(idx.blobs)
+        if pinned > getattr(
+            idx, "max_pinned_ratio", MAX_PINNED_RATIO
+        ) * max(live, 1):
+            _compact_resident(idx)
 
 
 def _compact_resident(idx) -> None:
     """Fold the lazy segment stack back into ONE checkpointed relation
-    (corpus-sized copy — paid every MAX_RESIDENT_SEGMENTS waves, the
-    same amortization class as the snapshot fold) and free every old
-    leaf's blocks."""
+    (corpus-sized copy — paid at the count cap or the pinned-bytes
+    bound, the same amortization class as the snapshot fold) and free
+    every old leaf's blocks."""
     old_leaves = list(getattr(idx, "_seg_stack", []))
     idx.blobs = idx.blobs.repartition(idx._n_serve).localCheckpoint(
         eager=True
@@ -135,6 +175,7 @@ def _compact_resident(idx) -> None:
     for leaf in old_leaves:
         leaf.unpersist()
     idx._seg_stack = []
+    idx._seg_bytes = []
 
 
 def _adopt_base_leaf(idx) -> None:
@@ -158,6 +199,7 @@ def _adopt_base_leaf(idx) -> None:
             # handle whose warm() re-checkpoints the corpus redundantly
             idx._blobs_severed = True
         idx._seg_stack = [idx.blobs]
+        idx._seg_bytes = [_leaf_blob_bytes(idx.blobs)]
 
 
 def _unpersist_blobs(idx) -> None:
@@ -168,6 +210,7 @@ def _unpersist_blobs(idx) -> None:
     for leaf in getattr(idx, "_seg_stack", []):
         leaf.unpersist()
     idx._seg_stack = []
+    idx._seg_bytes = []
 
 
 def _fs_write_bytes(spark, path: str, data: bytes) -> None:
@@ -2179,6 +2222,15 @@ class CellServingIndex:
         )
         return self
 
+    def remove(self, ids) -> int:
+        """Remove rows by id (round 15 — the delete half of the
+        lifecycle; boundary replicas all go, emptied cells drop and
+        restore as removed). See :func:`_resident_remove`."""
+        return _resident_remove(
+            self, ids, "cell", CELL_BLOB_SCHEMA,
+            "_pending_snapshot_cells", "n_cells",
+        )
+
     def snapshot_incremental(
         self, path: str, max_generations: int = 8,
         stream_batch_id: "int | None" = None,
@@ -2963,6 +3015,7 @@ def _flat_compact_blobs(idx) -> None:
     for leaf in old_leaves:  # free the lazy union's segment leaves too
         leaf.unpersist()
     idx._seg_stack = []
+    idx._seg_bytes = []
 
 
 def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
@@ -3091,6 +3144,153 @@ def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
         idx, pending_attr,
         getattr(idx, pending_attr, set()) | set(affected),
     )
+
+
+def _collect_remove_ids(idx, ids) -> "np.ndarray | None":
+    """Bounded driver intake of a remove wave's ids — a DataFrame with
+    an ``id`` column, or any iterable of ints; the ingest wave cap
+    applies (a takedown list is a wave, not a corpus)."""
+    cap = int(getattr(idx, "wave_row_cap", WAVE_ROW_CAP))
+    if isinstance(ids, DataFrame):
+        col = "id" if "id" in ids.columns else ids.columns[0]
+        pdf = ids.select(F.col(col).alias("id")).limit(cap + 1).toPandas()
+        _require_wave_cap(idx, len(pdf), cap)
+        arr = pdf["id"].to_numpy(dtype=np.int64)
+    else:
+        arr = np.asarray([int(i) for i in ids], dtype=np.int64)
+        _require_wave_cap(idx, len(arr), cap)
+    arr = np.unique(arr)
+    return arr if len(arr) else None
+
+
+def _resident_remove(idx, ids, key_col: str, schema: str,
+                     pending_attr: str, count_attr: str) -> int:
+    """Remove rows by id from a resident blob relation (round 15,
+    VERDICT r14 item 3) — the delete half of the ingest lifecycle for
+    every maskable serving class (Cell / RPT keyed routes; IVF-PQ
+    compressed cells; PQ / SQ / PCA flat parts). The reference has no
+    deletes at all ('no deletes and no updates', SURVEY §1.3); this is
+    engine-extension capability, completing takedown/GDPR flows without
+    a cold rebuild + re-warm.
+
+    Mechanics: ONE scan over the resident blobs finds and masks the
+    doomed rows (there is no materialized id->key map, and boundary
+    REPLICAS of a doomed id must all go, so the scan is the honest
+    cost); affected keys' masked blobs land as a checkpointed segment
+    on the standard stack (byte/count-bounded compaction applies), and
+    a FULLY-emptied key's blob row drops from the resident relation.
+    The affected keys queue on ``pending_attr``: the next incremental
+    snapshot claims them, and an emptied key with no generation row
+    restores as removed (:func:`_resolve_generations`'s existing
+    claimed-but-absent semantics — no snapshot-format change). The
+    attribute strategy histogram decrements by the removed rows' tuple
+    counts (ids are unique, so per-tuple distinct-id counts subtract
+    exactly).
+
+    Removed ids are RETIRED, not recyclable: ids are the primary key
+    (reference global_offset semantics), and on the compressed routes
+    the cold re-rank corpus still holds the dead rows until its own
+    compaction — re-inserting a removed id before that would join two
+    corpus rows per id. Returns the number of rows removed (replica
+    copies counted)."""
+    spark = idx._spark
+    doomed = _collect_remove_ids(idx, ids)
+    if doomed is None:
+        return 0
+    for b in idx._live_bcs:
+        b.unpersist(blocking=False)
+    idx._live_bcs = []
+    bc = spark.sparkContext.broadcast(doomed)
+    idx._live_bcs.append(bc)
+    attred = idx._attr_cols is not None
+    interm = f"{key_col} long, n_vectors long, blob binary, removed binary"
+
+    def drop(batches):
+        for pdf_b in batches:
+            keys_o, nvec_o, blob_o, rem_o = [], [], [], []
+            for key, blob in zip(pdf_b[key_col], pdf_b["blob"]):
+                payload = pickle.loads(blob)
+                hit = np.isin(payload[0], bc.value)
+                if not hit.any():
+                    continue  # unaffected: carries over via lazy filter
+                keep = ~hit
+                n = len(payload[0])
+                # every per-row field masks on axis 0 (ids, codes/X/P,
+                # attrs); model arrays never ride in payloads
+                masked = tuple(
+                    f[keep]
+                    if isinstance(f, np.ndarray) and len(f) == n
+                    else f
+                    for f in payload
+                )
+                # side-channel the removed IDS (not just a count): the
+                # histogram counts DISTINCT ids per tuple, and with
+                # boundary replicas one doomed id masks out of several
+                # blobs — the driver dedups before decrementing
+                removed = (
+                    payload[0][hit],
+                    payload[-1][hit] if attred else None,
+                )
+                keys_o.append(int(key))
+                nvec_o.append(int(keep.sum()))
+                blob_o.append(
+                    pickle.dumps(masked, protocol=pickle.HIGHEST_PROTOCOL)
+                )
+                rem_o.append(
+                    pickle.dumps(removed, protocol=pickle.HIGHEST_PROTOCOL)
+                )
+            yield pd.DataFrame(
+                {key_col: keys_o, "n_vectors": nvec_o, "blob": blob_o,
+                 "removed": rem_o}
+            )
+
+    out = idx.blobs.mapInPandas(drop, interm).localCheckpoint(eager=True)
+    try:
+        aff_rows = out.select(key_col, "removed").collect()
+        if not aff_rows:
+            return 0
+        affected = sorted(int(r[key_col]) for r in aff_rows)
+        n_removed = 0
+        seen_tuples: "dict[int, tuple] | None" = {} if attred else None
+        for r in aff_rows:
+            rem_ids, rem_attrs = pickle.loads(bytes(r["removed"]))
+            n_removed += int(len(rem_ids))
+            if seen_tuples is not None and rem_attrs is not None:
+                for rid, tup in zip(rem_ids, rem_attrs):
+                    seen_tuples[int(rid)] = tuple(
+                        int(v) for v in np.atleast_1d(tup)
+                    )
+        if seen_tuples is not None:
+            hist = dict(idx._attribute_histogram())
+            for t in seen_tuples.values():
+                left = hist.get(t, 0) - 1
+                if left > 0:
+                    hist[t] = left
+                else:
+                    hist.pop(t, None)
+            idx._attr_hist = hist
+        seg = (
+            out.filter(F.col("n_vectors") > 0)
+            .select(key_col, "n_vectors", "blob")
+            .coalesce(max(1, min(idx._n_serve, len(affected))))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        out.unpersist()
+    _adopt_base_leaf(idx)
+    idx.blobs = idx.blobs.filter(
+        ~F.col(key_col).isin(affected)
+    ).unionByName(seg)
+    _track_segment(idx, seg)
+    setattr(idx, count_attr, idx.blobs.count())
+    idx._blobs_severed = True
+    if hasattr(idx, "_dup_multiplicity"):
+        idx._dup_multiplicity = None  # contents changed; re-probe lazily
+    setattr(
+        idx, pending_attr,
+        getattr(idx, pending_attr, set()) | set(affected),
+    )
+    return n_removed
 
 
 def _keyed_snapshot_incremental(
@@ -3466,6 +3666,17 @@ class PqServingIndex:
         self._train = train
         _flat_refresh(self, new_rows, train, mats_of)
         return self
+
+    def remove(self, ids) -> int:
+        """Remove rows by id from the resident code blobs (round 15):
+        removed ids can never be shortlisted, so the exact re-rank (an
+        id join against the cold corpus) never resurfaces them; the
+        corpus fingerprint is untouched. Emptied parts drop and restore
+        as removed. See :func:`_resident_remove`."""
+        return _resident_remove(
+            self, ids, "part", CODE_BLOB_SCHEMA,
+            "_pending_snapshot_parts", "n_blobs",
+        )
 
     def snapshot_incremental(
         self, path: str, fingerprint_corpus: bool = True,
@@ -4007,6 +4218,17 @@ class SqServingIndex:
         self._train = train
         _flat_refresh(self, new_rows, train, mats_of)
         return self
+
+    def remove(self, ids) -> int:
+        """Remove rows by id from the resident code blobs (round 15):
+        removed ids can never be shortlisted, so the exact re-rank (an
+        id join against the cold corpus) never resurfaces them; the
+        corpus fingerprint is untouched. Emptied parts drop and restore
+        as removed. See :func:`_resident_remove`."""
+        return _resident_remove(
+            self, ids, "part", CODE_BLOB_SCHEMA,
+            "_pending_snapshot_parts", "n_blobs",
+        )
 
     def snapshot_incremental(
         self, path: str, fingerprint_corpus: bool = True,
@@ -4668,6 +4890,18 @@ class IvfPqServingIndex:
             getattr(self, "_pending_snapshot_cells", set()) | set(affected)
         )
         return self
+
+    def remove(self, ids) -> int:
+        """Remove rows by id from the resident code blobs (round 15):
+        removed ids can never be ADC-shortlisted, so the exact re-rank
+        (an id join) never resurfaces them even though the COLD corpus
+        still holds the dead rows until its own compaction — the corpus
+        fingerprint is untouched, so ``from_snapshot`` keeps validating.
+        Removed ids are retired (see :func:`_resident_remove`)."""
+        return _resident_remove(
+            self, ids, "cell", CELL_BLOB_SCHEMA,
+            "_pending_snapshot_cells", "n_cells",
+        )
 
     def snapshot(self, path: str,
                  fingerprint_corpus: bool = True,
@@ -5749,6 +5983,15 @@ class RptServingIndex:
         )
         return self
 
+    def remove(self, ids) -> int:
+        """Remove rows by id (round 15): doomed rows mask out of their
+        leaves' blobs through the frozen tree; emptied leaves drop and
+        restore as removed. See :func:`_resident_remove`."""
+        return _resident_remove(
+            self, ids, "leaf", LEAF_BLOB_SCHEMA,
+            "_pending_snapshot_leaves", "n_leaves",
+        )
+
     def snapshot_incremental(
         self, path: str, max_generations: int = 8,
         stream_batch_id: "int | None" = None,
@@ -6282,6 +6525,16 @@ class PcaServingIndex:
         if got is not None:
             _bump_hist_with_wave(self, got[2])
         return self
+
+    def remove(self, ids) -> int:
+        """Remove rows by id from the resident projection blobs (round
+        15): self-contained route — the raw vectors live in the blobs,
+        so the remove completes without any corpus-side bookkeeping.
+        See :func:`_resident_remove`."""
+        return _resident_remove(
+            self, ids, "part", CODE_BLOB_SCHEMA,
+            "_pending_snapshot_parts", "n_blobs",
+        )
 
     def snapshot_incremental(
         self, path: str, max_generations: int = 8,

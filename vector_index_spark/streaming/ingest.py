@@ -182,18 +182,24 @@ def _read_wave_intent(spark, snapshot_path: str) -> "tuple[int, str | None]":
 
 def _assert_replay_collisions_identical(wave_kv: DataFrame,
                                         existing_kv: DataFrame,
-                                        context: str) -> None:
-    """Disambiguate a LENIENT-but-not-strict (legacy epoch-less
-    wave-intent marker) replay match BY VALUE (round 14, third review
-    pass): colliding ids may be the prior attempt's own rows (a true
-    round-12 crash replay — vectors byte-identical after the write
-    round-trip) or a different stream's colliding data (different
-    vectors — the rows an id-only anti-join would silently destroy).
-    Any colliding id whose vector differs raises; all-identical
-    collisions return so the caller's dedup recovers the replay. Both
-    frames are (id, vec); the scan is paid only on this rare ambiguous
-    path."""
-    clash = wave_kv.select("id", "vec").join(
+                                        context: str,
+                                        marker: str = "legacy "
+                                                      "(epoch-less)") -> None:
+    """Disambiguate a wave-intent replay match BY VALUE (round 14,
+    third review pass): colliding ids may be the prior attempt's own
+    rows (a true crash replay — vectors byte-identical after the write
+    round-trip) or different colliding data (different vectors — the
+    rows an id-only anti-join would silently destroy). Any colliding id
+    whose vector differs raises; all-identical collisions return so the
+    caller's dedup recovers the replay. Both frames are (id, vec); the
+    wave side casts to the existing side's vector type first (round 15,
+    VERDICT item 4: a float-stored corpus replayed from a double-typed
+    stream must not false-raise on dtype alone). The scan is paid only
+    on the rare replay paths."""
+    evec_t = existing_kv.schema["vec"].dataType
+    clash = wave_kv.select(
+        "id", F.col("vec").cast(evec_t).alias("vec")
+    ).join(
         existing_kv.select(
             F.col("id"), F.col("vec").alias("__evec")
         ),
@@ -204,7 +210,7 @@ def _assert_replay_collisions_identical(wave_kv: DataFrame,
     ).limit(1).count()
     if bad:
         raise ValueError(
-            f"{context}: this wave matches a legacy (epoch-less) "
+            f"{context}: this wave matches a {marker} "
             "wave-intent marker but carries ids whose VECTORS differ "
             "from the existing rows — it cannot be this stream's own "
             "crash replay. If this is the SAME logical stream, restart "
@@ -303,22 +309,30 @@ def _graph_apply_wave(
         # a prior attempt of THIS wave may have appended to the index
         # before crashing — dedup against the index's ids (the id scan
         # is paid only on this rare crash-replay path)
+        from vector_index_spark.index.builder import _apply_metric_transform
+        from vector_index_spark.index.persistence import load_index as _li
+
+        v_now, _e_now, params_now = _li(spark, index_path)
+        existing_kv = v_now.select("id", "vec")
         wave_kv = batch_df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        existing_kv = spark.read.parquet(f"{index_path}/vectors").select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        # Disambiguate EVERY intent match BY VALUE, strict ones too
+        # (round 15, ADVICE): this twin stakes its marker BEFORE
+        # append_to_index's id-primary-key check, so a first attempt
+        # that FAILED that check leaves a same-epoch marker — waiving
+        # the check on strict would let the anti-join below silently
+        # drop the clashing rows and commit (data loss). Compare in
+        # the STORED space (round 15, VERDICT item 5): the index holds
+        # metric-transformed vectors (cosine: unit; MIPS:
+        # norm-augmented) at the stored files' dtype — comparing the
+        # raw wave against them would false-raise a legitimate crash
+        # replay of a cosine/MIPS or differently-typed stream.
+        _assert_replay_collisions_identical(
+            _apply_metric_transform(wave_kv, v_now, params_now),
+            existing_kv, "stream_index_maintain",
+            marker="same-epoch" if strict else "legacy (epoch-less)",
         )
-        if not strict:
-            # a LEGACY (epoch-less) marker is not provably this
-            # stream's own prior attempt: disambiguate BY VALUE —
-            # byte-identical collisions are a true round-12 crash
-            # replay (dedup recovers it, same as before the upgrade),
-            # differing vectors raise loudly instead of being
-            # anti-joined away (round 14, third review pass)
-            _assert_replay_collisions_identical(
-                wave_kv, existing_kv, "stream_index_maintain"
-            )
         new_rows = wave_kv.join(
             existing_kv.select("id"), "id", "left_anti"
         )
