@@ -3366,13 +3366,33 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
     index against brute-force kNN over exactly the surviving rows. Append
     and remove rebuild only affected shards (test_append asserts
     bit-identity with a fresh build), so recall matches q22's 1.0 measured
-    floor; any drift in the mutation path flips recall_ok."""
+    floor; any drift in the mutation path flips recall_ok.
+
+    Round 15 extension (VERDICT r14 item 3 — delete waves on the serving
+    twins; registry stays at 150 per the q170 precedent): three parity
+    booleans prove the WARM remove path converges to the cold rebuild on
+    the graph, cell, and compressed routes. ``graph_remove_wave_ok``:
+    a pre-remove warm ServingIndex refreshed over remove_from_index's
+    affected shards byte-equals a cold pack of the post-remove index.
+    ``cell_remove_wave_ok`` / ``ivfpq_remove_wave_ok``:
+    CellServingIndex.remove / IvfPqServingIndex.remove answer
+    identically to a cold handle over the survivors with the same
+    frozen model, and no removed id resurfaces."""
     import os
     import shutil
     import tempfile
 
     from vector_index_spark.api import VectorIndex
     from vector_index_spark.config import IndexParameters
+    from vector_index_spark.index.builder import remove_from_index
+    from vector_index_spark.index.ivf import build_ivf
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.persistence import load_index
+    from vector_index_spark.index.serving import (
+        CellServingIndex,
+        IvfPqServingIndex,
+        ServingIndex,
+    )
 
     train, test = _train(spark, sf_dir), _test(spark, sf_dir)
     params = IndexParameters(
@@ -3390,9 +3410,71 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(path, ignore_errors=True)
     idx = VectorIndex.build(train.filter(slice_key < 7), params).save(path)
     idx = idx.append(train.filter(slice_key >= 7))
-    idx = idx.remove(train.filter(F.col("id") % 7 == 0).select("id"))
+    doomed_rel = train.filter(F.col("id") % 7 == 0).select("id")
+    doomed = [r.id for r in doomed_rel.collect()]
+    # warm handle over the PRE-remove index: the remove-WAVE path
+    v0, e0, _p0 = load_index(spark, path)
+    warm = ServingIndex(v0, e0).warm()
+    affected = remove_from_index(spark, path, doomed_rel)
+    # the facade handle's relations predate the overwrite — reload it
+    # (read-overwrite hazard; the facade's own .remove() does the same)
+    idx = VectorIndex.load(spark, path)
+    v2, e2, _p2 = load_index(spark, path)
+    warm.refresh(v2, e2, affected)
+    cold = ServingIndex(v2, e2).warm()
+    graph_ok = {
+        r.shard: bytes(r.blob) for r in warm.blobs.collect()
+    } == {r.shard: bytes(r.blob) for r in cold.blobs.collect()}
+    warm.unpersist()
+    cold.unpersist()
     survivors = train.filter(F.col("id") % 7 != 0)
-    return _recall_gate_vs(idx.query(test, k=K), survivors, test, 0.95)
+    tr_ckpt = train.localCheckpoint(eager=True)
+
+    def _res(df):
+        return sorted(map(tuple, df.collect()))
+
+    assigned, cents = build_ivf(tr_ckpt, n_centroids=8, replicas=1)
+    cell = CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    cell.remove(doomed)
+    cell_cold = CellServingIndex(
+        assigned.filter(~F.col("id").isin(doomed))
+        .localCheckpoint(eager=True),
+        cents,
+    ).warm()
+    got_cell = _res(cell.query(test, K, nprobe=8))
+    cell_ok = (
+        got_cell == _res(cell_cold.query(test, K, nprobe=8))
+        and not {r[2] for r in got_cell} & set(doomed)
+    )
+    cell.unpersist()
+    cell_cold.unpersist()
+
+    enc, pq_cents, books = build_ivfpq(tr_ckpt, n_centroids=8, replicas=1)
+    enc = enc.localCheckpoint(eager=True)
+    ipq = IvfPqServingIndex(enc, pq_cents, books, tr_ckpt).warm()
+    ipq.remove(doomed)
+    ipq_cold = IvfPqServingIndex(
+        enc.filter(~F.col("id").isin(doomed)).localCheckpoint(eager=True),
+        pq_cents, books, tr_ckpt,
+    ).warm()
+    got_ipq = _res(ipq.query(test, K, nprobe=8))
+    ipq_ok = (
+        got_ipq == _res(ipq_cold.query(test, K, nprobe=8))
+        and not {r[2] for r in got_ipq} & set(doomed)
+    )
+    ipq.unpersist()
+    ipq_cold.unpersist()
+
+    flags = spark.createDataFrame(
+        [(bool(graph_ok), bool(cell_ok), bool(ipq_ok))],
+        "graph_remove_wave_ok boolean, cell_remove_wave_ok boolean, "
+        "ivfpq_remove_wave_ok boolean",
+    )
+    return _recall_gate_vs(
+        idx.query(test, k=K), survivors, test, 0.95
+    ).crossJoin(flags)
 
 
 def q128_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5215,7 +5297,15 @@ def oracle_sql() -> dict[str, str]:
                         AS DECIMAL(38,12))) AS DOUBLE), 6)
                     FROM te, UNNEST(embedding) AS u(x)) AS test_sum
         """,
-        "q127_append_remove_recall_gate": _recall_gate_oracle(0.95),
+        # round 15: + remove-wave parity booleans (warm delete path
+        # converges to the cold rebuild on graph/cell/compressed routes)
+        "q127_append_remove_recall_gate": _recall_gate_oracle(0.95).replace(
+            "true AS shape_ok",
+            "true AS shape_ok,\n"
+            "               true AS graph_remove_wave_ok,\n"
+            "               true AS cell_remove_wave_ok,\n"
+            "               true AS ivfpq_remove_wave_ok",
+        ),
         "q128_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
               SELECT c.c_custkey, count(o.o_orderkey) AS c_count
