@@ -514,3 +514,127 @@ def test_graph_remove_refresh_snapshot_parity(spark, tmp_path):
     restored.unpersist()
     cold.unpersist()
     sidx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 item 6: cosine on the compressed serving classes
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_compressed_serving_parity(spark, waves, tmp_path):
+    """CosineCompressedServing over IvfPq and Pq handles built on
+    unit-normalized vectors: ids equal the euclidean handle's on the
+    normalized corpus, distances are exactly half (l2^2 = 2*cos_dist on
+    unit vectors) and match exact brute-force cosine on the returned
+    pairs; snapshot stamps the metric and from_snapshot re-wraps (a
+    euclidean snapshot refuses)."""
+    from vector_index_spark.api import CosineCompressedServing
+    from vector_index_spark.functions.distance import cos_dist, normalize
+    from vector_index_spark.index.ivfpq import build_ivfpq
+    from vector_index_spark.index.serving import IvfPqServingIndex
+
+    full, first, rest, test = waves
+    corp_n = full.select(
+        "id", normalize(F.col("vec")).alias("vec")
+    ).localCheckpoint(eager=True)
+    enc, cents, books = build_ivfpq(corp_n, n_centroids=8, replicas=1)
+    enc = enc.localCheckpoint(eager=True)
+    inner = IvfPqServingIndex(enc, cents, books, corp_n)
+    cos = CosineCompressedServing(inner).warm()
+
+    got = cos.query(test, K, nprobe=8).localCheckpoint(eager=True)
+    # dist is half the euclidean handle's on the same normalized data
+    eu = inner.query(
+        test.select("qid", normalize(F.col("vec")).alias("vec")),
+        K, nprobe=8,
+    )
+    eu_rows = {(r.qid, r.id): r.dist for r in eu.collect()}
+    for r in got.collect():
+        assert abs(r.dist - eu_rows[(r.qid, r.id)] / 2.0) < 1e-12
+    # returned distances ARE exact cosine distances (the re-rank tail
+    # is exact l2^2 over unit vectors)
+    check = got.join(
+        full.select(F.col("id"), F.col("vec").alias("__cvec")), "id"
+    ).join(
+        test.select(F.col("qid"), F.col("vec").alias("__qvec")), "qid"
+    ).select(
+        "qid", "id",
+        (F.col("dist") - cos_dist(F.col("__qvec"), F.col("__cvec")))
+        .alias("err"),
+    )
+    assert check.filter(F.abs(F.col("err")) > 1e-9).count() == 0
+
+    # snapshot round-trip keeps the metric
+    snap = str(tmp_path / "snap_cos_ivfpq")
+    cos.snapshot(snap, fingerprint_corpus=True)
+    back = CosineCompressedServing.from_snapshot(
+        IvfPqServingIndex, spark, snap, corp_n
+    ).warm()
+    assert _rows(back.query(test, K, nprobe=8)) == _rows(
+        cos.query(test, K, nprobe=8)
+    )
+    back.unpersist()
+
+    # a bare euclidean snapshot refuses to re-wrap
+    plain = IvfPqServingIndex(enc, cents, books, corp_n).warm()
+    snap2 = str(tmp_path / "snap_plain_ivfpq")
+    plain.snapshot(snap2, fingerprint_corpus=True)
+    with pytest.raises(ValueError, match="metric"):
+        CosineCompressedServing.from_snapshot(
+            IvfPqServingIndex, spark, snap2, corp_n
+        )
+    plain.unpersist()
+    cos.unpersist()
+
+
+def test_cosine_compressed_refresh_and_remove(spark, waves):
+    """The cosine adapter's maintenance passthrough: refresh normalizes
+    the wave (PQ flat route), remove is id-only — answers stay equal to
+    a cold cosine handle over the union/survivors."""
+    from vector_index_spark.api import CosineCompressedServing
+    from vector_index_spark.functions.distance import normalize
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    full, first, rest, test = waves
+    first_n = first.select(
+        "id", normalize(F.col("vec")).alias("vec")
+    ).localCheckpoint(eager=True)
+    full_n = full.select(
+        "id", normalize(F.col("vec")).alias("vec")
+    ).localCheckpoint(eager=True)
+    books = train_pq(first_n, n_subspaces=8, n_centroids=16)
+    cos = CosineCompressedServing(
+        PqServingIndex(
+            encode_pq(first_n, books).localCheckpoint(eager=True),
+            first_n, books,
+        )
+    ).warm()
+    # refresh with the RAW (unnormalized) wave — the adapter normalizes
+    cos.refresh(rest, full_n)
+    cold = CosineCompressedServing(
+        PqServingIndex(
+            encode_pq(full_n, books).localCheckpoint(eager=True),
+            full_n, books,
+        )
+    ).warm()
+    # blob granularity differs between the refreshed and cold packs,
+    # so compare at full candidate coverage (the PQ class contract)
+    assert _rows(cos.query(test, K, candidate_factor=64)) == _rows(
+        cold.query(test, K, candidate_factor=64)
+    )
+    doomed = [r.id for r in rest.select("id").orderBy("id").limit(40).collect()]
+    assert cos.remove(doomed) == len(doomed)
+    surv_n = full_n.filter(~F.col("id").isin(doomed))
+    cold2 = CosineCompressedServing(
+        PqServingIndex(
+            encode_pq(surv_n, books).localCheckpoint(eager=True),
+            surv_n, books,
+        )
+    ).warm()
+    assert _rows(cos.query(test, K, candidate_factor=64)) == _rows(
+        cold2.query(test, K, candidate_factor=64)
+    )
+    cold2.unpersist()
+    cold.unpersist()
+    cos.unpersist()

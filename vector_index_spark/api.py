@@ -96,9 +96,8 @@ class _CosineServing:
         self._inner.unpersist()
 
     def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        res = self._inner.query(
-            self._normed(test, kwargs), k, **kwargs
-        )
+        normed, rest = self._normed(test, kwargs)
+        res = self._inner.query(normed, k, **rest)
         return res.select(
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
@@ -109,9 +108,8 @@ class _CosineServing:
         via dist/2, same as query()."""
         qcols = kwargs.get("qattr_col", "attr")
         qcols = [qcols] if isinstance(qcols, str) else list(qcols)
-        res = self._inner.query_by_attribute(
-            self._normed(test, kwargs, extra=qcols), k, **kwargs
-        )
+        normed, rest = self._normed(test, kwargs, extra=qcols)
+        res = self._inner.query_by_attribute(normed, k, **rest)
         return res.select(
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
@@ -123,9 +121,8 @@ class _CosineServing:
         bounds = [
             kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
         ]
-        res = self._inner.query_by_window(
-            self._normed(test, kwargs, extra=bounds), k, **kwargs
-        )
+        normed, rest = self._normed(test, kwargs, extra=bounds)
+        res = self._inner.query_by_window(normed, k, **rest)
         return res.select(
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
@@ -141,15 +138,156 @@ class _CosineServing:
         return self
 
     def _normed(self, test: DataFrame, kwargs: dict, extra=()):
+        """(normalized query batch, remaining kwargs) — the caller's
+        dict is never mutated (round 15, same hygiene as the MIPS
+        adapter)."""
         from vector_index_spark.functions.distance import normalize
 
+        kwargs = dict(kwargs)
         qid_col = kwargs.pop("qid_col", "qid")
         vec_col = kwargs.pop("vec_col", "vec")
         return test.select(
             F.col(qid_col).alias("qid"),
             normalize(F.col(vec_col)).alias("vec"),
             *(F.col(c) for c in extra),
+        ), kwargs
+
+
+class CosineCompressedServing:
+    """Cosine serving over the DIRECTLY-CONSTRUCTED compressed /
+    self-contained classes (round 15, VERDICT r14 item 6) — IvfPq, PQ,
+    SQ (and Cell / RPT / PCA), which natively serve euclidean² only.
+
+    The normalize-at-encode reduction: build the inner handle over
+    UNIT-NORMALIZED vectors (``functions.distance.normalize`` on the
+    encode/assign relation AND — for the corpus-backed routes whose
+    exact re-rank reads raw vectors — the re-rank corpus), then
+    ``l2² = 2·cos_dist`` on unit vectors, so this adapter normalizes
+    queries and maps ``dist -> dist/2``. Candidate ORDER under ADC /
+    reduced-space shortlists is unchanged by the mapping (monotone), so
+    recall characteristics equal the euclidean handle's on the
+    normalized corpus.
+
+    Maintenance passes through with the same transform: ``refresh``
+    normalizes the wave's vectors (pass the normalized train corpus for
+    the corpus-backed routes); ``remove`` is id-only. ``snapshot``
+    stamps ``metric=cosine_similarity`` so :meth:`from_snapshot` (or a
+    reader of the manifest) knows to re-wrap — restoring the inner
+    class bare would serve l2sq-on-normalized distances (right ids,
+    wrong scale) with no error. MIPS stays graph-route-only
+    (``VectorIndex.serving()``): the norm-augmentation changes the
+    stored dimensionality, which would invalidate compressed codebooks
+    trained on raw vectors."""
+
+    def __init__(self, inner, vec_col: str = "vec"):
+        self._inner = inner
+        self._vec = vec_col
+
+    def warm(self) -> "CosineCompressedServing":
+        self._inner.warm()
+        return self
+
+    def unpersist(self) -> None:
+        self._inner.unpersist()
+
+    @property
+    def blobs(self):
+        return self._inner.blobs
+
+    def bytes_resident(self) -> dict:
+        return self._inner.bytes_resident()
+
+    def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        normed, rest = self._normed(test, kwargs)
+        res = self._inner.query(normed, k, **rest)
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
+
+    def query_by_attribute(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        qcols = kwargs.get("qattr_col", "attr")
+        qcols = [qcols] if isinstance(qcols, str) else list(qcols)
+        normed, rest = self._normed(test, kwargs, extra=qcols)
+        res = self._inner.query_by_attribute(normed, k, **rest)
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
+    def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
+        bounds = [
+            kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
+        ]
+        normed, rest = self._normed(test, kwargs, extra=bounds)
+        res = self._inner.query_by_window(normed, k, **rest)
+        return res.select(
+            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
+        )
+
+    def refresh(self, new_rows: DataFrame, *args, **kwargs):
+        """Pass the wave through the SAME normalize-at-encode transform
+        the build side used; extra args (the normalized train corpus on
+        the corpus-backed routes) forward untouched."""
+        from vector_index_spark.functions.distance import normalize
+
+        vec = self._vec
+        wave = new_rows.select(
+            *(
+                normalize(F.col(c)).alias(c) if c == vec else F.col(c)
+                for c in new_rows.columns
+            )
+        )
+        self._inner.refresh(wave, *args, **kwargs)
+        return self
+
+    def remove(self, ids) -> int:
+        return self._inner.remove(ids)
+
+    def snapshot(self, path: str, **kwargs) -> "CosineCompressedServing":
+        self._inner.snapshot(path, **kwargs)
+        _stamp_manifest(self._inner, path, metric="cosine_similarity")
+        return self
+
+    def snapshot_incremental(self, path: str, **kwargs):
+        self._inner.snapshot_incremental(path, **kwargs)
+        _stamp_manifest(self._inner, path, metric="cosine_similarity")
+        return self
+
+    @classmethod
+    def from_snapshot(cls, inner_cls, spark, path: str, *args,
+                      **kwargs) -> "CosineCompressedServing":
+        """Restore: ``CosineCompressedServing.from_snapshot(
+        IvfPqServingIndex, spark, path, normalized_corpus)``. Raises if
+        the manifest's stamped metric is not cosine (a euclidean
+        snapshot re-wrapped here would silently halve distances)."""
+        import json as _json
+
+        from vector_index_spark.index.serving import _fs_read_bytes
+
+        manifest = _json.loads(
+            _fs_read_bytes(spark, f"{path}/serving_manifest.json").decode(
+                "utf-8"
+            )
+        )
+        got = manifest.get("metric")
+        if got != "cosine_similarity":
+            raise ValueError(
+                f"snapshot at {path!r} is stamped metric={got!r}, not "
+                "cosine_similarity — restore it with the inner class "
+                "directly (it serves euclidean^2)"
+            )
+        return cls(inner_cls.from_snapshot(spark, path, *args, **kwargs))
+
+    def _normed(self, test: DataFrame, kwargs: dict, extra=()):
+        from vector_index_spark.functions.distance import normalize
+
+        kwargs = dict(kwargs)
+        qid_col = kwargs.pop("qid_col", "qid")
+        vec_col = kwargs.pop("vec_col", "vec")
+        return test.select(
+            F.col(qid_col).alias("qid"),
+            normalize(F.col(vec_col)).alias("vec"),
+            *(F.col(c) for c in extra),
+        ), kwargs
 
 
 class _MipsServing:
