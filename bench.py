@@ -73,6 +73,23 @@ def main() -> None:
     # round-6 note). 24g ~= 0.75 GB/core, the low end of a real cluster's
     # per-core memory — an explicit env var still overrides.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # session-speed calibration (round 15, VERDICT r14 item 7): a fixed
+    # pure-numpy GEMM, measured before any Spark work — machine/session
+    # load shows up here directly, so a slow driver session is
+    # self-evident in BENCH_rN.json instead of costing a round of
+    # adjudication (r13 read 1.37x, r14 1.84x on uniform session drift).
+    # BASELINE.md records the quiet-machine value; compare ratios of
+    # this number before comparing ratios of any entry.
+    import numpy as _np
+
+    _a = _np.random.default_rng(7).standard_normal((2048, 2048))
+    _cal_runs = []
+    for _ in range(5):
+        _t = time.perf_counter()
+        (_a @ _a).sum()
+        _cal_runs.append(time.perf_counter() - _t)
+    _cal_runs.sort()
+    session_calibration_sec = round(_cal_runs[len(_cal_runs) // 2], 3)
     spark = get_spark(app_name="vector-index-bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -767,6 +784,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "session_calibration_sec": session_calibration_sec,
             }
         )
     )
