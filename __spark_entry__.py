@@ -3438,8 +3438,10 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
         assigned.localCheckpoint(eager=True), cents
     ).warm()
     cell.remove(doomed)
+    # anti-join, not isin(list): the doomed relation is already at hand
+    # and an IN-literal list grows the plan linearly with corpus size
     cell_cold = CellServingIndex(
-        assigned.filter(~F.col("id").isin(doomed))
+        assigned.join(doomed_rel, "id", "left_anti")
         .localCheckpoint(eager=True),
         cents,
     ).warm()
@@ -3456,7 +3458,7 @@ def q127_append_remove_recall_gate(spark: SparkSession, sf_dir: str) -> DataFram
     ipq = IvfPqServingIndex(enc, pq_cents, books, tr_ckpt).warm()
     ipq.remove(doomed)
     ipq_cold = IvfPqServingIndex(
-        enc.filter(~F.col("id").isin(doomed)).localCheckpoint(eager=True),
+        enc.join(doomed_rel, "id", "left_anti").localCheckpoint(eager=True),
         pq_cents, books, tr_ckpt,
     ).warm()
     got_ipq = _res(ipq.query(test, K, nprobe=8))

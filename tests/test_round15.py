@@ -134,13 +134,16 @@ def test_graph_twin_strict_marker_id_clash_raises(spark, tmp_path):
         sidx.unpersist()
 
 
-@pytest.mark.parametrize("scenario", ["cosine", "float_stored"])
+@pytest.mark.parametrize("scenario", ["cosine", "mips", "float_stored"])
 def test_graph_twin_transformed_replay_recovers(spark, tmp_path, scenario):
-    """VERDICT r14 item 4: a TRUE crash replay under a legacy
-    (epoch-less) marker on a cosine-metric (stored vectors normalized)
-    or float-stored (stored dtype narrower than the stream's) index:
-    the by-value check compares in the stored space, so the replay
-    recovers exactly-once instead of false-raising."""
+    """VERDICT r14 item 4 (+ round-15 review finding 2): a TRUE crash
+    replay under a legacy (epoch-less) marker on a cosine-metric
+    (stored vectors normalized), MIPS (norm-augmented, with M^2
+    recovered from an ARBITRARY stored row — only ulp-stable, hence
+    the tolerance compare), or float-stored (stored dtype narrower
+    than the stream's) index: the by-value check compares in the
+    stored space, so the replay recovers exactly-once instead of
+    false-raising."""
     from vector_index_spark.index.builder import append_to_index
     from vector_index_spark.index.persistence import load_index
     from vector_index_spark.index.serving import ServingIndex
@@ -154,6 +157,30 @@ def test_graph_twin_transformed_replay_recovers(spark, tmp_path, scenario):
         path, first, wave = _graph_fixture(
             spark, tmp_path, scenario, distance_type="cosine_similarity"
         )
+    elif scenario == "mips":
+        from vector_index_spark.api import VectorIndex
+        from vector_index_spark.config import IndexParameters
+
+        emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        full = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        first = full.filter(F.col("id") < 300)
+        # scaled down so wave norms stay under the build-time bound M
+        wave = full.filter(
+            (F.col("id") >= 300) & (F.col("id") < 400)
+        ).select(
+            "id",
+            F.transform("vec", lambda x: x * F.lit(0.5)).alias("vec"),
+        ).localCheckpoint(eager=True)
+        params = IndexParameters(
+            dimension=int(len(first.first()["vec"])),
+            distance_type="inner_product",
+            minimum_connect_number=8, relaxed_monotonicity=64,
+            step=2, sub_index_bound=250,
+        )
+        path = str(tmp_path / "idx_mips")
+        VectorIndex.build(first, params).save(path)
     else:
         # stored vectors float32; the stream delivers array<double>
         path, first, wave = _graph_fixture(
@@ -638,3 +665,116 @@ def test_cosine_compressed_refresh_and_remove(spark, waves):
     cold2.unpersist()
     cold.unpersist()
     cos.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round-15 review findings
+# ---------------------------------------------------------------------------
+
+
+def test_flat_part_keys_unique_and_remove_guard(spark, waves):
+    """Review finding 1: flat packs used non-unique informational part
+    keys, and remove() keys affected blobs by part — a collision would
+    silently drop an unaffected blob. Packs now key by min id (globally
+    unique, ids being unique and partitions disjoint); compaction keys
+    by min merged id; and remove() refuses loudly on a legacy relation
+    with duplicate keys instead of losing data."""
+    import pickle
+
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import (
+        CODE_BLOB_SCHEMA,
+        PqServingIndex,
+        SnapshotIntegrityError,
+    )
+
+    full, first, rest, test = waves
+    books = train_pq(full, n_subspaces=8, n_centroids=16)
+    pq = PqServingIndex(
+        encode_pq(full, books).localCheckpoint(eager=True), full, books
+    ).warm()
+    parts = [int(r.part) for r in pq.blobs.select("part").collect()]
+    assert len(parts) == len(set(parts)), "pack must emit unique parts"
+    pq.unpersist()
+
+    # a legacy relation with colliding parts: remove must refuse
+    payload = pickle.dumps(
+        (np.array([1, 2], dtype=np.int64),
+         np.zeros((2, 8), dtype=np.int32)),
+    )
+    legacy = spark.createDataFrame(
+        [(0, 2, bytearray(payload)), (0, 2, bytearray(payload))],
+        CODE_BLOB_SCHEMA,
+    ).localCheckpoint(eager=True)
+    pq2 = PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True), first, books
+    ).warm()
+    pq2.blobs = legacy
+    with pytest.raises(SnapshotIntegrityError, match="duplicate"):
+        pq2.remove([1])
+
+
+def test_remove_cap_checked_after_dedup(spark, waves):
+    """Review finding 4: a takedown list with many duplicate deliveries
+    but few distinct ids must pass the wave cap."""
+    from vector_index_spark.index import serving as S
+    from vector_index_spark.index.ivf import build_ivf
+
+    full, first, rest, test = waves
+    assigned, cents = build_ivf(first, n_centroids=8, replicas=1)
+    idx = S.CellServingIndex(
+        assigned.localCheckpoint(eager=True), cents
+    ).warm()
+    idx.wave_row_cap = 10
+    # 40 raw rows, 5 distinct ids: under the cap once collapsed
+    five = [r.id for r in first.select("id").limit(5).collect()]
+    dup_rel = spark.createDataFrame(
+        [(i,) for i in five * 8], "id long"
+    )
+    assert idx.remove(dup_rel) == 5
+    # and a genuinely-over-cap distinct list still raises
+    with pytest.raises(S.WaveCapExceeded):
+        idx.remove([r.id for r in first.select("id").limit(11).collect()])
+    idx.unpersist()
+
+
+def test_remove_histogram_survives_refresh_recompute(spark, waves):
+    """Review finding 3: PQ's refresh nulls the strategy histogram and
+    the lazy recompute reads the corpus — which still contains the
+    removed rows. The removed-tuple ledger re-applies the decrement on
+    every recompute, so the histogram matches the survivors."""
+    from vector_index_spark.index.pq import encode_pq, train_pq
+    from vector_index_spark.index.serving import PqServingIndex
+
+    full, first, rest, test = waves
+    lab = lambda df: df.withColumn(  # noqa: E731
+        "label", (F.col("id") % 4).cast("long")
+    )
+    first_l, full_l = lab(first), lab(full)
+    books = train_pq(first, n_subspaces=8, n_centroids=16)
+    idx = PqServingIndex(
+        encode_pq(first, books).localCheckpoint(eager=True),
+        first_l, books, attr_col="label",
+    ).warm()
+    doomed = [r.id for r in first.select("id").orderBy("id").limit(50).collect()]
+    idx.remove(doomed)
+    after_remove = dict(idx._attribute_histogram())
+    # refresh appends the rest — corpus now full_l, which still holds
+    # the doomed rows; the reset + lazy recompute must not resurrect
+    idx.refresh(lab(rest), full_l)
+    assert idx._attr_hist is None  # the reset happened; recompute is lazy
+    got = dict(idx._attribute_histogram())
+    want = {
+        (int(r["label"]),): int(r["n"])
+        for r in full_l.filter(~F.col("id").isin(doomed))
+        .groupBy("label").agg(F.countDistinct("id").alias("n")).collect()
+    }
+    assert got == want
+    # sanity: the pre-refresh decrement was also correct
+    want0 = {
+        (int(r["label"]),): int(r["n"])
+        for r in first_l.filter(~F.col("id").isin(doomed))
+        .groupBy("label").agg(F.countDistinct("id").alias("n")).collect()
+    }
+    assert after_remove == want0
+    idx.unpersist()

@@ -78,17 +78,15 @@ def _stamp_manifest(inner, path: str, **extra) -> None:
     _fs_write_bytes(spark, mpath, _json.dumps(manifest).encode("utf-8"))
 
 
-class _CosineServing:
-    """Metric adapter over :class:`~vector_index_spark.index.serving.
-    ServingIndex` for cosine indexes: the stored vectors are unit-
-    normalized at build time, so serving applies the same query-side
-    normalize and l2sq -> cos_dist (dist / 2) transform as
-    :meth:`VectorIndex.query` — answers byte-identical to the facade."""
+class _CosineQueryBase:
+    """Shared cosine query surface (round 15 review — ONE copy of the
+    normalize-query + dist/2 mapping): subclasses differ only in their
+    maintenance/persistence surface."""
 
     def __init__(self, inner):
         self._inner = inner
 
-    def warm(self) -> "_CosineServing":
+    def warm(self):
         self._inner.warm()
         return self
 
@@ -115,9 +113,9 @@ class _CosineServing:
         )
 
     def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        """Per-query [lo, hi) window serving with the cosine transform
-        (round 8): the bound columns pass through untouched; distances
-        map l2sq-on-normalized -> cos via dist/2, same as query()."""
+        """Per-query [lo, hi) window serving with the cosine transform:
+        the bound columns pass through untouched; distances map
+        l2sq-on-normalized -> cos via dist/2, same as query()."""
         bounds = [
             kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
         ]
@@ -126,16 +124,6 @@ class _CosineServing:
         return res.select(
             "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
         )
-
-    def snapshot(self, path: str) -> "_CosineServing":
-        """Snapshot the wrapped serving form and stamp the metric into
-        the manifest, so :meth:`VectorIndex.serving_from_snapshot`
-        restores the SAME adapter (round 10): a cosine snapshot restored
-        bare would serve l2sq-on-normalized distances — right ids,
-        wrong dist scale — with no error."""
-        self._inner.snapshot(path)
-        _stamp_manifest(self._inner, path, metric="cosine_similarity")
-        return self
 
     def _normed(self, test: DataFrame, kwargs: dict, extra=()):
         """(normalized query batch, remaining kwargs) — the caller's
@@ -153,20 +141,39 @@ class _CosineServing:
         ), kwargs
 
 
-class CosineCompressedServing:
+class _CosineServing(_CosineQueryBase):
+    """Metric adapter over :class:`~vector_index_spark.index.serving.
+    ServingIndex` for cosine indexes: the stored vectors are unit-
+    normalized at build time, so serving applies the same query-side
+    normalize and l2sq -> cos_dist (dist / 2) transform as
+    :meth:`VectorIndex.query` — answers byte-identical to the facade."""
+
+    def snapshot(self, path: str) -> "_CosineServing":
+        """Snapshot the wrapped serving form and stamp the metric into
+        the manifest, so :meth:`VectorIndex.serving_from_snapshot`
+        restores the SAME adapter (round 10): a cosine snapshot restored
+        bare would serve l2sq-on-normalized distances — right ids,
+        wrong dist scale — with no error."""
+        self._inner.snapshot(path)
+        _stamp_manifest(self._inner, path, metric="cosine_similarity")
+        return self
+
+
+class CosineCompressedServing(_CosineQueryBase):
     """Cosine serving over the DIRECTLY-CONSTRUCTED compressed /
     self-contained classes (round 15, VERDICT r14 item 6) — IvfPq, PQ,
-    SQ (and Cell / RPT / PCA), which natively serve euclidean² only.
+    SQ (and Cell / RPT / PCA), which natively serve euclidean^2 only.
 
     The normalize-at-encode reduction: build the inner handle over
     UNIT-NORMALIZED vectors (``functions.distance.normalize`` on the
     encode/assign relation AND — for the corpus-backed routes whose
     exact re-rank reads raw vectors — the re-rank corpus), then
-    ``l2² = 2·cos_dist`` on unit vectors, so this adapter normalizes
-    queries and maps ``dist -> dist/2``. Candidate ORDER under ADC /
-    reduced-space shortlists is unchanged by the mapping (monotone), so
-    recall characteristics equal the euclidean handle's on the
-    normalized corpus.
+    ``l2^2 = 2*cos_dist`` on unit vectors, so this adapter normalizes
+    queries and maps ``dist -> dist/2`` (the query surface lives on
+    :class:`_CosineQueryBase`, shared with the graph-route adapter).
+    Candidate ORDER under ADC / reduced-space shortlists is unchanged
+    by the mapping (monotone), so recall characteristics equal the
+    euclidean handle's on the normalized corpus.
 
     Maintenance passes through with the same transform: ``refresh``
     normalizes the wave's vectors (pass the normalized train corpus for
@@ -180,15 +187,8 @@ class CosineCompressedServing:
     trained on raw vectors."""
 
     def __init__(self, inner, vec_col: str = "vec"):
-        self._inner = inner
+        super().__init__(inner)
         self._vec = vec_col
-
-    def warm(self) -> "CosineCompressedServing":
-        self._inner.warm()
-        return self
-
-    def unpersist(self) -> None:
-        self._inner.unpersist()
 
     @property
     def blobs(self):
@@ -196,32 +196,6 @@ class CosineCompressedServing:
 
     def bytes_resident(self) -> dict:
         return self._inner.bytes_resident()
-
-    def query(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        normed, rest = self._normed(test, kwargs)
-        res = self._inner.query(normed, k, **rest)
-        return res.select(
-            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
-        )
-
-    def query_by_attribute(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        qcols = kwargs.get("qattr_col", "attr")
-        qcols = [qcols] if isinstance(qcols, str) else list(qcols)
-        normed, rest = self._normed(test, kwargs, extra=qcols)
-        res = self._inner.query_by_attribute(normed, k, **rest)
-        return res.select(
-            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
-        )
-
-    def query_by_window(self, test: DataFrame, k: int, **kwargs) -> DataFrame:
-        bounds = [
-            kwargs.get("lo_col", "lo"), kwargs.get("hi_col", "hi"),
-        ]
-        normed, rest = self._normed(test, kwargs, extra=bounds)
-        res = self._inner.query_by_window(normed, k, **rest)
-        return res.select(
-            "qid", "rank", "id", (F.col("dist") / 2.0).alias("dist")
-        )
 
     def refresh(self, new_rows: DataFrame, *args, **kwargs):
         """Pass the wave through the SAME normalize-at-encode transform
@@ -276,18 +250,6 @@ class CosineCompressedServing:
                 "directly (it serves euclidean^2)"
             )
         return cls(inner_cls.from_snapshot(spark, path, *args, **kwargs))
-
-    def _normed(self, test: DataFrame, kwargs: dict, extra=()):
-        from vector_index_spark.functions.distance import normalize
-
-        kwargs = dict(kwargs)
-        qid_col = kwargs.pop("qid_col", "qid")
-        vec_col = kwargs.pop("vec_col", "vec")
-        return test.select(
-            F.col(qid_col).alias("qid"),
-            normalize(F.col(vec_col)).alias("vec"),
-            *(F.col(c) for c in extra),
-        ), kwargs
 
 
 class _MipsServing:

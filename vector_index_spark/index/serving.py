@@ -1703,8 +1703,10 @@ class ServingIndex:
     def _attribute_histogram(self):
         if self._attr_hist is None:
             # _vectors already carries the casted __attr{i} pack columns
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._vectors, _attr_pack_names(self._attr_cols)
+                )
             )
         return self._attr_hist
 
@@ -2227,7 +2229,7 @@ class CellServingIndex:
         lifecycle; boundary replicas all go, emptied cells drop and
         restore as removed). See :func:`_resident_remove`."""
         return _resident_remove(
-            self, ids, "cell", CELL_BLOB_SCHEMA,
+            self, ids, "cell",
             "_pending_snapshot_cells", "n_cells",
         )
 
@@ -2418,8 +2420,10 @@ class CellServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._assigned, self._attr_cols
+                )
             )
         return self._attr_hist
 
@@ -2995,7 +2999,7 @@ def _flat_compact_blobs(idx) -> None:
         )
         yield pd.DataFrame(
             {
-                "part": [min(parts)],
+                "part": [int(ids.min())],  # min merged id: globally unique
                 "n_vectors": [len(ids)],
                 "blob": [pickle.dumps(payload,
                                       protocol=pickle.HIGHEST_PROTOCOL)],
@@ -3149,21 +3153,49 @@ def _keyed_refresh(idx, new_rows: DataFrame, key_col: str, schema: str,
 def _collect_remove_ids(idx, ids) -> "np.ndarray | None":
     """Bounded driver intake of a remove wave's ids — a DataFrame with
     an ``id`` column, or any iterable of ints; the ingest wave cap
-    applies (a takedown list is a wave, not a corpus)."""
+    applies (a takedown list is a wave, not a corpus). The cap is
+    checked AFTER dedup (round 15 review): takedown feeds routinely
+    re-deliver the same ids, and a list that is under the cap once
+    collapsed must not be rejected on its raw row count."""
     cap = int(getattr(idx, "wave_row_cap", WAVE_ROW_CAP))
     if isinstance(ids, DataFrame):
         col = "id" if "id" in ids.columns else ids.columns[0]
-        pdf = ids.select(F.col(col).alias("id")).limit(cap + 1).toPandas()
+        pdf = (
+            ids.select(F.col(col).alias("id")).distinct()
+            .limit(cap + 1).toPandas()
+        )
         _require_wave_cap(idx, len(pdf), cap)
-        arr = pdf["id"].to_numpy(dtype=np.int64)
+        arr = np.unique(pdf["id"].to_numpy(dtype=np.int64))
     else:
-        arr = np.asarray([int(i) for i in ids], dtype=np.int64)
+        arr = np.unique(np.asarray([int(i) for i in ids], dtype=np.int64))
         _require_wave_cap(idx, len(arr), cap)
-    arr = np.unique(arr)
     return arr if len(arr) else None
 
 
-def _resident_remove(idx, ids, key_col: str, schema: str,
+def _subtract_removed_ledger(idx, hist: dict) -> dict:
+    """Re-apply resident removes to a histogram recomputed from a STALE
+    source (round 15 review): the lazy recompute sources (``_train`` /
+    ``_assigned`` / ``_projected``) still contain the removed rows —
+    remove() never rewrites the cold corpus — so a recompute would
+    silently resurrect the removed ids' tuple counts and skew the
+    filtered-query strategy rule. The ledger (id -> tuple) accumulates
+    for the handle's lifetime; restored handles take their histogram
+    from the manifest (already decremented, sources None), so the
+    ledger only matters on live handles."""
+    ledger = getattr(idx, "_removed_tuple_ledger", None)
+    if not ledger:
+        return hist
+    hist = dict(hist)
+    for t in ledger.values():
+        left = hist.get(t, 0) - 1
+        if left > 0:
+            hist[t] = left
+        else:
+            hist.pop(t, None)
+    return hist
+
+
+def _resident_remove(idx, ids, key_col: str,
                      pending_attr: str, count_attr: str) -> int:
     """Remove rows by id from a resident blob relation (round 15,
     VERDICT r14 item 3) — the delete half of the ingest lifecycle for
@@ -3197,6 +3229,24 @@ def _resident_remove(idx, ids, key_col: str, schema: str,
     doomed = _collect_remove_ids(idx, ids)
     if doomed is None:
         return 0
+    # key-identity guard (round 15 review): remove() replaces affected
+    # blobs BY KEY, so duplicate keys (a pre-round-15 flat pack or
+    # snapshot used non-unique informational part keys) would silently
+    # drop a colliding unaffected blob. Current packs key flat blobs by
+    # their min id (globally unique); refuse loudly on legacy relations.
+    dup = (
+        idx.blobs.groupBy(key_col).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise SnapshotIntegrityError(
+            f"resident blob relation carries duplicate {key_col!r} keys "
+            "(a pre-round-15 flat pack/snapshot used non-unique "
+            "informational part keys) — remove() keys affected blobs by "
+            f"{key_col} and would silently drop a colliding unaffected "
+            "blob. Rebuild the handle cold from its source relation "
+            "(which re-keys uniquely), then remove"
+        )
     for b in idx._live_bcs:
         b.unpersist(blocking=False)
     idx._live_bcs = []
@@ -3261,7 +3311,14 @@ def _resident_remove(idx, ids, key_col: str, schema: str,
                         int(v) for v in np.atleast_1d(tup)
                     )
         if seen_tuples is not None:
+            # materialize the histogram BEFORE extending the ledger: a
+            # never-computed histogram recomputes lazily through
+            # _subtract_removed_ledger, and recording this remove's ids
+            # first would subtract them twice
             hist = dict(idx._attribute_histogram())
+            ledger = dict(getattr(idx, "_removed_tuple_ledger", {}) or {})
+            ledger.update(seen_tuples)
+            idx._removed_tuple_ledger = ledger
             for t in seen_tuples.values():
                 left = hist.get(t, 0) - 1
                 if left > 0:
@@ -3577,7 +3634,7 @@ class PqServingIndex:
                 payload = (ids, codes, attrs)
             yield pd.DataFrame(
                 {
-                    "part": [int(ids[0]) % n],  # informational only
+                    "part": [int(ids[0])],  # min id: globally UNIQUE key (round 15)
                     "n_vectors": [len(ids)],
                     "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
@@ -3606,8 +3663,10 @@ class PqServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._train, self._attr_cols, id_col=self._id_col
+                )
             )
         return self._attr_hist
 
@@ -3674,7 +3733,7 @@ class PqServingIndex:
         corpus fingerprint is untouched. Emptied parts drop and restore
         as removed. See :func:`_resident_remove`."""
         return _resident_remove(
-            self, ids, "part", CODE_BLOB_SCHEMA,
+            self, ids, "part",
             "_pending_snapshot_parts", "n_blobs",
         )
 
@@ -4151,7 +4210,7 @@ class SqServingIndex:
                 payload = (ids, codes, attrs)
             yield pd.DataFrame(
                 {
-                    "part": [int(ids[0]) % n],
+                    "part": [int(ids[0])],  # min id: globally UNIQUE key (round 15)
                     "n_vectors": [len(ids)],
                     "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
@@ -4178,8 +4237,10 @@ class SqServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._train, self._attr_cols, id_col=self._id_col
+                )
             )
         return self._attr_hist
 
@@ -4226,7 +4287,7 @@ class SqServingIndex:
         corpus fingerprint is untouched. Emptied parts drop and restore
         as removed. See :func:`_resident_remove`."""
         return _resident_remove(
-            self, ids, "part", CODE_BLOB_SCHEMA,
+            self, ids, "part",
             "_pending_snapshot_parts", "n_blobs",
         )
 
@@ -4899,7 +4960,7 @@ class IvfPqServingIndex:
         fingerprint is untouched, so ``from_snapshot`` keeps validating.
         Removed ids are retired (see :func:`_resident_remove`)."""
         return _resident_remove(
-            self, ids, "cell", CELL_BLOB_SCHEMA,
+            self, ids, "cell",
             "_pending_snapshot_cells", "n_cells",
         )
 
@@ -5230,8 +5291,10 @@ class IvfPqServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._train, self._attr_cols, id_col=self._id_col
+                )
             )
         return self._attr_hist
 
@@ -5947,8 +6010,10 @@ class RptServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._assigned, self._attr_cols
+                )
             )
         return self._attr_hist
 
@@ -5988,7 +6053,7 @@ class RptServingIndex:
         leaves' blobs through the frozen tree; emptied leaves drop and
         restore as removed. See :func:`_resident_remove`."""
         return _resident_remove(
-            self, ids, "leaf", LEAF_BLOB_SCHEMA,
+            self, ids, "leaf",
             "_pending_snapshot_leaves", "n_leaves",
         )
 
@@ -6463,7 +6528,7 @@ class PcaServingIndex:
                 payload = (ids, P, X, attrs)
             yield pd.DataFrame(
                 {
-                    "part": [int(ids[0]) % n],  # informational only
+                    "part": [int(ids[0])],  # min id: globally UNIQUE key (round 15)
                     "n_vectors": [len(ids)],
                     "blob": [pickle.dumps(payload,
                                           protocol=pickle.HIGHEST_PROTOCOL)],
@@ -6486,8 +6551,10 @@ class PcaServingIndex:
 
     def _attribute_histogram(self):
         if self._attr_hist is None:
-            self._attr_hist = _tuple_histogram(
+            self._attr_hist = _subtract_removed_ledger(
+                self, _tuple_histogram(
                 self._projected, self._attr_cols
+                )
             )
         return self._attr_hist
 
@@ -6532,7 +6599,7 @@ class PcaServingIndex:
         so the remove completes without any corpus-side bookkeeping.
         See :func:`_resident_remove`."""
         return _resident_remove(
-            self, ids, "part", CODE_BLOB_SCHEMA,
+            self, ids, "part",
             "_pending_snapshot_parts", "n_blobs",
         )
 

@@ -205,8 +205,28 @@ def _assert_replay_collisions_identical(wave_kv: DataFrame,
         ),
         "id",
     )
+    # tolerance, not bit-equality (round 15 review): a true replay
+    # re-runs the same float pipeline, but the MIPS transform recovers
+    # M^2 from an ARBITRARY stored row (builder._apply_metric_transform
+    # .first()), which is only ulp-stable across runs — and for a row
+    # near the bound, sqrt(M^2 - |x|^2) amplifies an ulp of M^2 to
+    # ~1e-7 absolute. 1e-6 * max(1, |a|, |b|) passes every recompute of
+    # identical data while any genuinely different stream's vectors
+    # (component-scale differences) still raise.
+    tol = lambda a, b: F.lit(1e-6) * F.greatest(  # noqa: E731
+        F.lit(1.0), F.abs(a), F.abs(b)
+    )
     bad = clash.filter(
-        ~(F.col("vec") == F.col("__evec"))
+        (F.size("vec") != F.size("__evec"))
+        | F.exists(
+            F.zip_with(
+                "vec", "__evec",
+                lambda a, b: F.coalesce(
+                    F.abs(a - b) > tol(a, b), F.lit(True)
+                ),
+            ),
+            lambda x: x,
+        )
     ).limit(1).count()
     if bad:
         raise ValueError(
