@@ -1,0 +1,73 @@
+"""Round-15 optimization invariants.
+
+The optimization round may not change what any operator computes. These
+tests pin the bit-identity contracts behind each round-15 kernel change:
+the precomputed distance-row (`dq`) fast path in index/graph must produce
+exactly the graphs and query results of the per-pop batched path it
+replaced (the two paths share the einsum kernel, which contracts per row,
+so full-matrix rows equal per-batch subsets bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_index_spark.index import graph as G
+
+
+def _assert_same_graph(a, b):
+    assert a.layer_of == b.layer_of
+    assert a.entry == b.entry
+    assert len(a.adj) == len(b.adj)
+    for la, lb in zip(a.adj, b.adj):
+        assert la == lb
+
+
+@pytest.mark.parametrize("n,connect,patience,step", [
+    (400, 8, 64, 2),
+    (257, 4, 16, 4),
+    (64, 5, 1, 3),
+])
+def test_build_dq_path_bit_identical_to_per_pop_path(
+    monkeypatch, n, connect, patience, step
+):
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((n, 32))
+    ids = np.arange(n, dtype=np.int64)
+    fast = G.build_shard_graph(X, ids, connect, patience, step)
+    # _DQ_MAX_ELEMS = 0 forces the pre-round-15 per-pop einsum path
+    monkeypatch.setattr(G, "_DQ_MAX_ELEMS", 0)
+    slow = G.build_shard_graph(X, ids, connect, patience, step)
+    _assert_same_graph(fast, slow)
+
+
+def test_query_dq_path_bit_identical_to_per_pop_path(monkeypatch):
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    g = G.build_shard_graph(X, ids, 8, 64, 2)
+    Q = rng.standard_normal((50, 32))
+    mask = (np.arange(500) % 3 == 0)
+    fast = [G.query_shard(g, q, 20, 64) for q in Q]
+    fast_f = [G.query_shard(g, q, 20, 64, allowed=mask) for q in Q]
+    monkeypatch.setattr(G, "_DQ_MAX_ELEMS", 0)
+    slow = [G.query_shard(g, q, 20, 64) for q in Q]
+    slow_f = [G.query_shard(g, q, 20, 64, allowed=mask) for q in Q]
+    assert fast == slow
+    assert fast_f == slow_f
+
+
+def test_dq_row_matches_per_batch_einsum_exactly():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(2, 800))
+        d = int(rng.integers(1, 130))
+        X = rng.standard_normal((n, d))
+        q = rng.standard_normal(d)
+        full = G._dq_row(X, q)
+        m = int(rng.integers(1, min(12, n) + 1))
+        idx = rng.choice(n, size=m, replace=False)
+        D = X[idx] - q
+        sub = np.einsum("ij,ij->i", D, D)
+        assert np.array_equal(full[idx], sub)

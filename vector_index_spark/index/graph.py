@@ -25,6 +25,22 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+# Precomputing the query→all-rows distance row costs one (n, d) scratch
+# allocation; above this element cap (32 MB fp64) a beam that touches a
+# small fraction of a huge shard would pay more in the precompute than it
+# saves, so the per-pop batched path stays. Both paths are bit-identical:
+# einsum("ij,ij->i") contracts per row, so the full-matrix row equals the
+# per-batch subset value exactly (verified property, test_graph_index).
+_DQ_MAX_ELEMS = 4_194_304
+
+
+def _dq_row(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """All-rows squared-L2 distance from ``q`` — the SAME einsum kernel the
+    per-pop batches use, evaluated once (row-wise independent, so each
+    entry is bit-identical to the per-batch computation it replaces)."""
+    D = X - q
+    return np.einsum("ij,ij->i", D, D)
+
 
 @dataclass
 class ShardGraph:
@@ -123,10 +139,16 @@ def search_layer(
     layer: int,
     width: int,
     patience: int,
+    dq: list[float] | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first beam in one layer returning the ``width`` nearest visited
     nodes, early-exiting after ``patience`` consecutive non-improving pops
-    (reference nearest_neighbors_insert, dehnsw.h:181-237)."""
+    (reference nearest_neighbors_insert, dehnsw.h:181-237).
+
+    ``dq`` (optional) is the precomputed :func:`_dq_row` distance row for
+    ``q`` as a plain list — per-neighbor distances become list lookups
+    instead of one small einsum per expanded node (bit-identical values;
+    the build's hottest line before round 15)."""
     X = g.X
     adj = g.adj[layer]
     d0 = g.dist_q(q, entry)
@@ -142,8 +164,10 @@ def search_layer(
     # order (equal distances evict the LARGER id first)
     result: list[tuple[float, int]] = [(-d0, -entry)]
     stall = 0
+    heappop, heappush = heapq.heappop, heapq.heappush
+    heapreplace = heapq.heapreplace
     while candidates:
-        d, u = heapq.heappop(candidates)
+        d, u = heappop(candidates)
         if len(result) >= width and d > -result[0][0]:
             stall += 1
             if patience and stall >= patience:
@@ -154,16 +178,26 @@ def search_layer(
         if not nbrs:
             continue
         visited.update(nbrs)
-        D = X[nbrs] - q
-        dvs = np.einsum("ij,ij->i", D, D)
-        for dv, v in zip(dvs.tolist(), nbrs):
-            heapq.heappush(candidates, (dv, v))
+        if dq is None:
+            D = X[nbrs] - q
+            dvs = np.einsum("ij,ij->i", D, D).tolist()
+        else:
+            # dq is a plain list (build_shard_graph converts once per
+            # insert): C-speed item lookups beat numpy fancy indexing at
+            # these tiny (<= connect) batch sizes
+            dvs = [dq[v] for v in nbrs]
+        for dv, v in zip(dvs, nbrs):
+            heappush(candidates, (dv, v))
             if len(result) < width:
-                heapq.heappush(result, (-dv, -v))
+                heappush(result, (-dv, -v))
                 stall = 0
-            elif (dv, v) < (-result[0][0], -result[0][1]):
-                heapq.heapreplace(result, (-dv, -v))
-                stall = 0
+            else:
+                # inline (dv, v) < (-r0[0], -r0[1]) without tuple builds
+                r0 = result[0]
+                nr0 = -r0[0]
+                if dv < nr0 or (dv == nr0 and v < -r0[1]):
+                    heapreplace(result, (-dv, -v))
+                    stall = 0
     out = sorted((-nd, -nv) for nd, nv in result)
     return out
 
@@ -205,19 +239,21 @@ def _connected_seen(
         if need == 0:
             return True, seen
     frontier = [start]
+    adj_get = adj.get
     for _ in range(max_rounds):
         if not frontier:
             break
         next_frontier: list[int] = []
+        append = next_frontier.append
         for u in frontier:
-            for v in adj.get(u, ()):
+            for v in adj_get(u, ()):
                 if not seen[v]:
                     seen[v] = 1
                     if tmask[v]:
                         need -= 1
                         if need == 0:
                             return True, seen
-                    next_frontier.append(v)
+                    append(v)
         frontier = next_frontier
     return need == 0, seen
 
@@ -302,15 +338,20 @@ def build_shard_graph(
     g.adj = [dict()]
     g.adj[0][0] = {}
     g.entry = 0
+    use_dq = g.X.size <= _DQ_MAX_ELEMS
     for i in range(1, n):
         q = g.X[i]
+        # one distance row per insert serves every layer's beam (rows of
+        # not-yet-inserted nodes are computed but never looked up — the
+        # adjacency only contains inserted offsets)
+        dq = _dq_row(g.X, q).tolist() if use_dq else None
         top = g.layer_of[g.entry]
         # candidate collection: beam per layer top-down, seeded by the
         # previous layer's best (dehnsw.h:405-417)
         entry = g.entry
         per_layer: list[list[tuple[float, int]]] = []
         for layer in range(top, -1, -1):
-            found = search_layer(g, q, entry, layer, connect, patience)
+            found = search_layer(g, q, entry, layer, connect, patience, dq=dq)
             per_layer.append(found)
             entry = found[0][1]
         per_layer.reverse()  # per_layer[l] = candidates at layer l
@@ -335,7 +376,9 @@ def build_shard_graph(
             if layer < len(per_layer):
                 cands = per_layer[layer]
             else:
-                cands = search_layer(g, q, g.entry, layer, connect, patience)
+                cands = search_layer(
+                    g, q, g.entry, layer, connect, patience, dq=dq
+                )
             cands = [(d, v) for d, v in cands if g.layer_of[v] >= layer and v != i]
             if cands:
                 _link(g, layer, i, cands, connect)
@@ -393,27 +436,41 @@ def query_shard(
     stall = 0
     X = g.X
     indptr, indices = g.csr0()
+    # one distance row per query replaces the per-pop einsum batches
+    # (bit-identical values — see _dq_row); the per-pop path stays for
+    # shards past the scratch cap
+    dq = _dq_row(X, q).tolist() if X.size <= _DQ_MAX_ELEMS else None
+    heappop, heappush = heapq.heappop, heapq.heappush
+    heapreplace = heapq.heapreplace
     while candidates:
-        d, u = heapq.heappop(candidates)
+        d, u = heappop(candidates)
         if allowed is None or allowed[u]:
             if len(result) >= k:
-                if (d, u) < (-result[0][0], -result[0][1]):
-                    heapq.heapreplace(result, (-d, -u))
+                # inline (d, u) < (-r0[0], -r0[1]) without tuple builds
+                r0 = result[0]
+                nr0 = -r0[0]
+                if d < nr0 or (d == nr0 and u < -r0[1]):
+                    heapreplace(result, (-d, -u))
                     stall = 0
                 else:
                     stall += 1
                     if patience and stall >= patience:
                         break
             else:
-                heapq.heappush(result, (-d, -u))
+                heappush(result, (-d, -u))
                 stall = 0
         nbrs = indices[indptr[u] : indptr[u + 1]]
         fresh = nbrs[~visited[nbrs]]
         if fresh.size:
             visited[fresh] = True
-            D = X[fresh] - q
-            for dv, v in zip(np.einsum("ij,ij->i", D, D).tolist(), fresh.tolist()):
-                heapq.heappush(candidates, (dv, v))
+            fl = fresh.tolist()
+            if dq is None:
+                D = X[fresh] - q
+                dvs = np.einsum("ij,ij->i", D, D).tolist()
+            else:
+                dvs = [dq[v] for v in fl]
+            for dv, v in zip(dvs, fl):
+                heappush(candidates, (dv, v))
     return sorted((-nd, -nv) for nd, nv in result)
 
 
