@@ -50,13 +50,23 @@ def _kmeans_pp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarr
 
 def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic k-means++ seeded Lloyd's in GEMM form (no n*k*d
-    broadcast temp)."""
+    broadcast temp).
+
+    Round 15: the constant ``(X*X).sum(1)`` row-norm term is hoisted out
+    of the loop, and the loop breaks once the assignment repeats — from
+    that point every remaining iteration recomputes the identical means,
+    so the returned centroids are bit-identical to running all ``iters``."""
     rng = np.random.default_rng(seed)
     k = min(k, len(X))
     C = _kmeans_pp_init(X, k, rng)
+    xx = (X * X).sum(1)[:, None]
+    prev_a = None
     for _ in range(iters):
-        d = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        d = xx - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
         a = d.argmin(axis=1)
+        if prev_a is not None and np.array_equal(a, prev_a):
+            break
+        prev_a = a
         for j in range(k):
             members = X[a == j]
             if len(members):

@@ -28,9 +28,15 @@ def _kmeans_1d(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.nda
     rng = np.random.default_rng(seed)
     k = min(k, len(X))
     centers = X[rng.choice(len(X), size=k, replace=False)]
+    prev = None
     for _ in range(iters):
         d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
+        # once the assignment repeats, every remaining iteration
+        # recomputes the identical means — break, bit-identical output
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
         for j in range(k):
             members = X[assign == j]
             if len(members):
