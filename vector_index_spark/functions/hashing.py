@@ -52,6 +52,7 @@ def minhash_signature_udf(num_hashes: int):
     distinct-hash count is far below rows x shingles x seeds."""
     import hashlib
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     n_bytes = HASH_HEX_CHARS // 2
@@ -59,23 +60,34 @@ def minhash_signature_udf(num_hashes: int):
 
     @pandas_udf("array<long>")
     def sig(shingle_col: pd.Series) -> pd.Series:
-        cache: dict[tuple[int, str], int] = {}
+        # one cached int64 row of all num_hashes hashes per DISTINCT
+        # shingle (round 15: the per-(seed, shingle) tuple-keyed cache
+        # paid num_hashes dict probes per shingle OCCURRENCE); the
+        # signature is then a column-wise integer min — order-independent
+        # and exact, so values are identical to the rolling-min loop
+        cache: dict[str, np.ndarray] = {}
 
-        def one(shingles) -> list[int]:
-            mins = [None] * num_hashes
+        def one(shingles) -> list:
+            if len(shingles) == 0:
+                return [None] * num_hashes
+            rows = []
             for s in shingles:
-                sb = s.encode()
-                for i in range(num_hashes):
-                    key = (i, s)
-                    h = cache.get(key)
-                    if h is None:
-                        h = int.from_bytes(
-                            hashlib.md5(prefixes[i] + sb).digest()[:n_bytes], "big"
-                        )
-                        cache[key] = h
-                    if mins[i] is None or h < mins[i]:
-                        mins[i] = h
-            return mins
+                row = cache.get(s)
+                if row is None:
+                    sb = s.encode()
+                    row = np.fromiter(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(p + sb).digest()[:n_bytes], "big"
+                            )
+                            for p in prefixes
+                        ),
+                        dtype=np.int64,
+                        count=num_hashes,
+                    )
+                    cache[s] = row
+                rows.append(row)
+            return np.minimum.reduce(rows).tolist() if len(rows) > 1 else rows[0].tolist()
 
         return shingle_col.map(one)
 
