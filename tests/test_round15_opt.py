@@ -58,6 +58,50 @@ def test_query_dq_path_bit_identical_to_per_pop_path(monkeypatch):
     assert fast_f == slow_f
 
 
+def test_project_pca_udf_matches_mapinpandas_form(spark):
+    """Round 15 moved the PCA projection from mapInPandas (which shipped
+    the unchanged raw vector back out through Arrow) to a scalar pandas
+    UDF column. Values must be bit-identical, including the JVM-side
+    float->double widening replacing the numpy upcast."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.index.pca import project_pca, train_pca
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(np.float32(x)) for x in rng.standard_normal(16)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    # float32-typed variant exercises the cast path
+    df32 = df.select("id", F.col("vec").cast("array<float>").alias("vec"))
+    mean, comp = train_pca(df, 4, sample_size=1000)
+
+    def project_old(frame):
+        bc = frame.sparkSession.sparkContext.broadcast((mean, comp))
+
+        def proj(batches):
+            b_mean, b_comp = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                P = (X - b_mean[None, :]) @ b_comp.T
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "vec": list(X), "pvec": list(P)}
+                )
+
+        return frame.select("id", "vec").mapInPandas(
+            proj, "id long, vec array<double>, pvec array<double>"
+        )
+
+    for frame in (df, df32):
+        old = project_old(frame).orderBy("id").collect()
+        new = project_pca(frame, mean, comp).orderBy("id").collect()
+        assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
 def test_dq_row_matches_per_batch_einsum_exactly():
     rng = np.random.default_rng(3)
     for _ in range(50):

@@ -102,26 +102,32 @@ def project_pca(
     vec_col: str = "vec",
 ) -> DataFrame:
     """Project every vector to the PCA subspace, keeping the raw vector
-    co-located for scan-side refine. Returns (id, vec, pvec)."""
+    co-located for scan-side refine. Returns (id, vec, pvec).
+
+    Round 15 (guide §4): ``pvec`` is a scalar pandas UDF column, so the
+    raw vector crosses the Arrow boundary INTO the worker once and never
+    crosses back — the previous ``mapInPandas`` shipped the unchanged
+    ``vec`` out through Python again, doubling the transfer. The id/vec
+    columns stay JVM-side (exact widening cast for float inputs, the same
+    values the numpy float64 upcast produced); the projection GEMM is
+    unchanged, and parity is pinned in tests/test_round15_opt.py."""
+    from pyspark.sql.functions import pandas_udf
+
     bc = df.sparkSession.sparkContext.broadcast((mean, components))
 
-    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
         b_mean, b_comp = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            P = (X - b_mean[None, :]) @ b_comp.T
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "vec": list(X),
-                    "pvec": list(P),
-                }
-            )
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        P = (X - b_mean[None, :]) @ b_comp.T
+        return pd.Series(list(P))
 
-    return df.select(id_col, vec_col).mapInPandas(
-        proj, "id long, vec array<double>, pvec array<double>"
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        proj(F.col(vec_col)).alias("pvec"),
     )
 
 
