@@ -102,6 +102,58 @@ def test_project_pca_udf_matches_mapinpandas_form(spark):
         assert [tuple(r) for r in old] == [tuple(r) for r in new]
 
 
+def test_fuzzy_distinct_string_blocking_matches_row_level_form(spark):
+    """Round 15 moved the max_dist=1 FastSS blocking from row level to
+    distinct-string level (identical pairs share ALL L+1 deletion keys, so
+    the row-level key join amplified them ~L-fold). The output must be
+    row-identical; the fixture stresses the collapsed paths: duplicate
+    groups, empty strings, 1-char strings, cross-length neighbors."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "abc"), (2, "abc"), (3, "abc"), (4, "abd"), (5, "ab"),
+        (6, ""), (7, ""), (8, "a"), (9, "xyz"), (10, "xy z"),
+        (11, "xyzz"), (12, "abcd"), (13, "zbc"), (14, "abcde"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    s = df.select(
+        F.col("pid").alias("id"), F.col("name").alias("s"),
+        F.length("name").alias("slen"),
+    )
+
+    # the pre-round-15 row-level form, inline
+    del_i = lambda i: F.concat(  # noqa: E731
+        F.col("s").substr(F.lit(1), i - 1),
+        F.col("s").substr(i + 1, F.col("slen")),
+    )
+    keys = s.select(
+        "id", F.col("slen").alias("len"),
+        F.explode(F.array_distinct(F.concat(
+            F.array(F.col("s")),
+            F.when(F.col("slen") > 0,
+                   F.transform(F.sequence(F.lit(1), F.col("slen")), del_i))
+            .otherwise(F.array().cast("array<string>")),
+        ))).alias("key"),
+    ).select("id", "len", F.xxhash64("key").alias("kh"))
+    a = keys.select(F.col("id").alias("aid"), F.col("len").alias("la"), "kh")
+    b = keys.select(F.col("id").alias("bid"), F.col("len").alias("lb"), "kh")
+    old = (
+        a.join(b, "kh")
+        .filter((F.col("aid") < F.col("bid"))
+                & (F.abs(F.col("la") - F.col("lb")) <= 1))
+        .select("aid", "bid").dropDuplicates(["aid", "bid"])
+        .join(s.select(F.col("id").alias("aid"), F.col("s").alias("sa")), "aid")
+        .join(s.select(F.col("id").alias("bid"), F.col("s").alias("sb")), "bid")
+        .withColumn("dist", F.levenshtein("sa", "sb", 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+        .select("aid", "bid", "dist")
+    )
+    got = fuzzy_self_join(df, "name", "pid", max_dist=1)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, got.collect()))
+
+
 def test_dq_row_matches_per_batch_einsum_exactly():
     rng = np.random.default_rng(3)
     for _ in range(50):
