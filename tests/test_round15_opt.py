@@ -154,6 +154,78 @@ def test_fuzzy_distinct_string_blocking_matches_row_level_form(spark):
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, got.collect()))
 
 
+def test_fuzzy_gram_path_distinct_string_blocking_matches_row_level(spark):
+    """The q-gram (max_dist >= 2) path got the same distinct-string
+    collapse; the gram document frequency now counts distinct strings,
+    which is still a valid global gram order for the prefix-filter
+    theorem, so the verified output is unchanged."""
+    from pyspark.sql import Window, functions as F
+
+    from vector_index_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "abc"), (2, "abc"), (3, "abcde"), (4, "abd"), (5, "ab"),
+        (6, ""), (7, ""), (8, "a"), (9, "xyzw"), (10, "xy zw"),
+        (11, "xyzz"), (12, "abcdxx"), (13, "zbcd"), (14, "abcdef"),
+        (15, "abcdef"), (16, "acbdef"), (17, "q"), (18, "qr"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    max_dist, q = 2, 2
+
+    # the pre-round-15 row-level gram form, inline
+    s = df.select(
+        F.col("pid").alias("id"), F.col("name").alias("s"),
+        F.length("name").alias("slen"),
+    )
+    guarantee_len = q * (max_dist + 1)
+    long_s = s.filter(F.col("slen") >= guarantee_len)
+    all_grams = long_s.select(
+        "id", "s", "slen",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.col("slen") - q + 1),
+            lambda i: F.col("s").substr(i, F.lit(q)),
+        ))).alias("gram"),
+    )
+    gram_freq = all_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    w = Window.partitionBy("id").orderBy("df_g", "gram")
+    grams = (
+        all_grams.join(gram_freq, "gram")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= q * max_dist + 1)
+        .select("id", "s", "slen", "gram")
+    )
+    a = grams.select(F.col("id").alias("aid"), F.col("slen").alias("la"), "gram")
+    b = grams.select(F.col("id").alias("bid"), F.col("slen").alias("lb"), "gram")
+    long_cands = (
+        a.join(b, "gram")
+        .filter((F.col("aid") < F.col("bid"))
+                & (F.abs(F.col("la") - F.col("lb")) <= max_dist))
+        .select("aid", "bid").dropDuplicates(["aid", "bid"])
+        .join(s.select(F.col("id").alias("aid"), F.col("s").alias("sa")), "aid")
+        .join(s.select(F.col("id").alias("bid"), F.col("s").alias("sb")), "bid")
+        .select("aid", "bid", "sa", "sb")
+    )
+    short_side = s.filter(F.col("slen") < guarantee_len + max_dist)
+    sa = short_side.select(
+        F.col("id").alias("aid"), F.col("s").alias("sa"), F.col("slen").alias("la"))
+    sb = short_side.select(
+        F.col("id").alias("bid"), F.col("s").alias("sb"), F.col("slen").alias("lb"))
+    short_cands = (
+        sa.join(sb, (F.col("aid") < F.col("bid"))
+                & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+                & (F.least(F.col("la"), F.col("lb")) < F.lit(guarantee_len)))
+        .select("aid", "bid", "sa", "sb")
+    )
+    cands = long_cands.unionByName(short_cands).dropDuplicates(["aid", "bid"])
+    old = (
+        cands.withColumn("dist", F.levenshtein("sa", "sb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("aid", "bid", "dist")
+    )
+    got = fuzzy_self_join(df, "name", "pid", max_dist=max_dist)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, got.collect()))
+
+
 def test_dq_row_matches_per_batch_einsum_exactly():
     rng = np.random.default_rng(3)
     for _ in range(50):

@@ -81,9 +81,33 @@ def fuzzy_self_join(
         return _deletion_blocked_pairs(s)
     guarantee_len = q * (max_dist + 1)
 
-    long_s = s.filter(F.col("slen") >= guarantee_len)
-    all_grams = long_s.select(
-        "id",
+    # Round 15: blocking, prefix selection and the levenshtein verify run
+    # over DISTINCT strings (identical strings share ALL their grams, so
+    # the row-level gram join amplified every exact-duplicate pair by the
+    # prefix width — the same measured pathology as the deletion path, see
+    # _deletion_blocked_pairs). Identical-string pairs are emitted directly
+    # at distance 0; verified distinct-string pairs expand to id pairs
+    # through two membership equi-joins (no dedup needed — each unordered
+    # id pair belongs to exactly one string pair). The gram document
+    # frequency now counts distinct strings rather than rows; the prefix
+    # theorem only needs SOME global total order on grams, so the
+    # candidate set stays a superset of the qualifying pairs and the
+    # verified output is unchanged (asserted in tests/test_round15_opt.py).
+    members = s.select("s", "id")
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("aid"),
+            F.col("y.id").alias("bid"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    ds = s.select("s", "slen").distinct()
+
+    long_ds = ds.filter(F.col("slen") >= guarantee_len)
+    all_grams = long_ds.select(
         "s",
         "slen",
         F.explode(
@@ -98,66 +122,59 @@ def fuzzy_self_join(
     # prefix filter: keep each string's q*d + 1 globally-rarest grams;
     # a pair within distance d provably collides inside these prefixes
     gram_freq = all_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
-    w = Window.partitionBy("id").orderBy("df_g", "gram")
+    w = Window.partitionBy("s").orderBy("df_g", "gram")
     grams = (
         all_grams.join(gram_freq, "gram")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= q * max_dist + 1)
-        .select("id", "s", "slen", "gram")
+        .select("s", "slen", "gram")
     )
-    a = grams.select(
-        F.col("id").alias("aid"), F.col("slen").alias("la"), "gram"
-    )
-    b = grams.select(
-        F.col("id").alias("bid"), F.col("slen").alias("lb"), "gram"
-    )
-    # the gram join and the dedup shuffle carry only ids + lengths;
-    # strings re-attach afterwards (AQE broadcasts the base relation when
-    # it fits, shuffle-joins otherwise — never a forced broadcast of the
-    # corpus)
+    a = grams.select(F.col("s").alias("sa"), F.col("slen").alias("la"), "gram")
+    b = grams.select(F.col("s").alias("sb"), F.col("slen").alias("lb"), "gram")
     long_cands = (
         a.join(b, "gram")
         .filter(
-            (F.col("aid") < F.col("bid"))
+            (F.col("sa") < F.col("sb"))
             & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
         )
-        .select("aid", "bid")
-        .dropDuplicates(["aid", "bid"])
-        .join(s.select(F.col("id").alias("aid"), F.col("s").alias("sa")), "aid")
-        .join(s.select(F.col("id").alias("bid"), F.col("s").alias("sb")), "bid")
-        .select("aid", "bid", "sa", "sb")
+        .select("sa", "sb")
     )
 
     # strings too short for the gram guarantee: banded all-pairs among
-    # strings of length < guarantee_len + max_dist (their only possible
-    # partners)
-    short_side = s.filter(F.col("slen") < guarantee_len + max_dist)
-    sa = short_side.select(
-        F.col("id").alias("aid"), F.col("s").alias("sa"), F.col("slen").alias("la")
-    )
-    sb = short_side.select(
-        F.col("id").alias("bid"), F.col("s").alias("sb"), F.col("slen").alias("lb")
-    )
+    # distinct strings of length < guarantee_len + max_dist (their only
+    # possible partners)
+    short_ds = ds.filter(F.col("slen") < guarantee_len + max_dist)
+    sa_rel = short_ds.select(F.col("s").alias("sa"), F.col("slen").alias("la"))
+    sb_rel = short_ds.select(F.col("s").alias("sb"), F.col("slen").alias("lb"))
     short_cands = (
-        sa.join(sb, (F.col("aid") < F.col("bid"))
-                & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
-                & (F.least(F.col("la"), F.col("lb")) < F.lit(guarantee_len)))
-        .select("aid", "bid", "sa", "sb")
+        sa_rel.join(sb_rel, (F.col("sa") < F.col("sb"))
+                    & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+                    & (F.least(F.col("la"), F.col("lb")) < F.lit(guarantee_len)))
+        .select("sa", "sb")
     )
 
-    cands = long_cands.unionByName(short_cands).dropDuplicates(["aid", "bid"])
-    return _verify(cands, max_dist)
-
-
-def _verify(cands: DataFrame, max_dist: int) -> DataFrame:
-    """Exact edit-distance check on deduplicated (aid, bid, sa, sb)
-    candidates: banded O(len * d) DP per pair instead of the full matrix;
-    levenshtein returns -1 above the threshold (Spark >= 3.5 semantics)."""
-    return (
-        cands.withColumn("dist", F.levenshtein("sa", "sb", max_dist))
+    spairs = (
+        long_cands.unionByName(short_cands)
+        .dropDuplicates(["sa", "sb"])
+        .withColumn("dist", F.levenshtein("sa", "sb", max_dist))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select("aid", "bid", "dist")
     )
+    cross = (
+        spairs.join(
+            members.select(F.col("s").alias("sa"), F.col("id").alias("__ia")),
+            "sa",
+        )
+        .join(
+            members.select(F.col("s").alias("sb"), F.col("id").alias("__ib")),
+            "sb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("aid"),
+            F.greatest("__ia", "__ib").alias("bid"),
+            "dist",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _deletion_blocked_pairs(s: DataFrame) -> DataFrame:
