@@ -116,6 +116,11 @@ def test_fuzzy_distinct_string_blocking_matches_row_level_form(spark):
         (1, "abc"), (2, "abc"), (3, "abc"), (4, "abd"), (5, "ab"),
         (6, ""), (7, ""), (8, "a"), (9, "xyz"), (10, "xy z"),
         (11, "xyzz"), (12, "abcd"), (13, "zbc"), (14, "abcde"),
+        # duplicate id bound to TWO different strings within distance 1:
+        # the expansion must not emit a degenerate (20, 20) self-pair
+        # (the row-level form never did), and a fully duplicated row
+        # (21) must keep the row-level form's pair multiplicity
+        (20, "qqq"), (20, "qqx"), (21, "abc"), (21, "abc"),
     ]
     df = spark.createDataFrame(rows, "pid long, name string")
     s = df.select(
@@ -151,7 +156,9 @@ def test_fuzzy_distinct_string_blocking_matches_row_level_form(spark):
         .select("aid", "bid", "dist")
     )
     got = fuzzy_self_join(df, "name", "pid", max_dist=1)
-    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, got.collect()))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert sorted(map(tuple, old.collect())) == got_rows
+    assert all(aid != bid for aid, bid, _ in got_rows)
 
 
 def test_fuzzy_gram_path_distinct_string_blocking_matches_row_level(spark):

@@ -47,9 +47,10 @@ def minhash_signature_udf(num_hashes: int):
     functions.text.minhash_signature (value-identical: hashlib md5 == the
     engines' md5), ~100x faster than the interpreted Catalyst
     higher-order-function chain — this is the hot-path implementation used
-    by operators.dedup.minhash_near_dup. Memoizes per (seed, shingle)
-    within a batch: shingle sets repeat heavily across documents, so the
-    distinct-hash count is far below rows x shingles x seeds."""
+    by operators.dedup.minhash_near_dup. Memoizes one int64 row of all
+    ``num_hashes`` hashes per DISTINCT shingle within a batch: shingle
+    sets repeat heavily across documents, so the md5 count is far below
+    rows x shingles x seeds and each occurrence costs one dict probe."""
     import hashlib
 
     import numpy as np

@@ -25,13 +25,17 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-# Precomputing the query→all-rows distance row costs one (n, d) scratch
-# allocation; above this element cap (32 MB fp64) a beam that touches a
-# small fraction of a huge shard would pay more in the precompute than it
-# saves, so the per-pop batched path stays. Both paths are bit-identical:
-# einsum("ij,ij->i") contracts per row, so the full-matrix row equals the
-# per-batch subset value exactly (verified property, test_graph_index).
-_DQ_MAX_ELEMS = 4_194_304
+# Precomputing the query→all-rows distance row costs O(rows * d) compute
+# plus a rows-long .tolist(); the beam it feeds only saves a roughly
+# CONSTANT per-query overhead (~1-2 ms of small-einsum dispatch — beam
+# size grows ~logarithmically with the shard). Measured crossover on this
+# hardware: ~0.5M elements (1.5 ms precompute at 8192 x 64; the saving is
+# ~1.5-2 ms), so above this cap the per-pop batched path stays — a beam
+# touching a few hundred nodes of a 10^7-row shard must not pay an O(n)
+# precompute per query. Both paths are bit-identical: einsum("ij,ij->i")
+# contracts per row, so the full-matrix row equals the per-batch subset
+# value exactly (pinned in tests/test_round15_opt.py).
+_DQ_MAX_ELEMS = 524_288
 
 
 def _dq_row(X: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -338,13 +342,15 @@ def build_shard_graph(
     g.adj = [dict()]
     g.adj[0][0] = {}
     g.entry = 0
-    use_dq = g.X.size <= _DQ_MAX_ELEMS
+    dim = g.X.shape[1] if g.X.ndim == 2 else 1
     for i in range(1, n):
         q = g.X[i]
-        # one distance row per insert serves every layer's beam (rows of
-        # not-yet-inserted nodes are computed but never looked up — the
-        # adjacency only contains inserted offsets)
-        dq = _dq_row(g.X, q).tolist() if use_dq else None
+        # one distance row per insert serves every layer's beam, sliced to
+        # the already-inserted prefix (the adjacency only contains offsets
+        # < i, so nothing past the slice is ever looked up — a stray
+        # lookup would raise IndexError loudly); gated per insert so only
+        # the profitable prefix sizes pay the precompute
+        dq = _dq_row(g.X[:i], q).tolist() if i * dim <= _DQ_MAX_ELEMS else None
         top = g.layer_of[g.entry]
         # candidate collection: beam per layer top-down, seeded by the
         # previous layer's best (dehnsw.h:405-417)

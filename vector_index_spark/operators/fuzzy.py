@@ -94,16 +94,7 @@ def fuzzy_self_join(
     # candidate set stays a superset of the qualifying pairs and the
     # verified output is unchanged (asserted in tests/test_round15_opt.py).
     members = s.select("s", "id")
-    within = (
-        members.alias("x")
-        .join(members.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("aid"),
-            F.col("y.id").alias("bid"),
-            F.lit(0).cast("int").alias("dist"),
-        )
-    )
+    within = _within_pairs(members)
     ds = s.select("s", "slen").distinct()
 
     long_ds = ds.filter(F.col("slen") >= guarantee_len)
@@ -159,7 +150,32 @@ def fuzzy_self_join(
         .withColumn("dist", F.levenshtein("sa", "sb", max_dist))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
-    cross = (
+    return within.unionByName(_expand_string_pairs(spairs, members))
+
+
+def _within_pairs(members: DataFrame) -> DataFrame:
+    """(aid < bid, dist 0) pairs of rows sharing an identical string —
+    ed(s, s) = 0 by construction, so no key join and no levenshtein."""
+    return (
+        members.alias("x")
+        .join(members.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("aid"),
+            F.col("y.id").alias("bid"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+
+
+def _expand_string_pairs(spairs: DataFrame, members: DataFrame) -> DataFrame:
+    """Expand verified distinct-string pairs (sa, sb, dist) to id pairs
+    through two membership equi-joins. An id bound to BOTH strings of a
+    pair (a duplicate id carrying two different strings) would expand to
+    a degenerate (i, i) self-pair the row-level form never emitted — the
+    inequality filter drops it; all other unordered id pairs belong to
+    exactly one string pair, so no dedup is needed."""
+    return (
         spairs.join(
             members.select(F.col("s").alias("sa"), F.col("id").alias("__ia")),
             "sa",
@@ -168,13 +184,13 @@ def fuzzy_self_join(
             members.select(F.col("s").alias("sb"), F.col("id").alias("__ib")),
             "sb",
         )
+        .filter(F.col("__ia") != F.col("__ib"))
         .select(
             F.least("__ia", "__ib").alias("aid"),
             F.greatest("__ia", "__ib").alias("bid"),
             "dist",
         )
     )
-    return within.unionByName(cross)
 
 
 def _deletion_blocked_pairs(s: DataFrame) -> DataFrame:
@@ -200,17 +216,7 @@ def _deletion_blocked_pairs(s: DataFrame) -> DataFrame:
     join-key skew axis — the quadratic within-group output rides an
     AQE-splittable equi-join on the string, not a 34x-amplified key join."""
     members = s.select("s", "id")
-    # identical-string pairs: ed = 0 by construction
-    within = (
-        members.alias("x")
-        .join(members.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("aid"),
-            F.col("y.id").alias("bid"),
-            F.lit(0).cast("int").alias("dist"),
-        )
-    )
+    within = _within_pairs(members)
     ds = s.select("s", "slen").distinct()
     del_i = lambda i: F.concat(  # noqa: E731 — s minus character i
         F.col("s").substr(F.lit(1), i - 1),
@@ -246,19 +252,4 @@ def _deletion_blocked_pairs(s: DataFrame) -> DataFrame:
         .withColumn("dist", F.levenshtein("sa", "sb", 1))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
     )
-    cross = (
-        spairs.join(
-            members.select(F.col("s").alias("sa"), F.col("id").alias("__ia")),
-            "sa",
-        )
-        .join(
-            members.select(F.col("s").alias("sb"), F.col("id").alias("__ib")),
-            "sb",
-        )
-        .select(
-            F.least("__ia", "__ib").alias("aid"),
-            F.greatest("__ia", "__ib").alias("bid"),
-            "dist",
-        )
-    )
-    return within.unionByName(cross)
+    return within.unionByName(_expand_string_pairs(spairs, members))
