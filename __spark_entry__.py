@@ -4421,56 +4421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q144/q113/q114 and the raw relations stay pytest-gated
     # (test_sketches) — bringing the registry to 150 all-hash-matched
     # entries within the window guarantee.
-        "q169_range_filtered_knn": q169_range_filtered_knn,
-        "q170_range_serving_gate": q170_range_serving_gate,
-        "q45_rolling_hash": q45_rolling_hash,
-        "q46_semantic_search": q46_semantic_search,
-        "q48_rollup_revenue": q48_rollup_revenue,
-        "q50_semi_anti_join": q50_semi_anti_join,
-        "q144_sweep_contract_gate": q144_sweep_contract_gate,
-        "q145_png_pixel_stats": q145_png_pixel_stats,
-        "q146_png_resize_stats": q146_png_resize_stats,
-        "q147_wav_audio_stats": q147_wav_audio_stats,
-        "q141_gapfill_forward": q141_gapfill_forward,
-        "q143_gapfill_linear": q143_gapfill_linear,
-        "q134_table_profile": q134_table_profile,
-        "q51_top_events_per_user": q51_top_events_per_user,
-        "q52_asof_purchase_click": q52_asof_purchase_click,
-        "q53_clicks_before_purchase": q53_clicks_before_purchase,
-        "q54_pivot_daily_events": q54_pivot_daily_events,
-        "q59_pii_redaction": q59_pii_redaction,
-        "q60_gopher_quality": q60_gopher_quality,
-        "q61_repetition_profile": q61_repetition_profile,
-        "q14_simhash_pairs": q14_simhash_pairs,
-        "q18_embedding_neardup": q18_embedding_neardup,
-        "q27_byte_histogram": q27_byte_histogram,
-        "q55_cube_revenue": q55_cube_revenue,
-        "q56_order_running_totals": q56_order_running_totals,
-        "q57_late_ship_priority": q57_late_ship_priority,
-        "q58_local_supplier_volume": q58_local_supplier_volume,
-        "q63_tree_merge_knn": q63_tree_merge_knn,
-        "q64_dedup_first_event": q64_dedup_first_event,
-        "q66_click_purchase_pairs": q66_click_purchase_pairs,
-        "q67_span_dedup": q67_span_dedup,
-        "q68_stratified_sample": q68_stratified_sample,
-        "q69_train_split": q69_train_split,
-        "q70_weighted_mix": q70_weighted_mix,
-        "q71_doc_chunks": q71_doc_chunks,
-        "q72_pack_sequences": q72_pack_sequences,
-        "q73_contamination": q73_contamination,
-        "q75_hamming_knn": q75_hamming_knn,
-        "q76_c4_clean": q76_c4_clean,
-        "q77_unpivot_lineitem": q77_unpivot_lineitem,
-        "q78_grouping_sets": q78_grouping_sets,
-        "q79_windowed_revenue": q79_windowed_revenue,
-        "q80_full_outer_coverage": q80_full_outer_coverage,
-        "q82_bm25_search": q82_bm25_search,
-        "q83_hybrid_search": q83_hybrid_search,
-        "q84_dedup_clusters": q84_dedup_clusters,
-        "q86_zorder_keys": q86_zorder_keys,
-        "q88_small_qty_revenue": q88_small_qty_revenue,
-        "q01_l2sq_pairs": q01_l2sq_pairs,
-        "q02_ip_cos_pairs": q02_ip_cos_pairs,
         "q152_label_knn": q152_label_knn,
         "q153_filtered_knn": q153_filtered_knn,
         "q154_filtered_ivf_gate": q154_filtered_ivf_gate,
@@ -4571,6 +4521,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_distinct_users": q40_distinct_users,
         "q42_value_percentiles": q42_value_percentiles,
         "q44_label_centroids": q44_label_centroids,
+        "q169_range_filtered_knn": q169_range_filtered_knn,
+        "q170_range_serving_gate": q170_range_serving_gate,
+        "q45_rolling_hash": q45_rolling_hash,
+        "q46_semantic_search": q46_semantic_search,
+        "q48_rollup_revenue": q48_rollup_revenue,
+        "q50_semi_anti_join": q50_semi_anti_join,
+        "q144_sweep_contract_gate": q144_sweep_contract_gate,
+        "q145_png_pixel_stats": q145_png_pixel_stats,
+        "q146_png_resize_stats": q146_png_resize_stats,
+        "q147_wav_audio_stats": q147_wav_audio_stats,
+        "q141_gapfill_forward": q141_gapfill_forward,
+        "q143_gapfill_linear": q143_gapfill_linear,
+        "q134_table_profile": q134_table_profile,
+        "q51_top_events_per_user": q51_top_events_per_user,
+        "q52_asof_purchase_click": q52_asof_purchase_click,
+        "q53_clicks_before_purchase": q53_clicks_before_purchase,
+        "q54_pivot_daily_events": q54_pivot_daily_events,
+        "q59_pii_redaction": q59_pii_redaction,
+        "q60_gopher_quality": q60_gopher_quality,
+        "q61_repetition_profile": q61_repetition_profile,
+        "q14_simhash_pairs": q14_simhash_pairs,
+        "q18_embedding_neardup": q18_embedding_neardup,
+        "q27_byte_histogram": q27_byte_histogram,
+        "q55_cube_revenue": q55_cube_revenue,
+        "q56_order_running_totals": q56_order_running_totals,
+        "q57_late_ship_priority": q57_late_ship_priority,
+        "q58_local_supplier_volume": q58_local_supplier_volume,
+        "q63_tree_merge_knn": q63_tree_merge_knn,
+        "q64_dedup_first_event": q64_dedup_first_event,
+        "q66_click_purchase_pairs": q66_click_purchase_pairs,
+        "q67_span_dedup": q67_span_dedup,
+        "q68_stratified_sample": q68_stratified_sample,
+        "q69_train_split": q69_train_split,
+        "q70_weighted_mix": q70_weighted_mix,
+        "q71_doc_chunks": q71_doc_chunks,
+        "q72_pack_sequences": q72_pack_sequences,
+        "q73_contamination": q73_contamination,
+        "q75_hamming_knn": q75_hamming_knn,
+        "q76_c4_clean": q76_c4_clean,
+        "q77_unpivot_lineitem": q77_unpivot_lineitem,
+        "q78_grouping_sets": q78_grouping_sets,
+        "q79_windowed_revenue": q79_windowed_revenue,
+        "q80_full_outer_coverage": q80_full_outer_coverage,
+        "q82_bm25_search": q82_bm25_search,
+        "q83_hybrid_search": q83_hybrid_search,
+        "q84_dedup_clusters": q84_dedup_clusters,
+        "q86_zorder_keys": q86_zorder_keys,
+        "q88_small_qty_revenue": q88_small_qty_revenue,
+        "q01_l2sq_pairs": q01_l2sq_pairs,
+        "q02_ip_cos_pairs": q02_ip_cos_pairs,
     }
 
 
