@@ -62,16 +62,34 @@ def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     xx = (X * X).sum(1)[:, None]
     prev_a = None
     for _ in range(iters):
-        d = xx - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        # in-place accumulation (round 16): (-2XC + xx) + cc equals the
+        # old (xx - 2XC) + cc bit-for-bit (IEEE a+b == b+a; -2*v and
+        # 2*v are exact) and drops two n*k temporaries per iteration
+        d = X @ C.T
+        d *= -2.0
+        d += xx
+        d += (C * C).sum(1)[None, :]
         a = d.argmin(axis=1)
         if prev_a is not None and np.array_equal(a, prev_a):
             break
         prev_a = a
-        for j in range(k):
-            members = X[a == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+        _group_means(X, a, C, k)
     return C
+
+
+def _group_means(X: np.ndarray, a: np.ndarray, C: np.ndarray, k: int) -> None:
+    """Per-cluster means written into ``C`` (clusters with no members keep
+    their previous center). One stable argsort replaces k boolean scans
+    (round 16); bit-identical to ``X[a == j].mean(axis=0)`` — the stable
+    sort lists each group's rows in the same ascending row order the
+    boolean mask produced, so the extracted submatrix and its reduction
+    are the same arrays."""
+    order = np.argsort(a, kind="stable")
+    bounds = np.searchsorted(a[order], np.arange(k + 1))
+    for j in range(k):
+        s, e = bounds[j], bounds[j + 1]
+        if e > s:
+            C[j] = X[order[s:e]].mean(axis=0)
 
 
 def build_ivf(
@@ -121,11 +139,12 @@ def build_ivf(
         centers = np.array(model.clusterCenters(), dtype=np.float64)
         fitcap.record("ivf", 0, centers.shape[1], "distributed")
     elif fit == "sample":
-        sample = fitcap.hash_sample(
-            train.select(F.col(vec_col).alias("vec")), sample_size,
-            seed=seed,
-        ).toPandas()["vec"]
-        X = np.stack(sample.to_numpy()).astype(np.float64)
+        X = fitcap.collect_matrix(
+            fitcap.hash_sample(
+                train.select(F.col(vec_col).alias("vec")), sample_size,
+                seed=seed,
+            )
+        )
         centers = _kmeans(X, n_centroids, iters, seed)
         fitcap.record("ivf", len(X), X.shape[1], "sample")
     else:
@@ -163,7 +182,31 @@ def build_ivf(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "centroid_id long, vec array<double>",
     )
+    # the centers ALREADY live on the driver — attach them so consumers
+    # (build_ivfpq, IvfPqServingIndex, the probe batches) skip the
+    # collect job that round-tripped these exact float64s through the
+    # JVM (round 16; see centroid_matrix). Read-only so an accidental
+    # in-place mutation fails loudly instead of desyncing the table.
+    _centers_ro = centers.astype(np.float64, copy=True)
+    _centers_ro.setflags(write=False)
+    centroids._vi_centers = _centers_ro
     return assigned, centroids
+
+
+def centroid_matrix(centroids: DataFrame) -> np.ndarray:
+    """Dense (k, d) float64 matrix of a centroid table in centroid_id
+    order. When ``build_ivf`` produced the table this session, the
+    matrix it was created FROM is attached to the DataFrame and returned
+    without a Spark job (bit-identical: ``createDataFrame`` of float64
+    values collects back to the same float64 bits). Loaded or derived
+    centroid tables (snapshot restore, ``load_ivfpq``) take the one-job
+    Arrow collect."""
+    cached = getattr(centroids, "_vi_centers", None)
+    if cached is not None:
+        return cached
+    from vector_index_spark.index import fitcap
+
+    return fitcap.collect_matrix(centroids.orderBy("centroid_id"))
 
 
 def ivf_knn(

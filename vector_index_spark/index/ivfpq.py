@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.distance import l2sq_arrow
-from vector_index_spark.index.ivf import build_ivf
+from vector_index_spark.index.ivf import build_ivf, centroid_matrix
 from vector_index_spark.index.pq import _kmeans_1d
+from vector_index_spark.index.pq import argmin_sq_dist as _argmin_sq_dist
 from vector_index_spark.operators.knn import knn_join
 
 
@@ -60,9 +61,7 @@ def build_ivfpq(
         replicas=replicas,
     )
     spark = train.sparkSession
-    C = np.stack(
-        centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
-    ).astype(np.float64)
+    C = centroid_matrix(centroids)
 
     # codebooks on a bounded residual sample (primary assignment only —
     # replica rows are the same vectors with worse-fitting residuals);
@@ -74,12 +73,13 @@ def build_ivfpq(
     # primary assignment + residual in numpy on the driver: sampling
     # `assigned` instead would re-execute the full distributed assign
     # pass just to discard all but ~10k rows (round 12)
-    sample = fitcap.hash_sample(
-        train.select(F.col(vec_col).alias("vec")),
-        fitcap.capped_rows(sample_size, _dim), seed=seed,
-    ).toPandas()
-    fitcap.record("ivfpq_codebooks", len(sample), _dim, "sample")
-    Xs = np.stack(sample["vec"].to_numpy()).astype(np.float64)
+    Xs = fitcap.collect_matrix(
+        fitcap.hash_sample(
+            train.select(F.col(vec_col).alias("vec")),
+            fitcap.capped_rows(sample_size, _dim), seed=seed,
+        )
+    )
+    fitcap.record("ivfpq_codebooks", len(Xs), _dim, "sample")
     d2 = (
         (Xs * Xs).sum(axis=1)[:, None]
         - 2.0 * (Xs @ C.T)
@@ -111,9 +111,11 @@ def build_ivfpq(
             Rb = X - cC[pdf["centroid_id"].to_numpy(dtype=np.int64)]
             codes = np.empty((len(Rb), m), dtype=np.int32)
             for s in range(m):
-                seg = Rb[:, s * csub : (s + 1) * csub]
-                d = ((seg[:, None, :] - cbooks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d.argmin(axis=1)
+                # tie-safe GEMM nearest-centroid — bit-identical codes
+                # (see pq.argmin_sq_dist) without the n*k*sub temp
+                codes[:, s] = _argmin_sq_dist(
+                    Rb[:, s * csub : (s + 1) * csub], cbooks[s]
+                )
             yield pd.DataFrame(
                 {
                     "centroid_id": pdf["centroid_id"].to_numpy(),
@@ -187,9 +189,7 @@ def _ivfpq_knn_batch(
         return spark.createDataFrame([], "qid long, rank int, id long, dist double")
     qids = tp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(tp["vec"].to_numpy()).astype(np.float64)
-    C = np.stack(
-        centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
-    ).astype(np.float64)
+    C = centroid_matrix(centroids)
     qpos = {int(q): i for i, q in enumerate(qids)}
     bc = spark.sparkContext.broadcast((qpos, Q, C, codebooks))
     ncand = candidate_factor * k

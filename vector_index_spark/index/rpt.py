@@ -56,10 +56,12 @@ def train_rpt(
     # 5); quality stays recall-gated in tests either way
     dim = fitcap.vector_dim(train, vec_col)
     rows = fitcap.capped_rows(sample_size, dim)
-    sample = fitcap.hash_sample(
-        train.select(F.col(vec_col).alias("v")), rows, seed=seed,
-    ).toPandas()["v"]
-    X = np.stack(sample.to_numpy()).astype(np.float64)
+    X = fitcap.collect_matrix(
+        fitcap.hash_sample(
+            train.select(F.col(vec_col).alias("v")), rows, seed=seed,
+        ),
+        vec_col="v",
+    )
     fitcap.record("rpt", len(X), dim, "sample")
     d = X.shape[1]
     n_nodes = (1 << depth) - 1

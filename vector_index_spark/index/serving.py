@@ -3713,13 +3713,14 @@ class PqServingIndex:
         def mats_of(X):
             codes = np.empty((len(X), m), dtype=np.int32)
             # identical math to pq.encode_pq — merged answers equal a
-            # cold encode over the union corpus
+            # cold encode over the union corpus (tie-safe GEMM form,
+            # bit-identical to the broadcast temp it replaced)
+            from vector_index_spark.index.pq import argmin_sq_dist
+
             for s in range(m):
-                seg = X[:, s * sub : (s + 1) * sub]
-                d = (
-                    (seg[:, None, :] - self._books[s][None, :, :]) ** 2
-                ).sum(axis=2)
-                codes[:, s] = d.argmin(axis=1)
+                codes[:, s] = argmin_sq_dist(
+                    X[:, s * sub : (s + 1) * sub], self._books[s]
+                )
             return (codes,)
 
         self._train = train
@@ -4773,9 +4774,9 @@ class IvfPqServingIndex:
         self._cents_kv = centroids.select(
             F.col("centroid_id").alias("id"), "vec"
         ).localCheckpoint(eager=True)
-        self._C = np.stack(
-            centroids.orderBy("centroid_id").toPandas()["vec"].to_numpy()
-        ).astype(np.float64)
+        from vector_index_spark.index.ivf import centroid_matrix
+
+        self._C = centroid_matrix(centroids)
         self._spark = spark
         self._live_bcs: list = []
 
@@ -4844,12 +4845,15 @@ class IvfPqServingIndex:
         m, _, sub = self._books.shape
         R = X - C[nearest]
         codes = np.empty((len(R), m), dtype=np.int32)
+        # identical math to build_ivfpq's encode pass (tie-safe GEMM,
+        # bit-identical to the broadcast temp it replaced) — merged
+        # payloads byte-match a cold re-encode
+        from vector_index_spark.index.pq import argmin_sq_dist
+
         for s in range(m):
-            seg = R[:, s * sub : (s + 1) * sub]
-            dd = (
-                (seg[:, None, :] - self._books[s][None, :, :]) ** 2
-            ).sum(axis=2)
-            codes[:, s] = dd.argmin(axis=1)
+            codes[:, s] = argmin_sq_dist(
+                R[:, s * sub : (s + 1) * sub], self._books[s]
+            )
         attrs = _wave_attrs
         per_cell: dict = {}
         for i, c in enumerate(cells):

@@ -509,10 +509,9 @@ def embedding_near_dup(
     from vector_index_spark.index import fitcap
 
     _dim = fitcap.vector_dim(vin, "vec")
-    sample = (
-        vin.select("vec").limit(fitcap.capped_rows(sample_size, _dim)).toPandas()["vec"]
+    X = fitcap.collect_matrix(
+        vin.select("vec").limit(fitcap.capped_rows(sample_size, _dim))
     )
-    X = np.stack(sample.to_numpy()).astype(np.float64)
     fitcap.record("embedding_near_dup", len(X), _dim, "sample")
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0.0] = 1.0

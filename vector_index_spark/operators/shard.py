@@ -66,13 +66,13 @@ def ivf_cell_shards(
 
     n_rows = df.count()
     stride = max(1, n_rows // sample_size)
-    sample = (
+    from vector_index_spark.index import fitcap
+
+    X = fitcap.collect_matrix(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .filter(F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), stride) == 0)
         .limit(sample_size)
-        .toPandas()["vec"]
     )
-    X = np.stack(sample.to_numpy()).astype(np.float64)
     C = _kmeans(X, n_cells, iters, seed)
     cc = (C * C).sum(1)
     from pyspark.sql.functions import pandas_udf
