@@ -183,3 +183,105 @@ def test_encode_pq_codes_unchanged(spark):
         codes[:, s] = d.argmin(axis=1)
     for i in range(len(X)):
         assert got[i] == list(codes[i])
+
+
+def test_seq_metric_arrow_bit_identical_to_hof(spark):
+    """The Arrow distance twins must bit-equal the higher-order-function
+    kernels (they decide oracle-hashed dist columns), including NULL and
+    ragged-length rows (zip_with null-pads, nulling the fold)."""
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.functions.distance import (
+        cos_dist,
+        ip_dist,
+        l2sq,
+        seq_metric_arrow,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (
+            int(i),
+            [float(np.float32(x)) for x in rng.standard_normal(16)],
+            [float(np.float32(x)) for x in rng.standard_normal(16)],
+        )
+        for i in range(300)
+    ]
+    rows += [
+        (1000, None, [1.0] * 16),
+        (1001, [1.0] * 16, None),
+        (1002, [1.0] * 17, [1.0] * 16),
+    ]
+    df = spark.createDataFrame(rows, "i long, x array<double>, y array<double>")
+    df32 = df.select(
+        "i",
+        F.col("x").cast("array<float>").alias("x"),
+        F.col("y").cast("array<float>").alias("y"),
+    )
+    cases = [
+        ("euclidean2", l2sq),
+        ("inner_product", ip_dist),
+        ("cosine_similarity", cos_dist),
+    ]
+    for frame in (df, df32):
+        for name, hof in cases:
+            got = frame.select(
+                "i",
+                hof(F.col("x"), F.col("y")).alias("o"),
+                seq_metric_arrow(name)(F.col("x"), F.col("y")).alias("n"),
+            ).collect()
+            for r in got:
+                assert r["o"] == r["n"] or (r["o"] is None and r["n"] is None), (
+                    name, r["i"], r["o"], r["n"],
+                )
+
+
+def test_maxsim_dot_seq_matches_hof_form(spark):
+    """Round 16 swapped maxsim's per-pair dot from the interpreted
+    aggregate(zip_with(...)) expression to dot_seq_arrow. The full
+    retrieval output must be row-identical (q90 hashes round(score, 6))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_index_spark.functions.distance import dot
+    from vector_index_spark.operators.similarity import maxsim_retrieval
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i // 5), int(i), [float(np.float32(x)) for x in rng.standard_normal(8)])
+        for i in range(400)
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, dtok long, vec array<double>")
+    mq = toks.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("dtok").alias("qtok"), "vec"
+    )
+    dd = toks.filter(F.col("doc_id") % 10 != 0)
+
+    def old_maxsim(k):
+        q = mq.select(
+            F.col("qid"), F.col("qtok").alias("__qt"), F.col("vec").alias("__qv")
+        )
+        d = dd.select(
+            F.col("doc_id"), F.col("dtok").alias("__dt"), F.col("vec").alias("__dv")
+        )
+        per_qtok = (
+            d.crossJoin(F.broadcast(q))
+            .withColumn("__sim", dot(F.col("__qv"), F.col("__dv")))
+            .groupBy("qid", "doc_id", "__qt")
+            .agg(F.max("__sim").alias("__best"))
+        )
+        scored = per_qtok.groupBy("qid", "doc_id").agg(
+            F.round(F.sum("__best"), 6).alias("score")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score")
+        )
+
+    new = maxsim_retrieval(mq, dd, 5).orderBy("qid", "rank").collect()
+    old = old_maxsim(5).orderBy("qid", "rank").collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]

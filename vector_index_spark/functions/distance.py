@@ -103,6 +103,128 @@ def l2sq_arrow():
     return _l2sq
 
 
+def _seq_sum(P):
+    """Strict left-to-right accumulation vectorized across rows: each
+    row's partial sums follow ``((0 + p0) + p1) + ...`` exactly like the
+    Catalyst fold (one IEEE add per element per row)."""
+    import numpy as np
+
+    acc = np.zeros(len(P))
+    for j in range(P.shape[1]):
+        acc += P[:, j]
+    return acc
+
+
+def _seq_row_fallback(kind: str, x, y):
+    """Per-row exact twin of the HOF kernels for null/ragged rows: a
+    null side or a length mismatch yields NULL (zip_with pads the short
+    side with null, which nulls the whole fold); equal-length rows fold
+    left-to-right in python floats (C doubles — the same IEEE ops)."""
+    import math
+
+    if x is None or y is None or len(x) != len(y):
+        return None
+    if kind == "euclidean2":
+        acc = 0.0
+        for a, b in zip(x, y):
+            u = float(a) - float(b)
+            acc += u * u
+        return acc
+    dv = 0.0
+    for a, b in zip(x, y):
+        dv += float(a) * float(b)
+    if kind == "inner_product":
+        return 1.0 - dv
+    na = 0.0
+    nb = 0.0
+    for a in x:
+        fa = float(a)
+        na += fa * fa
+    for b in y:
+        fb = float(b)
+        nb += fb * fb
+    return 1.0 - dv / (math.sqrt(na) * math.sqrt(nb))
+
+
+def seq_metric_arrow(kind: str):
+    """Arrow-batched twin of the HOF distance kernels (:func:`l2sq`,
+    :func:`ip_dist`, :func:`cos_dist`) preserving their EXACT values
+    (round 16): per element the same single-rounding ops as zip_with's
+    lambda, then a strict left-to-right fold (see :func:`_seq_sum`), so
+    every distance bit-equals the interpreted higher-order expression it
+    replaces — safe on oracle-hashed outputs, unlike :func:`l2sq_arrow`
+    (numpy pairwise accumulation, recall-gated paths only). Null or
+    ragged rows keep the HOF's NULL result via a per-row fallback.
+    ~20 us/row of interpreter dispatch becomes one vectorized pass per
+    Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if kind not in ("euclidean2", "inner_product", "cosine_similarity"):
+        raise ValueError(f"unknown metric {kind!r}")
+
+    @pandas_udf("double")
+    def _f(a, b):
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        av = a.to_numpy()
+        bv = b.to_numpy()
+        la = {len(x) for x in av if x is not None}
+        lb = {len(y) for y in bv if y is not None}
+        clean = (
+            len(la) == 1
+            and la == lb
+            and not a.isnull().any()
+            and not b.isnull().any()
+        )
+        if not clean:
+            return pd.Series(
+                [_seq_row_fallback(kind, x, y) for x, y in zip(av, bv)],
+                dtype="float64",
+            )
+        A = np.stack(av).astype(np.float64)
+        B = np.stack(bv).astype(np.float64)
+        if kind == "euclidean2":
+            D = A - B
+            return pd.Series(_seq_sum(D * D))
+        dv = _seq_sum(A * B)
+        if kind == "inner_product":
+            return pd.Series(1.0 - dv)
+        na = np.sqrt(_seq_sum(A * A))
+        nb = np.sqrt(_seq_sum(B * B))
+        return pd.Series(1.0 - dv / (na * nb))
+
+    return _f
+
+
+def dot_seq_arrow():
+    """Arrow-batched twin of :func:`dot` that preserves its EXACT value:
+    per element one IEEE multiply (same as zip_with's ``x * y``), then a
+    strict left-to-right accumulation vectorized ACROSS rows (one
+    ``acc += P[:, j]`` per dimension — each row's partial sums follow
+    ``((0 + p0) + p1) + ...`` exactly like the Catalyst fold). Unlike
+    :func:`l2sq_arrow` (numpy pairwise accumulation, last-ulp-different,
+    recall-gated paths only), this form is bit-identical to the
+    higher-order-function expression and safe on oracle-hashed outputs
+    (q90 hashes ``round(score, 6)``). ~100x less interpreter dispatch
+    than the HOF at 64-d (round 16)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot_seq(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(_seq_sum(A * B))
+
+    return _dot_seq
+
+
 def assert_dim(df, vec_col: str, dim: int):
     """Fail fast on ragged vectors: raises at execution time if any row's
     vector length differs from ``dim``.

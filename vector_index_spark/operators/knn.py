@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_index_spark.functions.distance import cos_dist, ip_dist, l2sq
+from vector_index_spark.functions.distance import (
+    cos_dist,
+    ip_dist,
+    l2sq,
+    seq_metric_arrow,
+)
 
 _METRICS = {
     "euclidean2": l2sq,
@@ -37,12 +42,18 @@ _METRICS = {
 
 
 def distance_column(metric: str, a: Column, b: Column) -> Column:
-    try:
-        return _METRICS[metric](a, b)
-    except KeyError:
+    """Distance column for the relational kNN operators — the Arrow twin
+    of the HOF kernels (round 16): bit-identical values (strict
+    left-to-right fold, null/ragged rows stay NULL — see
+    functions.distance.seq_metric_arrow), evaluated as one vectorized
+    pass per Arrow batch instead of ~2d interpreted lambda dispatches
+    per pair. The HOF forms stay in functions.distance for expression
+    contexts that must remain pure Catalyst."""
+    if metric not in _METRICS:
         # Mirrors the reference's dispatch failure (source/distance.h:174-187)
         # except that we actually support all three metrics.
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    return seq_metric_arrow(metric)(a, b)
 
 
 def knn_join(
