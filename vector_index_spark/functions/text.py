@@ -201,6 +201,11 @@ def simhash_udf(bits: int = 48):
 
     import numpy as np
 
+    # the vectorized vote tally packs bit weights into int64 (ADVICE
+    # r15): 1 << 63 would overflow and the md5 token hash below is
+    # 48-bit anyway, so wider simhashes need a different hash first
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62] (int64 weights), got {bits}")
     shifts = np.arange(bits, dtype=np.int64)
     weights = np.int64(1) << shifts
 
